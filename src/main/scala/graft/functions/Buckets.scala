@@ -1,0 +1,135 @@
+package graft.functions
+
+import java.time.{Instant, LocalDate, ZoneOffset, ZonedDateTime}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Time-bucket truncation with the reference engine's exact semantics.
+  *
+  * Reference: hookdeck/outpost `internal/logstore/bucket/bucket.go:29-70`
+  * (`TruncateTime`), `:73-90` (`AdvanceTime`), and the SQL renderings in
+  * `internal/logstore/chlogstore/metrics.go:30-58` /
+  * `internal/logstore/pglogstore/metrics.go:31-62`.
+  *
+  * Semantics:
+  *   - units: s, m, h, d, w, M with a positive integer multiple `value`
+  *   - sub-day units (s/m/h) and multi-unit d/w: epoch-anchored intervals;
+  *     anchor is 1970-01-01T00:00Z for s/m/h/d and 1970-01-04T00:00Z (a
+  *     Sunday) for weeks
+  *   - value=1 d: calendar day; value=1 w: calendar week starting Sunday
+  *     (same as the anchored form, kept separate for clarity)
+  *   - months: calendar months; value>1 groups month-counts since Jan 1970
+  *     into floor multiples of `value`
+  *
+  * Everything is UTC. Two renderings are provided: a pure-Scala version (for
+  * slot generation and property tests) and a Catalyst `Column` version used
+  * in distributed plans. The Column form is pure built-in expression
+  * composition — no UDF — so it stays inside whole-stage codegen and keeps
+  * predicate/partition pruning intact.
+  */
+object Buckets {
+
+  sealed trait Unit { def seconds: Long }
+  case object Second extends Unit { val seconds = 1L }
+  case object Minute extends Unit { val seconds = 60L }
+  case object Hour extends Unit { val seconds = 3600L }
+  case object Day extends Unit { val seconds = 86400L }
+  case object Week extends Unit { val seconds = 604800L }
+  case object Month extends Unit { val seconds = 0L } // variable length
+
+  final case class Granularity(value: Int, unit: Unit) {
+    require(value >= 1, s"granularity value must be >= 1, got $value")
+  }
+
+  object Granularity {
+    private val Pattern = "^(\\d+)([smhdwM])$".r
+    /** Parse the API form, e.g. "1h", "2d", "3M". */
+    def parse(s: String): Granularity = s match {
+      case Pattern(v, u) =>
+        val unit = u match {
+          case "s" => Second; case "m" => Minute; case "h" => Hour
+          case "d" => Day; case "w" => Week; case "M" => Month
+        }
+        Granularity(v.toInt, unit)
+      case _ => throw new IllegalArgumentException(s"bad granularity: $s")
+    }
+  }
+
+  /** Epoch seconds of the week anchor 1970-01-04 (a Sunday). */
+  private val WeekAnchorSec: Long = 3L * 86400L
+
+  val MaxBuckets = 100000
+
+  // ---------------------------------------------------------------- pure ---
+
+  /** Truncate an instant to its bucket start. */
+  def truncate(t: Instant, g: Granularity): Instant = g.unit match {
+    case Month =>
+      val z = t.atZone(ZoneOffset.UTC)
+      val monthsSinceEpoch = (z.getYear - 1970) * 12 + (z.getMonthValue - 1)
+      val bucketMonth = Math.floorDiv(monthsSinceEpoch, g.value) * g.value
+      LocalDate.of(1970 + bucketMonth / 12, bucketMonth % 12 + 1, 1)
+        .atStartOfDay(ZoneOffset.UTC).toInstant
+    case u =>
+      val anchor = if (u == Week) WeekAnchorSec else 0L
+      val step = u.seconds * g.value
+      val sec = Math.floorDiv(t.toEpochMilli, 1000L) // floor to second first
+      val start = Math.floorDiv(sec - anchor, step) * step + anchor
+      Instant.ofEpochSecond(start)
+  }
+
+  /** The start of the bucket after the one containing/starting at `t`. */
+  def advance(t: Instant, g: Granularity): Instant = g.unit match {
+    case Month =>
+      t.atZone(ZoneOffset.UTC).plusMonths(g.value.toLong).toInstant
+    case u => t.plusSeconds(u.seconds * g.value)
+  }
+
+  /** Seconds covered by the bucket starting at `b` (month buckets use true
+    * calendar length — reference `driver/rate.go:78-104`). */
+  def bucketSeconds(b: Instant, g: Granularity): Long = g.unit match {
+    case Month => advance(b, g).getEpochSecond - b.getEpochSecond
+    case u => u.seconds * g.value
+  }
+
+  /** All bucket starts covering [start, end). Caps at [[MaxBuckets]]
+    * (reference `bucket/bucket.go:10-14` → ErrTooManyBuckets). */
+  def generateSlots(start: Instant, end: Instant, g: Granularity): Seq[Instant] = {
+    val out = Seq.newBuilder[Instant]
+    var cur = truncate(start, g)
+    var n = 0
+    while (cur.isBefore(end)) {
+      out += cur
+      n += 1
+      if (n > MaxBuckets)
+        throw new IllegalArgumentException(s"too many buckets (> $MaxBuckets)")
+      cur = advance(cur, g)
+    }
+    out.result()
+  }
+
+  // -------------------------------------------------------------- column ---
+
+  /** Bucket-truncation as a Catalyst Column (input must be TimestampType). */
+  def bucketExpr(ts: Column, g: Granularity): Column = g.unit match {
+    case Month =>
+      val months = (year(ts) - lit(1970)) * lit(12) + month(ts) - lit(1)
+      val bucketMonth = (floor(months.cast("double") / lit(g.value.toDouble)) * lit(g.value)).cast("int")
+      add_months(to_date(lit("1970-01-01")), bucketMonth).cast("timestamp")
+    case u =>
+      val anchor = if (u == Week) WeekAnchorSec else 0L
+      val step = u.seconds * g.value
+      // integer µs arithmetic: exact, codegen-friendly, no UDF
+      val sec = floor(unix_micros(ts).cast("double") / lit(1e6)).cast("long")
+      val start = floor((sec - lit(anchor)).cast("double") / lit(step.toDouble)).cast("long") * lit(step) + lit(anchor)
+      timestamp_seconds(start)
+  }
+
+  /** Per-bucket duration in seconds as a Column over the bucket-start column
+    * (month granularities need the true calendar length for rate measures). */
+  def bucketSecondsExpr(bucket: Column, g: Granularity): Column = g.unit match {
+    case Month =>
+      (unix_timestamp(add_months(bucket, g.value).cast("timestamp")) - unix_timestamp(bucket))
+    case u => lit(u.seconds * g.value)
+  }
+}
