@@ -18,8 +18,10 @@ object SparkEntry {
     MetricsQueries.defs("metrics_count_hourly")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ EventOps.defs ++ MetricsQueries.defs
+    Relational.defs ++ EventOps.defs ++ MetricsQueries.defs ++
+      TextOps.defs ++ DedupOps.defs ++ VectorOps.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventOps.oracles ++ MetricsQueries.oracles
+    Relational.oracles ++ EventOps.oracles ++ MetricsQueries.oracles ++
+      TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines, at four fidelities:
+  * exact, token-set Jaccard (blocked), MinHash+LSH, SimHash.
+  *
+  * Scale design (the 100 TB case):
+  *   - exact dedup is one hash-partitioned groupBy on a 128-bit digest —
+  *     the canonical shuffle-once pattern; the digest (16B) shuffles, not
+  *     the document;
+  *   - blocked Jaccard joins only share-a-block pairs (block = any cheap
+  *     partition key: source, fingerprint prefix, LSH band…), never the
+  *     full cross product;
+  *   - MinHash signatures are computed per-row with NO shuffle (pure array
+  *     expressions inside codegen); only (band, bandHash, docId) tuples —
+  *     ~100B/doc — shuffle for the band join. This is the path that holds
+  *     at 1000 executors: candidate generation is linear, verification is
+  *     restricted to colliding pairs;
+  *   - SimHash is per-row too; pairs are blocked by the high 16 bits so the
+  *     self-join only touches same-prefix buckets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content digest: groups with >1 member,
+    * keeper = min(id) (deterministic survivor pick). */
+  def exactGroups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("dup_hash"))
+      .agg(count(lit(1)).as("dup_count"), min(col(idCol)).as("keeper_id"))
+      .filter(col("dup_count") > 1)
+
+  /** Exact-keeper view: one row per distinct content, smallest id wins. */
+  def dropExactDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact token-set Jaccard over distinct whitespace tokens, restricted to
+    * pairs sharing `blockCol`. Returns (id_a, id_b, jaccard) with id_a<id_b.
+    *
+    * Token-inverted-index join: explode distinct tokens, self-join on
+    * (block, token), count shared tokens per pair, then J = |∩|/(|A|+|B|-|∩|).
+    * The explode keeps only (block, token, id, size) — the text never
+    * shuffles.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   blockCol: String = "source",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+        TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+    val inv = toks.select(col("id"), col("block"), col("sz"),
+      explode(col("toks")).as("tok"))
+    val a = inv.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = inv.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "tok")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: sig[i] = min over tokens of xxhash64(token ⊕ i).
+    * Pure array expression — computed per row inside codegen, no shuffle. */
+  def minhashSignature(tokensCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(tokensCol,
+        t => xxhash64(concat(t, lit("#"), i.cast("string"))))))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * numHashes = bands × rowsPerBand. Docs colliding on any band's hash
+    * become candidates; candidates are verified against the exact token-set
+    * Jaccard so the output has NO false positives (recall is governed by the
+    * band curve: P(candidate) = 1-(1-J^r)^b).
+    */
+  def minhashLshPairs(docs: DataFrame, threshold: Double,
+                      numHashes: Int = 64, bands: Int = 16,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val toks = docs.select(col(idCol).as("id"),
+        TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+    // (band, hash(band slice)) — the only thing that shuffles
+    val banded = toks.select(col("id"), col("toks"), col("sz"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(concat_ws(",", slice(col("sig"), bnd * r + 1, lit(r)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val l = banded.select(col("band"), col("bandhash"), col("id").as("id_a"),
+      col("toks").as("toks_a"), col("sz").as("sz_a"))
+    val rr = banded.select(col("band"), col("bandhash"), col("id").as("id_b"),
+      col("toks").as("toks_b"), col("sz").as("sz_b"))
+    val cands = l.join(rr, Seq("band", "bandhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "toks_a", "toks_b", "sz_a", "sz_b")
+      .dropDuplicates("id_a", "id_b")
+    val common = size(array_intersect(col("toks_a"), col("toks_b")))
+    cands.withColumn("jaccard",
+        common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over tokens as a LongType column: bit j is set iff
+    * Σ_tokens (±1 from bit j of xxhash64(token)) > 0. Pure array
+    * expression (per-row, codegen'd, no shuffle); the 64 shift amounts are
+    * compile-time literals. */
+  def simhash64(tokensCol: Column): Column = {
+    def bitContribs(t: Column): Column = {
+      val h = xxhash64(t)
+      array((0 until 64).map { j =>
+        when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+          .otherwise(lit(-1))
+      }: _*)
+    }
+    val contrib = aggregate(tokensCol, array_repeat(lit(0), 64),
+      (acc, t) => zip_with(acc, bitContribs(t), (a, b) => a + b))
+    // disjoint bit masks → sum == bitwise-or (1L<<63 wraps negative; fine)
+    (0 until 64).map { j =>
+      when(element_at(contrib, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+  }
+
+  /** SimHash near-dup pairs: same high-16-bit bucket, Hamming distance ≤
+    * maxHamming. Blocking by prefix keeps the self-join linear-ish; at scale
+    * use multiple rotations for full recall. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+      .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
+    val a = sh.select(col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

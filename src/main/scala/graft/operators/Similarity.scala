@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `Array[Float]` column.
+  *
+  * Scale design:
+  *   - cosine is a pure fold over the array column (`zip_with` +
+  *     `aggregate`, left-to-right double accumulation — deterministic and
+  *     codegen'd), so brute force is one scan + TakeOrderedAndProject: the
+  *     baseline that always works and parallelizes perfectly;
+  *   - the IVF variant clusters by a coarse quantizer (here: per-partition
+  *     centroids), probes only the nProbe nearest cells, and re-ranks
+  *     exactly inside them — the scan shrinks by ~nProbe/nCells. Centroids
+  *     are a tiny aggregate → broadcast; the fact table is never shuffled;
+  *   - near-dup pair search blocks on a cell/label so the self-join is
+  *     per-block, never a global cross product.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
+
+  /** Exact top-k by cosine against one query vector (array literal).
+    * Compiles to scan → project → TakeOrderedAndProject: no shuffle of the
+    * fact table, k rows to the driver. */
+  def knnBrute(vectors: DataFrame, queryVec: Seq[Float], k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    vectors.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Coarse quantizer: mean vector per cell (cellCol), as a small DF
+    * (cell, centroid). One per-dimension avg aggregate (dim static columns)
+    * → partial aggregation map-side, result broadcast-sized (cells ≪ rows). */
+  def centroids(vectors: DataFrame, cellCol: String,
+                vecCol: String = "embedding", dim: Int = 64): DataFrame = {
+    val dimAvgs = (0 until dim).map(j =>
+      avg(element_at(col(vecCol), j + 1).cast("double")).as(s"d$j"))
+    vectors.groupBy(col(cellCol).as("cell"))
+      .agg(dimAvgs.head, dimAvgs.tail: _*)
+      .select(col("cell"), array((0 until dim).map(j => col(s"d$j")): _*).as("centroid"))
+  }
+
+  /** IVF-style ANN: probe the `nProbe` cells whose centroid is nearest the
+    * query, exact re-rank within them. Approximate (recall < 1 when the
+    * true neighbor lives in an unprobed cell). */
+  def annIvf(vectors: DataFrame, queryVec: Seq[Float], k: Int, nProbe: Int,
+             cellCol: String, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val cents = centroids(vectors, cellCol)
+    val probed = cents.select(col("cell"), cosine(col("centroid"), q).as("ccos"))
+      .orderBy(col("ccos").desc, col("cell")).limit(nProbe)
+    vectors.join(broadcast(probed), vectors(cellCol) === probed("cell"))
+      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
+    * key (e.g. label or IVF cell). Precomputes norms once per side. */
+  def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = vectors.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, "block").filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(dot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

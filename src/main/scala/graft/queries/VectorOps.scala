@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search + multimodal gate queries over `embeddings`
+  * (vec_id, embedding array<float> dim-64, label) and `documents`. */
+object VectorOps {
+
+  /** The fixed probe vector: embedding of vec_id 0 (one-row driver lookup). */
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-vector L2 norm (the shared primitive; exact-oracled).
+    "vector_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
+        .orderBy(col("vec_id"))),
+
+    // brute-force exact cosine top-k (the always-correct baseline).
+    "knn_brute_force" -> ((s, dir) =>
+      Similarity.knnBrute(Tables.embeddings(s, dir), queryVec(s, dir), k = 20)),
+
+    // IVF-style ANN: label cells, probe 3 nearest centroids (rows-only —
+    // approximate by design; exactness pinned in ScalaTest vs brute force).
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(Tables.embeddings(s, dir), queryVec(s, dir),
+        k = 20, nProbe = 3, cellCol = "label")),
+
+    // embedding near-dup pairs within label blocks.
+    "embedding_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4,
+        blockCol = "label").orderBy(col("id_a"), col("id_b"))),
+
+    // multimodal plumbing: binary payload table → stub decode via
+    // mapPartitions (real partition-batched pipeline, fake codec).
+    "multimodal_meta" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      Multimodal.decodeAll(s, media).toDF()
+        .select(col("media_id"), col("kind"), col("byte_len"),
+          col("width"), col("height"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "vector_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "knn_brute_force" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings e CROSS JOIN q
+        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin,
+    "embedding_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 31) % 359 AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin
+    // ann_ivf: intentionally no oracle (approximate); ScalaTest pins
+    // its recall against knn_brute_force.
+  )
+}
