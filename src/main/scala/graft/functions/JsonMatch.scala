@@ -188,6 +188,9 @@ object JsonMatch {
         case _ => None
       }
     }
-    try walk(parse(schemaJson), "$") catch { case _: Exception => None }
+    // missing keys make comparisons NULL; the evaluator is two-valued, so
+    // collapse NULL → false for parity
+    try walk(parse(schemaJson), "$").map(c => coalesce(c, lit(false)))
+    catch { case _: Exception => None }
   }
 }

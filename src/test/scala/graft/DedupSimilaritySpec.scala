@@ -1,0 +1,62 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends GraftSuite {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val vecs = Tables.embeddings(spark, sf).cache()
+
+  test("minhash-LSH recall vs exact jaccard (threshold 0.8, same-source pairs)") {
+    val exact = Dedup.jaccardPairs(docs, 0.8).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, 0.8).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is global (unblocked) so it may find MORE pairs; recall on the
+    // blocked ground truth should be near-total with 16 bands × 4 rows
+    val found = exact.intersect(lsh)
+    assert(exact.isEmpty || found.size.toDouble / exact.size >= 0.9,
+      s"recall ${found.size}/${exact.size}")
+    // no false positives below threshold: every reported pair verified
+    val below = Dedup.minhashLshPairs(docs, 0.8)
+      .filter(col("jaccard") < 0.8).count()
+    assert(below == 0)
+  }
+
+  test("simhash pairs have genuinely similar token multisets") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+    // sanity: hamming bound respected and pair ids ordered
+    pairs.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+    }
+  }
+
+  test("exact dedup groups/drop are consistent") {
+    val n = docs.count()
+    val survivors = Dedup.dropExactDups(docs).count()
+    val distinctHashes = docs.select(md5(col("text"))).distinct().count()
+    assert(survivors == distinctHashes)
+    assert(survivors <= n)
+  }
+
+  test("ann_ivf hits are a subset of the global ranking and recall@20 >= 0.3") {
+    val q = vecs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.knnBrute(vecs, q, 20).collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.annIvf(vecs, q, 20, nProbe = 3, cellCol = "label")
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf.size == 20)
+    val recall = brute.intersect(ivf).size.toDouble / 20.0
+    assert(recall >= 0.3, s"recall@20 = $recall") // label cells ≠ cosine cells; modest bar
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}

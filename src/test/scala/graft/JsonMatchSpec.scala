@@ -1,0 +1,135 @@
+package graft
+
+import graft.functions.JsonMatch
+import org.apache.spark.sql.functions._
+
+/** Operator corpus in the spirit of the reference's generated suite
+  * (simplejsonmatch): every operator, coercion corners, array-any semantics,
+  * nesting, and $not composition. */
+class JsonMatchSpec extends GraftSuite {
+
+  private val doc =
+    """{"id":"evt_1","topic":"order.created","time":"2026-01-02T03:04:05Z",
+      |"metadata":{"source":"crm","priority":"high"},
+      |"data":{"amount":150,"price":"42.5","active":true,"tags":["a","b"],
+      |"user":{"id":7,"name":"Ada"},"items":[{"sku":"x1","qty":2},{"sku":"y2","qty":5}],
+      |"nil":null}}""".stripMargin
+
+  private val cases: Seq[(String, Boolean)] = Seq(
+    // literal → $eq
+    ("""{"topic":"order.created"}""", true),
+    ("""{"topic":"order.updated"}""", false),
+    // nested structural
+    ("""{"data":{"amount":150}}""", true),
+    ("""{"data":{"user":{"id":7}}}""", true),
+    ("""{"data":{"user":{"id":8}}}""", false),
+    // loose numeric coercion both directions
+    ("""{"data":{"amount":"150"}}""", true),
+    ("""{"data":{"price":42.5}}""", true),
+    ("""{"data":{"price":"42.5"}}""", true),
+    // bool ↔ string coercion
+    ("""{"data":{"active":"true"}}""", true),
+    ("""{"data":{"active":true}}""", true),
+    ("""{"data":{"active":"false"}}""", false),
+    // $eq/$neq
+    ("""{"data":{"amount":{"$eq":150}}}""", true),
+    ("""{"data":{"amount":{"$neq":150}}}""", false),
+    ("""{"data":{"amount":{"$neq":151}}}""", true),
+    // comparisons with coercion
+    ("""{"data":{"amount":{"$gt":100}}}""", true),
+    ("""{"data":{"amount":{"$gt":150}}}""", false),
+    ("""{"data":{"amount":{"$gte":150}}}""", true),
+    ("""{"data":{"amount":{"$lt":200}}}""", true),
+    ("""{"data":{"amount":{"$lte":149}}}""", false),
+    ("""{"data":{"price":{"$gt":40}}}""", true),
+    ("""{"data":{"price":{"$lt":"43"}}}""", true),
+    // string comparisons
+    ("""{"data":{"user":{"name":{"$gt":"Aa"}}}}""", true),
+    ("""{"data":{"user":{"name":{"$lt":"Aa"}}}}""", false),
+    // $in/$nin with element coercion
+    ("""{"data":{"amount":{"$in":[100,150,200]}}}""", true),
+    ("""{"data":{"amount":{"$in":["150"]}}}""", true),
+    ("""{"data":{"amount":{"$in":[1,2]}}}""", false),
+    ("""{"data":{"amount":{"$nin":[1,2]}}}""", true),
+    ("""{"data":{"amount":{"$nin":[150]}}}""", false),
+    // $startsWith/$endsWith
+    ("""{"topic":{"$startsWith":"order."}}""", true),
+    ("""{"topic":{"$endsWith":".created"}}""", true),
+    ("""{"topic":{"$startsWith":"user."}}""", false),
+    // array-any semantics: scalar schema vs array input
+    ("""{"data":{"tags":"a"}}""", true),
+    ("""{"data":{"tags":"c"}}""", false),
+    ("""{"data":{"tags":{"$in":["b","z"]}}}""", true),
+    // structural match against array of objects (any element)
+    ("""{"data":{"items":{"sku":"y2"}}}""", true),
+    ("""{"data":{"items":{"sku":"z9"}}}""", false),
+    ("""{"data":{"items":{"qty":{"$gte":5}}}}""", true),
+    ("""{"data":{"items":{"qty":{"$gt":5}}}}""", false),
+    // $exist
+    ("""{"data":{"amount":{"$exist":true}}}""", true),
+    ("""{"data":{"missing":{"$exist":false}}}""", true),
+    ("""{"data":{"missing":{"$exist":true}}}""", false),
+    ("""{"data":{"amount":{"$exist":false}}}""", false),
+    // $or/$and/$not
+    ("""{"$or":[{"topic":"order.created"},{"topic":"nope"}]}""", true),
+    ("""{"$or":[{"topic":"a"},{"topic":"b"}]}""", false),
+    ("""{"$and":[{"topic":{"$startsWith":"order"}},{"data":{"amount":{"$gt":100}}}]}""", true),
+    ("""{"$and":[{"topic":{"$startsWith":"order"}},{"data":{"amount":{"$gt":999}}}]}""", false),
+    ("""{"$not":{"topic":"order.created"}}""", false),
+    ("""{"$not":{"topic":"nope"}}""", true),
+    ("""{"data":{"amount":{"$not":{"$gt":200}}}}""", true),
+    // multiple operators AND together
+    ("""{"data":{"amount":{"$gt":100,"$lt":200}}}""", true),
+    ("""{"data":{"amount":{"$gt":100,"$lt":150}}}""", false),
+    // multiple top-level keys AND together
+    ("""{"topic":"order.created","data":{"amount":150}}""", true),
+    ("""{"topic":"order.created","data":{"amount":1}}""", false),
+    // metadata map
+    ("""{"metadata":{"source":"crm"}}""", true),
+    ("""{"metadata":{"source":"erp"}}""", false),
+    // null handling
+    ("""{"data":{"nil":{"$exist":true}}}""", true),
+    ("""{"data":{"nil":5}}""", false),
+    // unknown operator never matches (incl. unimplemented $ref)
+    ("""{"data":{"amount":{"$ref":"#/x"}}}""", false)
+  )
+
+  test(s"evaluator corpus (${cases.size} cases)") {
+    cases.foreach { case (schema, want) =>
+      assert(JsonMatch.matches(schema, doc) == want, s"schema=$schema")
+    }
+  }
+
+  test("malformed inputs fail closed") {
+    assert(!JsonMatch.matches("""{"a":1}""", """not json"""))
+    assert(!JsonMatch.matches("""not json""", """{"a":1}"""))
+  }
+
+  test("compiled Column form agrees with the evaluator on simple schemas") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      """{"k":87,"s":"hello","t":"order.created"}""",
+      """{"k":12,"s":"world","t":"user.created"}""",
+      """{"k":"50","s":"hey","t":"order.x"}""",
+      """{"s":"no-k","t":"order.y"}""")
+    val df = docs.toDF("j")
+    val schemas = Seq(
+      """{"k":{"$gte":50}}""",
+      """{"k":87}""",
+      """{"s":{"$startsWith":"he"}}""",
+      """{"t":{"$endsWith":".created"},"k":{"$lt":100}}""")
+    schemas.foreach { sc =>
+      val compiled = JsonMatch.compile(sc, col("j"))
+      assert(compiled.isDefined, s"should compile: $sc")
+      val got = df.withColumn("m", compiled.get).collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      docs.foreach { d =>
+        assert(got(d) == JsonMatch.matches(sc, d), s"schema=$sc doc=$d")
+      }
+    }
+    // non-lowerable schemas fall back
+    assert(JsonMatch.compile("""{"$or":[{"k":1}]}""", col("j")).isEmpty)
+    assert(JsonMatch.compile("""{"k":{"$in":[1,2]}}""", col("j")).isEmpty)
+  }
+}

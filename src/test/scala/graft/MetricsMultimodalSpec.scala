@@ -1,0 +1,61 @@
+package graft
+
+import java.time.Instant
+import graft.core.Tables
+import graft.functions.Buckets.Granularity
+import graft.operators.{Metrics, Multimodal}
+import org.apache.spark.sql.functions._
+
+class MetricsMultimodalSpec extends GraftSuite {
+
+  test("dense fill: every slot × observed combo present exactly once, zeros filled") {
+    val req = Metrics.Request(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-31T00:00:00Z"),
+      Granularity.parse("1d"), measures = Seq("count"), dimensions = Seq("event_type"))
+    val res = Metrics.query(spark, Tables.events(spark, sf), req)
+    val rows = res.df.collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == 30 * types.length, s"${rows.length} rows, ${types.length} types")
+    assert(rows.map(_.getAs[Long]("count")).sum == Tables.events(spark, sf)
+      .filter(col("ts") < lit("2024-01-31").cast("timestamp")).count())
+  }
+
+  test("rate = count / bucketSeconds for hour buckets") {
+    val req = Metrics.Request(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-02T00:00:00Z"),
+      Granularity.parse("1h"), measures = Seq("count", "rate"))
+    val rows = Metrics.query(spark, Tables.events(spark, sf), req).df.collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("rate") - r.getAs[Long]("count") / 3600.0) < 1e-12)
+    }
+  }
+
+  test("metrics filters restrict the fact scan") {
+    val req = Metrics.Request(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-31T00:00:00Z"),
+      Granularity.parse("1d"), measures = Seq("count"),
+      filters = Map("event_type" -> Seq("error")))
+    val total = Metrics.query(spark, Tables.events(spark, sf), req).df
+      .agg(sum("count")).head().getLong(0)
+    val want = Tables.events(spark, sf)
+      .filter(col("event_type") === "error" &&
+        col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-01-31").cast("timestamp")).count()
+    assert(total == want)
+  }
+
+  test("multimodal decode is deterministic and schema-complete") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
+    def key(m: Multimodal.DecodedMedia) =
+      (m.media_id, m.kind, m.byte_len, m.width, m.height, m.frames, m.feature.toSeq)
+    val d1 = Multimodal.decodeAll(spark, media).collect().sortBy(_.media_id)
+    val d2 = Multimodal.decodeAll(spark, media).collect().sortBy(_.media_id)
+    assert(d1.map(key).toSeq == d2.map(key).toSeq, "deterministic decode")
+    d1.foreach { m =>
+      assert(m.byte_len > 0 && m.width >= 64 && m.height >= 64 && m.frames >= 1)
+      assert(m.feature.length == 8 && m.feature.forall(f => f >= 0f && f <= 1f))
+      assert(Set("image", "audio", "video").contains(m.kind))
+    }
+  }
+}
