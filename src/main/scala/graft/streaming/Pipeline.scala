@@ -1,0 +1,108 @@
+package graft.streaming
+
+import graft.functions.{JsonMatch, TopicMatch}
+import graft.streaming.Model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The ingest → validate → match/fanout stages of the delivery pipeline as
+  * ONE Structured Streaming DAG (reference pipeline:
+  * `internal/publishmq/messagehandler.go:26-82` ingest defaults,
+  * `internal/publishmq/eventhandler.go:70-175` fanout,
+  * `internal/models/entities.go:51-92` match semantics).
+  *
+  * Scale design:
+  *   - destinations are a small, slowly-changing dimension → broadcast hash
+  *     join against the unbounded event stream (no stream shuffle, no state);
+  *   - topic globs and JSON filters are evaluated per joined row. Globs and
+  *     filter schemas are DATA (per-destination), so this is the one place a
+  *     UDF is justified — the pure matchers are referentially transparent
+  *     and cheap;
+  *   - fanout = the join itself: one output row per (event, matched
+  *     destination), plus a grouped `matched_destination_ids` stamp for the
+  *     event log (collect_list over the join result).
+  */
+object Pipeline {
+
+  val rawEventSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("tenant_id", StringType),
+    StructField("topic", StringType),
+    StructField("eligible_for_retry", BooleanType),
+    StructField("event_time", TimestampType),
+    StructField("metadata", MapType(StringType, StringType)),
+    StructField("data", StringType)))
+
+  /** S2: parse a raw JSON event stream and apply ingest defaults
+    * (missing id → uuid, missing time → now, missing eligibility → true).
+    * `data` must be a JSON object or the row is dropped (fails closed, as
+    * the reference 400s — messagehandler.go:33-37). */
+  def validateAndDefault(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    val parsed = raw.select(from_json(col(jsonCol), rawEventSchema).as("e"))
+      .select("e.*")
+    parsed
+      .filter(col("tenant_id").isNotNull && col("topic").isNotNull &&
+        col("data").startsWith("{"))
+      .withColumn("event_id", coalesce(col("event_id"), expr("uuid()")))
+      .withColumn("event_time", coalesce(col("event_time"), current_timestamp()))
+      .withColumn("eligible_for_retry", coalesce(col("eligible_for_retry"), lit(true)))
+      .withColumn("metadata", coalesce(col("metadata"),
+        map().cast(MapType(StringType, StringType))))
+  }
+
+  private val topicMatchUdf = udf((patterns: Seq[String], topic: String) =>
+    patterns != null && TopicMatch.matches(patterns, topic))
+
+  /** Filter envelope exactly as the reference builds it for MatchFilter
+    * (`entities.go:63-74`): id/topic/time/metadata/data with `data` parsed. */
+  private val filterMatchUdf = udf((filterJson: String, envelope: String) =>
+    filterJson == null || filterJson.isEmpty || JsonMatch.matches(filterJson, envelope))
+
+  /** P7/J1: event × destination fanout. Returns one row per matched
+    * (event, destination) with task columns. */
+  def matchFanout(spark: SparkSession, events: DataFrame,
+                  destinations: Dataset[Destination]): DataFrame = {
+    val d = destinations.toDF()
+      .filter(!col("disabled"))
+      .select(col("destination_id"), col("tenant_id").as("d_tenant_id"),
+        col("dest_type"), col("topics"), col("filter_json"))
+    // envelope built by splicing the raw payload text: `data` is schemaless
+    // JSON, so to_json(from_json(...)) would need a schema — a literal
+    // splice keeps arbitrary nesting intact
+    val envelope = concat(
+      lit("""{"id":""""), col("event_id"),
+      lit("""","topic":""""), col("topic"),
+      lit("""","time":""""), date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      lit("""","metadata":"""), coalesce(to_json(col("metadata")), lit("{}")),
+      lit(""","data":"""), col("data"), lit("}"))
+    events
+      .join(broadcast(d), col("tenant_id") === col("d_tenant_id"), "inner")
+      .filter(topicMatchUdf(col("topics"), col("topic")))
+      .filter(filterMatchUdf(col("filter_json"), envelope))
+      .select(col("event_id"), col("tenant_id"), col("destination_id"),
+        lit(1).as("attempt"), lit(false).as("manual"),
+        col("event_time"), col("topic"), col("data"), col("dest_type"))
+  }
+
+  /** The matched-ids stamp for the event log (A9's inverse): one row per
+    * event with `matched_destination_ids` collected. */
+  def stampMatches(fanout: DataFrame): DataFrame =
+    fanout.groupBy(col("event_id"), col("tenant_id"), col("event_time"),
+        col("topic"), col("data"))
+      .agg(collect_list(col("destination_id")).as("matched_destination_ids"))
+
+  /** S4/T3/T4: attempts micro-batch sink — in-batch dedup by attempt_id
+    * (last wins) then append to a month-partitioned log table. Exactly-once
+    * via checkpoint + idempotent overwrite-by-partition is the production
+    * path; here we append with dedup which is the at-least-once→
+    * effectively-once compromise the reference makes (driver.go:87-106). */
+  def logSinkBatch(batch: DataFrame, tablePath: String): Unit = {
+    batch
+      .withColumn("month", date_format(col("attempt_time"), "yyyy-MM"))
+      .dropDuplicates("attempt_id")
+      .repartition(col("month"))
+      .sortWithinPartitions(col("attempt_time"), col("attempt_id"))
+      .write.mode("append").partitionBy("month").parquet(tablePath)
+  }
+}

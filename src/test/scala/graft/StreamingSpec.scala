@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+import graft.core.Backoff
+import graft.streaming.{Alerts, Pipeline, Retry}
+import graft.streaming.Model._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends GraftSuite {
+
+  private def ts(s: Long) = new Timestamp(1704067200000L + s * 1000)
+
+  private val destinations = Seq(
+    Destination("d_all", "t1", "webhook", Seq("*"), None, disabled = false),
+    Destination("d_orders", "t1", "kafka", Seq("order.*"), None, disabled = false),
+    Destination("d_big", "t1", "webhook", Seq("order.*"),
+      Some("""{"data":{"amount":{"$gte":100}}}"""), disabled = false),
+    Destination("d_off", "t1", "webhook", Seq("*"), None, disabled = true),
+    Destination("d_other_tenant", "t2", "webhook", Seq("*"), None, disabled = false))
+
+  test("match/fanout: broadcast join + topic glob + json filter + disabled skip") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      ("e1", "t1", "order.created", true, ts(0), Map("k" -> "v"), """{"amount":150}"""),
+      ("e2", "t1", "order.created", true, ts(1), Map.empty[String, String], """{"amount":50}"""),
+      ("e3", "t1", "user.created", true, ts(2), Map.empty[String, String], """{"amount":999}"""),
+      ("e4", "t2", "order.created", true, ts(3), Map.empty[String, String], """{}"""))
+      .toDF("event_id", "tenant_id", "topic", "eligible_for_retry", "event_time", "metadata", "data")
+    val fanout = Pipeline.matchFanout(spark, events, destinations.toDS())
+    val got = fanout.select("event_id", "destination_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("e1", "d_all"), ("e1", "d_orders"), ("e1", "d_big"), // amount>=100
+      ("e2", "d_all"), ("e2", "d_orders"), // filter rejects d_big
+      ("e3", "d_all"), // topic glob rejects order-only dests
+      ("e4", "d_other_tenant")))
+    val stamped = Pipeline.stampMatches(fanout)
+      .filter(col("event_id") === "e1")
+      .select("matched_destination_ids").head().getSeq[String](0).toSet
+    assert(stamped == Set("d_all", "d_orders", "d_big"))
+  }
+
+  test("validateAndDefault: ids/time/eligibility defaulted, non-object data dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    val raw = Seq(
+      """{"tenant_id":"t1","topic":"a.b","data":{"x":1}}""",
+      """{"tenant_id":"t1","topic":"a.b","data":"not-an-object"}""",
+      """{"topic":"missing.tenant","data":{}}""").toDF("value")
+    val out = Pipeline.validateAndDefault(raw).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("event_id") != null)
+    assert(r.getAs[Timestamp]("event_time") != null)
+    assert(r.getAs[Boolean]("eligible_for_retry"))
+  }
+
+  test("alert evaluator: threshold crossings, reset on success, idempotent redelivery") {
+    val cfg = Alerts.Config(autoDisableCount = 10, thresholds = Seq(50, 100), maxRetries = 3)
+    def att(id: String, n: Int, status: String, t: Long) =
+      Attempt(id, "e1", "t1", "d1", "webhook", n, manual = false, status, ts(t), "500")
+    val key = ("t1", "d1")
+    val st0 = Alerts.AlertState(Set.empty, exhaustedSignalled = false)
+
+    // 5 distinct failures → 50% alert at exactly 5
+    val (st1, a1) = Alerts.evaluate(cfg, key, (1 to 5).map(i => att(s"a$i", 1, "failed", i)), st0)
+    assert(a1.map(_.kind) == Seq("consecutive_failure"))
+    assert(a1.head.failure_count == 5 && a1.head.threshold_pct == 50)
+
+    // redelivery of the same attempt ids → no new alert (set semantics)
+    val (st2, a2) = Alerts.evaluate(cfg, key, (1 to 5).map(i => att(s"a$i", 1, "failed", i)), st1)
+    assert(a2.isEmpty && st2.failingAttemptIds.size == 5)
+
+    // 5 more → 100% = disable
+    val (st3, a3) = Alerts.evaluate(cfg, key, (6 to 10).map(i => att(s"a$i", 1, "failed", i)), st2)
+    assert(a3.map(_.kind) == Seq("destination_disabled"))
+
+    // success resets
+    val (st4, a4) = Alerts.evaluate(cfg, key, Seq(att("ok", 1, "success", 11)), st3)
+    assert(a4.isEmpty && st4.failingAttemptIds.isEmpty)
+
+    // exhaustion fires once
+    val (st5, a5) = Alerts.evaluate(cfg, key,
+      Seq(att("x1", 4, "failed", 12), att("x2", 5, "failed", 13)), st4)
+    assert(a5.count(_.kind == "retries_exhausted") == 1)
+    assert(st5.exhaustedSignalled)
+  }
+
+  test("alert evaluator end-to-end over a stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val cfg = Alerts.Config(autoDisableCount = 4, thresholds = Seq(50, 100), maxRetries = 99)
+    val mem = MemoryStream[Attempt]
+    val alerts = Alerts.evaluateStream(spark, mem.toDS(), cfg)
+    val q = alerts.writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1 to 2).map(i =>
+        Attempt(s"f$i", "e1", "t1", "d9", "webhook", 1, false, "failed", ts(i), "500")))
+      q.processAllAvailable()
+      mem.addData((3 to 4).map(i =>
+        Attempt(s"f$i", "e1", "t1", "d9", "webhook", 1, false, "failed", ts(i), "500")))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT kind, failure_count FROM alerts_out ORDER BY failure_count")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+      assert(got == Seq(("consecutive_failure", 2), ("destination_disabled", 4)))
+    } finally q.stop()
+  }
+
+  test("retry transition: schedule, cancel-on-success, manual override, exhaustion") {
+    val b = Backoff(baseMillis = 1000, factor = 2, maxRetries = 3)
+    def out(n: Int, status: String, manual: Boolean = false, t: Long = 0) =
+      Retry.Outcome("e1", "t1", "d1", n, status, eligible_for_retry = true,
+        manual, ts(0), "top", "{}", ts(t))
+
+    // failure schedules retry #2 after base backoff
+    val (st1, due1) = Retry.transition(b, None, Seq(out(1, "failed", t = 10)), ts(10).getTime)
+    assert(due1.isEmpty && st1.isDefined)
+    assert(st1.get.task.attempt == 2)
+    assert(st1.get.fireAtMillis == ts(10).getTime + 1000)
+
+    // timer past fire time → task due, state cleared
+    val (st2, due2) = Retry.transition(b, st1, Nil, st1.get.fireAtMillis + 1)
+    assert(st2.isEmpty && due2.map(_.attempt) == Seq(2))
+
+    // success cancels pending
+    val (st3, due3) = Retry.transition(b, st1, Seq(out(2, "success", t = 11)), ts(11).getTime)
+    assert(st3.isEmpty && due3.isEmpty)
+
+    // manual retry replaces pending and is immediately due
+    val (st4, due4) = Retry.transition(b, st1, Seq(out(2, "failed", manual = true, t = 12)), ts(12).getTime)
+    assert(st4.isEmpty && due4.map(t => (t.attempt, t.manual)) == Seq((3, true)))
+
+    // exhausted: attempt 4 would exceed maxRetries=3 → nothing scheduled
+    val (st5, due5) = Retry.transition(b, None, Seq(out(3, "failed", t = 13)), ts(13).getTime)
+    assert(st5.isEmpty && due5.isEmpty)
+
+    // backoff growth
+    assert(b.delayMillis(1) == 1000 && b.delayMillis(2) == 2000 && b.delayMillis(3) == 4000)
+  }
+
+  test("log sink batch: dedup by attempt_id, month partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_log").toString
+    val batch = Seq(
+      Attempt("a1", "e1", "t1", "d1", "webhook", 1, false, "failed", ts(0), "500"),
+      Attempt("a1", "e1", "t1", "d1", "webhook", 1, false, "success", ts(1), "200"),
+      Attempt("a2", "e2", "t1", "d1", "webhook", 1, false, "success", ts(2), "200"))
+      .toDF()
+    Pipeline.logSinkBatch(batch, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2)
+    assert(back.columns.contains("month"))
+  }
+}
