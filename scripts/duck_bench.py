@@ -1,0 +1,31 @@
+#!/usr/bin/env python3
+"""DuckDB side of the bench comparison: run each headline oracle SQL at the
+given SF dir and print per-query seconds (same shapes the Spark bench runs)."""
+import sys, time, json
+import duckdb
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
+            "filter_in_time_range", "json_filter_gte", "latest_event_per_user",
+            "metrics_count_hourly", "metrics_daily_by_type", "sessionize_30min",
+            "explode_tokens", "dedup_jaccard_pairs",
+            "knn_brute_force", "embedding_cosine_pairs", "text_token_stats"]
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+
+out = {}
+for name in HEADLINE:
+    if name not in oracles:
+        continue
+    sql = oracles[name]
+    con.sql(sql).fetchall()  # warmup
+    t0 = time.time()
+    con.sql(sql).fetchall()
+    out[name] = round(time.time() - t0, 3)
+print(json.dumps({"total": round(sum(out.values()), 3), "queries": out, "sf": sfdir}))
