@@ -28,14 +28,31 @@ object Tables {
     *
     * The driver writes `ts` as parquet TIMESTAMP(NANOS), which Spark rejects
     * unless `nanosAsLong` is on; we read it as epoch-nanos LONG and truncate
-    * to µs with integer division (matches DuckDB's `::TIMESTAMP` cast). */
+    * to µs with integer division (matches DuckDB's `::TIMESTAMP` cast).
+    *
+    * The raw nanos survive as `ts_ns`: a range predicate on the CONVERTED
+    * column sits above a projection and never reaches the parquet scan, so
+    * time filters must go through [[tsRangeNs]], which is an exact
+    * equivalent (floor(ns/1000) ≥ Xµs ⟺ ns ≥ X·1000) and pushes into
+    * row-group skipping — the difference between scanning a month and
+    * scanning everything at 100 TB. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(spark, sfDir, "events")
-    val ts = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
-      case _ => col("ts").cast("timestamp")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        df.withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * 1000L)
+          .withColumn("ts", col("ts").cast("timestamp"))
     }
-    df.withColumn("ts", ts)
   }
+
+  /** Pushdown-friendly [start,end) time-range predicate over `ts_ns`,
+    * exactly equivalent to `ts >= start && ts < end` on the µs-truncated
+    * timestamp column. */
+  def tsRangeNs(start: java.time.Instant, end: java.time.Instant): org.apache.spark.sql.Column =
+    col("ts_ns") >= lit(start.toEpochMilli * 1000000L) &&
+      col("ts_ns") < lit(end.toEpochMilli * 1000000L)
 }

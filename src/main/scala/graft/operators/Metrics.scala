@@ -71,10 +71,15 @@ object Metrics {
     val g = req.granularity
     val ts = col(tsName)
 
-    // mandatory time range (partition-prunable) + dimension filters
+    // mandatory time range (partition-prunable) + dimension filters; when the
+    // fact table carries the raw-nanos sort column, filter on IT so the range
+    // reaches the parquet scan (see Tables.events scaladoc)
     val startTs = timestamp_millis(lit(req.start.toEpochMilli))
     val endTs = timestamp_millis(lit(req.end.toEpochMilli))
-    var cur = df.filter(ts >= startTs && ts < endTs)
+    var cur =
+      if (tsName == "ts" && df.columns.contains("ts_ns"))
+        df.filter(graft.core.Tables.tsRangeNs(req.start, req.end))
+      else df.filter(ts >= startTs && ts < endTs)
     req.filters.foreach { case (c, vs) => cur = cur.filter(col(c).isin(vs: _*)) }
 
     // split rate measures from base aggregates; rates force their base dep

@@ -23,12 +23,13 @@ object EventOps {
   private def events(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // P1+P3: IN-list + inclusive/exclusive time range, pushdown-friendly.
+    // P1+P3: IN-list + inclusive/exclusive time range, pushdown-friendly
+    // (range goes through ts_ns so it reaches the parquet scan).
     "filter_in_time_range" -> ((s, dir) => {
       events(s, dir)
         .filter(col("event_type").isin("purchase", "signup") &&
-          col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
-          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp") &&
+          Tables.tsRangeNs(java.time.Instant.parse("2024-01-10T00:00:00Z"),
+            java.time.Instant.parse("2024-01-20T00:00:00Z")) &&
           col("value") > 100.0)
         .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
           col("user_id"), col("event_type"), col("value"))
