@@ -18,10 +18,11 @@ object SparkEntry {
     MetricsQueries.defs("metrics_count_hourly")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ EventOps.defs ++ MetricsQueries.defs ++
-      TextOps.defs ++ DedupOps.defs ++ VectorOps.defs
+    Relational.defs ++ Relational2.defs ++ EventOps.defs ++ EventOps2.defs ++
+      MetricsQueries.defs ++ TextOps.defs ++ DedupOps.defs ++ VectorOps.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ EventOps.oracles ++ MetricsQueries.oracles ++
-      TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles
+    Relational.oracles ++ Relational2.oracles ++ EventOps.oracles ++
+      EventOps2.oracles ++ MetricsQueries.oracles ++ TextOps.oracles ++
+      DedupOps.oracles ++ VectorOps.oracles
 }

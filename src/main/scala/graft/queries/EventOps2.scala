@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Logstore, TemporalJoins}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal-join + storage-roundtrip gate queries. */
+object EventOps2 {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // as-of join: for each purchase, the most recent click by the same user
+    // at or before it (union + single window pass — one shuffle on user_id).
+    "asof_click_before_purchase" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("asof_click_id").as("prior_click_id"),
+          unix_millis(col("asof_ts")).as("prior_click_ms"))
+        .orderBy(col("event_id"))
+    }),
+
+    // bounded range join: same-user event pairs within 60 s (bucketed
+    // equi-join — no theta-join explosion).
+    "range_join_60s" -> ((s, dir) => {
+      TemporalJoins.rangeJoinPairs(Tables.events(s, dir),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+          windowMillis = 60000L)
+        .select(col("k").as("user_id"), col("id_a"), col("id_b"), col("gap_ms"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // storage roundtrip: events → month-partitioned sorted store → pruned
+    // scan + aggregate. Exercises the S4 write path inside the gate; the
+    // oracle reads the original table, so the roundtrip must be lossless.
+    "logstore_roundtrip" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+      Logstore.insertMany(Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value"),
+        path, idCol = "event_id", tsCol = "ts")
+      Logstore.scan(s, path)
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_click_before_purchase" ->
+      """SELECT p.event_id, p.user_id, epoch_ms(p.ts::TIMESTAMP) AS ts_ms,
+        |  c.click_id AS prior_click_id, epoch_ms(c.ts::TIMESTAMP) AS prior_click_ms
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type='click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "range_join_60s" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  epoch_ms(b.ts::TIMESTAMP) - epoch_ms(a.ts::TIMESTAMP) AS gap_ms
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        |  AND epoch_ms(b.ts::TIMESTAMP) > epoch_ms(a.ts::TIMESTAMP)
+        |  AND epoch_ms(b.ts::TIMESTAMP) <= epoch_ms(a.ts::TIMESTAMP) + 60000
+        |ORDER BY id_a, id_b""".stripMargin,
+    "logstore_roundtrip" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-08' AND ts::TIMESTAMP < TIMESTAMP '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
