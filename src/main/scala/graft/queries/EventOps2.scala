@@ -2,13 +2,34 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.{Logstore, TemporalJoins}
+import graft.plans.LowerJsonMatch
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Temporal-join + storage-roundtrip gate queries. */
+/** Temporal-join, Catalyst-extension and storage-roundtrip gate queries. */
 object EventOps2 {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // native json_match Expression, LOWERED by the optimizer rule into
+    // get_json_object comparisons (plan contains no JsonMatchExpr).
+    "json_filter_native" -> ((s, dir) => {
+      LowerJsonMatch.install(s)
+      Tables.events(s, dir)
+        .filter(expr("""json_match('{"k":{"$lt":30}}', props)"""))
+        .select(col("event_id"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    // non-lowerable schema ($or): exercises the Expression's recursive
+    // evaluator path end-to-end.
+    "json_filter_complex" -> ((s, dir) => {
+      LowerJsonMatch.install(s)
+      Tables.events(s, dir)
+        .filter(expr("""json_match('{"$or":[{"k":{"$gte":90}},{"k":{"$lte":5}}]}', props)"""))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
     // as-of join: for each purchase, the most recent click by the same user
     // at or before it (union + single window pass — one shuffle on user_id).
     "asof_click_before_purchase" -> ((s, dir) => {
@@ -55,6 +76,15 @@ object EventOps2 {
   )
 
   def oracles: Map[String, String] = Map(
+    "json_filter_native" ->
+      """SELECT event_id, user_id, CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) < 30
+        |ORDER BY event_id""".stripMargin,
+    "json_filter_complex" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 90
+        |   OR CAST(json_extract_string(props, '$.k') AS DOUBLE) <= 5
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "asof_click_before_purchase" ->
       """SELECT p.event_id, p.user_id, epoch_ms(p.ts::TIMESTAMP) AS ts_ms,
         |  c.click_id AS prior_click_id, epoch_ms(c.ts::TIMESTAMP) AS prior_click_ms
