@@ -19,10 +19,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ EventOps.defs ++ EventOps2.defs ++
-      MetricsQueries.defs ++ TextOps.defs ++ DedupOps.defs ++ VectorOps.defs
+      MetricsQueries.defs ++ TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++
+      Extras.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ EventOps.oracles ++
       EventOps2.oracles ++ MetricsQueries.oracles ++ TextOps.oracles ++
-      DedupOps.oracles ++ VectorOps.oracles
+      DedupOps.oracles ++ VectorOps.oracles ++ Extras.oracles
 }

@@ -63,6 +63,24 @@ object Metrics {
     "rate" -> MeasureDef(count(lit(1)), rateOf = Some("count"))
   )
 
+  /** Per-unit maximum granularity values (reference
+    * `internal/apirouter/metrics_handlers.go:90-97` clamps the API form). */
+  private val MaxGranularityValue: Map[Buckets.Unit, Int] = Map(
+    Buckets.Second -> 60, Buckets.Minute -> 60, Buckets.Hour -> 24,
+    Buckets.Day -> 31, Buckets.Week -> 52, Buckets.Month -> 12)
+
+  /** Request validation (reference `driver/metrics.go:19-24` + API
+    * allowlists): unknown measures/dimensions and out-of-range
+    * granularities fail fast with a client error, never a cluster job. */
+  def validate(req: Request, catalog: Map[String, MeasureDef],
+               dimensionAllowlist: Set[String]): Unit = {
+    require(!req.start.isAfter(req.end), "start must be <= end")
+    req.measures.foreach(m => require(catalog.contains(m), s"unknown measure: $m"))
+    req.dimensions.foreach(d => require(dimensionAllowlist.contains(d), s"unknown dimension: $d"))
+    require(req.granularity.value <= MaxGranularityValue(req.granularity.unit),
+      s"granularity too coarse: ${req.granularity}")
+  }
+
   /** Run a metrics request against a fact DataFrame with a `ts` timestamp
     * column. Dimension/filter names must be columns of `df`. */
   def query(spark: SparkSession, df: DataFrame, req: Request,

@@ -1,0 +1,62 @@
+package graft
+
+import java.time.Instant
+import graft.functions.Buckets.Granularity
+import graft.operators.{Metrics, Skew}
+import graft.streaming.Sinks
+import org.apache.spark.sql.functions._
+
+class SinksSkewSpec extends GraftSuite {
+
+  test("file webhook sink: signed deliveries land per destination, outcomes returned") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val secret = "whsec_test"
+    val tasks = Seq(
+      ("e1", "t1", "d1", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":1}""", "webhook"),
+      ("e2", "t1", "d2", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":2}""", "webhook"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "dest_type")
+    val registry = new Sinks.Registry(Seq(Sinks.FileWebhookSink(root, secret)))
+    val outcomes = registry.deliver(tasks).collect()
+    assert(outcomes.length == 2 && outcomes.forall(_.getAs[String]("status") == "success"))
+
+    // the wire payloads exist per destination and carry a valid signature
+    val delivered = spark.read.text(s"$root/destination_id=d1").collect().map(_.getString(0))
+    assert(delivered.length == 1)
+    val parsed = graft.functions.JsonMatch.parse(delivered.head)
+    assert(parsed.get("event_id").asText == "e1")
+    assert(parsed.get("signature").asText ==
+      Sinks.renderSignature(secret)(parsed.get("data").asText))
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 10000).map(i => (if (i % 100 == 0) "cold" else "hot", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val salted = Skew.saltedCountSum(df, Seq("k"), "v", salts = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(salted == direct)
+  }
+
+  test("metrics request validation fails fast on bad input") {
+    val cat = Metrics.eventMeasures
+    val dims = Set("event_type", "user_id")
+    val ok = Metrics.Request(Instant.EPOCH, Instant.ofEpochSecond(3600),
+      Granularity.parse("1h"), Seq("count"), Seq("event_type"))
+    Metrics.validate(ok, cat, dims) // must not throw
+    assertThrows[IllegalArgumentException](
+      Metrics.validate(ok.copy(measures = Seq("nope")), cat, dims))
+    assertThrows[IllegalArgumentException](
+      Metrics.validate(ok.copy(dimensions = Seq("nope")), cat, dims))
+    assertThrows[IllegalArgumentException](
+      Metrics.validate(ok.copy(granularity = Granularity.parse("99h")), cat, dims))
+    assertThrows[IllegalArgumentException](
+      Metrics.validate(ok.copy(start = Instant.ofEpochSecond(7200)), cat, dims))
+  }
+}
