@@ -55,6 +55,24 @@ object Sinks {
     }
   }
 
+  /** Test/chaos sink: no IO, fails the configured destinations (mirrors the
+    * reference's destination mock server used by its e2e suite). */
+  final case class MockSink(destType: String,
+                            failDestinations: Set[String] = Set.empty) extends Sink {
+    override def publish(tasks: DataFrame): DataFrame =
+      tasks.select(
+        concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
+          lit(":"), col("attempt")).as("attempt_id"),
+        col("event_id"), col("tenant_id"), col("destination_id"),
+        lit(destType).as("destination_type"),
+        col("attempt").as("attempt_number"), col("manual"),
+        when(col("destination_id").isin(failDestinations.toSeq: _*), "failed")
+          .otherwise("success").as("status"),
+        col("event_time").as("attempt_time"),
+        when(col("destination_id").isin(failDestinations.toSeq: _*), "503")
+          .otherwise("200").as("code"))
+  }
+
   final class Registry(sinks: Seq[Sink]) extends Serializable {
     private val byType = sinks.map(s => s.destType -> s).toMap
     /** Route one micro-batch of (task × dest_type) rows to sinks; returns

@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.{Runner, Sinks}
+import graft.streaming.Model._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class RunnerSpec extends GraftSuite {
+
+  test("full pipeline: ingest -> fanout -> deliver -> log table -> alert stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runner").toString
+    val destinations = Seq(
+      Destination("d_ok", "t1", "mock", Seq("*"), None, disabled = false),
+      Destination("d_down", "t1", "mock", Seq("order.*"), None, disabled = false)).toDS()
+    val registry = new Sinks.Registry(Seq(
+      Sinks.MockSink("mock", failDestinations = Set("d_down"))))
+
+    val raw = MemoryStream[String]
+    val running = Runner.start(spark, raw.toDF(), destinations, registry,
+      logPath = s"$tmp/log", alertSinkName = "runner_alerts",
+      checkpointRoot = s"$tmp/ckpt",
+      alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 2, thresholds = Seq(100)))
+    try {
+      raw.addData((1 to 3).map(i =>
+        s"""{"event_id":"e$i","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:0$i.000Z","data":{"n":$i}}"""))
+      running.delivery.processAllAvailable()
+
+      // the log table holds denormalized attempt outcomes, month-partitioned
+      val log = spark.read.parquet(s"$tmp/log")
+      assert(log.count() == 6) // 3 events × 2 matched destinations
+      assert(log.filter(col("status") === "failed").count() == 3)
+      assert(log.select("month").distinct().collect().map(_.getString(0)).toSeq == Seq("2024-01"))
+
+      // the alert query tails the log table and fires on the 2nd d_down failure
+      running.alerts.processAllAvailable()
+      val alerts = spark.sql("SELECT kind, destination_id, failure_count FROM runner_alerts")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(alerts == Set(("destination_disabled", "d_down", 2)))
+    } finally running.stopAll()
+  }
+
+  test("streaming metrics: watermarked tumbling windows with conditional counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Runner.streamingMetrics(mem.toDF(), "1 hour", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("stream_metrics")
+      .outputMode("complete").start()
+    try {
+      def ev(id: String, topic: String, min: Int, eligible: Boolean) =
+        Event(id, "t1", topic, eligible,
+          new java.sql.Timestamp(1704067200000L + min * 60000L), Map.empty, "{}")
+      mem.addData(ev("e1", "a", 5, true), ev("e2", "a", 30, false),
+        ev("e3", "a", 70, true), ev("e4", "b", 10, true))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT unix_millis(bucket), topic, count, ineligible_count FROM stream_metrics")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        (1704067200000L, "a", 2L, 1L),
+        (1704067200000L, "b", 1L, 0L),
+        (1704070800000L, "a", 1L, 0L)))
+    } finally q.stop()
+  }
+}
