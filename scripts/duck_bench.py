@@ -8,10 +8,13 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
-            "filter_in_time_range", "json_filter_gte", "latest_event_per_user",
-            "metrics_count_hourly", "metrics_daily_by_type", "sessionize_30min",
-            "explode_tokens", "dedup_jaccard_pairs",
-            "knn_brute_force", "embedding_cosine_pairs", "text_token_stats"]
+            "filter_in_time_range", "json_filter_gte", "json_filter_native",
+            "latest_event_per_user", "metrics_count_hourly",
+            "metrics_daily_by_type", "sessionize_30min", "explode_tokens",
+            "dedup_jaccard_pairs", "knn_brute_force", "embedding_cosine_pairs",
+            "text_token_stats", "asof_click_before_purchase", "range_join_60s",
+            "rollup_order_stats", "pivot_event_counts", "top3_per_user",
+            "salted_agg_by_type"]
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",

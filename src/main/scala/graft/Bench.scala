@@ -15,10 +15,13 @@ object Bench {
     * fill+rate, window, explode, exact+LSH dedup, knn, JSON filter). */
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_orders", "scan_project_filter",
-    "filter_in_time_range", "json_filter_gte", "latest_event_per_user",
-    "metrics_count_hourly", "metrics_daily_by_type", "sessionize_30min",
-    "explode_tokens", "dedup_jaccard_pairs", "dedup_minhash_lsh",
-    "knn_brute_force", "embedding_cosine_pairs", "text_token_stats")
+    "filter_in_time_range", "json_filter_gte", "json_filter_native",
+    "latest_event_per_user", "metrics_count_hourly", "metrics_daily_by_type",
+    "sessionize_30min", "explode_tokens", "dedup_jaccard_pairs",
+    "dedup_minhash_lsh", "knn_brute_force", "embedding_cosine_pairs",
+    "text_token_stats", "asof_click_before_purchase", "range_join_60s",
+    "rollup_order_stats", "pivot_event_counts", "top3_per_user",
+    "salted_agg_by_type")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -92,7 +92,7 @@ object Dedup {
     * verification join), never ×bands and never ×candidates.
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
-                      numHashes: Int = 60, bands: Int = 12,
+                      numHashes: Int = 60, bands: Int = 10,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands

@@ -36,7 +36,36 @@ object DedupOps {
     // SimHash near-dup pairs (rows-only).
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // 3-gram shingle Jaccard (order-sensitive near-dup — word-set dups with
+    // different word order score low here).
+    "dedup_shingle_jaccard" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir).select(col("doc_id").as("id"),
+          col("source").as("block"),
+          array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3)).as("toks"))
+        .withColumn("sz", size(col("toks")))
+      val inv = sh.select(col("id"), col("block"), col("sz"), explode(col("toks")).as("tok"))
+      val a = inv.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+      val b = inv.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+      a.join(b, Seq("block", "tok")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // sketch stats (HLL distinct + KLL-style percentile) — approximate by
+    // design, rows-only driver check; exactness bounds pinned in ScalaTest.
+    "approx_stats" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
+        .orderBy(col("event_type")))
   )
 
   def oracles: Map[String, String] = Map(
@@ -55,8 +84,25 @@ object DedupOps {
         |FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_shingle_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) < 3
+        |      THEN [text]
+        |      ELSE list_transform(range(1, len(string_split(text,' ')) - 1),
+        |        i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        |      END) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin
-    // dedup_minhash_lsh / dedup_simhash: intentionally no oracle (hash-family
-    // specific); driver records rows-only, ScalaTest pins recall.
+    // dedup_minhash_lsh / dedup_simhash / approx_stats: intentionally no
+    // oracle (hash-family / sketch specific); driver records rows-only,
+    // ScalaTest pins recall/error bounds.
   )
 }

@@ -52,6 +52,21 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(recall >= 0.3, s"recall@20 = $recall") // label cells ≠ cosine cells; modest bar
   }
 
+  test("sketch aggregates stay within error bounds of exact answers") {
+    val e = graft.core.Tables.events(spark, sf)
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("u"),
+        expr("percentile(value, 0.95)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = graft.queries.DedupOps.defs("approx_stats")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (u, p)) =>
+      val (au, ap) = approx(k)
+      assert(math.abs(au - u).toDouble / u <= 0.05, s"$k distinct: $au vs $u")
+      assert(math.abs(ap - p) / math.max(p, 1.0) <= 0.05, s"$k p95: $ap vs $p")
+    }
+  }
+
   test("cosine of a vector with itself is 1") {
     val spark2 = spark
     import spark2.implicits._
