@@ -82,7 +82,8 @@ object Pipeline {
       .filter(filterMatchUdf(col("filter_json"), envelope))
       .select(col("event_id"), col("tenant_id"), col("destination_id"),
         lit(1).as("attempt"), lit(false).as("manual"),
-        col("event_time"), col("topic"), col("data"), col("dest_type"))
+        col("event_time"), col("topic"), col("data"),
+        col("eligible_for_retry"), col("dest_type"))
   }
 
   /** The matched-ids stamp for the event log (A9's inverse): one row per

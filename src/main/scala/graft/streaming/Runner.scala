@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.Backoff
 import graft.streaming.Model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,25 +9,40 @@ import org.apache.spark.sql.types._
 
 /** Wires the full delivery platform into running streaming queries
   * (reference service split `internal/services/builder.go:83-95` — api /
-  * delivery / log services — collapsed into one Spark app with two
-  * connected queries + downstream consumers of the log table).
+  * delivery / log services — collapsed into one Spark app with three
+  * connected queries):
   *
-  *   raw JSON stream
+  *   raw JSON ∪ retry-task stream
   *     → validate/default → broadcast match/fanout → sink registry
-  *       (foreachBatch; outcomes logged to the month-partitioned store)  [q1]
+  *       (foreachBatch; outcomes DENORMALIZED with event columns — the
+  *       reference's wide-attempts design — into the month-partitioned
+  *       log store)                                                     [q1]
   *   log store (file stream)
-  *     → stateful alert evaluation → alert sink                          [q2]
+  *     → stateful alert evaluation → alert sink                         [q2]
+  *   log store (file stream)
+  *     → stateful retry scheduler (keyed state + timers) → retry-task
+  *       store, re-fetching each destination before re-delivery
+  *       (messagehandler.go:439-475)                                    [q3]
   *
   * The log parquet table is the decoupling point, playing the reference's
-  * log-MQ role with replayability for free: any number of downstream
-  * consumers (alerting, metrics, retraining feeds) tail it as a file
-  * stream with their own checkpoints.
+  * log-MQ role with replayability for free: every downstream consumer
+  * (alerting, retries, metrics, retraining feeds) tails it as a file stream
+  * with its own checkpoint.
   */
 object Runner {
 
-  final case class Running(delivery: StreamingQuery, alerts: StreamingQuery) {
-    def processAllAvailable(): Unit = { delivery.processAllAvailable(); alerts.processAllAvailable() }
-    def stopAll(): Unit = { delivery.stop(); alerts.stop() }
+  final case class Running(delivery: StreamingQuery,
+                           alerts: StreamingQuery,
+                           retries: Option[StreamingQuery]) {
+    /** Drain the deterministic queries. The retry query is NOT awaited:
+      * processing-time timers make `shouldRunAnotherBatch` permanently true
+      * for its stateful operator, so `processAllAvailable` would never latch
+      * — it self-drives on its trigger; callers poll observable state. */
+    def processAllAvailable(): Unit = {
+      delivery.processAllAvailable()
+      alerts.processAllAvailable()
+    }
+    def stopAll(): Unit = { delivery.stop(); alerts.stop(); retries.foreach(_.stop()) }
   }
 
   val attemptSchema: StructType = StructType(Seq(
@@ -36,6 +52,18 @@ object Runner {
     StructField("manual", BooleanType), StructField("status", StringType),
     StructField("attempt_time", TimestampType), StructField("code", StringType)))
 
+  /** Log rows = attempt columns + denormalized event columns (S4). */
+  val logSchema: StructType = attemptSchema
+    .add("event_time", TimestampType).add("topic", StringType)
+    .add("data", StringType).add("eligible_for_retry", BooleanType)
+
+  private val taskSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType), StructField("tenant_id", StringType),
+    StructField("destination_id", StringType), StructField("attempt", IntegerType),
+    StructField("manual", BooleanType), StructField("event_time", TimestampType),
+    StructField("topic", StringType), StructField("data", StringType),
+    StructField("eligible_for_retry", BooleanType)))
+
   def start(spark: SparkSession,
             rawJson: DataFrame,
             destinations: Dataset[Destination],
@@ -43,12 +71,28 @@ object Runner {
             logPath: String,
             alertSinkName: String,
             checkpointRoot: String,
-            alertCfg: Alerts.Config = Alerts.Config()): Running = {
+            alertCfg: Alerts.Config = Alerts.Config(),
+            retryPath: Option[String] = None,
+            backoff: Backoff = Backoff()): Running = {
     import spark.implicits._
+    new java.io.File(logPath).mkdirs()
+    retryPath.foreach(p => new java.io.File(p).mkdirs())
 
-    // q1: ingest → fanout → deliver → log
-    val tasks = Pipeline.matchFanout(spark,
+    val destDf = destinations.toDF()
+
+    // q1: (fresh fanout ∪ due retries) → deliver → denormalized log
+    val fresh = Pipeline.matchFanout(spark,
       Pipeline.validateAndDefault(rawJson), destinations)
+    val tasks = retryPath match {
+      case Some(p) =>
+        // re-fetch destination state before re-delivery; disabled dests drop
+        val retries = spark.readStream.schema(taskSchema).parquet(p)
+          .join(broadcast(destDf.filter(!col("disabled"))
+            .select(col("destination_id"), col("dest_type"))), Seq("destination_id"))
+          .select(fresh.columns.map(col): _*)
+        fresh.unionByName(retries)
+      case None => fresh
+    }
     val delivery = tasks.writeStream
       .queryName("graft_delivery")
       .option("checkpointLocation", s"$checkpointRoot/delivery")
@@ -56,30 +100,61 @@ object Runner {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val outcomes = registry.deliver(batch)
-          if (!outcomes.isEmpty)
-            Pipeline.logSinkBatch(outcomes, logPath)
+          if (!outcomes.isEmpty) {
+            // denormalize event columns into the log (wide attempts, S4)
+            val enriched = outcomes.join(
+              batch.select(col("event_id"), col("destination_id"),
+                col("event_time"), col("topic"), col("data"),
+                col("eligible_for_retry")),
+              Seq("event_id", "destination_id"))
+            Pipeline.logSinkBatch(enriched, logPath)
+          }
         }
       }
       .start()
 
-    // q2: tail the log table → alert evaluation (own checkpoint = replayable)
-    new java.io.File(logPath).mkdirs() // file stream source requires the dir
+    // q2: log → alerts
     val attemptsStream = spark.readStream
-      .schema(attemptSchema.add("month", StringType))
+      .schema(logSchema.add("month", StringType))
       .option("maxFilesPerTrigger", "64")
       .parquet(logPath)
-      .drop("month")
+      .select(attemptSchema.map(f => col(f.name)): _*)
       .as[Attempt]
     val alerts = Alerts.evaluateStream(spark, attemptsStream, alertCfg)
       .writeStream
-      .queryName("graft_alerts")
-      .format("memory")
       .option("checkpointLocation", s"$checkpointRoot/alerts")
-      .outputMode("append")
+      .format("memory").outputMode("append")
       .queryName(alertSinkName)
       .start()
 
-    Running(delivery, alerts)
+    // q3: log → retry scheduler → retry-task store
+    val retriesQ = retryPath.map { p =>
+      val outcomes = spark.readStream
+        .schema(logSchema.add("month", StringType))
+        .parquet(logPath)
+        .select(col("event_id"), col("tenant_id"), col("destination_id"),
+          col("attempt_number"), col("status"), col("eligible_for_retry"),
+          col("manual"), col("event_time"), col("topic"), col("data"),
+          col("attempt_time").as("outcome_time"))
+        .as[Retry.Outcome]
+      Retry.scheduleStream(spark, outcomes, backoff)
+        .writeStream
+        .queryName("graft_retries")
+        // real trigger: the timer-bearing stateful op re-batches forever, so
+        // an ASAP trigger would busy-loop
+        .trigger(Trigger.ProcessingTime("500 milliseconds"))
+        .option("checkpointLocation", s"$checkpointRoot/retries")
+        .foreachBatch { (batch: Dataset[DeliveryTask], _: Long) =>
+          if (!batch.isEmpty)
+            batch.toDF()
+              .withColumn("eligible_for_retry", lit(true))
+              .select(taskSchema.map(f => col(f.name)): _*)
+              .write.mode("append").parquet(p)
+        }
+        .start()
+    }
+
+    Running(delivery, alerts, retriesQ)
   }
 
   /** T10: continuous time-bucketed metrics over the event stream —

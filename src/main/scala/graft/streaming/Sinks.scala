@@ -56,21 +56,25 @@ object Sinks {
   }
 
   /** Test/chaos sink: no IO, fails the configured destinations (mirrors the
-    * reference's destination mock server used by its e2e suite). */
+    * reference's destination mock server used by its e2e suite).
+    * `failUntilAttempt`: attempts below this number fail even for healthy
+    * destinations — exercises the retry loop. */
   final case class MockSink(destType: String,
-                            failDestinations: Set[String] = Set.empty) extends Sink {
-    override def publish(tasks: DataFrame): DataFrame =
+                            failDestinations: Set[String] = Set.empty,
+                            failUntilAttempt: Int = 1) extends Sink {
+    override def publish(tasks: DataFrame): DataFrame = {
+      val failing = col("destination_id").isin(failDestinations.toSeq: _*) ||
+        col("attempt") < failUntilAttempt
       tasks.select(
         concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
           lit(":"), col("attempt")).as("attempt_id"),
         col("event_id"), col("tenant_id"), col("destination_id"),
         lit(destType).as("destination_type"),
         col("attempt").as("attempt_number"), col("manual"),
-        when(col("destination_id").isin(failDestinations.toSeq: _*), "failed")
-          .otherwise("success").as("status"),
+        when(failing, "failed").otherwise("success").as("status"),
         col("event_time").as("attempt_time"),
-        when(col("destination_id").isin(failDestinations.toSeq: _*), "503")
-          .otherwise("200").as("code"))
+        when(failing, "503").otherwise("200").as("code"))
+    }
   }
 
   final class Registry(sinks: Seq[Sink]) extends Serializable {

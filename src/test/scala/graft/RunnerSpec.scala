@@ -44,6 +44,49 @@ class RunnerSpec extends GraftSuite {
     } finally running.stopAll()
   }
 
+  test("retry loop: failed delivery -> scheduled retry -> redelivery succeeds") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_retry").toString
+    val destinations = Seq(
+      Destination("d_ok", "t1", "mock", Seq("*"), None, disabled = false)).toDS()
+    // every destination fails its first attempt, succeeds from the second
+    val registry = new Sinks.Registry(Seq(
+      Sinks.MockSink("mock", failUntilAttempt = 2)))
+
+    val raw = MemoryStream[String]
+    val running = Runner.start(spark, raw.toDF(), destinations, registry,
+      logPath = s"$tmp/log", alertSinkName = "retry_alerts",
+      checkpointRoot = s"$tmp/ckpt",
+      alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 100),
+      retryPath = Some(s"$tmp/retry"),
+      backoff = graft.core.Backoff(baseMillis = 1, factor = 2, maxRetries = 3))
+    try {
+      raw.addData(
+        """{"event_id":"e1","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:00Z","data":{"n":1}}""")
+      running.delivery.processAllAvailable()
+
+      // the retry query self-drives on its trigger; poll the observable
+      // outcome (attempt 2 success in the log) with a deadline
+      def logState(): Set[(Int, String)] =
+        try spark.read.parquet(s"$tmp/log").select("attempt_number", "status")
+          .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+        catch { case _: Exception => Set.empty }
+      val deadline = System.currentTimeMillis() + 60000
+      var state = logState()
+      while (state != Set((1, "failed"), (2, "success")) &&
+          System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        running.delivery.processAllAvailable()
+        state = logState()
+      }
+      assert(state == Set((1, "failed"), (2, "success")),
+        s"expected fail-then-success, got $state")
+    } finally running.stopAll()
+  }
+
   test("streaming metrics: watermarked tumbling windows with conditional counts") {
     val spark2 = spark
     import spark2.implicits._
