@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<float|double> columns, double accumulation. */
+  /** Dot product of two array<float|double> columns, double accumulation.
+    * Pure higher-order-function form — works on any session, but HOF
+    * lambdas evaluate outside codegen; the DataFrame-level operators below
+    * use the codegen'd [[graft.plans.DotProduct]] instead (bit-identical
+    * accumulation order). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -31,13 +35,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
+  // ---- codegen'd variants (session must have graft_dot installed) ----
+  private def ndot(a: Column, b: Column): Column = graft.plans.VectorExprs.dot(a, b)
+  private def nnorm(v: Column): Column = sqrt(ndot(v, v))
+  private def ncosine(a: Column, b: Column): Column =
+    ndot(a, b) / nullif(nnorm(a) * nnorm(b), lit(0.0))
+  private def install(df: DataFrame): Unit =
+    graft.plans.VectorExprs.install(df.sparkSession)
+
+  /** Codegen'd L2 norm over a vector DataFrame column. */
+  def normNative(vectors: DataFrame, vecCol: String): Column = {
+    install(vectors)
+    nnorm(col(vecCol))
+  }
+
   /** Exact top-k by cosine against one query vector (array literal).
     * Compiles to scan → project → TakeOrderedAndProject: no shuffle of the
     * fact table, k rows to the driver. */
   def knnBrute(vectors: DataFrame, queryVec: Seq[Float], k: Int,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    install(vectors)
     val q = array(queryVec.map(v => lit(v)): _*)
-    vectors.select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+    vectors.select(col(idCol), round(ncosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -60,12 +79,13 @@ object Similarity {
   def annIvf(vectors: DataFrame, queryVec: Seq[Float], k: Int, nProbe: Int,
              cellCol: String, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
+    install(vectors)
     val q = array(queryVec.map(v => lit(v)): _*)
     val cents = centroids(vectors, cellCol)
-    val probed = cents.select(col("cell"), cosine(col("centroid"), q).as("ccos"))
+    val probed = cents.select(col("cell"), ncosine(col("centroid"), q).as("ccos"))
       .orderBy(col("ccos").desc, col("cell")).limit(nProbe)
     vectors.join(broadcast(probed), vectors(cellCol) === probed("cell"))
-      .select(col(idCol), round(cosine(col(vecCol), q), 6).as("cos_sim"))
+      .select(col(idCol), round(ncosine(col(vecCol), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -74,12 +94,13 @@ object Similarity {
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    install(vectors)
     val v = vectors.select(col(blockCol).as("block"), col(idCol).as("id"),
-      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      col(vecCol).as("v"), nnorm(col(vecCol)).as("nrm"))
     val a = v.select(col("block"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = v.select(col("block"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, "block").filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(dot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)), 6))
+      .withColumn("cos_sim", round(ndot(col("v_a"), col("v_b")) / nullif(col("n_a") * col("n_b"), lit(0.0)), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }

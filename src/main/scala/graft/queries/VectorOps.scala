@@ -15,11 +15,12 @@ object VectorOps {
       .select(col("embedding")).head().getSeq[Float](0)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // per-vector L2 norm (the shared primitive; exact-oracled).
-    "vector_norms" -> ((s, dir) =>
-      Tables.embeddings(s, dir)
-        .select(col("vec_id"), round(Similarity.norm(col("embedding")), 6).as("l2"))
-        .orderBy(col("vec_id"))),
+    // per-vector L2 norm (the shared primitive; exact-oracled; codegen'd).
+    "vector_norms" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      e.select(col("vec_id"), round(Similarity.normNative(e, "embedding"), 6).as("l2"))
+        .orderBy(col("vec_id"))
+    }),
 
     // brute-force exact cosine top-k (the always-correct baseline).
     "knn_brute_force" -> ((s, dir) =>

@@ -67,6 +67,15 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("codegen'd graft_dot is bit-identical to the HOF fold") {
+    graft.plans.VectorExprs.install(spark)
+    val pairs = vecs.select(col("embedding").as("a"), col("embedding").as("b"))
+    val hof = pairs.select(Similarity.dot(col("a"), col("b"))).collect().map(_.getDouble(0))
+    val native = pairs.select(graft.plans.VectorExprs.dot(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(hof.toSeq == native.toSeq)
+  }
+
   test("cosine of a vector with itself is 1") {
     val spark2 = spark
     import spark2.implicits._
