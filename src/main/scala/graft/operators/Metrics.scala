@@ -144,6 +144,16 @@ object Metrics {
 
     val ordered = projected.orderBy(("bucket" +: req.dimensions).map(col): _*)
     val probe = ordered.limit(req.rowLimit + 1)
-    Result(probe, truncated = false) // caller may count to set truncation
+    Result(probe, truncated = false) // see run() for the materialized flag
+  }
+
+  /** Materialized form with the reference's truncation semantics
+    * (`chlogstore/metrics.go:565-568`): fetch rowLimit+1, report rowLimit
+    * rows + a truncated flag instead of an unbounded result. */
+  def run(spark: SparkSession, df: DataFrame, req: Request,
+          catalog: Map[String, MeasureDef] = eventMeasures,
+          tsName: String = "ts"): (Seq[org.apache.spark.sql.Row], Boolean) = {
+    val probe = query(spark, df, req, catalog, tsName).df.collect()
+    (probe.take(req.rowLimit).toSeq, probe.length > req.rowLimit)
   }
 }

@@ -45,6 +45,17 @@ class MetricsMultimodalSpec extends GraftSuite {
     assert(total == want)
   }
 
+  test("row limit + truncation flag") {
+    val req = Metrics.Request(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-31T00:00:00Z"),
+      Granularity.parse("1h"), measures = Seq("count"), rowLimit = 100)
+    val (rows, truncated) = Metrics.run(spark, Tables.events(spark, sf), req)
+    assert(rows.length == 100 && truncated, "720 buckets must truncate at 100")
+    val (all, notTrunc) = Metrics.run(spark, Tables.events(spark, sf),
+      req.copy(rowLimit = 100000))
+    assert(all.length == 720 && !notTrunc)
+  }
+
   test("multimodal decode is deterministic and schema-complete") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
     def key(m: Multimodal.DecodedMedia) =
