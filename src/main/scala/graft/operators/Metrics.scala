@@ -63,6 +63,28 @@ object Metrics {
     "rate" -> MeasureDef(count(lit(1)), rateOf = Some("count"))
   )
 
+  /** The reference's full attempt-measure matrix
+    * (`chlogstore/metrics.go:352-383`), bound to the log-store schema
+    * (attempt_id, status, manual, attempt_number, ...). All conditional
+    * counts — single-pass, map-side-combinable. */
+  def attemptMeasures: Map[String, MeasureDef] = Map(
+    "count" -> MeasureDef(count(lit(1))),
+    "successful_count" -> MeasureDef(count(when(col("status") === "success", 1))),
+    "failed_count" -> MeasureDef(count(when(col("status") === "failed", 1))),
+    "error_rate" -> MeasureDef(
+      coalesce(count(when(col("status") === "failed", 1)).cast("double") /
+        nullif(count(lit(1)).cast("double"), lit(0.0)), lit(0.0))),
+    "first_attempt_count" -> MeasureDef(
+      count(when(col("attempt_number") === 1 && !col("manual"), 1))),
+    "retry_count" -> MeasureDef(count(when(col("attempt_number") > 1, 1))),
+    "manual_retry_count" -> MeasureDef(count(when(col("manual"), 1))),
+    "avg_attempt_number" -> MeasureDef(
+      coalesce(sum(col("attempt_number")).cast("double") /
+        nullif(count(lit(1)).cast("double"), lit(0.0)), lit(0.0))),
+    "rate" -> MeasureDef(count(lit(1)), rateOf = Some("count")),
+    "failed_rate" -> MeasureDef(count(when(col("status") === "failed", 1)),
+      rateOf = Some("failed_count")))
+
   /** Per-unit maximum granularity values (reference
     * `internal/apirouter/metrics_handlers.go:90-97` clamps the API form). */
   private val MaxGranularityValue: Map[Buckets.Unit, Int] = Map(

@@ -51,6 +51,15 @@ object Pipeline {
         map().cast(MapType(StringType, StringType))))
   }
 
+  /** T2: publish-side idempotency — the reference claims each event id in
+    * Redis with a 24 h TTL (`internal/idempotence/idempotence.go:100-169`);
+    * the Spark-native equivalent is watermark-bounded streaming dedup on the
+    * event id: state holds ids only within the watermark horizon, exactly
+    * the TTL role. */
+  def dedupPublishes(events: DataFrame, watermark: String = "24 hours"): DataFrame =
+    events.withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   private val topicMatchUdf = udf((patterns: Seq[String], topic: String) =>
     patterns != null && TopicMatch.matches(patterns, topic))
 
