@@ -99,8 +99,8 @@ object Dedup {
     val toks = docs.select(col(idCol).as("id"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
-    val sigs = toks
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val withSig = toks.withColumn("sig", minhashSignature(col("toks"), numHashes))
+    val sigs = withSig
       .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), lit(b * r + 1), lit(r)), lit(b))): _*)))
@@ -111,6 +111,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // (measured: a signature-estimate prefilter between candidate dedup and
+    // verification costs more than it saves here — the 480 B sig arrays
+    // crossing two extra joins outweigh the array_intersect work they prune)
     val verified = cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
