@@ -34,4 +34,24 @@ object Logstore {
   /** Scan the store; time predicates prune month directories first. */
   def scan(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** S6 retention (reference `internal/logretention/clickhouse_ttl.go:42-76`
+    * — table TTL / partition drops): delete month partitions strictly older
+    * than `keepFromMonth` ("yyyy-MM"). A pure directory-level operation —
+    * no data files are read, exactly like dropping a ClickHouse partition.
+    * Returns the dropped month keys. */
+  def dropPartitionsBefore(path: String, keepFromMonth: String): Seq[String] = {
+    val root = new java.io.File(path)
+    val dropped = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("month="))
+      .filter(_.getName.stripPrefix("month=") < keepFromMonth)
+    dropped.foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir)
+    }
+    dropped.map(_.getName.stripPrefix("month=")).toSeq.sorted
+  }
 }

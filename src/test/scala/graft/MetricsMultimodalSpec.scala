@@ -56,6 +56,23 @@ class MetricsMultimodalSpec extends GraftSuite {
     assert(all.length == 720 && !notTrunc)
   }
 
+  test("logstore retention drops old month partitions at the directory level") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    graft.operators.Logstore.insertMany(
+      Tables.events(spark, sf).select("event_id", "ts", "event_type"),
+      dir, idCol = "event_id", tsCol = "ts")
+    // synthesize an old partition
+    val old = new java.io.File(s"$dir/month=2023-06"); old.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/month=2023-06/dummy.txt"), "x")
+    val dropped = graft.operators.Logstore.dropPartitionsBefore(dir, "2024-01")
+    assert(dropped == Seq("2023-06"))
+    assert(!old.exists())
+    // current data intact and readable
+    assert(graft.operators.Logstore.scan(spark, dir).count() ==
+      Tables.events(spark, sf).count())
+  }
+
   test("multimodal decode is deterministic and schema-complete") {
     val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
     def key(m: Multimodal.DecodedMedia) =
