@@ -144,6 +144,50 @@ object Dedup {
     }.reduce((a, b) => a + b)
   }
 
+  /** Connected components over an undirected pair list — the step that
+    * turns near-duplicate PAIRS into dedup CLUSTERS (keep one doc per
+    * component). Iterative min-label propagation: every node adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    *
+    * Scale: each iteration is one join + one aggregate, converging in
+    * graph-diameter iterations (near-dup graphs are shallow: big components
+    * are cliques or chains a few hops deep). Labels (two longs) are the only
+    * shuffled state. For adversarially deep graphs swap in large-star/
+    * small-star; for these workloads plain propagation wins on constant
+    * factors.
+    *
+    * @return (id, component) where component = min id in the component
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate label per node: min over neighbors' labels and own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs: same high-16-bit bucket, Hamming distance ≤
     * maxHamming. Blocking by prefix keeps the self-join linear-ish; at scale
     * use multiple rotations for full recall. */

@@ -58,6 +58,13 @@ object DedupOps {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // near-dup pairs → dedup clusters: connected components by iterative
+    // min-label propagation (oracle: DuckDB recursive CTE closure).
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
+        .orderBy(col("id"))),
+
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
     "approx_stats" -> ((s, dir) =>
@@ -100,7 +107,25 @@ object DedupOps {
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges)
+        |SELECT n.id, least(n.id, min(r.b)) AS component
+        |FROM nodes n JOIN reach r ON r.a = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin
     // dedup_minhash_lsh / dedup_simhash / approx_stats: intentionally no
     // oracle (hash-family / sketch specific); driver records rows-only,
     // ScalaTest pins recall/error bounds.

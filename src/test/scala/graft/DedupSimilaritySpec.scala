@@ -67,6 +67,16 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("connected components: chains merge, islands stay separate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("codegen'd graft_dot is bit-identical to the HOF fold") {
     graft.plans.VectorExprs.install(spark)
     val pairs = vecs.select(col("embedding").as("a"), col("embedding").as("b"))
