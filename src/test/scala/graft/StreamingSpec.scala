@@ -142,6 +142,37 @@ class StreamingSpec extends GraftSuite {
     assert(b.delayMillis(1) == 1000 && b.delayMillis(2) == 2000 && b.delayMillis(3) == 4000)
   }
 
+  test("retry stream: future fire-at waits for the timer, then emits") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val mem = MemoryStream[Retry.Outcome]
+    val due = Retry.scheduleStream(spark, mem.toDS(),
+      Backoff(baseMillis = 2500, factor = 2, maxRetries = 5))
+    // NOTE: never processAllAvailable() here — a processing-time-timer
+    // stateful op always "requires another batch", so it would never latch;
+    // the query self-drives and we poll observable output instead.
+    val q = due.writeStream.format("memory").queryName("retry_due")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    try {
+      val t0 = System.currentTimeMillis()
+      val now = new Timestamp(t0)
+      mem.addData(Retry.Outcome("eT", "t1", "dT", 1, "failed",
+        eligible_for_retry = true, manual = false, now, "top", "{}", now))
+      def fired(): Long = spark.sql("SELECT * FROM retry_due WHERE event_id='eT'").count()
+      // poll until emission (deadline 30s)
+      val deadline = t0 + 30000
+      while (fired() == 0 && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      val elapsed = System.currentTimeMillis() - t0
+      assert(fired() == 1, "timer-driven retry task must be emitted")
+      assert(elapsed >= 2500, s"fired after ${elapsed}ms — before the backoff elapsed")
+      val task = spark.sql("SELECT attempt, manual FROM retry_due WHERE event_id='eT'").head()
+      assert(task.getInt(0) == 2 && !task.getBoolean(1))
+    } finally q.stop()
+  }
+
   test("log sink batch: dedup by attempt_id, month partitioning") {
     val spark2 = spark
     import spark2.implicits._
