@@ -168,21 +168,23 @@ object Dedup {
       .withColumn("component", col("id"))
     var converged = false
     var iter = 0
+    var toUnpersist: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
-      // candidate label per node: min over neighbors' labels and own
+      // candidate label per node: min over neighbors' labels and own; carry
+      // the old label so convergence is a short-circuit isEmpty on the same
+      // cached result (one materialization per iteration)
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      val step = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      converged = step.filter(col("component") =!= col("old")).isEmpty
+      toUnpersist.foreach(_.unpersist())
+      toUnpersist = Some(step)
+      labels = step.select("id", "component")
       iter += 1
     }
     labels
