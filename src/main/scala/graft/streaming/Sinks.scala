@@ -93,4 +93,20 @@ object Sinks {
     * signature verification in tests. */
   def renderSignature(secret: String)(body: String): String =
     Crypto.hmacHex("HmacSHA256", secret.getBytes("UTF-8"), body.getBytes("UTF-8"))
+
+  /** Delivery-header metadata merge with the reference's priority order
+    * system < delivery < event (`internal/destregistry/basepublisher.go:
+    * 67-94` — later layers overwrite earlier ones key-by-key). */
+  def mergeMetadata(system: Map[String, String], delivery: Map[String, String],
+                    event: Map[String, String]): Map[String, String] =
+    system ++ delivery ++ event
+
+  /** Column form: `map_concat`-style merge where later maps win on key
+    * collisions (map_zip_with keeps the rightmost non-null). */
+  def mergeMetadataExpr(system: org.apache.spark.sql.Column,
+                        delivery: org.apache.spark.sql.Column,
+                        event: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val sd = map_zip_with(system, delivery, (_, s, d) => coalesce(d, s))
+    map_zip_with(sd, event, (_, x, e) => coalesce(e, x))
+  }
 }

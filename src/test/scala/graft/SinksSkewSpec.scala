@@ -31,6 +31,22 @@ class SinksSkewSpec extends GraftSuite {
       Sinks.renderSignature(secret)(parsed.get("data").asText))
   }
 
+  test("metadata merge priority: system < delivery < event") {
+    val got = Sinks.mergeMetadata(
+      Map("a" -> "sys", "b" -> "sys", "c" -> "sys"),
+      Map("b" -> "del", "d" -> "del"),
+      Map("c" -> "evt", "d" -> "evt", "e" -> "evt"))
+    assert(got == Map("a" -> "sys", "b" -> "del", "c" -> "evt", "d" -> "evt", "e" -> "evt"))
+
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((Map("a" -> "sys", "b" -> "sys"), Map("b" -> "del"), Map("a" -> "evt")))
+      .toDF("s", "d", "e")
+    val merged = df.select(Sinks.mergeMetadataExpr(col("s"), col("d"), col("e")))
+      .head().getMap[String, String](0)
+    assert(merged == Map("a" -> "evt", "b" -> "del"))
+  }
+
   test("salted aggregation equals direct aggregation") {
     val spark2 = spark
     import spark2.implicits._
