@@ -38,6 +38,18 @@ object TextOps {
         .orderBy(col("lang"), col("predicted"))
     }),
 
+    // cleaning/normalization pipeline: lowercase → non-printables to
+    // spaces → collapse runs → trim (the pre-tokenization normal form).
+    "text_normalize" -> ((s, dir) => {
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^ -~]", " "), " +", " "))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(cleaned).as("n_clean"),
+        substring(md5(cleaned), 1, 16).as("fp_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // A9 explode: corpus token frequencies.
     "explode_tokens" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -92,6 +104,11 @@ object TextOps {
         |  FROM h)
         |SELECT lang, predicted, count(*) AS n FROM p
         |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  length(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'), ' +', ' ', 'g'))) AS n_clean,
+        |  substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^ -~]', ' ', 'g'), ' +', ' ', 'g'))), 1, 16) AS fp_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
