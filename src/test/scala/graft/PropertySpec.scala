@@ -1,0 +1,60 @@
+package graft
+
+import java.time.Instant
+import graft.core.Cursor
+import graft.functions.Buckets
+import graft.functions.Buckets._
+import graft.functions.TopicMatch
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck property suite (driven through plain scalacheck — no
+  * scalatestplus bridge in the offline cache). */
+class PropertySpec extends GraftSuite {
+
+  // Buckets._ brings Buckets.Unit into scope — be explicit about scala.Unit
+  private def check(p: Prop, name: String): scala.Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  private val genInstant: Gen[Instant] =
+    Gen.choose(0L, 4102444800000L).map(Instant.ofEpochMilli)
+  private val genGran: Gen[Granularity] = for {
+    v <- Gen.choose(1, 12)
+    u <- Gen.oneOf[Buckets.Unit](Second, Minute, Hour, Day, Week, Month)
+  } yield Granularity(v, u)
+
+  test("property: bucket truncation is idempotent, monotone, and partitions time") {
+    check(Prop.forAll(genInstant, genGran) { (t, g) =>
+      val b = truncate(t, g)
+      !b.isAfter(t) && truncate(b, g) == b && !advance(b, g).isBefore(t)
+    }, "truncate")
+    check(Prop.forAll(genInstant, genInstant, genGran) { (t1, t2, g) =>
+      // monotone: t1 <= t2 ⇒ trunc(t1) <= trunc(t2)
+      val (lo, hi) = if (t1.isBefore(t2)) (t1, t2) else (t2, t1)
+      !truncate(lo, g).isAfter(truncate(hi, g))
+    }, "monotone")
+  }
+
+  test("property: cursor encode/decode round-trips; corruption fails closed") {
+    val genKey = for {
+      ms <- Gen.choose(0L, 1L << 60)
+      id <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    } yield Cursor.Key(ms, id)
+    check(Prop.forAll(genKey) { k =>
+      Cursor.decode("evt", Cursor.encode("evt", k)) == Right(k)
+    }, "roundtrip")
+    check(Prop.forAll(genKey) { k =>
+      Cursor.decode("att", Cursor.encode("evt", k)).isLeft
+    }, "wrong-resource")
+  }
+
+  test("property: glob match agrees with regex compilation") {
+    val genTopic = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('.'))).map(_.mkString)
+    val genPattern = Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('.'), Gen.const('*')))
+      .map(_.mkString)
+    check(Prop.forAll(genPattern, genTopic) { (p, t) =>
+      TopicMatch.matchOne(p, t) == t.matches(TopicMatch.toRegex(p))
+    }, "glob-vs-regex")
+  }
+}
