@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full-outer join churn, moment-based exact statistics, and ordered array
+  * aggregation. */
+object Extras2 {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FULL OUTER JOIN: week-1 vs week-4 user activity → churn classes.
+    "full_outer_user_churn" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def week(start: String, end: String) = e
+        .filter(col("ts") >= lit(start).cast("timestamp") &&
+          col("ts") < lit(end).cast("timestamp"))
+        .select(col("user_id")).distinct()
+      val w1 = week("2024-01-01", "2024-01-08").withColumn("in_w1", lit(1))
+      val w4 = week("2024-01-22", "2024-01-29").withColumn("in_w4", lit(1))
+      w1.join(w4, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("in_w1").isNotNull && col("in_w4").isNotNull, "retained")
+            .when(col("in_w1").isNotNull, "churned")
+            .otherwise("new").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // exact moment-based statistics: mean/stddev from integer Σx, Σx²
+    // (associative integer sums → deterministic; the two-pass-free way to
+    // compute stable stats at scale).
+    "value_stats_by_type" -> ((s, dir) => {
+      val cents = round(col("value") * 100.0, 0).cast("long")
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents).as("s1"), sum(cents * cents).as("s2"))
+        .select(col("event_type"), col("n"),
+          round(col("s1").cast("double") / (col("n") * 100).cast("double"), 6).as("mean"),
+          round(sqrt((col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") / col("n").cast("double"))
+            / (col("n") - 1).cast("double")) / 100.0, 6).as("stddev"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ordered array aggregation: each user's first five event types.
+    "user_event_paths" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))).as("seq"))
+        .select(col("user_id"),
+          array_join(transform(slice(col("seq"), 1, 5), x => x.getField("event_type")), ",").as("path5"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "full_outer_user_churn" ->
+      """WITH w1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-01' AND ts::TIMESTAMP < TIMESTAMP '2024-01-08'),
+        |w4 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-22' AND ts::TIMESTAMP < TIMESTAMP '2024-01-29')
+        |SELECT CASE WHEN w1.user_id IS NOT NULL AND w4.user_id IS NOT NULL THEN 'retained'
+        |            WHEN w1.user_id IS NOT NULL THEN 'churned' ELSE 'new' END AS status,
+        |  count(*) AS n
+        |FROM w1 FULL OUTER JOIN w4 ON w1.user_id = w4.user_id
+        |GROUP BY status ORDER BY status""".stripMargin,
+    "value_stats_by_type" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value*100.0) AS BIGINT)) AS s1,
+        |    sum(CAST(round(value*100.0) AS BIGINT) * CAST(round(value*100.0) AS BIGINT)) AS s2
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(CAST(s1 AS DOUBLE) / CAST(n*100 AS DOUBLE), 6) AS mean,
+        |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
+        |    / CAST(n-1 AS DOUBLE)) / 100.0, 6) AS stddev
+        |FROM m ORDER BY event_type""".stripMargin,
+    "user_event_paths" ->
+      """SELECT user_id,
+        |  array_to_string((list(event_type ORDER BY ts::TIMESTAMP, event_id))[:5], ',') AS path5
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

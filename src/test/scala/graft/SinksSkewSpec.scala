@@ -31,6 +31,27 @@ class SinksSkewSpec extends GraftSuite {
       Sinks.renderSignature(secret)(parsed.get("data").asText))
   }
 
+  test("opevents: alerts map to the reference's operational topics") {
+    val spark2 = spark
+    import spark2.implicits._
+    val alerts = Seq(
+      graft.streaming.Model.Alert("t1", "d1", "consecutive_failure", 50, 5,
+        new java.sql.Timestamp(1704067200000L)),
+      graft.streaming.Model.Alert("t1", "d1", "destination_disabled", 100, 10,
+        new java.sql.Timestamp(1704067260000L)),
+      graft.streaming.Model.Alert("t1", "d2", "retries_exhausted", 0, 3,
+        new java.sql.Timestamp(1704067320000L))).toDS()
+    val ope = graft.streaming.Opevents.toOperationalEvents(alerts).collect()
+    val topics = ope.map(_.getAs[String]("topic")).toSet
+    assert(topics == Set("alert.destination.consecutive_failure",
+      "alert.destination.disabled", "alert.attempt.exhausted_retries"))
+    ope.foreach { r =>
+      assert(r.getAs[String]("event_id").startsWith("ope_t1:"))
+      assert(graft.functions.JsonMatch.parse(r.getAs[String]("data"))
+        .has("failure_count"))
+    }
+  }
+
   test("metadata merge priority: system < delivery < event") {
     val got = Sinks.mergeMetadata(
       Map("a" -> "sys", "b" -> "sys", "c" -> "sys"),
