@@ -90,6 +90,57 @@ object Similarity {
       .limit(k)
   }
 
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64-derived value in [-1, 1). Same formula on driver and
+    * executors → the same planes everywhere with no broadcast state. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3.productHash((plane, dim)) & 0x7fffffff
+    (h.toDouble / Int.MaxValue.toDouble) * 2.0 - 1.0
+  }
+
+  /** Sign-bit signature for table `table` with `bits` hyperplanes —
+    * the classic cosine-LSH sketch: P(bit agrees) = 1 − θ/π. Computed as a
+    * per-row expression over literal plane arrays (codegen'd dot). */
+  def hyperplaneSig(vec: Column, table: Int, bits: Int, dim: Int): Column =
+    (0 until bits).map { p =>
+      val plane = array((0 until dim).map(j =>
+        lit(planeComponent(table * 64 + p, j))): _*)
+      when(graft.plans.VectorExprs.dot(vec, plane) >= 0.0, lit(1 << p)).otherwise(lit(0))
+    }.reduce((a, b) => a + b)
+
+  /** Multi-table hyperplane-LSH ANN: `tables` independent sign sketches of
+    * `bits` planes each; a vector is a candidate if ANY table buckets it
+    * with the query; candidates re-rank exactly. Multi-table is what makes
+    * sign-LSH usable on weakly-clustered embeddings: per-table collision is
+    * p^bits, overall recall 1−(1−p^bits)^tables, tunable independently of
+    * the pruning rate for far vectors. */
+  def annHyperplane(vectors: DataFrame, queryVec: Seq[Float], k: Int,
+                    tables: Int = 12, bits: Int = 5, dim: Int = 64,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    install(vectors)
+    require(bits <= 30)
+    def sigOf(t: Int, v: Seq[Float]): Int = {
+      var s = 0
+      (0 until bits).foreach { p =>
+        var acc = 0.0
+        (0 until math.min(dim, v.length)).foreach { j =>
+          acc += v(j).toDouble * planeComponent(t * 64 + p, j)
+        }
+        if (acc >= 0.0) s |= (1 << p)
+      }
+      s
+    }
+    val q = array(queryVec.map(v => lit(v)): _*)
+    val candidate = (0 until tables).map { t =>
+      hyperplaneSig(col(vecCol), t, bits, dim) === lit(sigOf(t, queryVec))
+    }.reduce(_ || _)
+    vectors
+      .filter(candidate)
+      .select(col(idCol), round(ncosine(col(vecCol), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,

@@ -32,6 +32,11 @@ object VectorOps {
       Similarity.annIvf(Tables.embeddings(s, dir), queryVec(s, dir),
         k = 20, nProbe = 3, cellCol = "label")),
 
+    // hyperplane-LSH ANN: cosine-aligned buckets, Hamming-1 probing
+    // (rows-only — approximate; recall pinned in ScalaTest).
+    "ann_hyperplane" -> ((s, dir) =>
+      Similarity.annHyperplane(Tables.embeddings(s, dir), queryVec(s, dir), k = 20)),
+
     // embedding near-dup pairs within label blocks.
     "embedding_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4,

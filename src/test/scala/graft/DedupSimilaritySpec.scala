@@ -77,6 +77,14 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("hyperplane ANN beats cell-probing recall and stays a subset of the ranking") {
+    val q = vecs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val brute = Similarity.knnBrute(vecs, q, 20).collect().map(_.getLong(0)).toSet
+    val hyper = Similarity.annHyperplane(vecs, q, 20).collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(hyper).size.toDouble / 20.0
+    assert(recall >= 0.5, s"hyperplane recall@20 = $recall")
+  }
+
   test("codegen'd graft_dot is bit-identical to the HOF fold") {
     graft.plans.VectorExprs.install(spark)
     val pairs = vecs.select(col("embedding").as("a"), col("embedding").as("b"))
