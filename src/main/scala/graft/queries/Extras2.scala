@@ -43,6 +43,17 @@ object Extras2 {
         .orderBy(col("event_type"))
     }),
 
+    // P2 array membership: users whose event-type set overlaps a target
+    // list (the reference's hasAny(matched_destination_ids, [ids]) shape).
+    "array_overlap_users" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .filter(arrays_overlap(col("types"), array(lit("error"), lit("signup"))))
+        .select(col("user_id"), array_join(col("types"), ",").as("types_csv"))
+        .orderBy(col("user_id"))
+    }),
+
     // ordered array aggregation: each user's first five event types.
     "user_event_paths" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -76,6 +87,12 @@ object Extras2 {
         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
         |    / CAST(n-1 AS DOUBLE)) / 100.0, 6) AS stddev
         |FROM m ORDER BY event_type""".stripMargin,
+    "array_overlap_users" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
+        |FROM events GROUP BY user_id
+        |HAVING list_has_any(list_sort(list(DISTINCT event_type)), ['error','signup'])
+        |ORDER BY user_id""".stripMargin,
     "user_event_paths" ->
       """SELECT user_id,
         |  array_to_string((list(event_type ORDER BY ts::TIMESTAMP, event_id))[:5], ',') AS path5
