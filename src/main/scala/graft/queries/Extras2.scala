@@ -43,6 +43,16 @@ object Extras2 {
         .orderBy(col("event_type"))
     }),
 
+    // INTERSECT (completes the §2.6 set-op family with setops_users).
+    "intersect_users" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("event_type") === "purchase" && col("value") > 200.0)
+        .select(col("user_id")).distinct()
+        .intersect(e.filter(col("event_type") === "error")
+          .select(col("user_id")).distinct())
+        .orderBy(col("user_id"))
+    }),
+
     // P2 array membership: users whose event-type set overlaps a target
     // list (the reference's hasAny(matched_destination_ids, [ids]) shape).
     "array_overlap_users" -> ((s, dir) => {
@@ -87,6 +97,11 @@ object Extras2 {
         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE))
         |    / CAST(n-1 AS DOUBLE)) / 100.0, 6) AS stddev
         |FROM m ORDER BY event_type""".stripMargin,
+    "intersect_users" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type='purchase' AND value > 200.0
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type='error'
+        |ORDER BY user_id""".stripMargin,
     "array_overlap_users" ->
       """SELECT user_id,
         |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_csv
