@@ -34,6 +34,15 @@ for name, sql in sorted(oracles.items()):
         res = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         got_rows, got_cols = norm(res.fetchall(), res.columns)
         exp = con.sql(sql)
+        # the driver compares through pandas, where HUGEINT/DECIMAL become
+        # float64 and render "3.0" vs Spark's "3" -> silent hash mismatch.
+        # Catch that class here: oracle SQL must emit driver-stable types.
+        hostile = [(c, str(t)) for c, t in zip(exp.columns, exp.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT") or str(t).startswith("DECIMAL")]
+        if hostile:
+            print(f"FAIL {name}: pandas-hostile oracle column types {hostile} — CAST to BIGINT/DOUBLE")
+            fails += 1
+            continue
         exp_rows, exp_cols = norm(exp.fetchall(), exp.columns)
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} != {exp_cols}"); fails += 1

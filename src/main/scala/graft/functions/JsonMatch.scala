@@ -9,39 +9,53 @@ import scala.jdk.CollectionConverters._
 /** Structural JSON filter engine.
   *
   * Re-implements the semantics of hookdeck/outpost's `simplejsonmatch`
-  * package (`internal/simplejsonmatch/match.go:10-228`, `operators.go:14-306`;
-  * operator table in its README): a filter *schema* (a JSON object) is
-  * matched recursively against an input JSON value.
+  * package (`internal/simplejsonmatch/match.go:10-228`,
+  * `operators.go:14-306`, `types.go:39-101`; the package is itself a port of
+  * the public hookdeck/simple-json-match TypeScript library). A filter
+  * *schema* (a JSON value) is matched recursively against an input JSON
+  * value. The evaluator mirrors the reference's two-function structure —
+  * a top-level schema walk plus a value matcher — because filter semantics
+  * are the #1 user-facing surface and every corner case matters:
   *
-  * Semantics:
-  *   - a schema object whose keys are all non-`$` strings matches an input
+  *   - a schema object whose keys are non-`$` strings matches an input
   *     object field-by-field (every listed key must match; extra input keys
-  *     are ignored)
-  *   - a literal value in the schema means `$eq`
+  *     are ignored); a key MISSING from the input fails its condition unless
+  *     the subschema contains `$exist: false` (match.go:87-100)
+  *   - a literal value in the schema means equality; primitives compare
+  *     strictly by type (numbers numerically, strings exactly, booleans
+  *     exactly — NO string↔number or bool↔string coercion; operators.go:33-64)
   *   - operator objects: `$eq $neq $gt $gte $lt $lte $in $nin $startsWith
-  *     $endsWith $exist $or $and $not`; several operators in one object AND
-  *     together
-  *   - `$or` / `$and` take an array of schemas; `$not` takes a schema
-  *   - if the INPUT value is an array, a match succeeds if ANY element
-  *     matches (array-contains semantics); `$not` inverts after that
-  *   - loose coercion for equality/comparison: numbers compare numerically;
-  *     a string that parses as a number compares numerically with a number;
-  *     booleans compare with the strings "true"/"false"
-  *   - `$exist: true` requires the key to be present, `false` absent
+  *     $endsWith $exist`; several operators in one object AND together;
+  *     `$or` / `$and` take an array of schemas; `$not` negates (top level of
+  *     any schema object; alongside other keys it ANDs with them)
+  *   - if the INPUT value is an array: a literal schema matches if ANY
+  *     element matches; an ARRAY schema requires every schema element to
+  *     match some input element (contains-all, match.go:139-153); an
+  *     OPERATOR schema applies each operator to the whole array
+  *     (match.go:156-176) — so `$eq` is deep equality, `$in`/`$nin` are
+  *     membership, and comparisons fail
+  *   - `$gt/$gte/$lt/$lte`: both strings → lexicographic, both numbers →
+  *     numeric, anything else fails (operators.go:73-146)
+  *   - `$in`: array arg → membership; string arg on string input →
+  *     substring; scalar arg on array input → contains (operators.go:149-184)
+  *   - `$startsWith`/`$endsWith` accept a string or an array of strings
+  *   - `$exist: true` requires the key present, `false` absent
   *
   * The pure evaluator is the correctness reference (used as a UDF and by the
-  * streaming fanout). [[compile]] lowers simple schemas (no `$or`/`$not`/
-  * arrays-as-literals) to a native `Column` over a JSON string column using
-  * `get_json_object` — that form is codegen'd and prunable by Catalyst, and
-  * is preferred in the batch query path.
+  * streaming fanout), pinned by the ported 240-case corpus in JsonMatchCorpusSpec.
+  * [[compile]] lowers simple schemas to a native `Column` over a JSON string
+  * column using `get_json_object` — codegen'd and prunable by Catalyst,
+  * preferred in the batch query path. The textual extraction cannot see JSON
+  * types, so the compiled form treats `{"k":"5"}` and `{"k":5}` alike; exact
+  * cross-type semantics need the evaluator.
   */
 object JsonMatch {
   private val mapper = new ObjectMapper()
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
-  /** Top-level entry: does `input` (a JSON object) match `schema`? */
-  def matches(schema: JsonNode, input: JsonNode): Boolean = matchValue(schema, Some(input))
+  /** Top-level entry: does `input` match `schema`? */
+  def matches(schema: JsonNode, input: JsonNode): Boolean = matchSchema(input, schema)
 
   def matches(schemaJson: String, inputJson: String): Boolean =
     try matches(parse(schemaJson), parse(inputJson))
@@ -49,98 +63,171 @@ object JsonMatch {
 
   // ------------------------------------------------------------------ eval --
 
-  private def isOperatorObject(schema: JsonNode): Boolean =
-    schema.isObject && schema.fieldNames.asScala.exists(_.startsWith("$"))
+  private val OperatorKeys = Set(
+    "$eq", "$neq", "$gt", "$gte", "$lt", "$lte",
+    "$in", "$nin", "$startsWith", "$endsWith", "$exist")
 
-  /** Match a schema node against an (optional — absent key) input value. */
-  private def matchValue(schema: JsonNode, input: Option[JsonNode]): Boolean = {
-    if (schema.isObject && isOperatorObject(schema)) {
-      schema.properties.asScala.forall(e => applyOp(e.getKey, e.getValue, input))
-    } else if (schema.isObject) {
-      // structural object match; input arrays get any-element semantics
-      input match {
-        case Some(in) if in.isArray =>
-          in.elements.asScala.exists(el => matchValue(schema, Some(el)))
-        case Some(in) if in.isObject =>
-          schema.properties.asScala.forall { e =>
-            matchValue(e.getValue, Option(in.get(e.getKey)))
-          }
-        case _ => false
-      }
-    } else {
-      // literal → $eq
-      input.exists(in => looseContains(in, schema))
-    }
-  }
+  private def isOperatorKey(k: String): Boolean = OperatorKeys.contains(k)
 
-  private def applyOp(op: String, arg: JsonNode, input: Option[JsonNode]): Boolean = op match {
-    case "$exist" =>
-      val want = arg.asBoolean(true)
-      input.isDefined == want
-    case "$or" => arg.isArray && arg.elements.asScala.exists(s => matchValue(s, input))
-    case "$and" => arg.isArray && arg.elements.asScala.forall(s => matchValue(s, input))
-    case "$not" => !matchValue(arg, input)
-    case "$eq" => input.exists(in => looseContains(in, arg))
-    case "$neq" => !input.exists(in => looseContains(in, arg))
-    case "$in" =>
-      arg.isArray && input.exists(in => arg.elements.asScala.exists(a => looseContains(in, a)))
-    case "$nin" =>
-      !(arg.isArray && input.exists(in => arg.elements.asScala.exists(a => looseContains(in, a))))
-    case "$gt" => cmpAny(input, arg, _ > 0)
-    case "$gte" => cmpAny(input, arg, _ >= 0)
-    case "$lt" => cmpAny(input, arg, _ < 0)
-    case "$lte" => cmpAny(input, arg, _ <= 0)
-    case "$startsWith" => strAny(input)(s => arg.isTextual && s.startsWith(arg.asText))
-    case "$endsWith" => strAny(input)(s => arg.isTextual && s.endsWith(arg.asText))
-    case _ => false // unknown operator (incl. unimplemented $ref) never matches
-  }
+  private def isPrimitive(n: JsonNode): Boolean =
+    n.isNull || n.isNumber || n.isTextual || n.isBoolean
 
-  /** input (scalar or array → any element) loosely equals literal. */
-  private def looseContains(input: JsonNode, lit: JsonNode): Boolean =
-    if (input.isArray) input.elements.asScala.exists(el => looseEq(el, lit))
-    else looseEq(input, lit)
-
-  private def looseEq(a: JsonNode, b: JsonNode): Boolean = {
-    if (a.getNodeType == b.getNodeType) {
-      (a.isNumber && b.isNumber && a.doubleValue == b.doubleValue) || a == b
-    } else {
-      (numOf(a), numOf(b)) match {
-        case (Some(x), Some(y)) => x == y
-        case _ =>
-          // bool <-> "true"/"false" string coercion
-          val as = coerceString(a); val bs = coerceString(b)
-          as.isDefined && as == bs
+  /** Top-level schema walk (reference match.go:10-111). */
+  private def matchSchema(input: JsonNode, schema: JsonNode): Boolean = try {
+    // $not at this schema level
+    if (schema.isObject) {
+      val not = schema.get("$not")
+      if (not != null) {
+        val r = matchSchema(input, not)
+        if (schema.size == 1) return !r
+        if (r) return false // negated condition matched → whole schema fails
+        // else: fall through and check the remaining keys
       }
     }
-  }
 
-  private def numOf(n: JsonNode): Option[Double] =
-    if (n.isNumber) Some(n.doubleValue)
-    else if (n.isTextual) n.asText.toDoubleOption
-    else None
+    if (isPrimitive(input) || input.isArray) return !mismatch(input, schema)
 
-  private def coerceString(n: JsonNode): Option[String] =
-    if (n.isTextual) Some(n.asText)
-    else if (n.isBoolean) Some(if (n.asBoolean) "true" else "false")
-    else None
-
-  private def cmpAny(input: Option[JsonNode], arg: JsonNode, ok: Int => Boolean): Boolean =
-    input.exists { in =>
-      val elems = if (in.isArray) in.elements.asScala.toSeq else Seq(in)
-      elems.exists { el =>
-        (numOf(el), numOf(arg)) match {
-          case (Some(x), Some(y)) => ok(java.lang.Double.compare(x, y))
-          case _ if el.isTextual && arg.isTextual => ok(el.asText.compareTo(arg.asText))
-          case _ => false
+    if (schema.isObject) {
+      if (!input.isObject) return !mismatch(input, schema)
+      val it = schema.properties.asScala.iterator
+      while (it.hasNext) {
+        val e = it.next(); val k = e.getKey; val sub = e.getValue
+        if (k == "$not") () // handled above
+        else if (k == "$or" && sub.isArray) {
+          if (!sub.elements.asScala.exists(s => matchSchema(input, s))) return false
+        } else if (k == "$and" && sub.isArray) {
+          if (!sub.elements.asScala.forall(s => matchSchema(input, s))) return false
+        } else {
+          val v = input.get(k) // null ⟺ key absent (JSON null is NullNode)
+          if (v == null) {
+            // absent key passes only under an explicit $exist: false
+            val existFalse = sub.isObject && {
+              val ex = sub.get("$exist")
+              ex != null && ex.isBoolean && !ex.asBoolean
+            }
+            if (!existFalse) return false
+          } else if (mismatch(v, sub)) return false
         }
       }
+      true
+    } else !mismatch(input, schema)
+  } catch { case _: Exception => false }
+
+  /** Value-level matcher; returns true on MISMATCH (reference
+    * match.go:115-228 `recursivelyMatchValue`, same inverted convention). */
+  private def mismatch(input: JsonNode, schema: JsonNode): Boolean = {
+    if (isPrimitive(schema)) {
+      if (isPrimitive(input)) return !primEq(input, schema)
+      if (input.isArray) // any element may match
+        return !input.elements.asScala.exists(el => !mismatch(el, schema))
+      if (input.isObject) return true
     }
 
-  private def strAny(input: Option[JsonNode])(f: String => Boolean): Boolean =
-    input.exists { in =>
-      val elems = if (in.isArray) in.elements.asScala.toSeq else Seq(in)
-      elems.exists(el => el.isTextual && f(el.asText))
+    if (input.isArray) {
+      if (schema.isArray) // contains-all: every schema element found in input
+        return !schema.elements.asScala.forall(ss =>
+          input.elements.asScala.exists(el => !mismatch(el, ss)))
+      if (schema.isObject && schema.fieldNames.asScala.exists(isOperatorKey))
+        // operators apply to the array as a whole
+        return !schema.properties.asScala
+          .filter(e => isOperatorKey(e.getKey))
+          .forall(e => applyOp(e.getKey, input, e.getValue))
+      return !input.elements.asScala.exists(el => !mismatch(el, schema))
     }
+
+    if (schema.isObject) {
+      val or = schema.get("$or")
+      if (or != null && or.isArray)
+        return !or.elements.asScala.exists(s => matchSchema(input, s))
+      val ops = schema.properties.asScala.filter(e => isOperatorKey(e.getKey)).toSeq
+      if (ops.nonEmpty)
+        return !ops.forall(e => applyOp(e.getKey, input, e.getValue))
+      if (isPrimitive(input)) return true
+      return !matchSchema(input, schema)
+    }
+
+    true
+  }
+
+  /** One operator against a present value; false covers both "didn't match"
+    * and the reference's unsupported-type errors (operators.go:279-306). */
+  private def applyOp(op: String, v: JsonNode, arg: JsonNode): Boolean = op match {
+    case "$eq" => opEq(v, arg)
+    case "$neq" => !opEq(v, arg)
+    case "$gt" => cmp(v, arg, _ > 0)
+    case "$gte" => cmp(v, arg, _ >= 0)
+    case "$lt" => cmp(v, arg, _ < 0)
+    case "$lte" => cmp(v, arg, _ <= 0)
+    case "$in" => opIn(v, arg).getOrElse(false)
+    case "$nin" => opIn(v, arg).map(!_).getOrElse(false) // error → fail, not invert
+    case "$startsWith" => strOp(v, arg)(_ startsWith _)
+    case "$endsWith" => strOp(v, arg)(_ endsWith _)
+    case "$exist" => arg.isBoolean && arg.asBoolean // value IS present here
+    case _ => false // unknown operator (incl. unimplemented $ref)
+  }
+
+  /** Strict primitive equality (operators.go:33-64 `compareEquality`):
+    * numbers numerically, strings/bools exactly, null == null; no coercion. */
+  private def primEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNull && b.isNull) true
+    else if (a.isNull || b.isNull) false
+    else if (a.isNumber && b.isNumber) a.doubleValue == b.doubleValue
+    else if (a.isTextual && b.isTextual) a.asText == b.asText
+    else if (a.isBoolean && b.isBoolean) a.asBoolean == b.asBoolean
+    else false
+
+  /** $eq: primitives via [[primEq]], otherwise deep structural equality
+    * (the reference serializes both sides; operators.go:14-30). */
+  private def opEq(v: JsonNode, arg: JsonNode): Boolean =
+    if (isPrimitive(v) && isPrimitive(arg)) primEq(v, arg)
+    else deepEq(v, arg)
+
+  private def deepEq(a: JsonNode, b: JsonNode): Boolean =
+    if (a.isNumber && b.isNumber) a.doubleValue == b.doubleValue
+    else if (a.isArray && b.isArray)
+      a.size == b.size && a.elements.asScala.zip(b.elements.asScala).forall {
+        case (x, y) => deepEq(x, y)
+      }
+    else if (a.isObject && b.isObject) {
+      val ak = a.fieldNames.asScala.toSet
+      ak == b.fieldNames.asScala.toSet && ak.forall(k => deepEq(a.get(k), b.get(k)))
+    } else a.getNodeType == b.getNodeType && a == b
+
+  /** $gt/$gte/$lt/$lte: strings lexicographically, numbers numerically,
+    * mixed/other types are unsupported (operators.go:73-146). */
+  private def cmp(v: JsonNode, arg: JsonNode, ok: Int => Boolean): Boolean =
+    if (v.isTextual && arg.isTextual) ok(v.asText.compareTo(arg.asText))
+    else if (v.isNumber && arg.isNumber) ok(java.lang.Double.compare(v.doubleValue, arg.doubleValue))
+    else false
+
+  /** $in (operators.go:149-184); None = unsupported-type error. */
+  private def opIn(v: JsonNode, arg: JsonNode): Option[Boolean] =
+    if (arg.isArray) {
+      if (!isPrimitive(v)) None
+      else Some(arg.elements.asScala.exists(item => primEq(v, item)))
+    } else if (v.isTextual) {
+      if (arg.isTextual) Some(v.asText.contains(arg.asText)) else None
+    } else if (v.isArray) {
+      Some(v.elements.asScala.exists(el => primEq(el, arg)))
+    } else None
+
+  /** $startsWith/$endsWith: string or array-of-strings argument; a
+    * non-string array element is an error unless a match came first
+    * (operators.go:193-246 iterates and errors in order). */
+  private def strOp(v: JsonNode, arg: JsonNode)(f: (String, String) => Boolean): Boolean = {
+    if (!v.isTextual) return false
+    val s = v.asText
+    if (arg.isTextual) f(s, arg.asText)
+    else if (arg.isArray) {
+      val it = arg.elements.asScala
+      while (it.hasNext) {
+        val item = it.next()
+        if (!item.isTextual) return false // ErrUnsupportedType
+        if (f(s, item.asText)) return true
+      }
+      false
+    } else false
+  }
 
   // --------------------------------------------------------------- column --
 
@@ -158,6 +245,11 @@ object JsonMatch {
     * non-scalar leaves — callers fall back to [[matchesUdf]]. The compiled
     * form ends up as `get_json_object` + comparisons: codegen'd and visible
     * to Catalyst (constant folding, filter pushdown of conjuncts).
+    *
+    * Missing-key parity: every leaf comparison is NULL on a missing key and
+    * the conjunction collapses NULL → false; `$neq` additionally requires
+    * the key to be present (IsNotNull guard), mirroring the evaluator's
+    * absent-key-fails rule.
     */
   def compile(schemaJson: String, jsonCol: Column): Option[Column] = {
     def walk(schema: JsonNode, path: String): Option[Column] = {
@@ -177,12 +269,18 @@ object JsonMatch {
         case ("$eq", JsonNodeType.NUMBER) => Some(extracted.cast("double") === lit(lit0.doubleValue))
         case ("$eq", JsonNodeType.STRING) => Some(extracted === lit(lit0.asText))
         case ("$eq", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))
-        case ("$neq", JsonNodeType.NUMBER) => Some(!(extracted.cast("double") <=> lit(lit0.doubleValue)))
-        case ("$neq", JsonNodeType.STRING) => Some(!(extracted <=> lit(lit0.asText)))
+        case ("$neq", JsonNodeType.NUMBER) =>
+          Some(extracted.isNotNull && !(extracted.cast("double") <=> lit(lit0.doubleValue)))
+        case ("$neq", JsonNodeType.STRING) =>
+          Some(extracted.isNotNull && !(extracted <=> lit(lit0.asText)))
         case ("$gt", JsonNodeType.NUMBER) => Some(extracted.cast("double") > lit(lit0.doubleValue))
         case ("$gte", JsonNodeType.NUMBER) => Some(extracted.cast("double") >= lit(lit0.doubleValue))
         case ("$lt", JsonNodeType.NUMBER) => Some(extracted.cast("double") < lit(lit0.doubleValue))
         case ("$lte", JsonNodeType.NUMBER) => Some(extracted.cast("double") <= lit(lit0.doubleValue))
+        case ("$gt", JsonNodeType.STRING) => Some(extracted > lit(lit0.asText))
+        case ("$gte", JsonNodeType.STRING) => Some(extracted >= lit(lit0.asText))
+        case ("$lt", JsonNodeType.STRING) => Some(extracted < lit(lit0.asText))
+        case ("$lte", JsonNodeType.STRING) => Some(extracted <= lit(lit0.asText))
         case ("$startsWith", JsonNodeType.STRING) => Some(extracted.startsWith(lit0.asText))
         case ("$endsWith", JsonNodeType.STRING) => Some(extracted.endsWith(lit0.asText))
         case _ => None

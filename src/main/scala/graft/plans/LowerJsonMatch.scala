@@ -50,12 +50,20 @@ object LowerJsonMatch extends Rule[LogicalPlan] {
         case ("$eq", JsonNodeType.NUMBER) => Some(EqualTo(num(ex), Literal(lit0.doubleValue)))
         case ("$eq", JsonNodeType.STRING) => Some(EqualTo(ex, Literal(lit0.asText)))
         case ("$eq", JsonNodeType.BOOLEAN) => Some(EqualTo(ex, Literal(lit0.asBoolean.toString)))
-        case ("$neq", JsonNodeType.NUMBER) => Some(Not(EqualNullSafe(num(ex), Literal(lit0.doubleValue))))
-        case ("$neq", JsonNodeType.STRING) => Some(Not(EqualNullSafe(ex, Literal(lit0.asText))))
+        // $neq on a missing key fails in the reference evaluator
+        // (match.go:87-100), so require the key present before comparing
+        case ("$neq", JsonNodeType.NUMBER) =>
+          Some(And(IsNotNull(ex), Not(EqualNullSafe(num(ex), Literal(lit0.doubleValue)))))
+        case ("$neq", JsonNodeType.STRING) =>
+          Some(And(IsNotNull(ex), Not(EqualNullSafe(ex, Literal(lit0.asText)))))
         case ("$gt", JsonNodeType.NUMBER) => Some(GreaterThan(num(ex), Literal(lit0.doubleValue)))
         case ("$gte", JsonNodeType.NUMBER) => Some(GreaterThanOrEqual(num(ex), Literal(lit0.doubleValue)))
         case ("$lt", JsonNodeType.NUMBER) => Some(LessThan(num(ex), Literal(lit0.doubleValue)))
         case ("$lte", JsonNodeType.NUMBER) => Some(LessThanOrEqual(num(ex), Literal(lit0.doubleValue)))
+        case ("$gt", JsonNodeType.STRING) => Some(GreaterThan(ex, Literal(lit0.asText)))
+        case ("$gte", JsonNodeType.STRING) => Some(GreaterThanOrEqual(ex, Literal(lit0.asText)))
+        case ("$lt", JsonNodeType.STRING) => Some(LessThan(ex, Literal(lit0.asText)))
+        case ("$lte", JsonNodeType.STRING) => Some(LessThanOrEqual(ex, Literal(lit0.asText)))
         case ("$startsWith", JsonNodeType.STRING) => Some(StartsWith(ex, Literal(lit0.asText)))
         case ("$endsWith", JsonNodeType.STRING) => Some(EndsWith(ex, Literal(lit0.asText)))
         case _ => None

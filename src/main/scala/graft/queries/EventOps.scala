@@ -189,7 +189,7 @@ object EventOps {
       """SELECT user_id, session_id, count(*) AS n_events, min(epoch_ms(ts::TIMESTAMP)) AS session_start_ms
         |FROM (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM (
         |    SELECT user_id, ts, event_id,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -67,9 +67,9 @@ object TextOps {
     "text_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
+        |  CAST(list_sum(list_transform(regexp_extract_all(text, '[A-Za-z]+'),
         |    r -> CAST(ceil(length(r) / 4.0) AS BIGINT)))
-        |    + len(regexp_extract_all(text, '[0-9]|[^A-Za-z0-9\s]')) AS bpe_estimate,
+        |    + len(regexp_extract_all(text, '[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_estimate,
         |  substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 16) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->

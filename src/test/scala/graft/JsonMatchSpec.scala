@@ -23,43 +23,58 @@ class JsonMatchSpec extends GraftSuite {
     ("""{"data":{"amount":150}}""", true),
     ("""{"data":{"user":{"id":7}}}""", true),
     ("""{"data":{"user":{"id":8}}}""", false),
-    // loose numeric coercion both directions
-    ("""{"data":{"amount":"150"}}""", true),
-    ("""{"data":{"price":42.5}}""", true),
+    // STRICT typing (reference operators.go:33-64): no string↔number or
+    // bool↔string coercion
+    ("""{"data":{"amount":"150"}}""", false),
+    ("""{"data":{"price":42.5}}""", false),
     ("""{"data":{"price":"42.5"}}""", true),
-    // bool ↔ string coercion
-    ("""{"data":{"active":"true"}}""", true),
+    ("""{"data":{"active":"true"}}""", false),
     ("""{"data":{"active":true}}""", true),
-    ("""{"data":{"active":"false"}}""", false),
+    ("""{"data":{"active":false}}""", false),
     // $eq/$neq
     ("""{"data":{"amount":{"$eq":150}}}""", true),
     ("""{"data":{"amount":{"$neq":150}}}""", false),
     ("""{"data":{"amount":{"$neq":151}}}""", true),
-    // comparisons with coercion
+    // comparisons: numbers numerically; a numeric string NEVER compares
+    // with a number ($gt mixed types is unsupported → false); two strings
+    // compare lexicographically
     ("""{"data":{"amount":{"$gt":100}}}""", true),
     ("""{"data":{"amount":{"$gt":150}}}""", false),
     ("""{"data":{"amount":{"$gte":150}}}""", true),
     ("""{"data":{"amount":{"$lt":200}}}""", true),
     ("""{"data":{"amount":{"$lte":149}}}""", false),
-    ("""{"data":{"price":{"$gt":40}}}""", true),
+    ("""{"data":{"price":{"$gt":40}}}""", false),
     ("""{"data":{"price":{"$lt":"43"}}}""", true),
     // string comparisons
     ("""{"data":{"user":{"name":{"$gt":"Aa"}}}}""", true),
     ("""{"data":{"user":{"name":{"$lt":"Aa"}}}}""", false),
-    // $in/$nin with element coercion
+    // $in/$nin: array membership is type-strict; a string arg on a string
+    // input is a SUBSTRING test (operators.go:164-171)
     ("""{"data":{"amount":{"$in":[100,150,200]}}}""", true),
-    ("""{"data":{"amount":{"$in":["150"]}}}""", true),
+    ("""{"data":{"amount":{"$in":["150"]}}}""", false),
     ("""{"data":{"amount":{"$in":[1,2]}}}""", false),
     ("""{"data":{"amount":{"$nin":[1,2]}}}""", true),
     ("""{"data":{"amount":{"$nin":[150]}}}""", false),
+    ("""{"topic":{"$in":"der.cre"}}""", true),
+    ("""{"topic":{"$nin":"der.cre"}}""", false),
+    ("""{"topic":{"$in":"nope"}}""", false),
     // $startsWith/$endsWith
     ("""{"topic":{"$startsWith":"order."}}""", true),
     ("""{"topic":{"$endsWith":".created"}}""", true),
     ("""{"topic":{"$startsWith":"user."}}""", false),
-    // array-any semantics: scalar schema vs array input
+    // array input: literal schema → any element; operator schema applies to
+    // the WHOLE array ($in with array arg on array input is unsupported;
+    // scalar arg is membership; $eq of an array literal is ordered equality)
     ("""{"data":{"tags":"a"}}""", true),
     ("""{"data":{"tags":"c"}}""", false),
-    ("""{"data":{"tags":{"$in":["b","z"]}}}""", true),
+    ("""{"data":{"tags":{"$in":["b","z"]}}}""", false),
+    ("""{"data":{"tags":{"$in":"b"}}}""", true),
+    ("""{"data":{"tags":{"$nin":"z"}}}""", true),
+    ("""{"data":{"tags":{"$eq":["a","b"]}}}""", true),
+    ("""{"data":{"tags":{"$eq":["b","a"]}}}""", false),
+    ("""{"data":{"tags":["b"]}}""", true),
+    ("""{"data":{"tags":["a","b"]}}""", true),
+    ("""{"data":{"tags":["a","z"]}}""", false),
     // structural match against array of objects (any element)
     ("""{"data":{"items":{"sku":"y2"}}}""", true),
     ("""{"data":{"items":{"sku":"z9"}}}""", false),
@@ -77,7 +92,12 @@ class JsonMatchSpec extends GraftSuite {
     ("""{"$and":[{"topic":{"$startsWith":"order"}},{"data":{"amount":{"$gt":999}}}]}""", false),
     ("""{"$not":{"topic":"order.created"}}""", false),
     ("""{"$not":{"topic":"nope"}}""", true),
-    ("""{"data":{"amount":{"$not":{"$gt":200}}}}""", true),
+    // value-level {$not: ...} on a PRIMITIVE value never matches — $not is
+    // only consumed at the top of a schema object whose input is an object
+    // (match.go:19-36 vs 220-221); this mirrors the reference exactly
+    ("""{"data":{"amount":{"$not":{"$gt":200}}}}""", false),
+    ("""{"data":{"$not":{"amount":9}}}""", true),
+    ("""{"data":{"$not":{"amount":150}}}""", false),
     // multiple operators AND together
     ("""{"data":{"amount":{"$gt":100,"$lt":200}}}""", true),
     ("""{"data":{"amount":{"$gt":100,"$lt":150}}}""", false),
@@ -90,6 +110,13 @@ class JsonMatchSpec extends GraftSuite {
     // null handling
     ("""{"data":{"nil":{"$exist":true}}}""", true),
     ("""{"data":{"nil":5}}""", false),
+    ("""{"data":{"nil":null}}""", true),
+    ("""{"data":{"nil":{"$eq":null}}}""", true),
+    ("""{"data":{"nil":{"$neq":null}}}""", false),
+    // MISSING key fails its condition even under $neq/$nin (match.go:87-100)
+    ("""{"data":{"missing":{"$neq":"x"}}}""", false),
+    ("""{"data":{"missing":{"$nin":[1]}}}""", false),
+    ("""{"missing":"x"}""", false),
     // unknown operator never matches (incl. unimplemented $ref)
     ("""{"data":{"amount":{"$ref":"#/x"}}}""", false)
   )
@@ -111,7 +138,7 @@ class JsonMatchSpec extends GraftSuite {
     val docs = Seq(
       """{"k":87,"s":"hello","t":"order.created"}""",
       """{"k":12,"s":"world","t":"user.created"}""",
-      """{"k":"50","s":"hey","t":"order.x"}""",
+      """{"k":50,"s":"hey","t":"order.x"}""",
       """{"s":"no-k","t":"order.y"}""")
     val df = docs.toDF("j")
     val schemas = Seq(
@@ -131,5 +158,30 @@ class JsonMatchSpec extends GraftSuite {
     // non-lowerable schemas fall back
     assert(JsonMatch.compile("""{"$or":[{"k":1}]}""", col("j")).isEmpty)
     assert(JsonMatch.compile("""{"k":{"$in":[1,2]}}""", col("j")).isEmpty)
+  }
+
+  test("compiled form is type-lossy by design: get_json_object cannot see JSON types") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the evaluator (reference semantics) rejects string-vs-number; the
+    // textual compiled form cannot distinguish {"k":"50"} from {"k":50}
+    val d = """{"k":"50"}"""
+    val sc = """{"k":{"$gte":50}}"""
+    assert(!JsonMatch.matches(sc, d))
+    val compiled = JsonMatch.compile(sc, col("j")).get
+    val got = Seq(d).toDF("j").withColumn("m", compiled).head.getBoolean(1)
+    assert(got) // documented divergence — schema authors target typed scalars
+  }
+
+  test("$neq on a missing key fails in both evaluator and compiled form") {
+    val spark2 = spark
+    import spark2.implicits._
+    val sc = """{"type":{"$neq":"created"}}"""
+    assert(!JsonMatch.matches(sc, """{}"""))
+    assert(JsonMatch.matches(sc, """{"type":"updated"}"""))
+    val compiled = JsonMatch.compile(sc, col("j")).get
+    val rows = Seq("""{}""", """{"type":"updated"}""", """{"type":"created"}""")
+      .toDF("j").withColumn("m", compiled).collect().map(_.getBoolean(1)).toSeq
+    assert(rows == Seq(false, true, false))
   }
 }
