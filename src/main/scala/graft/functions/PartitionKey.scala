@@ -1,0 +1,151 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Message partition-key extraction (reference: hookdeck/outpost
+  * `internal/destregistry/partitionkey/partitionkey.go:11-40` — a JMESPath
+  * expression over the delivery payload, falling back to the event id when
+  * the expression is empty or evaluates to nothing).
+  *
+  * The supported expression subset is what partition keys actually use:
+  * identifier paths with dots, array indexing, and quoted identifiers —
+  * `a.b`, `items[0].sku`, `"weird-key".id`. JMESPath's computational forms
+  * (pipes, projections, functions) are not partition-key material; the
+  * parser rejects them so misconfiguration fails loudly instead of silently
+  * keying everything to the fallback.
+  *
+  * Two forms:
+  *   - [[evaluate]]: exact per-row evaluation with the reference's scalar
+  *     rendering (Go `%g` for numbers — shortest round-trip digits,
+  *     scientific when the exponent reaches the digit count);
+  *   - [[column]]: codegen'd `get_json_object` fast path for analytical
+  *     queries (string keys — the overwhelmingly common case).
+  */
+object PartitionKey {
+
+  /** Parse the JMESPath subset into a JsonPath string for
+    * `get_json_object` (`$.a.b[0]`), or None if out of subset. */
+  def toJsonPath(template: String): Option[String] = {
+    if (template == null || template.isEmpty) return None
+    val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
+    val sb = new StringBuilder("$")
+    var i = 0
+    val n = template.length
+    var expectSegment = true
+    while (i < n) {
+      template.charAt(i) match {
+        case '.' if !expectSegment => expectSegment = true; i += 1
+        case '[' =>
+          val close = template.indexOf(']', i)
+          if (close < 0) return None
+          val idx = template.substring(i + 1, close)
+          if (!idx.forall(_.isDigit) || idx.isEmpty) return None
+          sb.append('[').append(idx).append(']')
+          i = close + 1
+          expectSegment = false
+        case '"' if expectSegment =>
+          val close = template.indexOf('"', i + 1)
+          if (close < 0) return None
+          val name = template.substring(i + 1, close)
+          if (name.isEmpty || name.exists(c => c == '.' || c == '[' || c == '\'')) return None
+          sb.append("['").append(name).append("']")
+          i = close + 1
+          expectSegment = false
+        case _ if expectSegment =>
+          Ident.findPrefixOf(template.substring(i)) match {
+            case Some(id) => sb.append('.').append(id); i += id.length; expectSegment = false
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    if (expectSegment) None else Some(sb.toString)
+  }
+
+  /** Exact evaluation over a parsed payload; mirrors partitionkey.go's
+    * result rendering and fallback rules. Throws on an out-of-subset
+    * template (the reference errors on invalid JMESPath too). */
+  def evaluate(template: String, payload: JsonNode, fallbackKey: String): String = {
+    if (template == null || template.isEmpty) return fallbackKey
+    val path = toJsonPath(template).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported partition key template: $template"))
+    var node = payload
+    // walk the JsonPath we just built: segments after "$"
+    val seg = """\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]|\['([^']*)'\]""".r
+    seg.findAllMatchIn(path.substring(1)).foreach { m =>
+      if (node != null) {
+        if (m.group(1) != null) node = node.get(m.group(1))
+        else if (m.group(2) != null) node = node.get(m.group(2).toInt)
+        else node = node.get(m.group(3))
+      }
+    }
+    if (node == null || node.isNull) fallbackKey
+    else if (node.isTextual) { val s = node.asText; if (s.isEmpty) fallbackKey else s }
+    else if (node.isNumber) goG(node.doubleValue)
+    else if (node.isBoolean) node.asBoolean.toString
+    else node.toString // objects/arrays: raw JSON, the %v analogue
+  }
+
+  def evaluate(template: String, payloadJson: String, fallbackKey: String): String =
+    try evaluate(template, JsonMatch.parse(payloadJson), fallbackKey)
+    catch { case _: com.fasterxml.jackson.core.JacksonException => fallbackKey }
+
+  /** Go `%g` float rendering: shortest round-trip digits, fixed notation
+    * unless the decimal exponent reaches the digit count or drops below -4
+    * (strconv.FormatFloat(f, 'g', -1, 64) semantics). */
+  def goG(d: Double): String = {
+    if (d.isNaN) return "NaN"
+    if (d.isInfinite) return if (d > 0) "+Inf" else "-Inf"
+    if (d == 0.0) return if (1 / d < 0) "-0" else "0"
+    val neg = d < 0
+    val ad = math.abs(d)
+    // shortest decimal digits via Java's shortest-repr Double.toString
+    val repr = java.lang.Double.toString(ad) // e.g. "1.23456789E9", "123456.0"
+    val (mantissa, exp10) = repr.split('E') match {
+      case Array(m) =>
+        val dot = m.indexOf('.')
+        val digitsRaw = m.replace(".", "")
+        (digitsRaw, dot - 1)
+      case Array(m, e) =>
+        val dot = m.indexOf('.')
+        (m.replace(".", ""), e.toInt + (if (dot > 1) dot - 1 else 0))
+    }
+    val digits = mantissa.replaceFirst("0+$", "") match { case "" => "0"; case s => s }
+    // strip leading zeros (values < 1 render like "0.001" -> digits "001")
+    val lead = digits.indexWhere(_ != '0')
+    val (sig, expAdj) = if (lead > 0) (digits.substring(lead), exp10 - lead) else (digits, exp10)
+    val nd = sig.length
+    val sb = new StringBuilder(if (neg) "-" else "")
+    // strconv/ftoa.go: shortest %g goes scientific iff exp < -4 || exp >= 6
+    if (expAdj < -4 || expAdj >= 6) {
+      // scientific: d.ddde±XX  (Go uses e+09 style, two-digit minimum)
+      sb.append(sig.head)
+      if (nd > 1) sb.append('.').append(sig.tail)
+      sb.append('e').append(if (expAdj < 0) '-' else '+')
+      val ae = math.abs(expAdj)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+    } else if (expAdj >= nd - 1) {
+      sb.append(sig).append("0" * (expAdj - nd + 1))
+    } else if (expAdj >= 0) {
+      sb.append(sig.substring(0, expAdj + 1)).append('.').append(sig.substring(expAdj + 1))
+    } else {
+      sb.append("0.").append("0" * (-expAdj - 1)).append(sig)
+    }
+    sb.toString
+  }
+
+  /** Column fast path: extract the key from a JSON payload column with the
+    * event-id fallback. String-typed keys only (numbers come back in raw
+    * JSON text form, not `%g` — use [[evaluate]] for exact parity). */
+  def column(template: String, payloadCol: Column, fallbackCol: Column): Column =
+    toJsonPath(template) match {
+      case None => fallbackCol
+      case Some(p) =>
+        val extracted = get_json_object(payloadCol, p)
+        when(extracted.isNull || extracted === "", fallbackCol).otherwise(extracted)
+    }
+}

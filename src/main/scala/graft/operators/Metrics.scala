@@ -39,9 +39,26 @@ object Metrics {
       measures: Seq[String],
       dimensions: Seq[String] = Nil,
       filters: Map[String, Seq[String]] = Map.empty,
-      rowLimit: Int = 100000)
+      rowLimit: Int = 100000,
+      maxGroups: Long = MaxRowsToGroupBy,
+      broadcastGroupCap: Long = BroadcastGroupCap)
 
-  final case class Result(df: DataFrame, truncated: Boolean)
+  /** Reference resource guard (`chlogstore/metrics.go:13`): a query whose
+    * group count (slots × observed dim combos) exceeds this fails fast as a
+    * CLIENT error instead of taking down the cluster job. */
+  val MaxRowsToGroupBy: Long = 5000000L
+
+  /** Above this many filled groups the zero-fill join stops broadcasting the
+    * aggregated side and degrades to a shuffle join (a broadcast of millions
+    * of groups is driver/executor OOM at 100× scale). */
+  val BroadcastGroupCap: Long = 1000000L
+
+  /** The reference surfaces the ClickHouse max_rows_to_group_by breach as a
+    * client error (`chlogstore/metrics.go:13-25`); same contract here. */
+  final class ResourceLimitExceeded(msg: String) extends RuntimeException(msg)
+
+  final case class Result(df: DataFrame, truncated: Boolean,
+                          cleanup: () => Unit = () => ())
 
   /** A measure = named aggregate expression (+ optional rate derivation). */
   final case class MeasureDef(agg: Column, rateOf: Option[String] = None)
@@ -108,6 +125,10 @@ object Metrics {
   def query(spark: SparkSession, df: DataFrame, req: Request,
             catalog: Map[String, MeasureDef] = eventMeasures,
             tsName: String = "ts"): Result = {
+    // bucket boundaries are wall-clock arithmetic; the reference's are UTC.
+    // Pin the session (same pattern as Tables.events/nanosAsLong) so month
+    // buckets and the dense-fill slot join agree on any host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val g = req.granularity
     val ts = col(tsName)
 
@@ -139,16 +160,38 @@ object Metrics {
     import spark.implicits._
     val slotsDf = slots.map(i => new java.sql.Timestamp(i.toEpochMilli))
       .toDF("bucket")
-    // the aggregated side is the small one (≤ slots × combos, both capped)
-    // → broadcast it as the build side of the left-outer fill join; the
-    // slots×combos probe side is driver-generated and tiny by construction.
+    // the aggregated side is usually the small one (≤ slots × combos) →
+    // broadcast it as the build side of the left-outer fill join. But
+    // observed combos are NOT capped by construction (a high-cardinality
+    // dimension can make slots×combos arbitrarily large), so: count combos
+    // first (off the persisted aggregate — one fact scan total), apply the
+    // reference's max-groups guard, and degrade to a shuffle fill join when
+    // the group count is too big to broadcast safely.
+    var cleanup: () => Unit = () => ()
     val filled =
       if (req.dimensions.isEmpty) {
+        // groups = slots only, already capped at MaxBuckets
         slotsDf.join(broadcast(grouped), Seq("bucket"), "left")
       } else {
-        val combos = grouped.select(req.dimensions.map(col): _*).distinct()
-        slotsDf.crossJoin(broadcast(combos))
-          .join(broadcast(grouped), "bucket" +: req.dimensions, "left")
+        val groupedP = grouped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cleanup = () => { groupedP.unpersist(); () }
+        val combos = groupedP.select(req.dimensions.map(col): _*).distinct()
+        val comboCount = combos.count()
+        val totalGroups = comboCount * slots.size
+        if (totalGroups > req.maxGroups) {
+          cleanup()
+          throw new ResourceLimitExceeded(
+            s"metrics query would produce $totalGroups groups " +
+              s"($comboCount dimension combinations x ${slots.size} buckets), " +
+              s"over the ${req.maxGroups} limit — narrow the time range, " +
+              "coarsen the granularity, or filter the dimension")
+        }
+        if (totalGroups <= req.broadcastGroupCap)
+          slotsDf.crossJoin(broadcast(combos))
+            .join(broadcast(groupedP), "bucket" +: req.dimensions, "left")
+        else // shuffle fill: both sides repartition on the group key
+          slotsDf.crossJoin(combos)
+            .join(groupedP.hint("shuffle_hash"), "bucket" +: req.dimensions, "left")
       }
     val zeroFilled = aggMeasures.foldLeft(filled) { (d, m) =>
       d.withColumn(m, coalesce(col(m), lit(0)))
@@ -166,7 +209,7 @@ object Metrics {
 
     val ordered = projected.orderBy(("bucket" +: req.dimensions).map(col): _*)
     val probe = ordered.limit(req.rowLimit + 1)
-    Result(probe, truncated = false) // see run() for the materialized flag
+    Result(probe, truncated = false, cleanup) // see run() for the materialized flag
   }
 
   /** Materialized form with the reference's truncation semantics
@@ -175,7 +218,10 @@ object Metrics {
   def run(spark: SparkSession, df: DataFrame, req: Request,
           catalog: Map[String, MeasureDef] = eventMeasures,
           tsName: String = "ts"): (Seq[org.apache.spark.sql.Row], Boolean) = {
-    val probe = query(spark, df, req, catalog, tsName).df.collect()
-    (probe.take(req.rowLimit).toSeq, probe.length > req.rowLimit)
+    val res = query(spark, df, req, catalog, tsName)
+    try {
+      val probe = res.df.collect()
+      (probe.take(req.rowLimit).toSeq, probe.length > req.rowLimit)
+    } finally res.cleanup()
   }
 }

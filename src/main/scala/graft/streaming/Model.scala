@@ -24,7 +24,9 @@ object Model {
       filter_json: Option[String] /* JSON filter schema, null = match all */,
       disabled: Boolean)
 
-  /** One fanout edge: deliver `event` to `destination_id` as try #attempt. */
+  /** One fanout edge: deliver `event` to `destination_id` as try #attempt.
+    * Carries the event metadata so sinks can render delivery headers on
+    * retries too (the reference re-fetches the full event per attempt). */
   final case class DeliveryTask(
       event_id: String,
       tenant_id: String,
@@ -33,7 +35,8 @@ object Model {
       manual: Boolean,
       event_time: Timestamp,
       topic: String,
-      data: String)
+      data: String,
+      metadata: Map[String, String] = Map.empty)
 
   final case class Attempt(
       attempt_id: String,

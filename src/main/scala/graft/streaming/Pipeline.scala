@@ -72,18 +72,26 @@ object Pipeline {
     * (event, destination) with task columns. */
   def matchFanout(spark: SparkSession, events: DataFrame,
                   destinations: Dataset[Destination]): DataFrame = {
+    // the reference renders envelope time in RFC3339 (seconds precision,
+    // entities.go:71) — a wall-clock rendering, so pin the session to UTC
+    // the way Tables.events pins nanosAsLong: deterministic regardless of
+    // host timezone (also keeps month buckets stable, see Buckets)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val d = destinations.toDF()
       .filter(!col("disabled"))
       .select(col("destination_id"), col("tenant_id").as("d_tenant_id"),
         col("dest_type"), col("topics"), col("filter_json"))
-    // envelope built by splicing the raw payload text: `data` is schemaless
-    // JSON, so to_json(from_json(...)) would need a schema — a literal
-    // splice keeps arbitrary nesting intact
+    // fixed fields go through to_json(struct(...)) so id/topic/metadata are
+    // JSON-escaped; only the schemaless `data` payload is spliced raw (it is
+    // validated to be a JSON object at ingest — validateAndDefault)
+    val fixed = to_json(struct(
+      col("event_id").as("id"),
+      col("topic").as("topic"),
+      date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
+      coalesce(col("metadata"), map().cast(MapType(StringType, StringType)))
+        .as("metadata")))
     val envelope = concat(
-      lit("""{"id":""""), col("event_id"),
-      lit("""","topic":""""), col("topic"),
-      lit("""","time":""""), date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-      lit("""","metadata":"""), coalesce(to_json(col("metadata")), lit("{}")),
+      substring(fixed, lit(1), length(fixed) - 1),
       lit(""","data":"""), col("data"), lit("}"))
     events
       .join(broadcast(d), col("tenant_id") === col("d_tenant_id"), "inner")
@@ -91,7 +99,7 @@ object Pipeline {
       .filter(filterMatchUdf(col("filter_json"), envelope))
       .select(col("event_id"), col("tenant_id"), col("destination_id"),
         lit(1).as("attempt"), lit(false).as("manual"),
-        col("event_time"), col("topic"), col("data"),
+        col("event_time"), col("topic"), col("data"), col("metadata"),
         col("eligible_for_retry"), col("dest_type"))
   }
 

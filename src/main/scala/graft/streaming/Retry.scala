@@ -31,6 +31,7 @@ object Retry {
                            status: String, eligible_for_retry: Boolean,
                            manual: Boolean, event_time: Timestamp,
                            topic: String, data: String,
+                           metadata: Map[String, String],
                            outcome_time: Timestamp)
 
   final case class PendingRetry(task: DeliveryTask, fireAtMillis: Long)
@@ -47,12 +48,12 @@ object Retry {
         // manual retry replaces any pending auto retry, fires immediately
         state = Some(PendingRetry(DeliveryTask(o.event_id, o.tenant_id,
           o.destination_id, o.attempt_number + 1, manual = true,
-          o.event_time, o.topic, o.data), o.outcome_time.getTime))
+          o.event_time, o.topic, o.data, o.metadata), o.outcome_time.getTime))
       } else if (o.eligible_for_retry && !backoff.exhausted(o.attempt_number + 1)) {
         val fireAt = o.outcome_time.getTime + backoff.delayMillis(o.attempt_number)
         state = Some(PendingRetry(DeliveryTask(o.event_id, o.tenant_id,
           o.destination_id, o.attempt_number + 1, manual = false,
-          o.event_time, o.topic, o.data), fireAt))
+          o.event_time, o.topic, o.data, o.metadata), fireAt))
       }
       // ineligible / exhausted: drop (alerting handles exhaustion signal)
     }

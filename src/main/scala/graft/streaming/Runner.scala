@@ -55,13 +55,16 @@ object Runner {
   /** Log rows = attempt columns + denormalized event columns (S4). */
   val logSchema: StructType = attemptSchema
     .add("event_time", TimestampType).add("topic", StringType)
-    .add("data", StringType).add("eligible_for_retry", BooleanType)
+    .add("data", StringType)
+    .add("metadata", MapType(StringType, StringType))
+    .add("eligible_for_retry", BooleanType)
 
   private val taskSchema: StructType = StructType(Seq(
     StructField("event_id", StringType), StructField("tenant_id", StringType),
     StructField("destination_id", StringType), StructField("attempt", IntegerType),
     StructField("manual", BooleanType), StructField("event_time", TimestampType),
     StructField("topic", StringType), StructField("data", StringType),
+    StructField("metadata", MapType(StringType, StringType)),
     StructField("eligible_for_retry", BooleanType)))
 
   def start(spark: SparkSession,
@@ -104,7 +107,7 @@ object Runner {
             // denormalize event columns into the log (wide attempts, S4)
             val enriched = outcomes.join(
               batch.select(col("event_id"), col("destination_id"),
-                col("event_time"), col("topic"), col("data"),
+                col("event_time"), col("topic"), col("data"), col("metadata"),
                 col("eligible_for_retry")),
               Seq("event_id", "destination_id"))
             Pipeline.logSinkBatch(enriched, logPath)
@@ -135,7 +138,7 @@ object Runner {
         .select(col("event_id"), col("tenant_id"), col("destination_id"),
           col("attempt_number"), col("status"), col("eligible_for_retry"),
           col("manual"), col("event_time"), col("topic"), col("data"),
-          col("attempt_time").as("outcome_time"))
+          col("metadata"), col("attempt_time").as("outcome_time"))
         .as[Retry.Outcome]
       Retry.scheduleStream(spark, outcomes, backoff)
         .writeStream

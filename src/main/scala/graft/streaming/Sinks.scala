@@ -29,12 +29,26 @@ object Sinks {
   }
 
   /** File-backed webhook sink: one JSON line per delivery under
-    * `root/<destination_id>/`, body signed with HMAC-SHA256. */
-  final case class FileWebhookSink(root: String, secret: String) extends Sink {
+    * `root/<destination_id>/`, body signed per the destination's signature
+    * scheme ([[Signatures.SignatureManager]] — algorithm, encoding and
+    * content template all configurable as in `destwebhook/signature.go`). */
+  final case class FileWebhookSink(root: String, secret: String,
+                                   algoName: String = Signatures.HmacSha256.name,
+                                   base64: Boolean = false,
+                                   contentTemplate: String = Signatures.DefaultSignatureContentTemplate)
+    extends Sink {
     val destType = "webhook"
     override def publish(tasks: DataFrame): DataFrame = {
-      val sign = Crypto.hmacSha256Hex(secret)
-      val rendered = tasks.withColumn("signature", sign(col("data")))
+      val mgr = new Signatures.SignatureManager(
+        Seq(Signatures.WebhookSecret(secret, java.time.Instant.EPOCH)),
+        Signatures.Algos(algoName),
+        if (base64) Signatures.Base64Encoder else Signatures.HexEncoder,
+        new Signatures.Template(contentTemplate))
+      val sign = udf((eventId: String, topic: String, tsMs: java.sql.Timestamp, body: String) =>
+        mgr.generateSignatures(Signatures.SignaturePayload(
+          eventId, topic, tsMs.toInstant, body)).headOption.orNull)
+      val rendered = tasks.withColumn("signature",
+        sign(col("event_id"), col("topic"), col("event_time"), col("data")))
         .withColumn("delivery", to_json(struct(
           col("event_id"), col("topic"), col("data"), col("signature"))))
       rendered
@@ -43,6 +57,57 @@ object Sinks {
         .write.mode("append").partitionBy("destination_id")
         .text(root) // one dir per destination = one "endpoint"
       // file writes succeed atomically-per-task → all-success outcomes
+      tasks.select(
+        concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
+          lit(":"), col("attempt")).as("attempt_id"),
+        col("event_id"), col("tenant_id"), col("destination_id"),
+        lit(destType).as("destination_type"),
+        col("attempt").as("attempt_number"), col("manual"),
+        lit("success").as("status"),
+        current_timestamp().as("attempt_time"),
+        lit("200").as("code"))
+    }
+  }
+
+  /** Kafka delivery sink (reference: `destregistry/providers/destkafka/
+    * destkafka.go:209-258`): renders each task into the exact Kafka record
+    * shape — key from the destination's JMESPath partition-key template
+    * falling back to the event id (`partitionkey.go:11-40`), value = raw
+    * event payload, headers = merged metadata + content-type — and hands the
+    * record DataFrame to `writeStream.format("kafka")`.
+    *
+    * The record construction (the semantics) is pure Spark and testable
+    * anywhere; the transport is config: this container has no Kafka
+    * connector jar or broker, so `outputFormat`/`outputOptions` default to a
+    * parquet spool that carries identical rows. On a real cluster:
+    * `KafkaSink(topic, tmpl, "kafka", Map("kafka.bootstrap.servers" -> ...))`.
+    */
+  final case class KafkaSink(topic: String,
+                             partitionKeyTemplate: String = "",
+                             outputFormat: String = "parquet",
+                             outputOptions: Map[String, String] = Map.empty,
+                             spoolDir: String = "") extends Sink {
+    val destType = "kafka"
+    override def publish(tasks: DataFrame): DataFrame = {
+      val records = tasks.select(
+        graft.functions.PartitionKey
+          .column(partitionKeyTemplate, col("data"), col("event_id"))
+          .cast("binary").as("key"),
+        col("data").cast("binary").as("value"),
+        lit(topic).as("topic"),
+        map_concat(
+          coalesce(col("metadata"), map().cast(
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType))),
+          map(lit("content-type"), lit("application/json"))).as("headers"),
+        col("destination_id"), col("event_id"), col("tenant_id"),
+        col("attempt"), col("manual"), col("event_time"))
+      val writer = records.write.mode("append").options(outputOptions)
+      outputFormat match {
+        case "kafka" => writer.format("kafka").save()
+        case _ => writer.format(outputFormat).save(spoolDir)
+      }
       tasks.select(
         concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
           lit(":"), col("attempt")).as("attempt_id"),

@@ -56,6 +56,32 @@ class MetricsMultimodalSpec extends GraftSuite {
     assert(all.length == 720 && !notTrunc)
   }
 
+  test("resource guard: high-cardinality dimension fails fast as a client error") {
+    val req = Metrics.Request(
+      Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-31T00:00:00Z"),
+      Granularity.parse("1h"), measures = Seq("count"), dimensions = Seq("user_id"),
+      maxGroups = 1000) // 150 users x 720 buckets = 108000 groups > 1000
+    val e = intercept[Metrics.ResourceLimitExceeded] {
+      Metrics.query(spark, Tables.events(spark, sf), req)
+    }
+    assert(e.getMessage.contains("narrow the time range"))
+  }
+
+  test("fill join degrades from broadcast to shuffle above the group cap") {
+    def plan(cap: Long): String = {
+      val req = Metrics.Request(
+        Instant.parse("2024-01-01T00:00:00Z"), Instant.parse("2024-01-08T00:00:00Z"),
+        Granularity.parse("1d"), measures = Seq("count"), dimensions = Seq("event_type"),
+        broadcastGroupCap = cap)
+      val res = Metrics.query(spark, Tables.events(spark, sf), req)
+      try res.df.queryExecution.executedPlan.toString finally res.cleanup()
+    }
+    assert(plan(Metrics.BroadcastGroupCap).contains("BroadcastHashJoin"))
+    val degraded = plan(1) // tiny cap forces the shuffle path
+    assert(degraded.contains("ShuffledHashJoin") || degraded.contains("SortMergeJoin"),
+      degraded)
+  }
+
   test("logstore retention drops old month partitions at the directory level") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
     graft.operators.Logstore.insertMany(

@@ -42,6 +42,60 @@ class StreamingSpec extends GraftSuite {
     assert(stamped == Set("d_all", "d_orders", "d_big"))
   }
 
+  test("fanout envelope: escaped fields, RFC3339 UTC time, sub-second filter boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the filter matches on the envelope the reference builds
+    // (entities.go:63-91): id/topic/time/metadata/data, time rendered
+    // RFC3339 at SECONDS precision (entities.go:71)
+    val dests = Seq(
+      // quote in the filter value: only matches if the envelope JSON-escapes
+      Destination("d_q", "t1", "webhook", Seq("*"),
+        Some("""{"topic":"order\"quoted"}"""), disabled = false),
+      // string $gte on time: events at/after 00:00:01Z match; an event at
+      // 00:00:00.900 truncates to ...T00:00:00Z and must NOT match
+      Destination("d_t", "t1", "webhook", Seq("*"),
+        Some("""{"time":{"$gte":"2024-01-01T00:00:01Z"}}"""), disabled = false),
+      Destination("d_m", "t1", "webhook", Seq("*"),
+        Some("""{"metadata":{"src":"api"}}"""), disabled = false))
+    val events = Seq(
+      ("eq", "t1", "order\"quoted", true, new Timestamp(1704067200900L),
+        Map.empty[String, String], """{}"""),
+      ("et", "t1", "plain.topic", true, ts(1),
+        Map("src" -> "api"), """{}"""))
+      .toDF("event_id", "tenant_id", "topic", "eligible_for_retry", "event_time", "metadata", "data")
+    val got = Pipeline.matchFanout(spark, events, dests.toDS())
+      .select("event_id", "destination_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("eq", "d_q"), ("et", "d_t"), ("et", "d_m")))
+  }
+
+  test("kafka sink: record shape (key from partition template, headers, spool)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("kafka_spool").toString
+    val sink = graft.streaming.Sinks.KafkaSink(
+      topic = "out-topic", partitionKeyTemplate = "order.id",
+      spoolDir = s"$dir/records")
+    val tasks = Seq(
+      ("e1", "t1", "d_orders", 1, false, ts(0), "order.created",
+        """{"order":{"id":"o-77"}}""", Map("m" -> "1"), true, "kafka"),
+      ("e2", "t1", "d_orders", 1, false, ts(1), "order.created",
+        """{"order":{}}""", Map.empty[String, String], true, "kafka"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val attempts = sink.publish(tasks)
+    assert(attempts.filter(col("status") === "success").count() == 2)
+    val recs = spark.read.parquet(s"$dir/records")
+      .select(col("key").cast("string"), col("topic"),
+        element_at(col("headers"), "content-type").as("ct"),
+        element_at(col("headers"), "m").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(recs == Set(
+      ("o-77", "out-topic", "application/json", "1"),
+      ("e2", "out-topic", "application/json", null))) // fallback key = event id
+  }
+
   test("validateAndDefault: ids/time/eligibility defaulted, non-object data dropped") {
     val spark2 = spark
     import spark2.implicits._
@@ -114,7 +168,7 @@ class StreamingSpec extends GraftSuite {
     val b = Backoff(baseMillis = 1000, factor = 2, maxRetries = 3)
     def out(n: Int, status: String, manual: Boolean = false, t: Long = 0) =
       Retry.Outcome("e1", "t1", "d1", n, status, eligible_for_retry = true,
-        manual, ts(0), "top", "{}", ts(t))
+        manual, ts(0), "top", "{}", Map.empty, ts(t))
 
     // failure schedules retry #2 after base backoff
     val (st1, due1) = Retry.transition(b, None, Seq(out(1, "failed", t = 10)), ts(10).getTime)
@@ -160,7 +214,7 @@ class StreamingSpec extends GraftSuite {
       val t0 = System.currentTimeMillis()
       val now = new Timestamp(t0)
       mem.addData(Retry.Outcome("eT", "t1", "dT", 1, "failed",
-        eligible_for_retry = true, manual = false, now, "top", "{}", now))
+        eligible_for_retry = true, manual = false, now, "top", "{}", Map.empty, now))
       def fired(): Long = spark.sql("SELECT * FROM retry_due WHERE event_id='eT'").count()
       // poll until emission (deadline 30s)
       val deadline = t0 + 30000
