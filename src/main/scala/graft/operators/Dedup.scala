@@ -38,30 +38,79 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,
+                        textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+        TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+
+  /** Candidate pairs for exact Jaccard via PPJoin-style prefix filtering.
+    *
+    * Every doc's tokens are ordered by the consistent total order
+    * (is-hot-token, xxhash64(token), token) — hot tokens LAST — and only
+    * the first `|d| - ⌈t·|d|⌉ + 1` tokens (the PREFIX) enter the
+    * inverted-index join. Prefix theorem: two sets with J ≥ t share at
+    * least one prefix token under any common total order — so no
+    * qualifying pair is lost — while a stop-word-like token sorts to every
+    * doc's SUFFIX and generates no candidates at all. This is the guard
+    * that keeps the join from going quadratic inside a block at 100 TB:
+    * candidate volume is governed by RARE-token collisions, not hot-token
+    * df². A size filter (t·|a| ≤ |b| ≤ |a|/t) prunes the rest.
+    *
+    * The hot set (df > max(64, 5% of docs)) is the only aggregation — a
+    * stop-word-sized list collected to the driver and compiled into an
+    * `InSet` probe; the ordering itself is a pure per-row array expression,
+    * so no document-frequency join or re-grouping shuffle is paid.
+    */
+  def jaccardCandidates(docs: DataFrame, threshold: Double,
+                        blockCol: String = "source",
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = tokenSets(docs, blockCol, idCol, textCol)
+    val docCount = docs.count()
+    val hotCap = math.max(64L, docCount / 20)
+    val hot: Array[String] = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") > hotCap)
+      .select("tok").collect().map(_.getString(0))
+    def hotFlag(t: Column): Column =
+      if (hot.isEmpty) lit(0) else when(t.isin(hot.toSeq: _*), 1).otherwise(0)
+    val ordered = array_sort(transform(col("toks"),
+      t => struct(hotFlag(t).as("h"), xxhash64(t).as("x"), t.as("tok"))))
+    val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    val pref = toks.select(col("id"), col("block"), col("sz"),
+      explode(slice(transform(ordered, x => x.getField("tok")),
+        lit(1), prefixLen)).as("tok"))
+    val a = pref.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = pref.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("block", "tok"))
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_a") >= ceil(col("sz_b") * threshold))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Exact token-set Jaccard over distinct whitespace tokens, restricted to
     * pairs sharing `blockCol`. Returns (id_a, id_b, jaccard) with id_a<id_b.
     *
-    * Token-inverted-index join: explode distinct tokens, self-join on
-    * (block, token), count shared tokens per pair, then J = |∩|/(|A|+|B|-|∩|).
-    * The explode keeps only (block, token, id, size) — the text never
-    * shuffles.
+    * Prefix-filtered candidates ([[jaccardCandidates]]) + exact
+    * verification: candidates attach their token arrays once each and the
+    * true Jaccard is computed from `array_intersect`, so the result is
+    * EXACT — the prefix filter only prunes, never decides. The text never
+    * shuffles; only (block, prefix-token, id, size) and the candidate's two
+    * token arrays do.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source",
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-        TextFunctions.distinctTokens(col(textCol)).as("toks"))
-      .withColumn("sz", size(col("toks")))
-    val inv = toks.select(col("id"), col("block"), col("sz"),
-      explode(col("toks")).as("tok"))
-    val a = inv.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val b = inv.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("block", "tok")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double"))
+    val toks = tokenSets(docs, blockCol, idCol, textCol)
+    val cands = jaccardCandidates(docs, threshold, blockCol, idCol, textCol)
+    val verified = cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
+    val common = size(array_intersect(col("toks_a"), col("toks_b")))
+    verified.withColumn("jaccard",
+        common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -96,9 +145,24 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val toks = docs.select(col(idCol).as("id"),
+
+    // Representative collapse: on a duplicate-heavy corpus most of the LSH
+    // candidate mass is exact token-set duplicates colliding in EVERY band.
+    // Collapse each distinct token set to one representative (min id) before
+    // banding, run LSH + verification on representatives only, then expand:
+    // intra-group pairs are J=1.0 by construction; a verified rep pair
+    // (A,B,j) yields members(A) × members(B) pairs, all at the same j (the
+    // Jaccard between any two members equals the Jaccard of their sets).
+    val keyed = docs.select(col(idCol).as("id"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
+      .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+    val groups = keyed.groupBy("setkey")
+      .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"),
+        first(col("toks")).as("toks"), first(col("sz")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val toks = groups.select(col("rep").as("id"), col("toks"), col("sz"))
     val withSig = toks.withColumn("sig", minhashSignature(col("toks"), numHashes))
     val sigs = withSig
       .select(col("id"),
@@ -118,10 +182,27 @@ object Dedup {
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
     val common = size(array_intersect(col("toks_a"), col("toks_b")))
-    verified.withColumn("jaccard",
+    val repPairs = verified.withColumn("jaccard",
         common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+
+    // expand back to document pairs
+    val gm = groups.select(col("rep"), col("members"))
+    val inter = repPairs
+      .join(gm.select(col("rep").as("id_a"), col("members").as("ms_a")), "id_a")
+      .join(gm.select(col("rep").as("id_b"), col("members").as("ms_b")), "id_b")
+      .select(explode(col("ms_a")).as("a"), col("ms_b"), col("jaccard"))
+      .select(col("a"), explode(col("ms_b")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("id_a"),
+        greatest(col("a"), col("b")).as("id_b"), col("jaccard"))
+    val intra = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("id_a"), col("b").as("id_b"),
+        lit(1.0).as("jaccard"))
+    inter.unionByName(intra)
   }
 
   /** 64-bit SimHash over tokens as a LongType column: bit j is set iff
@@ -185,6 +266,11 @@ object Dedup {
       toUnpersist.foreach(_.unpersist())
       toUnpersist = Some(step)
       labels = step.select("id", "component")
+      // truncate lineage on adversarially deep graphs only: each iteration
+      // stacks a join+agg on the previous plan; near-dup graphs converge in
+      // a handful of hops (pay nothing), but a long-chain graph would grow
+      // an O(diameter)-deep DAG without this
+      if (iter >= 10 && iter % 5 == 0) labels = labels.localCheckpoint()
       iter += 1
     }
     labels

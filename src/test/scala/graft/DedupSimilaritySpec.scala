@@ -25,6 +25,48 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(below == 0)
   }
 
+  test("jaccard prefix filter: hot token generates no candidates, results stay exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 200 docs in one block, ALL sharing the token "the", otherwise disjoint
+    // — the round-1 inverted-index join would generate all 19900 pairs from
+    // the hot token alone; the df-ordered prefix sinks it into every doc's
+    // suffix so candidate count is ZERO. Plus one genuine near-dup pair that
+    // must survive the filter (exactness).
+    val adversarial = (0 until 200).map { i =>
+      (i.toLong, "b", s"the u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g u${i}h u${i}i")
+    } ++ Seq(
+      (1000L, "b", "the q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (1001L, "b", "the q1 q2 q3 q4 q5 q6 q7 q8 q9x"))
+    val df = adversarial.toDF("doc_id", "source", "text")
+    val cands = Dedup.jaccardCandidates(df, 0.8).count()
+    assert(cands <= 3, s"hot token must not explode candidates, got $cands")
+    val pairs = Dedup.jaccardPairs(df, 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1000L, 1001L)))
+    assert(math.abs(pairs.head.getDouble(2) - 9.0 / 11.0) < 1e-6)
+  }
+
+  test("minhash representative collapse preserves the exact pair set") {
+    val spark2 = spark
+    import spark2.implicits._
+    // exact dups (same token set, one with different order), a near-dup, and
+    // a non-dup: expansion must emit intra-group pairs at J=1.0 and
+    // rep-pair members at the verified J
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "b a c d e f g h i j"), // same SET as 1/2, different order
+      (4L, "a b c d e f g h i k"), // J = 9/11 with the {a..j} set
+      (5L, "z y x w v u t s r q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, 0.8, numHashes = 60, bands = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(got((1L, 2L)) == 1.0 && got((2L, 3L)) == 1.0)
+    assert(math.abs(got((1L, 4L)) - 9.0 / 11.0) < 1e-6)
+    assert(got((1L, 4L)) == got((3L, 4L)), "expanded pairs share the rep-pair jaccard")
+  }
+
   test("simhash pairs have genuinely similar token multisets") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     // sanity: hamming bound respected and pair ids ordered
