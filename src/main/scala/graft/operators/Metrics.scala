@@ -99,6 +99,8 @@ object Metrics {
       coalesce(sum(col("attempt_number")).cast("double") /
         nullif(count(lit(1)).cast("double"), lit(0.0)), lit(0.0))),
     "rate" -> MeasureDef(count(lit(1)), rateOf = Some("count")),
+    "successful_rate" -> MeasureDef(count(when(col("status") === "success", 1)),
+      rateOf = Some("successful_count")),
     "failed_rate" -> MeasureDef(count(when(col("status") === "failed", 1)),
       rateOf = Some("failed_count")))
 
@@ -210,6 +212,41 @@ object Metrics {
     val ordered = projected.orderBy(("bucket" +: req.dimensions).map(col): _*)
     val probe = ordered.limit(req.rowLimit + 1)
     Result(probe, truncated = false, cleanup) // see run() for the materialized flag
+  }
+
+  /** No-granularity form (the reference's nil-granularity requests,
+    * `chlogstore/metrics.go:120-137`): ONE row per observed dimension combo
+    * totalled over the whole range — no time bucket, no zero fill (an empty
+    * scan yields an empty result, not a zero row), rate measures divide by
+    * the range's total seconds. Same measure catalog and filter semantics
+    * as [[query]]. */
+  def queryTotal(spark: SparkSession, df: DataFrame, req: Request,
+                 catalog: Map[String, MeasureDef] = eventMeasures,
+                 tsName: String = "ts"): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val ts = col(tsName)
+    val startTs = timestamp_millis(lit(req.start.toEpochMilli))
+    val endTs = timestamp_millis(lit(req.end.toEpochMilli))
+    var cur =
+      if (tsName == "ts" && df.columns.contains("ts_ns"))
+        df.filter(graft.core.Tables.tsRangeNs(req.start, req.end))
+      else df.filter(ts >= startTs && ts < endTs)
+    req.filters.foreach { case (c, vs) => cur = cur.filter(col(c).isin(vs: _*)) }
+
+    val (rateMs, baseMs) = req.measures.partition(m => catalog(m).rateOf.isDefined)
+    val deps = rateMs.flatMap(m => catalog(m).rateOf)
+    val aggMeasures = (baseMs ++ deps.filterNot(baseMs.contains)).distinct
+    // carry a row-presence count so the empty-range case yields no rows
+    val aggCols = aggMeasures.map(m => catalog(m).agg.as(m)) :+
+      count(lit(1)).as("__present")
+    val grouped =
+      if (req.dimensions.isEmpty) cur.agg(aggCols.head, aggCols.tail: _*)
+      else cur.groupBy(req.dimensions.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val rangeSec = (req.end.toEpochMilli - req.start.toEpochMilli) / 1000.0
+    val withRates = rateMs.foldLeft(grouped.filter(col("__present") > 0)) { (d, m) =>
+      d.withColumn(m, col(catalog(m).rateOf.get).cast("double") / lit(rangeSec))
+    }
+    withRates.select((req.dimensions ++ req.measures).map(col): _*)
   }
 
   /** Materialized form with the reference's truncation semantics
