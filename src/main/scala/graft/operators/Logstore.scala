@@ -35,6 +35,19 @@ object Logstore {
   def scan(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read-side dedup (the reference's read-repair, `chlogstore.go:46-112`):
+    * at-least-once writers may append the same natural id twice across
+    * batches — readers keep the latest row per id (ts desc, deterministic).
+    * In-batch dedup in [[insertMany]] makes this a no-op on the happy path;
+    * this guards the redelivery/concurrent-writer path. */
+  def scanLatest(spark: SparkSession, path: String,
+                 idCol: String, tsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(tsCol).desc, col(idCol))
+    scan(spark, path)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** S6 retention (reference `internal/logretention/clickhouse_ttl.go:42-76`
     * — table TTL / partition drops): delete month partitions strictly older
     * than `keepFromMonth` ("yyyy-MM"). A pure directory-level operation —
