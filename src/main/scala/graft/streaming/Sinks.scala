@@ -120,6 +120,76 @@ object Sinks {
     }
   }
 
+  /** Object-store delivery sink (reference `destawss3/destawss3.go:184-258`):
+    * one object per delivery, object key rendered from a template over the
+    * reference's vocabulary — `{event_id}`, `{topic}`, `{metadata.<k>}` and
+    * the UTC time fields `{time.year|month|day|hour|minute|second|date|
+    * datetime|unix|rfc3339}` (destawss3.go `parseTimeFields`). The key is a
+    * codegen'd Column; the PUT loop is per-partition executor IO against
+    * `root` (a filesystem stand-in for the bucket client — swap the writer
+    * lambda for an S3 PUT on a real deployment). */
+  final case class ObjectStoreSink(root: String,
+      keyTemplate: String = "{time.date}/{time.rfc3339}_{event_id}.json")
+    extends Sink {
+    val destType = "s3"
+
+    private val Token = """\{(event_id|topic|metadata\.[A-Za-z0-9_\-]+|time\.[a-z0-9]+)\}""".r
+
+    /** Template → Column (literal segments + field columns concat'd). */
+    def keyColumn: org.apache.spark.sql.Column = {
+      def field(name: String): org.apache.spark.sql.Column = name match {
+        case "event_id" => col("event_id")
+        case "topic" => col("topic")
+        case m if m.startsWith("metadata.") =>
+          coalesce(element_at(col("metadata"), m.stripPrefix("metadata.")), lit(""))
+        case t if t.startsWith("time.") =>
+          val fmt = t.stripPrefix("time.") match {
+            case "year" => "yyyy"; case "month" => "MM"; case "day" => "dd"
+            case "hour" => "HH"; case "minute" => "mm"; case "second" => "ss"
+            case "date" => "yyyy-MM-dd"
+            case "datetime" => "yyyy-MM-dd'T'HH:mm:ss"
+            case "rfc3339" => "yyyy-MM-dd'T'HH:mm:ssXXX"
+            case "unix" => null
+            case other => throw new IllegalArgumentException(s"unknown time field: $other")
+          }
+          if (fmt == null) unix_timestamp(col("event_time")).cast("string")
+          else date_format(col("event_time"), fmt)
+        case other => throw new IllegalArgumentException(s"unknown key field: $other")
+      }
+      var parts = Vector.empty[org.apache.spark.sql.Column]
+      var last = 0
+      for (m <- Token.findAllMatchIn(keyTemplate)) {
+        if (m.start > last) parts :+= lit(keyTemplate.substring(last, m.start))
+        parts :+= field(m.group(1))
+        last = m.end
+      }
+      if (last < keyTemplate.length) parts :+= lit(keyTemplate.substring(last))
+      concat(parts: _*)
+    }
+
+    override def publish(tasks: DataFrame): DataFrame = {
+      val rootDir = root
+      tasks.select(keyColumn.as("objkey"), col("data"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val f = new java.io.File(rootDir, r.getString(0))
+            f.getParentFile.mkdirs()
+            val out = new java.io.FileOutputStream(f)
+            try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+          }
+        }
+      tasks.select(
+        concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
+          lit(":"), col("attempt")).as("attempt_id"),
+        col("event_id"), col("tenant_id"), col("destination_id"),
+        lit(destType).as("destination_type"),
+        col("attempt").as("attempt_number"), col("manual"),
+        lit("success").as("status"),
+        current_timestamp().as("attempt_time"),
+        lit("200").as("code"))
+    }
+  }
+
   /** Test/chaos sink: no IO, fails the configured destinations (mirrors the
     * reference's destination mock server used by its e2e suite).
     * `failUntilAttempt`: attempts below this number fail even for healthy

@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
 
 class CryptoTemporalSpec extends GraftSuite {
 
+  test("credentials cipher: Column and JVM forms interoperate, tamper yields NULL") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val secret = "tenant-secret"
+    // Column encrypt -> Column decrypt roundtrip
+    val df = Seq("api_key_12345", """{"user":"u","pass":"p"}""").toDF("cred")
+    val round = df.select(Crypto.Credentials.decrypt(
+      Crypto.Credentials.encrypt(col("cred"), secret), secret).as("back"),
+      col("cred"))
+    assert(round.collect().forall(r => r.getString(0) == r.getString(1)))
+    // JVM-encrypted bytes decrypt through the Spark column (nonce‖ct‖tag layout)
+    val enc = Crypto.Credentials.encryptBytes("hello".getBytes("UTF-8"), secret)
+    val viaSpark = Seq(enc).toDF("e")
+      .select(Crypto.Credentials.decrypt(col("e"), secret)).head().getString(0)
+    assert(viaSpark == "hello")
+    // and Spark-encrypted bytes decrypt in the JVM
+    val sparkEnc = Seq("world").toDF("c")
+      .select(Crypto.Credentials.encrypt(col("c"), secret)).head().getAs[Array[Byte]](0)
+    assert(new String(Crypto.Credentials.decryptBytes(sparkEnc, secret), "UTF-8") == "world")
+    // tampered ciphertext and wrong secret both yield NULL, not a scan failure
+    val tampered = enc.clone(); tampered(tampered.length - 1) = (tampered.last ^ 1).toByte
+    val bad = Seq(tampered).toDF("e")
+      .select(Crypto.Credentials.decrypt(col("e"), secret),
+        Crypto.Credentials.decrypt(col("e"), "wrong")).head()
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+    // key derivation matches the reference (hex md5, 32 ASCII bytes)
+    assert(Crypto.Credentials.derivedKey("secret") == "5ebe2294ecd0e0f08eab7690d2a6ee69")
+  }
+
   test("HMAC-SHA256 matches RFC 4231 test case 2") {
     // public vector: key "Jefe", data "what do ya want for nothing?"
     val got = Crypto.hmacHex("HmacSHA256", "Jefe".getBytes("UTF-8"),

@@ -96,6 +96,24 @@ class StreamingSpec extends GraftSuite {
       ("e2", "out-topic", "application/json", null))) // fallback key = event id
   }
 
+  test("object-store sink: one object per delivery at the templated key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("s3_sink").toString
+    val sink = graft.streaming.Sinks.ObjectStoreSink(dir,
+      keyTemplate = "{time.date}/{metadata.region}/{event_id}.json")
+    val tasks = Seq(
+      ("e1", "t1", "d_s3", 1, false, ts(0), "order.created",
+        """{"a":1}""", Map("region" -> "eu"), true, "s3"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val attempts = sink.publish(tasks)
+    assert(attempts.head().getAs[String]("status") == "success")
+    val f = new java.io.File(dir, "2024-01-01/eu/e1.json")
+    assert(f.exists, s"object missing at ${f.getPath}")
+    assert(scala.io.Source.fromFile(f).mkString == """{"a":1}""")
+  }
+
   test("validateAndDefault: ids/time/eligibility defaulted, non-object data dropped") {
     val spark2 = spark
     import spark2.implicits._
