@@ -249,7 +249,17 @@ object JsonMatch {
     * Missing-key parity: every leaf comparison is NULL on a missing key and
     * the conjunction collapses NULL → false; `$neq` additionally requires
     * the key to be present (IsNotNull guard), mirroring the evaluator's
-    * absent-key-fails rule.
+    * absent-key-fails rule. Numeric comparisons use TRY-mode casts so a
+    * non-numeric value is a non-match, never an ANSI runtime error.
+    *
+    * Known divergence (pinned in JsonMatchCorpusSpec): when the INPUT value
+    * is an ARRAY the reference applies any-element semantics, which textual
+    * extraction cannot express — compiled leaves are scalar-only. Filters
+    * over array-shaped fields must use the evaluator (`matchesUdf` /
+    * `JsonMatchExpr` keeps them automatically: `LowerJsonMatch` only
+    * rewrites what [[compile]] accepts, and the lossy cases are ones where
+    * the data, not the schema, is array-shaped — a data-modeling caveat,
+    * not a silent planner choice).
     */
   def compile(schemaJson: String, jsonCol: Column): Option[Column] = {
     def walk(schema: JsonNode, path: String): Option[Column] = {
@@ -266,17 +276,17 @@ object JsonMatch {
     def leaf(lit0: JsonNode, path: String, op: String): Option[Column] = {
       val extracted = get_json_object(jsonCol, path)
       (op, lit0.getNodeType) match {
-        case ("$eq", JsonNodeType.NUMBER) => Some(extracted.cast("double") === lit(lit0.doubleValue))
+        case ("$eq", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") === lit(lit0.doubleValue))
         case ("$eq", JsonNodeType.STRING) => Some(extracted === lit(lit0.asText))
         case ("$eq", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))
         case ("$neq", JsonNodeType.NUMBER) =>
-          Some(extracted.isNotNull && !(extracted.cast("double") <=> lit(lit0.doubleValue)))
+          Some(extracted.isNotNull && !(extracted.try_cast("double") <=> lit(lit0.doubleValue)))
         case ("$neq", JsonNodeType.STRING) =>
           Some(extracted.isNotNull && !(extracted <=> lit(lit0.asText)))
-        case ("$gt", JsonNodeType.NUMBER) => Some(extracted.cast("double") > lit(lit0.doubleValue))
-        case ("$gte", JsonNodeType.NUMBER) => Some(extracted.cast("double") >= lit(lit0.doubleValue))
-        case ("$lt", JsonNodeType.NUMBER) => Some(extracted.cast("double") < lit(lit0.doubleValue))
-        case ("$lte", JsonNodeType.NUMBER) => Some(extracted.cast("double") <= lit(lit0.doubleValue))
+        case ("$gt", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") > lit(lit0.doubleValue))
+        case ("$gte", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") >= lit(lit0.doubleValue))
+        case ("$lt", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") < lit(lit0.doubleValue))
+        case ("$lte", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") <= lit(lit0.doubleValue))
         case ("$gt", JsonNodeType.STRING) => Some(extracted > lit(lit0.asText))
         case ("$gte", JsonNodeType.STRING) => Some(extracted >= lit(lit0.asText))
         case ("$lt", JsonNodeType.STRING) => Some(extracted < lit(lit0.asText))

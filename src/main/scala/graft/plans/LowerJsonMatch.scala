@@ -43,7 +43,10 @@ object LowerJsonMatch extends Rule[LogicalPlan] {
       }
       if (parts.exists(_.isEmpty)) None else Some(parts.flatten.reduce(And))
     }
-    def num(e: Expression): Expression = Cast(e, DoubleType)
+    // TRY-mode cast: a non-numeric string yields NULL (collapsed to false by
+    // the surrounding Coalesce), never an ANSI runtime error — the evaluator
+    // treats cross-type comparisons as non-matches, so must the fast path
+    def num(e: Expression): Expression = Cast(e, DoubleType, None, EvalMode.TRY)
     def leaf(lit0: JsonNode, path: String, op: String): Option[Expression] = {
       val ex = extract(path)
       (op, lit0.getNodeType) match {
