@@ -157,8 +157,14 @@ object Metrics {
     val grouped = cur.groupBy(bucket +: dimCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
 
-    // dense fill: driver-generated slots (capped) × observed dim combos
-    val slots = Buckets.generateSlots(req.start, req.end, g)
+    // dense fill: driver-generated slots (capped) × observed dim combos;
+    // over-cap ranges surface the reference's resource-limit client error
+    // (bucket/bucket.go:10-14 ErrTooManyBuckets → driver.ErrResourceLimit)
+    val slots =
+      try Buckets.generateSlots(req.start, req.end, g)
+      catch {
+        case e: IllegalArgumentException => throw new ResourceLimitExceeded(e.getMessage)
+      }
     import spark.implicits._
     val slotsDf = slots.map(i => new java.sql.Timestamp(i.toEpochMilli))
       .toDF("bucket")

@@ -230,6 +230,72 @@ class MetricsCorrectnessSpec extends GraftSuite {
     assert(r.map(_.getAs[Long]("failed_count")).sum == 100)
   }
 
+  // ─── characteristics (drivertest/metrics_characteristics.go) ─────────
+
+  test("deterministic bucket counts across granularity/range combos") {
+    def buckets(s: String, e: String, g: String): Int =
+      bucketed(g, Seq("count"),
+        range = (Instant.parse(s), Instant.parse(e))).length
+    assert(buckets("2000-01-15T00:00:00Z", "2000-01-16T00:00:00Z", "1h") == 24)
+    assert(buckets("2000-01-01T00:00:00Z", "2000-01-08T00:00:00Z", "1d") == 7)
+    assert(buckets("2000-01-15T10:00:00Z", "2000-01-15T11:00:00Z", "1m") == 60)
+    assert(buckets("2000-01-15T10:00:00Z", "2000-01-15T11:00:00Z", "5m") == 12)
+    // granularity larger than the range → one bucket
+    assert(buckets("2000-01-15T10:00:00Z", "2000-01-15T16:00:00Z", "1d") == 1)
+  }
+
+  test("empty buckets carry explicit zeros, never nulls; ordering is chronological") {
+    val r = bucketed("1h", Seq("count", "rate"), range = denseRange)
+    assert(r.length == 24)
+    r.foreach { row =>
+      assert(!row.isNullAt(row.fieldIndex("count")) && !row.isNullAt(row.fieldIndex("rate")))
+    }
+    // hours 0-9 and 15-23 are empty on the dense day → zero, not null
+    assert(r.count(_.getAs[Long]("count") == 0L) == 19)
+    val times = r.map(_.getAs[Timestamp]("bucket").getTime)
+    assert(times.sameElements(times.sorted), "buckets must come back in time order")
+  }
+
+  test("no-data range with granularity still zero-fills every bucket") {
+    val r = bucketed("1d", Seq("count"),
+      range = (Instant.parse("2000-03-01T00:00:00Z"), Instant.parse("2000-03-11T00:00:00Z")))
+    assert(r.length == 10 && r.forall(_.getAs[Long]("count") == 0L))
+  }
+
+  test("bucket alignment: starts truncate to the granularity boundary") {
+    // range starting mid-hour at 1h: first bucket is the enclosing hour
+    val r1 = bucketed("1h", Seq("count"),
+      range = (Instant.parse("2000-01-15T10:30:00Z"), Instant.parse("2000-01-15T12:00:00Z")))
+    assert(r1.head.getAs[Timestamp]("bucket").toInstant ==
+      Instant.parse("2000-01-15T10:00:00Z"))
+    val r2 = bucketed("1d", Seq("count"),
+      range = (Instant.parse("2000-01-15T10:30:00Z"), Instant.parse("2000-01-17T00:00:00Z")))
+    assert(r2.head.getAs[Timestamp]("bucket").toInstant ==
+      Instant.parse("2000-01-15T00:00:00Z"))
+  }
+
+  test("dimensions don't cartesian-explode: each observed topic gets exactly 24 buckets") {
+    val r = bucketed("1h", Seq("count"), dims = Seq("topic"), range = denseRange)
+    val byTopic = r.groupBy(_.getAs[String]("topic"))
+    assert(r.length == byTopic.size * 24)
+    byTopic.foreach { case (_, rows) =>
+      assert(rows.length == 24, "dense filling per observed combo along the time axis")
+    }
+  }
+
+  test("too many buckets surfaces the resource-limit client error") {
+    intercept[Metrics.ResourceLimitExceeded] {
+      bucketed("1s", Seq("count"),
+        range = (Instant.parse("2000-01-01T00:00:00Z"), Instant.parse("2000-01-03T00:00:00Z")))
+    }
+  }
+
+  test("no granularity, no-data range: empty, not zero-filled (queryTotal)") {
+    val r = total(Seq("count"),
+      range = (Instant.parse("2000-02-01T00:00:00Z"), Instant.parse("2000-03-01T00:00:00Z")))
+    assert(r.isEmpty)
+  }
+
   test("metadata: row count + truncation flag via run()") {
     val (rows, truncated) = Metrics.run(spark, entries,
       Request(fullRange._1, fullRange._2, Granularity.parse("1d"), Seq("count"),
