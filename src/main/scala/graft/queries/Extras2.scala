@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
 object Extras2 {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P8/§2.9: message partition-key extraction — JMESPath-subset template
+    // over the JSON payload with event-id fallback (codegen'd fast path;
+    // reference partitionkey.go:11-40).
+    "partition_key_extract" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.select(col("event_id"),
+        graft.functions.PartitionKey.column("k", col("props"),
+          col("event_id").cast("string")).as("pkey"),
+        graft.functions.PartitionKey.column("missing.path", col("props"),
+          col("event_id").cast("string")).as("pkey_fallback"))
+        .orderBy(col("event_id"))
+    }),
+
     // FULL OUTER JOIN: week-1 vs week-4 user activity → churn classes.
     "full_outer_user_churn" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -76,6 +89,11 @@ object Extras2 {
   )
 
   def oracles: Map[String, String] = Map(
+    "partition_key_extract" ->
+      """SELECT event_id,
+        |  coalesce(nullif(json_extract_string(props, '$.k'), ''), CAST(event_id AS VARCHAR)) AS pkey,
+        |  coalesce(nullif(json_extract_string(props, '$.missing.path'), ''), CAST(event_id AS VARCHAR)) AS pkey_fallback
+        |FROM events ORDER BY event_id""".stripMargin,
     "full_outer_user_churn" ->
       """WITH w1 AS (SELECT DISTINCT user_id FROM events
         |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-01' AND ts::TIMESTAMP < TIMESTAMP '2024-01-08'),
