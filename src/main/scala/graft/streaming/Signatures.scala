@@ -88,6 +88,43 @@ object Signatures {
         }))
   }
 
+  /** The Standard Webhooks profile (reference `destwebhookstandard/
+    * destwebhookstandard.go:220-233`): secrets are `whsec_<base64>` with the
+    * DECODED bytes as the HMAC key, signed content is
+    * `{msgId}.{unixSeconds}.{body}`, and the header is the space-joined
+    * `v1,<base64sig>` list alongside `<prefix>id` / `<prefix>timestamp`
+    * headers (prefix `webhook-` in standard mode). */
+  object StandardWebhooks {
+    val ContentTemplate = "{{.EventID}}.{{.Timestamp.Unix}}.{{.Body}}"
+    val DefaultHeaderPrefix = "webhook-"
+
+    def secretBytes(whsec: String): Array[Byte] =
+      java.util.Base64.getDecoder.decode(whsec.stripPrefix("whsec_"))
+
+    def sign(whsec: String, msgId: String, timestamp: Instant, body: String): String =
+      "v1," + Base64Encoder.encode(Crypto.hmac("HmacSHA256", secretBytes(whsec),
+        s"$msgId.${timestamp.getEpochSecond}.$body".getBytes("UTF-8")))
+
+    def signatureHeader(whsecs: Seq[String], msgId: String,
+                        timestamp: Instant, body: String): String =
+      whsecs.map(sign(_, msgId, timestamp, body)).mkString(" ")
+
+    def verify(signatureHeader: String, whsec: String, msgId: String,
+               timestamp: Instant, body: String): Boolean = {
+      val expect = sign(whsec, msgId, timestamp, body)
+      signatureHeader.split(' ').exists(s =>
+        java.security.MessageDigest.isEqual(s.getBytes("UTF-8"), expect.getBytes("UTF-8")))
+    }
+
+    /** Delivery headers (`destwebhookstandard.go:595-612`). */
+    def headers(whsecs: Seq[String], msgId: String, timestamp: Instant,
+                body: String, prefix: String = DefaultHeaderPrefix): Map[String, String] =
+      Map(
+        s"${prefix}id" -> msgId,
+        s"${prefix}timestamp" -> timestamp.getEpochSecond.toString,
+        s"${prefix}signature" -> signatureHeader(whsecs, msgId, timestamp, body))
+  }
+
   /** Signing + rotation policy (signature.go:216-275): sign with the newest
     * valid secret, plus any older secret still inside its validity window
     * (explicit `invalidAt`, or a 24 h grace period after rotation). */

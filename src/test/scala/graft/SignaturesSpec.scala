@@ -129,6 +129,36 @@ class SignaturesSpec extends AnyFunSuite {
     assert(m.verify(header.stripPrefix("v0="), "k1", payload))
   }
 
+  test("standard webhooks: v1,<base64> over msgId.ts.body with decoded whsec key") {
+    // ASCII key bytes so the String-keyed manager cross-check below is
+    // byte-identical (whsec keys may be arbitrary bytes in general; the
+    // StandardWebhooks object itself always uses the raw decoded bytes)
+    val whsec = "whsec_" + java.util.Base64.getEncoder.encodeToString(
+      "super-secret-key-bytes".getBytes("UTF-8"))
+    val header = StandardWebhooks.signatureHeader(Seq(whsec), "msg_1", ts, body)
+    assert(header.startsWith("v1,"))
+    // base64 payload decodes to 32 bytes (sha256 mac)
+    assert(java.util.Base64.getDecoder.decode(header.stripPrefix("v1,")).length == 32)
+    assert(StandardWebhooks.verify(header, whsec, "msg_1", ts, body))
+    assert(!StandardWebhooks.verify(header, whsec, "msg_2", ts, body))
+    // independent construction: generic SignatureManager with the standard
+    // content template + base64 encoding and the RAW DECODED KEY must agree
+    val mgr = new SignatureManager(
+      Seq(WebhookSecret(new String(StandardWebhooks.secretBytes(whsec), "ISO-8859-1"), ts)),
+      HmacSha256, Base64Encoder,
+      new Template(StandardWebhooks.ContentTemplate))
+    val viaMgr = mgr.generateSignatures(
+      SignaturePayload("msg_1", "t", ts, body), ts).head
+    assert(header == s"v1,$viaMgr")
+    // multiple secrets → space-joined v1 list (rotation window)
+    val h2 = StandardWebhooks.signatureHeader(Seq(whsec, whsec), "msg_1", ts, body)
+    assert(h2.split(' ').length == 2 && h2.split(' ').forall(_.startsWith("v1,")))
+    // delivery headers carry id/timestamp/signature under the prefix
+    val hs = StandardWebhooks.headers(Seq(whsec), "msg_1", ts, body)
+    assert(hs("webhook-id") == "msg_1" && hs("webhook-timestamp") == "1234567890")
+    assert(hs("webhook-signature") == header)
+  }
+
   // ------------------------------------------------------------ partition key
 
   test("partition key JMESPath subset -> JsonPath") {
