@@ -114,6 +114,33 @@ class StreamingSpec extends GraftSuite {
     assert(scala.io.Source.fromFile(f).mkString == """{"a":1}""")
   }
 
+  test("registry routes one mixed batch across webhook/kafka/s3/mock sinks") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("registry_route").toString
+    val registry = new graft.streaming.Sinks.Registry(Seq(
+      graft.streaming.Sinks.FileWebhookSink(s"$tmp/webhook", "sec"),
+      graft.streaming.Sinks.KafkaSink("t-out", spoolDir = s"$tmp/kafka"),
+      graft.streaming.Sinks.ObjectStoreSink(s"$tmp/s3"),
+      graft.streaming.Sinks.MockSink("mock")))
+    val batch = Seq(
+      ("e1", "t1", "d_w", 1, false, ts(0), "a.b", """{"p":1}""", Map.empty[String, String], true, "webhook"),
+      ("e2", "t1", "d_k", 1, false, ts(1), "a.b", """{"p":2}""", Map.empty[String, String], true, "kafka"),
+      ("e3", "t1", "d_s", 1, false, ts(2), "a.b", """{"p":3}""", Map.empty[String, String], true, "s3"),
+      ("e4", "t1", "d_m", 1, false, ts(3), "a.b", """{"p":4}""", Map.empty[String, String], true, "mock"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val outcomes = registry.deliver(batch)
+    val byType = outcomes.collect()
+      .map(r => r.getAs[String]("destination_type") -> r.getAs[String]("status")).toMap
+    assert(byType == Map("webhook" -> "success", "kafka" -> "success",
+      "s3" -> "success", "mock" -> "success"))
+    // each transport left its artifact
+    assert(new java.io.File(s"$tmp/webhook").exists)
+    assert(spark.read.parquet(s"$tmp/kafka").count() == 1)
+    assert(Option(new java.io.File(s"$tmp/s3").listFiles()).exists(_.nonEmpty))
+  }
+
   test("validateAndDefault: ids/time/eligibility defaulted, non-object data dropped") {
     val spark2 = spark
     import spark2.implicits._
