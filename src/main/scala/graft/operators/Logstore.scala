@@ -48,6 +48,38 @@ object Logstore {
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Compaction: rewrite one month partition's accumulated small files
+    * (every micro-batch append creates files) into `targetFiles` sorted
+    * runs. The ClickHouse reference gets this for free from background
+    * merges; on parquet it's an explicit maintenance pass — without it a
+    * year of 1 s micro-batches is ~31 M files/partition-month and the scan
+    * planner dies before any query runs. Atomic per partition: write to a
+    * temp dir, swap directories, so readers never see a half state.
+    * Read-side dedup ([[scanLatest]] semantics) is applied while rewriting,
+    * making compaction double as the log's repair pass. */
+  def compactMonth(spark: SparkSession, path: String, month: String,
+                   idCol: String, tsCol: String, targetFiles: Int = 1): Unit = {
+    val dir = new java.io.File(path, s"month=$month")
+    if (!dir.exists) return
+    val tmp = new java.io.File(path, s".compact_month=$month")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(tsCol).desc, col(idCol))
+    spark.read.parquet(dir.getPath)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .repartition(targetFiles)
+      .sortWithinPartitions(col(tsCol), col(idCol))
+      .write.mode("overwrite").parquet(tmp.getPath)
+    // swap: the old dir goes away first (readers of a month mid-swap retry
+    // at the store level; single-writer maintenance window assumed, as with
+    // any filesystem table format without a commit log)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(dir)
+    if (!tmp.renameTo(dir))
+      throw new java.io.IOException(s"compaction swap failed for $month")
+  }
+
   /** S6 retention (reference `internal/logretention/clickhouse_ttl.go:42-76`
     * — table TTL / partition drops): delete month partitions strictly older
     * than `keepFromMonth` ("yyyy-MM"). A pure directory-level operation —

@@ -194,6 +194,28 @@ class LogstoreCrudSpec extends GraftSuite {
       (2 until 15).map(i => f"batch_del_$i%02d").toSet, "LTE includes the exact row")
   }
 
+  test("compaction: many small appends collapse to one sorted, deduped file per month") {
+    val path = freshStore()
+    // 6 separate appends (6+ files), incl. a redelivered duplicate batch
+    (0 until 5).foreach(i => Logstore.insertMany(toDf(Seq(entry(i))), path, "attempt_id", "ts"))
+    Logstore.insertMany(toDf(Seq(entry(0))), path, "attempt_id", "ts") // dup of att 00
+    val month = "2024-03"
+    def files(): Int = Option(new java.io.File(path, s"month=$month").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files() >= 6)
+    assert(Logstore.scan(spark, path).count() == 6, "raw store holds the duplicate")
+    Logstore.compactMonth(spark, path, month, "attempt_id", "ts")
+    assert(files() == 1, "one file after compaction")
+    val rows = Logstore.scan(spark, path)
+    assert(rows.count() == 5, "compaction applies read-side dedup")
+    // entries sit at base-(i+1)min, so time order is att_04 .. att_00
+    val ids = rows.orderBy(col("ts"), col("attempt_id"))
+      .select("attempt_id").collect().map(_.getString(0)).toSeq
+    assert(ids == (4 to 0 by -1).map(i => f"batch_del_$i%02d"))
+    // compacting a non-existent month is a no-op
+    Logstore.compactMonth(spark, path, "1999-01", "attempt_id", "ts")
+  }
+
   test("malformed cursors fail with a client error") {
     for (bad <- Seq("not_a_cursor", "attv01:!!!", "")) {
       if (bad.nonEmpty)
