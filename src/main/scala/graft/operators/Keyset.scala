@@ -20,6 +20,13 @@ object Keyset {
   case object Asc extends Order { val desc = false }
   case object Desc extends Order { val desc = true }
 
+  object Order {
+    /** API-layer parse: unknown/absent sort values fall back to the default
+      * (desc), as the reference's handlers do (misc drivertest "invalid
+      * sort values use defaults"). */
+    def parse(s: String): Order = if (s != null && s.equalsIgnoreCase("asc")) Asc else Desc
+  }
+
   final case class Page(rows: Seq[Row], next: Option[String], prev: Option[String])
 
   /** The composite-key seek predicate: rows strictly after `k` in scan order. */

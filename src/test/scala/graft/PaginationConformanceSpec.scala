@@ -179,6 +179,14 @@ class PaginationConformanceSpec extends GraftSuite {
     }
   }
 
+  test("invalid sort values fall back to the default (desc)") {
+    assert(Keyset.Order.parse("asc") == Keyset.Asc)
+    assert(Keyset.Order.parse("ASC") == Keyset.Asc)
+    assert(Keyset.Order.parse("desc") == Keyset.Desc)
+    assert(Keyset.Order.parse("sideways") == Keyset.Desc)
+    assert(Keyset.Order.parse(null) == Keyset.Desc)
+  }
+
   // ─── TimeFilterWithCursor (drivertest/pagination.go:387-780) ──────────
 
   /** 20 attempts: 0-4 far past, 5-14 inside a ±10 min window at 2-min
