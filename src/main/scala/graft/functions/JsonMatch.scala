@@ -263,7 +263,10 @@ object JsonMatch {
     */
   def compile(schemaJson: String, jsonCol: Column): Option[Column] = {
     def walk(schema: JsonNode, path: String): Option[Column] = {
-      if (!schema.isObject) return leaf(schema, path, "$eq")
+      // "$lit": IMPLICIT literal equality — gets any-element semantics on
+      // array inputs; an EXPLICIT `$eq` against an array is whole-array
+      // deep equality in the reference (scalar literal never matches)
+      if (!schema.isObject) return leaf(schema, path, "$lit")
       val entries = schema.properties.asScala.toSeq
       val parts = entries.map { e =>
         val k = e.getKey
@@ -275,7 +278,21 @@ object JsonMatch {
     }
     def leaf(lit0: JsonNode, path: String, op: String): Option[Column] = {
       val extracted = get_json_object(jsonCol, path)
+      // reference any-element semantics for ARRAY-valued inputs on equality
+      // leaves: a field that extracts as a JSON array matches if any element
+      // equals the literal. The startsWith guard keeps the scalar fast path
+      // free of parse attempts.
+      def eqOrContains(scalarEq: Column, elemType: String, elemLit: Column): Column =
+        when(extracted.startsWith("["),
+          array_contains(from_json(extracted, s"array<$elemType>", Map.empty[String, String]), elemLit))
+          .otherwise(scalarEq)
       (op, lit0.getNodeType) match {
+        case ("$lit", JsonNodeType.NUMBER) =>
+          Some(eqOrContains(extracted.try_cast("double") === lit(lit0.doubleValue),
+            "double", lit(lit0.doubleValue)))
+        case ("$lit", JsonNodeType.STRING) =>
+          Some(eqOrContains(extracted === lit(lit0.asText), "string", lit(lit0.asText)))
+        case ("$lit", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))
         case ("$eq", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") === lit(lit0.doubleValue))
         case ("$eq", JsonNodeType.STRING) => Some(extracted === lit(lit0.asText))
         case ("$eq", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))

@@ -34,7 +34,9 @@ object LowerJsonMatch extends Rule[LogicalPlan] {
     def extract(path: String): Expression =
       GetJsonObject(jsonCol, Literal.create(path, StringType))
     def walk(schema: JsonNode, path: String): Option[Expression] = {
-      if (!schema.isObject) return leaf(schema, path, "$eq")
+      // "$lit" = implicit literal equality (any-element on array input);
+      // explicit $eq is whole-array deep equality (see JsonMatch.compile)
+      if (!schema.isObject) return leaf(schema, path, "$lit")
       val entries = schema.properties.asScala.toSeq
       val parts = entries.map { e =>
         val k = e.getKey
@@ -49,7 +51,23 @@ object LowerJsonMatch extends Rule[LogicalPlan] {
     def num(e: Expression): Expression = Cast(e, DoubleType, None, EvalMode.TRY)
     def leaf(lit0: JsonNode, path: String, op: String): Option[Expression] = {
       val ex = extract(path)
+      // equality leaves get the reference's any-element semantics when the
+      // input value is a JSON array (twin of JsonMatch.compile.eqOrContains)
+      def eqOrContains(scalarEq: Expression, elemType: org.apache.spark.sql.types.DataType,
+                       elemLit: Expression): Expression =
+        If(StartsWith(ex, Literal("[")),
+          ArrayContains(
+            JsonToStructs(org.apache.spark.sql.types.ArrayType(elemType),
+              Map.empty[String, String], ex), elemLit),
+          scalarEq)
       (op, lit0.getNodeType) match {
+        case ("$lit", JsonNodeType.NUMBER) =>
+          Some(eqOrContains(EqualTo(num(ex), Literal(lit0.doubleValue)),
+            DoubleType, Literal(lit0.doubleValue)))
+        case ("$lit", JsonNodeType.STRING) =>
+          Some(eqOrContains(EqualTo(ex, Literal(lit0.asText)),
+            StringType, Literal(lit0.asText)))
+        case ("$lit", JsonNodeType.BOOLEAN) => Some(EqualTo(ex, Literal(lit0.asBoolean.toString)))
         case ("$eq", JsonNodeType.NUMBER) => Some(EqualTo(num(ex), Literal(lit0.doubleValue)))
         case ("$eq", JsonNodeType.STRING) => Some(EqualTo(ex, Literal(lit0.asText)))
         case ("$eq", JsonNodeType.BOOLEAN) => Some(EqualTo(ex, Literal(lit0.asBoolean.toString)))
