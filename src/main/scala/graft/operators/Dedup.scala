@@ -277,8 +277,9 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: same high-16-bit bucket, Hamming distance ≤
-    * maxHamming. Blocking by prefix keeps the self-join linear-ish; at scale
-    * use multiple rotations for full recall. */
+    * maxHamming. Blocking by ONE prefix keeps the self-join cheapest but
+    * misses pairs whose differing bits land in that window — see
+    * [[simhashPairsComplete]] for the full-recall variant. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
@@ -290,5 +291,31 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** SimHash pairs with GUARANTEED recall for `maxHamming ≤ 3`: bucket on
+    * each of the four non-overlapping 16-bit windows of the fingerprint
+    * (realized as rotations). Pigeonhole: ≤3 differing bits can dirty at
+    * most 3 of the 4 windows, so every qualifying pair collides in at least
+    * one — candidate generation is still linear (4 bucket rows per doc, the
+    * standard Charikar/Manku-Jain-Sarma blocking), never all-pairs. Only
+    * (window, bucket, id, sh) rows shuffle; pairs dedup before the hamming
+    * filter. */
+  def simhashPairsComplete(docs: DataFrame, maxHamming: Int = 3,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit windows guarantee recall only for hamming <= 3")
+    val sh = docs.select(col(idCol).as("id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    val windows = sh.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(w =>
+        shiftrightunsigned(col("sh"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "win").withColumnRenamed("col", "bucket")
+    val a = windows.select(col("win"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = windows.select(col("win"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("win", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }

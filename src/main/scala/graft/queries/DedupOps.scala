@@ -38,6 +38,12 @@ object DedupOps {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SimHash with the 4x16-bit-window full-recall guarantee (rows-only;
+    // exactness vs brute force pinned in DedupSimilaritySpec).
+    "dedup_simhash_complete" -> ((s, dir) =>
+      Dedup.simhashPairsComplete(Tables.documents(s, dir), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // 3-gram shingle Jaccard (order-sensitive near-dup — word-set dups with
     // different word order score low here).
     "dedup_shingle_jaccard" -> ((s, dir) => {

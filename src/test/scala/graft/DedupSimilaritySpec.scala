@@ -67,6 +67,26 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got((1L, 4L)) == got((3L, 4L)), "expanded pairs share the rep-pair jaccard")
   }
 
+  test("simhash complete: equals brute-force hamming<=3 pairs, superset of prefix blocking") {
+    val sample = docs.limit(300).cache()
+    val sh = sample.select(col("doc_id").as("id"),
+      Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val complete = Dedup.simhashPairsComplete(sample, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(complete == brute, "window blocking must find EXACTLY the brute-force pairs")
+    val prefixOnly = Dedup.simhashPairs(sample, maxHamming = 3)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prefixOnly.subsetOf(complete))
+  }
+
   test("simhash pairs have genuinely similar token multisets") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     // sanity: hamming bound respected and pair ids ordered
