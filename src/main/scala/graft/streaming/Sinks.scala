@@ -171,8 +171,15 @@ object Sinks {
       val rootDir = root
       tasks.select(keyColumn.as("objkey"), col("data"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val rootPath = new java.io.File(rootDir).getCanonicalFile.toPath
           it.foreach { r =>
-            val f = new java.io.File(rootDir, r.getString(0))
+            val f = new java.io.File(rootDir, r.getString(0)).getCanonicalFile
+            // metadata values feed the key template: refuse any key that
+            // escapes the bucket root (an S3 PUT treats keys as opaque, a
+            // filesystem must not follow "../")
+            if (!f.toPath.startsWith(rootPath))
+              throw new IllegalArgumentException(
+                s"object key escapes the sink root: ${r.getString(0)}")
             f.getParentFile.mkdirs()
             val out = new java.io.FileOutputStream(f)
             try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()

@@ -112,6 +112,14 @@ class StreamingSpec extends GraftSuite {
     val f = new java.io.File(dir, "2024-01-01/eu/e1.json")
     assert(f.exists, s"object missing at ${f.getPath}")
     assert(scala.io.Source.fromFile(f).mkString == """{"a":1}""")
+    // a metadata value trying to escape the root is refused
+    val evil = Seq(("e9", "t1", "d_s3", 1, false, ts(0), "order.created",
+      """{}""", Map("region" -> "../../escape"), true, "s3"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val err = intercept[org.apache.spark.SparkException] { sink.publish(evil).count() }
+    assert(err.getMessage.contains("escapes the sink root") ||
+      Option(err.getCause).exists(_.getMessage.contains("escapes the sink root")))
   }
 
   test("registry routes one mixed batch across webhook/kafka/s3/mock sinks") {
