@@ -157,6 +157,10 @@ object Dedup {
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
       .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+    // persist, not localCheckpoint: groups is referenced five times below
+    // but all inside ONE query (single optimizer pass), so lazy persist
+    // dedups execution without the checkpoint's surprising build-time
+    // materialization (measured: no bench difference)
     val groups = keyed.groupBy("setkey")
       .agg(min(col("id")).as("rep"), collect_list(col("id")).as("members"),
         first(col("toks")).as("toks"), first(col("sz")).as("sz"))
