@@ -41,13 +41,11 @@ import scala.jdk.CollectionConverters._
   *   - `$startsWith`/`$endsWith` accept a string or an array of strings
   *   - `$exist: true` requires the key present, `false` absent
   *
-  * The pure evaluator is the correctness reference (used as a UDF and by the
-  * streaming fanout), pinned by the ported 240-case corpus in JsonMatchCorpusSpec.
-  * [[compile]] lowers simple schemas to a native `Column` over a JSON string
-  * column using `get_json_object` — codegen'd and prunable by Catalyst,
-  * preferred in the batch query path. The textual extraction cannot see JSON
-  * types, so the compiled form treats `{"k":"5"}` and `{"k":5}` alike; exact
-  * cross-type semantics need the evaluator.
+  * The pure evaluator is the ONLY engine (pinned by the ported 240-case
+  * corpus in JsonMatchCorpusSpec): the batch path runs it through the
+  * codegen'd single-parse [[graft.plans.JsonMatchExpr]], the streaming
+  * fanout through [[matchesUdf]]. A per-path predicate lowering was
+  * measured slower and removed in round 3 (note at end of file).
   */
 object JsonMatch {
   private val mapper = new ObjectMapper()
@@ -237,85 +235,15 @@ object JsonMatch {
     udf((input: String) => input != null && matches(schemaJson, input))
   }
 
-  /** Lower a simple schema to a native Column over a JSON string column.
-    *
-    * Handles nested structural objects whose leaves are literals or single
-    * comparison/string operators on scalars. Returns None when the schema
-    * uses `$or`/`$and`/`$not`/`$in`/`$nin`/`$exist`, array literals, or
-    * non-scalar leaves — callers fall back to [[matchesUdf]]. The compiled
-    * form ends up as `get_json_object` + comparisons: codegen'd and visible
-    * to Catalyst (constant folding, filter pushdown of conjuncts).
-    *
-    * Missing-key parity: every leaf comparison is NULL on a missing key and
-    * the conjunction collapses NULL → false; `$neq` additionally requires
-    * the key to be present (IsNotNull guard), mirroring the evaluator's
-    * absent-key-fails rule. Numeric comparisons use TRY-mode casts so a
-    * non-numeric value is a non-match, never an ANSI runtime error.
-    *
-    * Known divergence (pinned in JsonMatchCorpusSpec): when the INPUT value
-    * is an ARRAY the reference applies any-element semantics, which textual
-    * extraction cannot express — compiled leaves are scalar-only. Filters
-    * over array-shaped fields must use the evaluator (`matchesUdf` /
-    * `JsonMatchExpr` keeps them automatically: `LowerJsonMatch` only
-    * rewrites what [[compile]] accepts, and the lossy cases are ones where
-    * the data, not the schema, is array-shaped — a data-modeling caveat,
-    * not a silent planner choice).
-    */
-  def compile(schemaJson: String, jsonCol: Column): Option[Column] = {
-    def walk(schema: JsonNode, path: String): Option[Column] = {
-      // "$lit": IMPLICIT literal equality — gets any-element semantics on
-      // array inputs; an EXPLICIT `$eq` against an array is whole-array
-      // deep equality in the reference (scalar literal never matches)
-      if (!schema.isObject) return leaf(schema, path, "$lit")
-      val entries = schema.properties.asScala.toSeq
-      val parts = entries.map { e =>
-        val k = e.getKey
-        if (k.startsWith("$")) leaf(e.getValue, path, k)
-        else walk(e.getValue, s"$path.$k")
-      }
-      if (parts.exists(_.isEmpty)) None
-      else Some(parts.flatten.reduce(_ && _))
-    }
-    def leaf(lit0: JsonNode, path: String, op: String): Option[Column] = {
-      val extracted = get_json_object(jsonCol, path)
-      // reference any-element semantics for ARRAY-valued inputs on equality
-      // leaves: a field that extracts as a JSON array matches if any element
-      // equals the literal. The startsWith guard keeps the scalar fast path
-      // free of parse attempts.
-      def eqOrContains(scalarEq: Column, elemType: String, elemLit: Column): Column =
-        when(extracted.startsWith("["),
-          array_contains(from_json(extracted, s"array<$elemType>", Map.empty[String, String]), elemLit))
-          .otherwise(scalarEq)
-      (op, lit0.getNodeType) match {
-        case ("$lit", JsonNodeType.NUMBER) =>
-          Some(eqOrContains(extracted.try_cast("double") === lit(lit0.doubleValue),
-            "double", lit(lit0.doubleValue)))
-        case ("$lit", JsonNodeType.STRING) =>
-          Some(eqOrContains(extracted === lit(lit0.asText), "string", lit(lit0.asText)))
-        case ("$lit", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))
-        case ("$eq", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") === lit(lit0.doubleValue))
-        case ("$eq", JsonNodeType.STRING) => Some(extracted === lit(lit0.asText))
-        case ("$eq", JsonNodeType.BOOLEAN) => Some(extracted === lit(lit0.asBoolean.toString))
-        case ("$neq", JsonNodeType.NUMBER) =>
-          Some(extracted.isNotNull && !(extracted.try_cast("double") <=> lit(lit0.doubleValue)))
-        case ("$neq", JsonNodeType.STRING) =>
-          Some(extracted.isNotNull && !(extracted <=> lit(lit0.asText)))
-        case ("$gt", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") > lit(lit0.doubleValue))
-        case ("$gte", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") >= lit(lit0.doubleValue))
-        case ("$lt", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") < lit(lit0.doubleValue))
-        case ("$lte", JsonNodeType.NUMBER) => Some(extracted.try_cast("double") <= lit(lit0.doubleValue))
-        case ("$gt", JsonNodeType.STRING) => Some(extracted > lit(lit0.asText))
-        case ("$gte", JsonNodeType.STRING) => Some(extracted >= lit(lit0.asText))
-        case ("$lt", JsonNodeType.STRING) => Some(extracted < lit(lit0.asText))
-        case ("$lte", JsonNodeType.STRING) => Some(extracted <= lit(lit0.asText))
-        case ("$startsWith", JsonNodeType.STRING) => Some(extracted.startsWith(lit0.asText))
-        case ("$endsWith", JsonNodeType.STRING) => Some(extracted.endsWith(lit0.asText))
-        case _ => None
-      }
-    }
-    // missing keys make comparisons NULL; the evaluator is two-valued, so
-    // collapse NULL → false for parity
-    try walk(parse(schemaJson), "$").map(c => coalesce(c, lit(false)))
-    catch { case _: Exception => None }
-  }
+  /* Round 3 note: a lowering of simple schemas into per-path extraction
+   * predicates (round 2: get_json_object; round 3 prototype: an EXACT
+   * variant-typed form with schema_of_variant type guards and an
+   * any-element array fallback) was benchmarked against the codegen'd
+   * single-parse evaluator expression (graft.plans.JsonMatchExpr) on sf0.1
+   * events and LOST — 0.31 s / 0.65 s vs 0.21 s — because FilterExec does
+   * no common-subexpression elimination (every conjunct re-parses the JSON)
+   * and none of these predicates is parquet-pushable. The lowering was
+   * removed; the evaluator is the only engine, which also eliminates the
+   * fast-path divergence class by construction. See DESIGN.md.
+   */
 }

@@ -4,7 +4,8 @@ import com.fasterxml.jackson.databind.JsonNode
 import graft.functions.JsonMatch
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -12,19 +13,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * `json_match(schemaJson, inputJson): Boolean`.
   *
   * Compared to a Scala UDF this avoids the UDF call convention (row boxing,
-  * closure serialization), parses the schema ONCE per task when the schema
-  * is a literal/constant (the overwhelmingly common shape — the reference
-  * stores one filter per destination), and is visible to the optimizer —
-  * [[LowerJsonMatch]] rewrites compilable schemas into plain predicates that
-  * reach the parquet scan. Falls back to interpreted eval for codegen
-  * (CodegenFallback): the lowered form IS the codegen'd fast path; this node
-  * only survives for schemas that genuinely need the recursive evaluator.
+  * closure serialization) and parses the schema ONCE per task when the
+  * schema is a literal/constant (the overwhelmingly common shape — the
+  * reference stores one filter per destination). It generates REAL codegen
+  * (a static call into the evaluator, one Jackson parse per row) rather
+  * than CodegenFallback, so a filter containing it stays inside
+  * WholeStageCodegen — measured on sf0.1 events this single-parse
+  * evaluator beats both a `get_json_object`-based lowering (2 text scans)
+  * and a variant-typed lowering (4+ binary parses); see DESIGN.md.
   *
   * Two-valued semantics: null/malformed input never matches (false, not
   * null), mirroring the reference evaluator.
   */
 case class JsonMatchExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -39,17 +41,35 @@ case class JsonMatchExpr(left: Expression, right: Expression)
       }
     } else None
 
+  /** Entry point shared by interpreted eval and generated code. */
+  def doMatch(schema: UTF8String, in: UTF8String): Boolean = constSchema match {
+    case Some(parsed) =>
+      try JsonMatch.matches(parsed, JsonMatch.parse(in.toString))
+      catch { case _: Exception => false }
+    case None => JsonMatch.matches(schema.toString, in.toString)
+  }
+
   override def eval(input: InternalRow): Any = {
     val in = right.eval(input)
     if (in == null) return false
-    constSchema match {
-      case Some(schema) =>
-        try JsonMatch.matches(schema, JsonMatch.parse(in.toString))
-        catch { case _: Exception => false }
-      case None =>
-        val s = left.eval(input)
-        s != null && JsonMatch.matches(s.toString, in.toString)
-    }
+    val s = left.eval(input)
+    s != null && doMatch(s.asInstanceOf[UTF8String], in.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("jsonMatchExpr", this)
+    val schemaGen = left.genCode(ctx)
+    val inGen = right.genCode(ctx)
+    val resultCode =
+      code"""
+        ${schemaGen.code}
+        ${inGen.code}
+        boolean ${ev.value} = false;
+        if (!${inGen.isNull} && !${schemaGen.isNull}) {
+          ${ev.value} = $self.doMatch(${schemaGen.value}, ${inGen.value});
+        }
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

@@ -44,11 +44,12 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
-    // P6: JSON filter schema lowered to native get_json_object comparisons.
+    // P6: JSON filter via the codegen'd single-parse evaluator expression
+    // (measured faster than any per-path predicate lowering; see DESIGN.md).
     "json_filter_gte" -> ((s, dir) => {
-      val pred = JsonMatch.compile("""{"k":{"$gte":50}}""", col("props"))
-        .getOrElse(JsonMatch.matchesUdf("""{"k":{"$gte":50}}""")(col("props")))
-      events(s, dir).filter(pred)
+      graft.plans.JsonMatchExpr.register(s)
+      events(s, dir)
+        .filter(call_function("json_match", lit("""{"k":{"$gte":50}}"""), col("props")))
         .select(col("event_id"), col("user_id"),
           get_json_object(col("props"), "$.k").cast("double").as("k"))
         .orderBy(col("event_id"))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Tables
 import graft.operators.{Logstore, TemporalJoins}
-import graft.plans.LowerJsonMatch
+import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
 object EventOps2 {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // native json_match Expression, LOWERED by the optimizer rule into
-    // get_json_object comparisons (plan contains no JsonMatchExpr).
+    // native json_match Expression inside WholeStageCodegen (real doGenCode,
+    // one Jackson parse per row — the measured-fastest form).
     "json_filter_native" -> ((s, dir) => {
-      LowerJsonMatch.install(s)
+      JsonMatchExpr.register(s)
       Tables.events(s, dir)
         .filter(expr("""json_match('{"k":{"$lt":30}}', props)"""))
         .select(col("event_id"), col("user_id"),
@@ -21,10 +21,9 @@ object EventOps2 {
         .orderBy(col("event_id"))
     }),
 
-    // non-lowerable schema ($or): exercises the Expression's recursive
-    // evaluator path end-to-end.
+    // $or schema: exercises the evaluator's disjunction walk end-to-end.
     "json_filter_complex" -> ((s, dir) => {
-      LowerJsonMatch.install(s)
+      JsonMatchExpr.register(s)
       Tables.events(s, dir)
         .filter(expr("""json_match('{"$or":[{"k":{"$gte":90}},{"k":{"$lte":5}}]}', props)"""))
         .groupBy(col("event_type")).agg(count(lit(1)).as("n"))

@@ -132,7 +132,12 @@ class JsonMatchSpec extends GraftSuite {
     assert(!JsonMatch.matches("""not json""", """{"a":1}"""))
   }
 
-  test("compiled Column form agrees with the evaluator on simple schemas") {
+  private def exprCol(schema: String) = {
+    graft.plans.JsonMatchExpr.register(spark)
+    call_function("json_match", lit(schema), col("j"))
+  }
+
+  test("expression form agrees with the evaluator on simple schemas") {
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq(
@@ -145,43 +150,57 @@ class JsonMatchSpec extends GraftSuite {
       """{"k":{"$gte":50}}""",
       """{"k":87}""",
       """{"s":{"$startsWith":"he"}}""",
-      """{"t":{"$endsWith":".created"},"k":{"$lt":100}}""")
+      """{"t":{"$endsWith":".created"},"k":{"$lt":100}}""",
+      """{"$or":[{"k":87},{"s":"no-k"}]}""",
+      """{"k":{"$in":[12,50]}}""")
     schemas.foreach { sc =>
-      val compiled = JsonMatch.compile(sc, col("j"))
-      assert(compiled.isDefined, s"should compile: $sc")
-      val got = df.withColumn("m", compiled.get).collect()
+      val got = df.withColumn("m", exprCol(sc)).collect()
         .map(r => r.getString(0) -> r.getBoolean(1)).toMap
       docs.foreach { d =>
         assert(got(d) == JsonMatch.matches(sc, d), s"schema=$sc doc=$d")
       }
     }
-    // non-lowerable schemas fall back
-    assert(JsonMatch.compile("""{"$or":[{"k":1}]}""", col("j")).isEmpty)
-    assert(JsonMatch.compile("""{"k":{"$in":[1,2]}}""", col("j")).isEmpty)
   }
 
-  test("compiled form is type-lossy by design: get_json_object cannot see JSON types") {
+  test("execution path is typed-EXACT (strict primitive typing)") {
     val spark2 = spark
     import spark2.implicits._
-    // the evaluator (reference semantics) rejects string-vs-number; the
-    // textual compiled form cannot distinguish {"k":"50"} from {"k":50}
-    val d = """{"k":"50"}"""
+    // reference strict typing (operators.go:33-64): a numeric string never
+    // compares with a number, a boolean string never equals a boolean
     val sc = """{"k":{"$gte":50}}"""
-    assert(!JsonMatch.matches(sc, d))
-    val compiled = JsonMatch.compile(sc, col("j")).get
-    val got = Seq(d).toDF("j").withColumn("m", compiled).head.getBoolean(1)
-    assert(got) // documented divergence — schema authors target typed scalars
+    val docs = Seq("""{"k":"50"}""", """{"k":50}""", """{"k":49}""", """{"k":true}""")
+    val got = docs.toDF("j").withColumn("m", exprCol(sc)).collect().map(_.getBoolean(1)).toSeq
+    assert(got == Seq(false, true, false, false))
+    val bd = Seq("""{"ok":true}""", """{"ok":"true"}""", """{"ok":false}""")
+    val gb = bd.toDF("j").withColumn("m", exprCol("""{"ok":true}""")).collect()
+      .map(_.getBoolean(1)).toSeq
+    assert(gb == Seq(true, false, false))
   }
 
-  test("$neq on a missing key fails in both evaluator and compiled form") {
+  test("execution path: structural match through arrays of objects (any-element)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the round-2 lowered-path divergence class (match.go:139-184): one
+    // engine since round 3, exact on the execution path by construction
+    val sc = """{"items":{"qty":{"$gte":5}}}"""
+    val docs = Seq(
+      """{"items":[{"qty":2},{"qty":9}]}""", // any element
+      """{"items":[{"qty":2}]}""",
+      """{"items":{"qty":7}}""",
+      """{"items":5}""")
+    val got = docs.toDF("j").withColumn("m", exprCol(sc)).collect().map(_.getBoolean(1)).toSeq
+    assert(got == Seq(true, false, true, false))
+    docs.zip(got).foreach { case (d, g) => assert(JsonMatch.matches(sc, d) == g, d) }
+  }
+
+  test("$neq on a missing key fails in both evaluator and expression form") {
     val spark2 = spark
     import spark2.implicits._
     val sc = """{"type":{"$neq":"created"}}"""
     assert(!JsonMatch.matches(sc, """{}"""))
     assert(JsonMatch.matches(sc, """{"type":"updated"}"""))
-    val compiled = JsonMatch.compile(sc, col("j")).get
     val rows = Seq("""{}""", """{"type":"updated"}""", """{"type":"created"}""")
-      .toDF("j").withColumn("m", compiled).collect().map(_.getBoolean(1)).toSeq
+      .toDF("j").withColumn("m", exprCol(sc)).collect().map(_.getBoolean(1)).toSeq
     assert(rows == Seq(false, true, false))
   }
 }

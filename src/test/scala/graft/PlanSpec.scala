@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{JsonMatchExpr, LowerJsonMatch}
+import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.functions._
 
 class PlanSpec extends GraftSuite {
@@ -14,28 +14,34 @@ class PlanSpec extends GraftSuite {
     n
   }
 
-  test("LowerJsonMatch rewrites compilable schemas out of the plan") {
-    LowerJsonMatch.install(spark)
+  test("json_match filter stays inside WholeStageCodegen (real doGenCode)") {
+    JsonMatchExpr.register(spark)
+    val e = graft.core.Tables.events(spark, sf)
+      .filter(expr("""json_match('{"k":{"$lt":30}}', props)"""))
+    assert(countJsonMatchNodes(e) == 1)
+    // the round-2 CodegenFallback marker pushed the Filter OUT of
+    // WholeStageCodegen (an un-starred Filter node between codegen stages);
+    // with real doGenCode the filter must be fused: no bare "Filter" line
+    val phys = e.queryExecution.executedPlan.toString
+    val bareFilter = phys.linesIterator.exists(l => l.trim.startsWith("Filter "))
+    assert(!bareFilter, s"json_match filter fell out of WholeStageCodegen:\n$phys")
+    assert(phys.contains("json_match"), phys)
+  }
+
+  test("json_match strict typing holds on the execution path") {
+    JsonMatchExpr.register(spark)
     val spark2 = spark
     import spark2.implicits._
     val df = Seq("""{"k":87}""", """{"k":12}""", """{"k":"50"}""", """{"x":1}""")
       .toDF("j")
-    val lowered = df.filter(expr("""json_match('{"k":{"$gte":50}}', j)"""))
-    assert(countJsonMatchNodes(lowered) == 0, "simple schema must be lowered")
-    // strict typing (reference operators.go:73-146): the string "50" never
-    // compares with the number 50, so only {"k":87} matches. (This local
-    // relation is constant-folded through the evaluator; the lossy lowered
-    // form on real scans is pinned separately in JsonMatchSpec.)
-    assert(lowered.collect().map(_.getString(0)).toSet == Set("""{"k":87}"""))
-
-    // local relations get folded whole; assert on a parquet-backed plan
-    val kept = graft.core.Tables.events(spark, sf)
-      .filter(expr("""json_match('{"$or":[{"k":1}]}', props)"""))
-    assert(countJsonMatchNodes(kept) == 1, "$or schema must keep the evaluator")
+    val got = df.filter(expr("""json_match('{"k":{"$gte":50}}', j)"""))
+      .collect().map(_.getString(0)).toSet
+    // reference operators.go:73-146: the string "50" never compares with 50
+    assert(got == Set("""{"k":87}"""))
   }
 
   test("JsonMatchExpr evaluator path agrees with the pure evaluator") {
-    LowerJsonMatch.install(spark)
+    JsonMatchExpr.register(spark)
     val spark2 = spark
     import spark2.implicits._
     val docs = Seq("""{"k":87,"s":"ab"}""", """{"k":3}""", """not json""", """{"s":"zz"}""")
@@ -46,15 +52,5 @@ class PlanSpec extends GraftSuite {
     docs.foreach { d =>
       assert(got(d) == graft.functions.JsonMatch.matches(schema, d), d)
     }
-  }
-
-  test("lowered predicate pushes get_json_object conjuncts through the plan") {
-    LowerJsonMatch.install(spark)
-    val e = graft.core.Tables.events(spark, sf)
-      .filter(expr("""json_match('{"k":{"$lt":30}}', props)"""))
-    // the optimized plan must contain a plain Filter with get_json_object
-    val s = e.queryExecution.optimizedPlan.toString
-    assert(s.contains("get_json_object"), s)
-    assert(!s.contains("json_match"), s)
   }
 }
