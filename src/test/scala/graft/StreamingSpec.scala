@@ -122,31 +122,92 @@ class StreamingSpec extends GraftSuite {
       Option(err.getCause).exists(_.getMessage.contains("escapes the sink root")))
   }
 
-  test("registry routes one mixed batch across webhook/kafka/s3/mock sinks") {
+  test("registry routes one mixed batch across all ten provider sink types") {
     val spark2 = spark
     import spark2.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("registry_route").toString
+    val hdToken = java.util.Base64.getEncoder.encodeToString("src_r:k".getBytes("UTF-8"))
     val registry = new graft.streaming.Sinks.Registry(Seq(
       graft.streaming.Sinks.FileWebhookSink(s"$tmp/webhook", "sec"),
+      graft.streaming.Sinks.FileWebhookSink(s"$tmp/webhook_std", "sec",
+        contentTemplate = graft.streaming.Signatures.StandardWebhooks.ContentTemplate,
+        destType = "webhook_standard"),
       graft.streaming.Sinks.KafkaSink("t-out", spoolDir = s"$tmp/kafka"),
       graft.streaming.Sinks.ObjectStoreSink(s"$tmp/s3"),
+      graft.streaming.Sinks.SqsSink("https://sqs/q", s"$tmp/sqs"),
+      graft.streaming.Sinks.KinesisSink("st1", s"$tmp/kinesis"),
+      graft.streaming.Sinks.PubSubSink("top", s"$tmp/pubsub"),
+      graft.streaming.Sinks.RabbitMqSink("ex", s"$tmp/rabbit"),
+      graft.streaming.Sinks.ServiceBusSink("q", s"$tmp/sbus"),
+      graft.streaming.Sinks.HookdeckSink(hdToken, s"$tmp/hookdeck"),
       graft.streaming.Sinks.MockSink("mock")))
-    val batch = Seq(
-      ("e1", "t1", "d_w", 1, false, ts(0), "a.b", """{"p":1}""", Map.empty[String, String], true, "webhook"),
-      ("e2", "t1", "d_k", 1, false, ts(1), "a.b", """{"p":2}""", Map.empty[String, String], true, "kafka"),
-      ("e3", "t1", "d_s", 1, false, ts(2), "a.b", """{"p":3}""", Map.empty[String, String], true, "s3"),
-      ("e4", "t1", "d_m", 1, false, ts(3), "a.b", """{"p":4}""", Map.empty[String, String], true, "mock"))
-      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
-        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val allTypes = Seq("webhook", "webhook_standard", "kafka", "s3", "aws_sqs",
+      "aws_kinesis", "gcp_pubsub", "rabbitmq", "azure_servicebus", "hookdeck", "mock")
+    val batch = allTypes.zipWithIndex.map { case (t, i) =>
+      (s"e$i", "t1", s"d_$i", 1, false, ts(i), "a.b", s"""{"p":$i}""",
+        Map.empty[String, String], true, t)
+    }.toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+      "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
     val outcomes = registry.deliver(batch)
     val byType = outcomes.collect()
       .map(r => r.getAs[String]("destination_type") -> r.getAs[String]("status")).toMap
-    assert(byType == Map("webhook" -> "success", "kafka" -> "success",
-      "s3" -> "success", "mock" -> "success"))
-    // each transport left its artifact
+    assert(byType.keySet == allTypes.toSet)
+    assert(byType.values.forall(_ == "success"))
+    // each spool transport left its artifact
+    Seq("kafka", "sqs", "kinesis", "pubsub", "rabbit", "sbus", "hookdeck").foreach { d =>
+      assert(spark.read.parquet(s"$tmp/$d").count() == 1, d)
+    }
     assert(new java.io.File(s"$tmp/webhook").exists)
-    assert(spark.read.parquet(s"$tmp/kafka").count() == 1)
     assert(Option(new java.io.File(s"$tmp/s3").listFiles()).exists(_.nonEmpty))
+  }
+
+  test("deliver() materializes the micro-batch once regardless of sink-type count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val acc = spark.sparkContext.longAccumulator("batch_materializations")
+    val rows = (0 until 100).map(i =>
+      (s"e$i", "t1", s"d$i", 1, false, ts(i), "a.b", s"""{"p":$i}""",
+        Map.empty[String, String], true, Seq("m1", "m2", "m3")(i % 3)))
+    val rdd = spark.sparkContext.parallelize(rows, 4).map { r => acc.add(1); r }
+    val batch = spark2.createDataFrame(rdd).toDF(
+      "event_id", "tenant_id", "destination_id", "attempt", "manual",
+      "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val registry = new graft.streaming.Sinks.Registry(Seq(
+      graft.streaming.Sinks.MockSink("m1"),
+      graft.streaming.Sinks.MockSink("m2"),
+      graft.streaming.Sinks.MockSink("m3")))
+    val outcomes = registry.deliver(batch)
+    assert(outcomes.count() == 100)
+    // un-persisted, the type probe + 3 publishes would re-read the source
+    // 4 times (400 adds); the persisted pass reads it exactly once
+    assert(acc.value == 100L, s"micro-batch recomputed: ${acc.value} materializations")
+  }
+
+  test("hot destination: salted repartition bounds single-task skew") {
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_salt").toString
+    // 90%-tenant scenario: one destination receives the whole batch
+    val tasks = (0 until 800).map(i =>
+      (s"e$i", "t1", "d_hot", 1, false, ts(i), "a.b", s"""{"p":$i}""", "webhook"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "dest_type")
+    // AQE's size-based coalescing re-merges these tiny test partitions (at
+    // real scale it only merges SMALL ones — a hot destination's salt groups
+    // stay split); disable it here to observe the salt structure itself
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    try {
+      spark.conf.set(coalesceKey, "false")
+      graft.streaming.Sinks.FileWebhookSink(root, "sec", saltBuckets = 8)
+        .publish(tasks).collect()
+    } finally spark.conf.set(coalesceKey, prev)
+    // salt spreads the hot destination across tasks: >1 output file in its dir
+    val files = Option(new java.io.File(s"$root/destination_id=d_hot").listFiles())
+      .map(_.count(_.getName.startsWith("part-"))).getOrElse(0)
+    assert(files > 1, s"hot destination written by a single task ($files files)")
+    // and the payload count survives the salting
+    assert(spark.read.text(s"$root/destination_id=d_hot").count() == 800)
   }
 
   test("validateAndDefault: ids/time/eligibility defaulted, non-object data dropped") {
