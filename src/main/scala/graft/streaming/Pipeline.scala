@@ -111,16 +111,34 @@ object Pipeline {
       .agg(collect_list(col("destination_id")).as("matched_destination_ids"))
 
   /** S4/T3/T4: attempts micro-batch sink — in-batch dedup by attempt_id
-    * (last wins) then append to a month-partitioned log table. Exactly-once
-    * via checkpoint + idempotent overwrite-by-partition is the production
-    * path; here we append with dedup which is the at-least-once→
-    * effectively-once compromise the reference makes (driver.go:87-106). */
-  def logSinkBatch(batch: DataFrame, tablePath: String): Unit = {
+    * (last wins) then append to a month-partitioned log table.
+    *
+    * REPLAY-IDEMPOTENT (round 3): when a `batchId` is supplied (the
+    * foreachBatch epoch), an applied-batch manifest marker under
+    * `_applied_batches/` makes a replayed micro-batch a no-op — the same
+    * batch applied twice yields identical table state, not just read-side
+    * dedup. This is the at-least-once → effectively-once contract the
+    * reference builds from Redis idempotency keys + ReplacingMergeTree
+    * (`driver/driver.go:87-106`, `chlogstore.go:46-112`). The one
+    * remaining window — a crash after the parquet job commit but before
+    * the marker create — degrades to duplicate rows that
+    * `Logstore.scanLatest` read-repair and `compactMonth` permanently
+    * remove; closing it fully needs an atomic commit-log table format
+    * (DESIGN.md deferred list). */
+  def logSinkBatch(batch: DataFrame, tablePath: String, batchId: Long = -1L): Unit = {
+    val marker = new java.io.File(
+      new java.io.File(tablePath, "_applied_batches"), batchId.toString)
+    if (batchId >= 0 && marker.exists) return // replayed batch: already applied
     batch
       .withColumn("month", date_format(col("attempt_time"), "yyyy-MM"))
       .dropDuplicates("attempt_id")
       .repartition(col("month"))
       .sortWithinPartitions(col("attempt_time"), col("attempt_id"))
       .write.mode("append").partitionBy("month").parquet(tablePath)
+    if (batchId >= 0) {
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      ()
+    }
   }
 }

@@ -100,7 +100,7 @@ object Runner {
       .queryName("graft_delivery")
       .option("checkpointLocation", s"$checkpointRoot/delivery")
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val outcomes = registry.deliver(batch)
           if (!outcomes.isEmpty) {
@@ -110,7 +110,8 @@ object Runner {
                 col("event_time"), col("topic"), col("data"), col("metadata"),
                 col("eligible_for_retry")),
               Seq("event_id", "destination_id"))
-            Pipeline.logSinkBatch(enriched, logPath)
+            // epoch id makes a post-failure micro-batch replay a no-op
+            Pipeline.logSinkBatch(enriched, logPath, batchId)
           }
         }
       }

@@ -183,6 +183,28 @@ class StreamingSpec extends GraftSuite {
     assert(acc.value == 100L, s"micro-batch recomputed: ${acc.value} materializations")
   }
 
+  test("log sink is replay-idempotent: same micro-batch applied twice = identical state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    def mkBatch(ids: Seq[String]) = ids.map(i =>
+      (s"att_$i", s"e_$i", "t1", "d1", "webhook", 1, false, "success", ts(5), "200"))
+      .toDF("attempt_id", "event_id", "tenant_id", "destination_id",
+        "destination_type", "attempt_number", "manual", "status",
+        "attempt_time", "code")
+    val b7 = mkBatch(Seq("a", "b", "c"))
+    Pipeline.logSinkBatch(b7, path, batchId = 7L)
+    val once = spark.read.parquet(path).orderBy("attempt_id").collect().toSeq
+    // checkpoint-failure replay: the SAME epoch arrives again — must no-op
+    Pipeline.logSinkBatch(b7, path, batchId = 7L)
+    val twice = spark.read.parquet(path).orderBy("attempt_id").collect().toSeq
+    assert(twice == once, "replayed micro-batch changed table state")
+    assert(spark.read.parquet(path).count() == 3)
+    // a NEW epoch still appends
+    Pipeline.logSinkBatch(mkBatch(Seq("d")), path, batchId = 8L)
+    assert(spark.read.parquet(path).count() == 4)
+  }
+
   test("hot destination: salted repartition bounds single-task skew") {
     val spark2 = spark
     import spark2.implicits._
