@@ -71,6 +71,19 @@ object DedupOps {
           Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
         .orderBy(col("id"))),
 
+    // THE 100 TB cluster contract: (id, keeper) per document via LSH over
+    // representatives + connected components — never materializes
+    // member-level pairs (Dedup.clusters scaladoc). Oracled: verified LSH
+    // pairs are exact Jaccard >= t, so the closure matches DuckDB's
+    // exact-pair recursive closure as long as no bridge pair is missed.
+    // Banding here is r=4, b=30: P(miss | J=0.8) = (1-0.8^4)^30 ≈ 1.4e-7 —
+    // the default 60/10 (r=6) misses borderline pairs ~5% of the time,
+    // measured as a real singleton split at sf0.01.
+    "dedup_clusters_lsh" -> ((s, dir) =>
+      Dedup.clusters(Tables.documents(s, dir), threshold = 0.8,
+          numHashes = 120, bands = 30)
+        .orderBy(col("id"))),
+
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
     "approx_stats" -> ((s, dir) =>
@@ -131,7 +144,29 @@ object DedupOps {
         |nodes AS (SELECT DISTINCT a AS id FROM edges)
         |SELECT n.id, least(n.id, min(r.b)) AS component
         |FROM nodes n JOIN reach r ON r.a = n.id
-        |GROUP BY n.id ORDER BY n.id""".stripMargin
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // cluster-form contract: closure over UNBLOCKED exact pairs at J>=0.8,
+    // every document present, singletons keep their own id as keeper
+    "dedup_clusters_lsh" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (
+        |  SELECT r.a AS id, least(r.a, min(r.b)) AS keeper
+        |  FROM reach r GROUP BY r.a)
+        |SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY id""".stripMargin
     // dedup_minhash_lsh / dedup_simhash / approx_stats: intentionally no
     // oracle (hash-family / sketch specific); driver records rows-only,
     // ScalaTest pins recall/error bounds.

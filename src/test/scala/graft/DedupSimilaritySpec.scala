@@ -129,6 +129,32 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("clusters: mega-duplicate group resolves pair-free to one keeper") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a boilerplate page duplicated 500× (m²/2 = 124,750 pairs in the pair
+    // form) + a near-dup pair + a singleton
+    val boiler = "terms of service boilerplate page content common footer text"
+    val docs = ((1 to 500).map(i => (f"dup_$i%04d", boiler)) ++ Seq(
+      ("near_1", "completely different document about spark execution engines"),
+      ("near_2", "completely different document about spark execution engines extra"), // J = 8/9
+      ("solo_1", "a unique singleton document unlike all the others")))
+      .toDF("doc_id", "text")
+    val out = Dedup.clusters(docs, threshold = 0.8)
+    val byId = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byId.size == 503)
+    assert((1 to 500).forall(i => byId(f"dup_$i%04d") == "dup_0001"))
+    assert(byId("near_1") == "near_1" && byId("near_2") == "near_1")
+    assert(byId("solo_1") == "solo_1")
+    // pair-free structurally: the member mapping is ONE explode; the pair
+    // form's ms_a × ms_b double-explode never appears in this plan (the
+    // LSH banding posexplode is behind the components' localCheckpoint)
+    val gens = out.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }.size
+    assert(gens == 1, s"expected exactly one explode in the cluster plan, got $gens")
+  }
+
   test("connected components: chains merge, islands stay separate") {
     val spark2 = spark
     import spark2.implicits._
