@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * expression over the delivery payload, falling back to the event id when
   * the expression is empty or evaluates to nothing).
   *
-  * The supported expression subset is what partition keys actually use:
-  * identifier paths with dots, array indexing, and quoted identifiers —
-  * `a.b`, `items[0].sku`, `"weird-key".id`. JMESPath's computational forms
-  * (pipes, projections, functions) are not partition-key material; the
-  * parser rejects them so misconfiguration fails loudly instead of silently
-  * keying everything to the fallback.
+  * The supported expression subset is what partition keys actually use —
+  * driven by the reference's OWN test corpus (`partitionkey_test.go`):
+  * identifier paths with dots, array indexing, quoted identifiers, and the
+  * `join('<sep>', [path, …])` function over a multiselect list — `a.b`,
+  * `items[0].sku`, `"weird-key".id`, `join('-', [metadata.topic,
+  * metadata."event-id"])`. JMESPath's remaining computational forms (pipes,
+  * projections, other functions) appear in no reference test or default
+  * config; the parser rejects them so misconfiguration fails loudly
+  * instead of silently keying everything to the fallback.
   *
   * Two forms:
   *   - [[evaluate]]: exact per-row evaluation with the reference's scalar
@@ -64,24 +67,59 @@ object PartitionKey {
     if (expectSegment) None else Some(sb.toString)
   }
 
-  /** Exact evaluation over a parsed payload; mirrors partitionkey.go's
-    * result rendering and fallback rules. Throws on an out-of-subset
-    * template (the reference errors on invalid JMESPath too). */
-  def evaluate(template: String, payload: JsonNode, fallbackKey: String): String = {
-    if (template == null || template.isEmpty) return fallbackKey
-    val path = toJsonPath(template).getOrElse(
-      throw new IllegalArgumentException(
-        s"unsupported partition key template: $template"))
+  /** `join('<sep>', [path, path, …])` — the one JMESPath FUNCTION the
+    * reference's own test corpus exercises (`partitionkey_test.go` "join
+    * expression"). Returns (separator, element path templates) or None. */
+  def parseJoin(template: String): Option[(String, Seq[String])] = {
+    val JoinRe = """^join\(\s*'([^']*)'\s*,\s*\[(.*)\]\s*\)$""".r
+    template.trim match {
+      case JoinRe(sep, inner) =>
+        // element paths in the subset contain no commas (identifier paths
+        // and quoted identifiers only), so a top-level split is exact
+        val parts = inner.split(',').map(_.trim).toSeq
+        if (parts.isEmpty || parts.exists(p => p.isEmpty || toJsonPath(p).isEmpty)) None
+        else Some((sep, parts))
+      case _ => None
+    }
+  }
+
+  private def walkPath(payload: JsonNode, jsonPath: String): JsonNode = {
     var node = payload
-    // walk the JsonPath we just built: segments after "$"
+    // walk segments after "$"
     val seg = """\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]|\['([^']*)'\]""".r
-    seg.findAllMatchIn(path.substring(1)).foreach { m =>
+    seg.findAllMatchIn(jsonPath.substring(1)).foreach { m =>
       if (node != null) {
         if (m.group(1) != null) node = node.get(m.group(1))
         else if (m.group(2) != null) node = node.get(m.group(2).toInt)
         else node = node.get(m.group(3))
       }
     }
+    node
+  }
+
+  /** Exact evaluation over a parsed payload; mirrors partitionkey.go's
+    * result rendering and fallback rules. Throws on an out-of-subset
+    * template (the reference errors on invalid JMESPath too — its Kinesis
+    * caller catches and falls back, `destawskinesis.go:236-239`). */
+  def evaluate(template: String, payload: JsonNode, fallbackKey: String): String = {
+    if (template == null || template.isEmpty) return fallbackKey
+    parseJoin(template) match {
+      case Some((sep, parts)) =>
+        // go-jmespath's join() requires an array of strings: a missing or
+        // non-string element is an evaluation ERROR in the reference, not
+        // a fallback — same contract here
+        val vals = parts.map(p => walkPath(payload, toJsonPath(p).get))
+        if (vals.exists(v => v == null || !v.isTextual))
+          throw new IllegalArgumentException(
+            s"join() element is not a string: $template")
+        val joined = vals.map(_.asText).mkString(sep)
+        return if (joined.isEmpty) fallbackKey else joined
+      case None => ()
+    }
+    val path = toJsonPath(template).getOrElse(
+      throw new IllegalArgumentException(
+        s"unsupported partition key template: $template"))
+    val node = walkPath(payload, path)
     if (node == null || node.isNull) fallbackKey
     else if (node.isTextual) { val s = node.asText; if (s.isEmpty) fallbackKey else s }
     else if (node.isNumber) goG(node.doubleValue)
@@ -140,12 +178,22 @@ object PartitionKey {
 
   /** Column fast path: extract the key from a JSON payload column with the
     * event-id fallback. String-typed keys only (numbers come back in raw
-    * JSON text form, not `%g` — use [[evaluate]] for exact parity). */
+    * JSON text form, not `%g` — use [[evaluate]] for exact parity).
+    * `join(…)` templates render via `concat_ws`; a missing element — an
+    * evaluation error in the reference — takes the fallback, matching what
+    * the reference's Kinesis caller does with that error. */
   def column(template: String, payloadCol: Column, fallbackCol: Column): Column =
-    toJsonPath(template) match {
-      case None => fallbackCol
-      case Some(p) =>
-        val extracted = get_json_object(payloadCol, p)
-        when(extracted.isNull || extracted === "", fallbackCol).otherwise(extracted)
+    parseJoin(template) match {
+      case Some((sep, parts)) =>
+        val cols = parts.map(p => get_json_object(payloadCol, toJsonPath(p).get))
+        val anyMissing = cols.map(_.isNull).reduce(_ || _)
+        val joined = concat_ws(sep, cols: _*)
+        when(anyMissing || joined === "", fallbackCol).otherwise(joined)
+      case None => toJsonPath(template) match {
+        case None => fallbackCol
+        case Some(p) =>
+          val extracted = get_json_object(payloadCol, p)
+          when(extracted.isNull || extracted === "", fallbackCol).otherwise(extracted)
+      }
     }
 }

@@ -184,6 +184,47 @@ class SignaturesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](PartitionKey.evaluate("a[*].b", p, "fb"))
   }
 
+  test("partition key: reference test table ported verbatim (partitionkey_test.go)") {
+    // every case from the reference's own TestEvaluate, same expectations
+    assert(PartitionKey.evaluate("", """{"key":"value"}""", "fallback-123") == "fallback-123")
+    assert(PartitionKey.evaluate("metadata.topic",
+      """{"metadata":{"topic":"test-topic"}}""", "fallback") == "test-topic")
+    assert(PartitionKey.evaluate("data.user.id",
+      """{"data":{"user":{"id":"user-456"}}}""", "fallback") == "user-456")
+    // the join expression — a function + multiselect list + quoted identifier
+    assert(PartitionKey.evaluate("""join('-', [metadata.topic, metadata."event-id"])""",
+      """{"metadata":{"topic":"test-topic","event-id":"event-123"}}""",
+      "fallback") == "test-topic-event-123")
+    assert(PartitionKey.evaluate("metadata.nonexistent",
+      """{"metadata":{"topic":"test"}}""", "fallback-123") == "fallback-123")
+    intercept[IllegalArgumentException](
+      PartitionKey.evaluate("metadata.topic[", """{}""", "fallback"))
+    assert(PartitionKey.evaluate("data.count",
+      """{"data":{"count":123}}""", "fallback") == "123")
+    assert(PartitionKey.evaluate("data.active",
+      """{"data":{"active":true}}""", "fallback") == "true")
+    assert(PartitionKey.evaluate("data.empty",
+      """{"data":{"empty":""}}""", "fallback-123") == "fallback-123")
+    // join with a missing/non-string element is an ERROR in go-jmespath
+    intercept[IllegalArgumentException](
+      PartitionKey.evaluate("join('-', [a, b])", """{"a":"x"}""", "fb"))
+  }
+
+  test("partition key join(): Column form matches the evaluator") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq(
+      """{"metadata":{"topic":"t1","event-id":"e1"}}""",
+      """{"metadata":{"topic":"t2"}}""").toDF("j")
+    val tmpl = """join('-', [metadata.topic, metadata."event-id"])"""
+    val got = df.select(PartitionKey.column(tmpl, col("j"), lit("FB")))
+      .collect().map(_.getString(0)).toSeq
+    // row 2's missing element = reference evaluation error; the Kinesis
+    // caller falls back to the event id, which the Column form mirrors
+    assert(got == Seq("t1-e1", "FB"))
+  }
+
   test("Go %g float rendering corners") {
     assert(PartitionKey.goG(100.0) == "100")
     assert(PartitionKey.goG(123456.0) == "123456")
