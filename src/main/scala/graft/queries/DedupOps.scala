@@ -91,6 +91,88 @@ object DedupOps {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"))
+        .orderBy(col("event_type"))),
+
+    // ---- subset/recall oracles for the hash-family ops (round 3) ----
+    // The pair SETS are hash-implementation-specific (DuckDB cannot compute
+    // minhash/simhash), but their CONTRACTS are checkable: each *_check
+    // query emits one summary row whose count columns DuckDB verifies
+    // independently and whose boolean columns are Spark-computed claims
+    // (subset-of-exact, recall bound, blocking completeness) pinned through
+    // the driver's hash compare — a regression in any contract flips a
+    // boolean and fails the gate.
+    "dedup_lsh_check" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.distinctTokens(col("text")).as("toks"))
+        .withColumn("sz", size(col("toks")))
+        .persist()
+      val a = toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
+      val b = toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
+      val common = size(array_intersect(col("toks_a"), col("toks_b")))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("j",
+          common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
+        .filter(col("j") >= 0.8)
+        .select("id_a", "id_b")
+        .persist()
+      val lsh = Dedup.minhashLshPairs(docs, 0.8).select("id_a", "id_b").persist()
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nHit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      exact.unpersist(); lsh.unpersist(); toks.unpersist()
+      Seq((nExact, nLsh == nHit, nHit * 10L >= nExact * 9L))
+        .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_90")
+    }),
+
+    "dedup_simhash_check" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id").as("id"),
+        Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
+        .persist()
+      val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+        .select("id_a", "id_b")
+        .persist()
+      // persist both candidate sets: each feeds a count AND a join against
+      // brute, and re-deriving them re-tokenizes the whole corpus
+      val complete = Dedup.simhashPairsComplete(docs).select("id_a", "id_b").persist()
+      val prefix = Dedup.simhashPairs(docs).select("id_a", "id_b").persist()
+      val nBrute = brute.count()
+      val nComplete = complete.count()
+      val nCompleteHit = complete.join(brute, Seq("id_a", "id_b"), "left_semi").count()
+      val prefixMisses = prefix.join(brute, Seq("id_a", "id_b"), "left_anti").count()
+      val nDocs = sh.count()
+      brute.unpersist(); complete.unpersist(); prefix.unpersist(); sh.unpersist()
+      Seq((nDocs,
+        nComplete == nBrute && nCompleteHit == nBrute, // pigeonhole: ==, not ⊆
+        prefixMisses == 0L))
+        .toDF("n_docs", "complete_equals_brute", "prefix_subset_of_brute")
+    }),
+
+    // sketch error bounds as a checked row: exact_users is DuckDB-verified
+    // per group; the booleans assert the sketches stayed inside their
+    // documented error envelopes (HLL rsd 0.01 → 5% slack; KLL accuracy
+    // 10000 → approx p95 within the exact p94..p96 band).
+    "approx_stats_check" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.01).as("au"),
+          percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap95"),
+          expr("percentile(value, 0.94)").as("p94"),
+          expr("percentile(value, 0.96)").as("p96"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <=
+            greatest(lit(1L), (col("exact_users") * 0.05).cast("long")))
+            .as("hll_within_5pct"),
+          (col("ap95") >= col("p94") && col("ap95") <= col("p96"))
+            .as("p95_within_band"))
         .orderBy(col("event_type")))
   )
 
@@ -166,9 +248,29 @@ object DedupOps {
         |  FROM reach r GROUP BY r.a)
         |SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-        |ORDER BY id""".stripMargin
-    // dedup_minhash_lsh / dedup_simhash / approx_stats: intentionally no
-    // oracle (hash-family / sketch specific); driver records rows-only,
-    // ScalaTest pins recall/error bounds.
+        |ORDER BY id""".stripMargin,
+    // subset/recall summary oracles: the count column is genuinely
+    // DuckDB-computed; the booleans are Spark-side contract claims the
+    // hash compare pins to true
+    "dedup_lsh_check" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT count(*) AS exact_pairs,
+        |  true AS lsh_subset_ok, true AS lsh_recall_ge_90
+        |FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8""".stripMargin,
+    "dedup_simhash_check" ->
+      """SELECT count(*) AS n_docs, true AS complete_equals_brute,
+        |  true AS prefix_subset_of_brute FROM documents""".stripMargin,
+    "approx_stats_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_within_5pct, true AS p95_within_band
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+    // dedup_minhash_lsh / dedup_simhash{,_complete} / approx_stats keep
+    // their full outputs rows-only (hash-family / sketch specific); their
+    // contracts are gate-checked by the *_check rows above — plus the
+    // ScalaTest recall/error-bound pins.
   )
 }
