@@ -127,10 +127,9 @@ object Metrics {
   def query(spark: SparkSession, df: DataFrame, req: Request,
             catalog: Map[String, MeasureDef] = eventMeasures,
             tsName: String = "ts"): Result = {
-    // bucket boundaries are wall-clock arithmetic; the reference's are UTC.
-    // Pin the session (same pattern as Tables.events/nanosAsLong) so month
-    // buckets and the dense-fill slot join agree on any host timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // bucket boundaries are UTC wall-clock arithmetic; Buckets.bucketExpr
+    // is timezone-independent by construction (explicit-UTC month fields),
+    // so no session-config mutation is needed here.
     val g = req.granularity
     val ts = col(tsName)
 
@@ -229,7 +228,6 @@ object Metrics {
   def queryTotal(spark: SparkSession, df: DataFrame, req: Request,
                  catalog: Map[String, MeasureDef] = eventMeasures,
                  tsName: String = "ts"): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val ts = col(tsName)
     val startTs = timestamp_millis(lit(req.start.toEpochMilli))
     val endTs = timestamp_millis(lit(req.end.toEpochMilli))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.{JsonMatch, TopicMatch}
+import graft.functions.{Buckets, JsonMatch, TopicMatch}
 import graft.streaming.Model._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -72,11 +72,6 @@ object Pipeline {
     * (event, destination) with task columns. */
   def matchFanout(spark: SparkSession, events: DataFrame,
                   destinations: Dataset[Destination]): DataFrame = {
-    // the reference renders envelope time in RFC3339 (seconds precision,
-    // entities.go:71) — a wall-clock rendering, so pin the session to UTC
-    // the way Tables.events pins nanosAsLong: deterministic regardless of
-    // host timezone (also keeps month buckets stable, see Buckets)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val d = destinations.toDF()
       .filter(!col("disabled"))
       .select(col("destination_id"), col("tenant_id").as("d_tenant_id"),
@@ -87,7 +82,11 @@ object Pipeline {
     val fixed = to_json(struct(
       col("event_id").as("id"),
       col("topic").as("topic"),
-      date_format(col("event_time"), "yyyy-MM-dd'T'HH:mm:ssXXX").as("time"),
+      // reference renders envelope time RFC3339 at seconds precision in UTC
+      // (entities.go:71); format the instant's UTC fields explicitly so the
+      // rendering is identical on any session timezone (no conf mutation)
+      concat(date_format(Buckets.utcFields(col("event_time")),
+        "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("time"),
       coalesce(col("metadata"), map().cast(MapType(StringType, StringType)))
         .as("metadata")))
     val envelope = concat(
@@ -130,7 +129,8 @@ object Pipeline {
       new java.io.File(tablePath, "_applied_batches"), batchId.toString)
     if (batchId >= 0 && marker.exists) return // replayed batch: already applied
     batch
-      .withColumn("month", date_format(col("attempt_time"), "yyyy-MM"))
+      .withColumn("month",
+        date_format(Buckets.utcFields(col("attempt_time")), "yyyy-MM"))
       .dropDuplicates("attempt_id")
       .repartition(col("month"))
       .sortWithinPartitions(col("attempt_time"), col("attempt_id"))

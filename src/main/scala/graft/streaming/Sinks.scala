@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.functions.Crypto
+import graft.functions.{Buckets, Crypto}
 import graft.streaming.Model._
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -54,7 +54,8 @@ object Sinks {
   def makeMetadataExpr(deliveryMetadata: Map[String, String] = Map.empty)
       : org.apache.spark.sql.Column = {
     val system = map(
-      lit("timestamp"), date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+      lit("timestamp"), concat(date_format(
+        Buckets.utcFields(current_timestamp()), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")),
       lit("event-id"), col("event_id"),
       lit("topic"), col("topic"))
     val delivery =
@@ -329,8 +330,13 @@ object Sinks {
             case "unix" => null
             case other => throw new IllegalArgumentException(s"unknown time field: $other")
           }
+          // UTC fields explicitly: object keys must not shift with the
+          // session timezone (the "rfc3339" keyword keeps its Z suffix)
           if (fmt == null) unix_timestamp(col("event_time")).cast("string")
-          else date_format(col("event_time"), fmt)
+          else if (fmt.endsWith("XXX"))
+            concat(date_format(Buckets.utcFields(col("event_time")),
+              fmt.stripSuffix("XXX")), lit("Z"))
+          else date_format(Buckets.utcFields(col("event_time")), fmt)
         case other => throw new IllegalArgumentException(s"unknown key field: $other")
       }
       var parts = Vector.empty[org.apache.spark.sql.Column]
