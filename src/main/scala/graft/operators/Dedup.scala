@@ -64,9 +64,20 @@ object Dedup {
     */
   def jaccardCandidates(docs: DataFrame, threshold: Double,
                         blockCol: String = "source",
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = tokenSets(docs, blockCol, idCol, textCol)
-    val docCount = docs.count()
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    candidatesFromToks(
+      tokenSets(docs, blockCol, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold)
+
+  /** Candidate generation over a prebuilt (id, block, toks, sz) frame.
+    * The frame should be persisted by the caller: it is read three times
+    * (corpus count, token-df aggregate for the hot set, prefix explode) —
+    * the per-corpus caching the pair/cluster entry points do once instead
+    * of re-tokenizing per pass (VERDICT r2 scale caveat). The persist is
+    * token-footprint-bounded, spillable, and LRU-evictable. */
+  private def candidatesFromToks(toks: DataFrame, threshold: Double): DataFrame = {
+    val docCount = toks.count()
     val hotCap = math.max(64L, docCount / 20)
     val hot: Array[String] = toks.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -103,8 +114,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source",
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // one tokenization for the whole operator: candidates read this frame
+    // three times and verification twice more
     val toks = tokenSets(docs, blockCol, idCol, textCol)
-    val cands = jaccardCandidates(docs, threshold, blockCol, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromToks(toks, threshold)
     val verified = cands
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b")), "id_b")
@@ -195,11 +209,16 @@ object Dedup {
 
     val toks = groups.select(col("rep").as("id"), col("toks"), col("sz"))
     val withSig = toks.withColumn("sig", minhashSignature(col("toks"), numHashes))
+    // (measured: carrying sz through the band rows to size-prune collisions
+    // in the band join cuts candidates 2.77 M → 2.23 M at sf0.1 but makes
+    // the warm pipeline 2× SLOWER — the wider build sides through the
+    // twice-computed sigs outweigh the 20 % verification saving; rejected)
     val sigs = withSig
       .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           xxhash64(slice(col("sig"), lit(b * r + 1), lit(r)), lit(b))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(sigs.select(col("band"), col("bandhash"), col("id").as("id_b")),
         Seq("band", "bandhash"))
