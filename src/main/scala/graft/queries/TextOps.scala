@@ -56,6 +56,61 @@ object TextOps {
         .select(explode(tokens(col("text"))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("token"))
+    }),
+
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1: duplicate
+    // word / top-n-gram / duplicate-n-gram fractions — the standard
+    // "remove repetitious documents" filters of large-scale text curation).
+    // Per-row ratios of integer counts → deterministic under any
+    // partitioning. The n-gram mode is computed distributively
+    // (explode → per-(doc,gram) count → per-doc max), not with a per-row
+    // O(k²) expression, so the same plan holds on a 100 TB corpus.
+    "text_repetition" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"),
+        size(tokens(col("text"))).as("n_words"),
+        size(array_distinct(tokens(col("text")))).as("n_distinct_words"))
+      def gramStats(n: Int, top: Boolean): DataFrame = {
+        val g = docs.select(col("doc_id"),
+          explode(shingles(col("text"), n)).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+        if (top) g.agg(max(col("c")).as(s"top_${n}gram"),
+          sum(col("c")).as(s"total_${n}gram"))
+        else g.agg(count(lit(1)).as(s"distinct_${n}gram"),
+          sum(col("c")).as(s"total_${n}gram_d"))
+      }
+      base
+        .join(gramStats(2, top = true), "doc_id")
+        .join(gramStats(5, top = false), "doc_id")
+        .select(col("doc_id"),
+          round(lit(1.0) - col("n_distinct_words").cast("double") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          round(col("top_2gram").cast("double") / col("total_2gram"), 6)
+            .as("top_2gram_frac"),
+          round(lit(1.0) - col("distinct_5gram").cast("double") / col("total_5gram_d"), 6)
+            .as("dup_5gram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4/Gopher-style keep/drop verdicts over the repetition + length
+    // signals, aggregated to a per-reason census (the form a curation run
+    // reports). Thresholds adapted to this corpus's synthetic word-soup
+    // distribution (Gopher's published 0.3 dup-word cut would drop
+    // everything here) so all three verdict classes are populated.
+    "quality_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = tokens(col("text"))
+      val nWords = size(toks)
+      val dupFrac = lit(1.0) - size(array_distinct(toks)).cast("double") / nWords
+      val tooShort = nWords < 50
+      val tooRepetitive = dupFrac > 0.6
+      docs.select(
+        when(tooShort, "too_short")
+          .when(tooRepetitive, "too_repetitive")
+          .otherwise("keep").as("verdict"))
+        .groupBy(col("verdict")).agg(count(lit(1)).as("n"))
+        .orderBy(col("verdict"))
     })
   )
 
@@ -112,6 +167,36 @@ object TextOps {
     "explode_tokens" ->
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token ORDER BY token""".stripMargin
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 2
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS g
+        |  FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM c2 GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, unnest(CASE WHEN len(w) < 5
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS g
+        |  FROM t),
+        |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+        |s5 AS (SELECT doc_id, count(*) AS d5, sum(c) AS t5 FROM c5 GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw FROM t)
+        |SELECT b.doc_id,
+        |  round(1.0 - CAST(ndw AS DOUBLE) / nw, 6) AS dup_word_frac,
+        |  round(CAST(topc AS DOUBLE) / tot, 6) AS top_2gram_frac,
+        |  round(1.0 - CAST(d5 AS DOUBLE) / t5, 6) AS dup_5gram_frac
+        |FROM base b JOIN s2 USING (doc_id) JOIN s5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |v AS (SELECT CASE WHEN len(w) < 50 THEN 'too_short'
+        |    WHEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.6
+        |      THEN 'too_repetitive'
+        |    ELSE 'keep' END AS verdict FROM t)
+        |SELECT verdict, count(*) AS n FROM v GROUP BY verdict
+        |ORDER BY verdict""".stripMargin
   )
 }
