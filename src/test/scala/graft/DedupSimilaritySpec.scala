@@ -165,6 +165,24 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("cosinePairsLsh: verified subset of exact global pairs, recall >= 0.8") {
+    val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .filter(org.apache.spark.sql.functions.round(
+        Similarity.cosine(col("v_a"), col("v_b")), 6) >= 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(vecs, 0.4, tables = 16, bits = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH emitted a non-exact pair")
+    assert(exact.isEmpty ||
+      lsh.intersect(exact).size.toDouble / exact.size >= 0.8,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("hyperplane ANN beats cell-probing recall and stays a subset of the ranking") {
     val q = vecs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val brute = Similarity.knnBrute(vecs, q, 20).collect().map(_.getLong(0)).toSet
