@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{Logstore, TemporalJoins}
+import graft.operators.{CommitLog, Logstore, TemporalJoins}
 import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -71,6 +71,24 @@ object EventOps2 {
         .agg(count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // the commit-log table format end to end: the SAME batch appended twice
+    // (at-least-once ingest), compacted per month (concurrent-writer-safe
+    // path), then manifest-planned scan — the aggregate must equal the
+    // source exactly (dups gone, nothing lost, nothing resurrected).
+    "logstore_commitlog" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_cltx").toString
+      val batch = Tables.events(s, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      CommitLog.append(batch, table, idCol = "event_id", tsCol = "ts")
+      CommitLog.append(batch, table, idCol = "event_id", tsCol = "ts") // replay
+      CommitLog.snapshot(table).files.map(_.month).distinct.foreach(m =>
+        CommitLog.compactMonth(s, table, m, idCol = "event_id", tsCol = "ts"))
+      CommitLog.scan(s, table)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -103,6 +121,9 @@ object EventOps2 {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events
         |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-08' AND ts::TIMESTAMP < TIMESTAMP '2024-01-15'
-        |GROUP BY event_type ORDER BY event_type""".stripMargin
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "logstore_commitlog" ->
+      """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
