@@ -29,15 +29,25 @@ import org.apache.spark.sql.functions._
   *     [[ConcurrentDelete]] if a concurrent commit already removed any of
   *     them — same rule Delta applies between compaction and delete.
   *
-  * Bounded scope (documented, not hidden): single-table, no checkpoint
-  * compaction of the log itself (a parquet checkpoint entry every K commits
-  * is the standard fix when N grows), local/NFS-posix atomicity primitives
-  * (object stores swap createLink for a conditional PUT).
+  * The log itself is CHECKPOINTED: the committer of every K-th version
+  * also writes `<v>.checkpoint.json` holding the full live-file set at v,
+  * so a snapshot replays at most K entries after the newest checkpoint
+  * instead of the whole history. Checkpoints are derived data — written
+  * non-atomically by the unique claimant of version v, ignored if absent
+  * or unparsable (readers fall back toward older checkpoints / full
+  * replay), so they can never corrupt the table.
+  *
+  * Bounded scope (documented, not hidden): single-table;
+  * local/NFS-posix atomicity primitives (object stores swap createLink
+  * for a conditional PUT).
   */
 object CommitLog {
 
   final case class AddFile(path: String, month: String)
   final case class Snapshot(version: Long, files: Seq[AddFile])
+
+  /** Write a checkpoint every this-many commits. */
+  val CheckpointInterval: Long = 10L
 
   final class ConcurrentDelete(msg: String) extends RuntimeException(msg)
 
@@ -66,15 +76,35 @@ object CommitLog {
     s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"removes":${arr(removes)}}"""
   }
 
-  /** Current snapshot: replay the log. */
+  private def checkpointPath(table: String, v: Long): Path =
+    logDir(table).resolve(f"$v%020d.checkpoint.json")
+
+  /** Current snapshot: newest parsable checkpoint + replay of the (≤ K)
+    * entries after it; full replay only if no checkpoint works. */
   def snapshot(table: String): Snapshot = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return Snapshot(0L, Nil)
-    val versions = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSeq.sorted
+    val names = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val versions = names.filter(n => n.endsWith(".json") && !n.contains("checkpoint"))
+      .filter(!_.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).sorted
+    val checkpoints = names.filter(_.endsWith(".checkpoint.json"))
+      .map(_.stripSuffix(".checkpoint.json").toLong).sorted.reverse
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
-    versions.foreach { v =>
+    // newest checkpoint that parses wins; a bad one falls back to older/none
+    val base = checkpoints.iterator.flatMap { c =>
+      try {
+        val s = Files.readString(checkpointPath(table, c))
+        // strict shape check: the lenient regex parser would read garbage
+        // as an empty (valid-looking) checkpoint and silently drop files
+        if (!s.startsWith("{\"op\":\"checkpoint\"") || !s.endsWith("}")) None
+        else Some((c, parseEntry(s)._1))
+      } catch { case _: Exception => None }
+    }.take(1).toSeq.headOption
+    base.foreach { case (_, adds) => adds.foreach(a => live(a.path) = a) }
+    val from = base.map(_._1).getOrElse(0L)
+    versions.filter(_ > from).foreach { v =>
       val (adds, removes) = parseEntry(Files.readString(entryPath(table, v)))
       adds.foreach(a => live(a.path) = a)
       removes.foreach(live.remove)
@@ -111,7 +141,18 @@ object CommitLog {
         val target = entryPath(table, snap.version + 1)
         try {
           Files.createLink(target, tmp) // atomic create-if-absent
-          return snap.version + 1
+          val v = snap.version + 1
+          if (v % CheckpointInterval == 0) {
+            // we are v's unique claimant → no checkpoint write race; the
+            // live set at v = snapshot at v-1 plus this entry
+            val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+            snap.files.foreach(a => live(a.path) = a)
+            adds.foreach(a => live(a.path) = a)
+            removes.foreach(live.remove)
+            Files.writeString(checkpointPath(table, v),
+              renderEntry("checkpoint", live.values.toSeq, Nil))
+          }
+          return v
         } catch {
           case _: java.nio.file.FileAlreadyExistsException =>
             attempt += 1

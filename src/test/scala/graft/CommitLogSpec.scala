@@ -110,6 +110,34 @@ class CommitLogSpec extends GraftSuite {
     assert(CommitLog.scan(spark, t).count() == 20, "only 2024-01 remains")
   }
 
+  test("checkpoints: snapshot equals full replay, and a corrupt checkpoint is ignored") {
+    val t = freshTable()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t, "data"))
+    (1 to 25).foreach { j =>
+      CommitLog.commit(t, "append", Seq(AddFile(s"data/f-$j", "2024-01")),
+        removes = if (j % 7 == 0) Seq(s"data/f-${j - 1}") else Nil)
+    }
+    val logDir = java.nio.file.Paths.get(t, "_log")
+    val cps = java.nio.file.Files.list(logDir).iterator()
+    var cpNames = List.empty[String]
+    while (cps.hasNext) {
+      val n = cps.next().getFileName.toString
+      if (n.endsWith(".checkpoint.json")) cpNames ::= n
+    }
+    assert(cpNames.map(_.stripSuffix(".checkpoint.json").toLong).sorted ==
+      List(10L, 20L), s"checkpoints at every 10th commit: $cpNames")
+    val snap = CommitLog.snapshot(t)
+    assert(snap.version == 25)
+    assert(snap.files.size == 25 - 3, "25 adds minus 3 removes")
+    // corrupt the newest checkpoint: snapshot must fall back and agree
+    java.nio.file.Files.writeString(
+      logDir.resolve(f"${20L}%020d.checkpoint.json"), "{not json")
+    val fallback = CommitLog.snapshot(t)
+    assert(fallback.version == snap.version &&
+      fallback.files.map(_.path).toSet == snap.files.map(_.path).toSet,
+      "corrupt checkpoint must not change the snapshot")
+  }
+
   test("retention deletes files only after the commit; readers never see a half state") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
