@@ -93,6 +93,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Benchmark decontamination (the GPT-3 appendix-C / PaLM style n-gram
+    // overlap check): flag every training document sharing at least one
+    // 5-gram with the held-out eval set (here: every 50th doc). Both sides
+    // explode to (gram, id) rows; the flag is one distinct semi-join —
+    // grams hash-shuffle, documents never do, so the same plan
+    // decontaminates a 100 TB corpus against a fixed benchmark suite.
+    "decontaminate_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val trainSet = docs.filter(col("doc_id") % 50 =!= 0)
+      val evalGrams = evalSet
+        .select(explode(shingles(col("text"), 5)).as("g")).distinct()
+      val trainGrams = trainSet
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+      val contaminated = trainGrams.join(evalGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      trainSet.join(contaminated.withColumn("contaminated", lit(true)),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4/Gopher-style keep/drop verdicts over the repetition + length
     // signals, aggregated to a per-reason census (the form a curation run
     // reports). Thresholds adapted to this corpus's synthetic word-soup
@@ -190,6 +213,20 @@ object TextOps {
         |  round(1.0 - CAST(d5 AS DOUBLE) / t5, 6) AS dup_5gram_frac
         |FROM base b JOIN s2 USING (doc_id) JOIN s5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "decontaminate_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, unnest(CASE WHEN len(w) < 5
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS g
+        |  FROM t),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM grams
+        |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM eg))
+        |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 50 <> 0
+        |ORDER BY d.doc_id""".stripMargin,
     "quality_filter" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |v AS (SELECT CASE WHEN len(w) < 50 THEN 'too_short'
