@@ -71,10 +71,16 @@ object CommitLog {
     (adds.zip(months).map { case (p, mo) => AddFile(p, mo) }, strings("removes"))
   }
 
-  private def renderEntry(op: String, adds: Seq[AddFile], removes: Seq[String]): String = {
+  private def renderEntry(op: String, adds: Seq[AddFile], removes: Seq[String],
+                          token: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"removes":${arr(removes)}}"""
+    val tok = token.map(t => s""","token":"$t"""").getOrElse("")
+    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"removes":${arr(removes)}$tok}"""
   }
+
+  /** Thrown inside [[commit]] when the idempotency token is already in the
+    * log; [[append]] catches it, discards its staged files, and no-ops. */
+  private final class AlreadyApplied extends RuntimeException
 
   private def checkpointPath(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.checkpoint.json")
@@ -123,13 +129,15 @@ object CommitLog {
     * version. Ops that remove files re-validate on every retry that their
     * removes are still live; a concurrent delete aborts the commit. */
   def commit(table: String, op: String, adds: Seq[AddFile],
-             removes: Seq[String] = Nil, maxRetries: Int = 50): Long = {
+             removes: Seq[String] = Nil, maxRetries: Int = 50,
+             token: Option[String] = None): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, renderEntry(op, adds, removes))
+    Files.writeString(tmp, renderEntry(op, adds, removes, token))
     try {
       var attempt = 0
       while (true) {
+        token.foreach(t => if (tokenApplied(table, t)) throw new AlreadyApplied)
         val snap = snapshot(table)
         if (removes.nonEmpty) {
           val live = snap.files.map(_.path).toSet
@@ -166,10 +174,38 @@ object CommitLog {
     }
   }
 
+  /** Idempotency check for [[append]]'s `token`: has any of the most
+    * recent `lastK` committed entries already carried it? Replay tokens
+    * (micro-batch epoch ids) only ever recur within the last few commits —
+    * a streaming recovery replays the tail, not history — so the scan is
+    * bounded regardless of table age. */
+  def tokenApplied(table: String, token: String, lastK: Int = 50): Boolean = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return false
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.contains("checkpoint") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted.takeRight(lastK)
+    val needle = "\"token\":\"" + token + "\""
+    versions.exists(v => Files.readString(entryPath(table, v)).contains(needle))
+  }
+
   /** Transactional append: stage month-partitioned parquet files into the
     * data pool (invisible to readers), then commit one entry. Blind
-    * appends never conflict. */
-  def append(batch: DataFrame, table: String, idCol: String, tsCol: String): Long = {
+    * appends never conflict. An optional idempotency `token` rides IN the
+    * commit entry: a replayed batch (same token) is a no-op, and because
+    * the token becomes visible in the same atomic claim as the data there
+    * is NO crash window between "data committed" and "marker written" —
+    * the gap the marker-file approach in `Pipeline.logSinkBatch`
+    * documents. The token re-check runs inside the optimistic retry loop,
+    * so two racing appends of the same token serialize through the version
+    * claim: the loser re-reads the log, sees the token, and skips. */
+  def append(batch: DataFrame, table: String, idCol: String, tsCol: String,
+             token: Option[String] = None): Long = {
+    token.foreach { t =>
+      if (tokenApplied(table, t)) return snapshot(table).version
+    }
+    ()
     val staging = Files.createTempDirectory(Paths.get(
       { Files.createDirectories(Paths.get(table)); table }), ".stage-")
     batch
@@ -180,7 +216,12 @@ object CommitLog {
       .sortWithinPartitions(col(tsCol), col(idCol))
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
     val adds = moveStaged(staging, table)
-    commit(table, "append", adds)
+    try commit(table, "append", adds, token = token)
+    catch {
+      case _: AlreadyApplied => // replay raced us: discard, table unchanged
+        adds.foreach(a => Files.deleteIfExists(Paths.get(table).resolve(a.path)))
+        snapshot(table).version
+    }
   }
 
   /** Move staged month-partition part files into `data/` under fresh

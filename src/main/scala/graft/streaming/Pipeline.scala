@@ -141,4 +141,18 @@ object Pipeline {
       ()
     }
   }
+
+  /** Commit-log variant of [[logSinkBatch]]: the epoch token rides in the
+    * SAME atomic commit that publishes the data files, so the
+    * crash-between-write-and-marker window of the marker-file approach
+    * does not exist — a replayed micro-batch is a no-op by construction of
+    * the log, not by read-side repair. Readers use
+    * [[graft.operators.CommitLog.scan]]; compaction and retention can run
+    * concurrently with this sink (conflict-checked commits). */
+  def logSinkBatchTx(batch: DataFrame, table: String, batchId: Long): Unit = {
+    graft.operators.CommitLog.append(batch, table,
+      idCol = "attempt_id", tsCol = "attempt_time",
+      token = Some(s"epoch-$batchId"))
+    ()
+  }
 }

@@ -205,6 +205,31 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(path).count() == 4)
   }
 
+  test("commit-log sink: replay token is atomic with data visibility") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft_cltx_sink").toString
+    def mkBatch(ids: Seq[String]) = ids.map(i =>
+      (s"att_$i", s"e_$i", "t1", "d1", "webhook", 1, false, "success", ts(5), "200"))
+      .toDF("attempt_id", "event_id", "tenant_id", "destination_id",
+        "destination_type", "attempt_number", "manual", "status",
+        "attempt_time", "code")
+    val b7 = mkBatch(Seq("a", "b", "c"))
+    Pipeline.logSinkBatchTx(b7, table, batchId = 7L)
+    val v1 = graft.operators.CommitLog.snapshot(table)
+    // same epoch replayed: no new version, no new files, same rows
+    Pipeline.logSinkBatchTx(b7, table, batchId = 7L)
+    val v2 = graft.operators.CommitLog.snapshot(table)
+    assert(v2.version == v1.version && v2.files == v1.files,
+      "replayed epoch must be a no-op in the log itself")
+    assert(graft.operators.CommitLog.scan(spark, table).count() == 3)
+    // a new epoch appends; compaction can run against the same table
+    Pipeline.logSinkBatchTx(mkBatch(Seq("d")), table, batchId = 8L)
+    graft.operators.CommitLog.compactMonth(spark, table,
+      v1.files.head.month, "attempt_id", "attempt_time")
+    assert(graft.operators.CommitLog.scan(spark, table).count() == 4)
+  }
+
   test("hot destination: salted repartition bounds single-task skew") {
     val spark2 = spark
     import spark2.implicits._
