@@ -37,8 +37,12 @@ class TimezoneIndependenceSpec extends GraftSuite {
     withSessionTz("America/New_York") {
       val df = instants.map(i => i.toEpochMilli).toDF("ms")
         .select(timestamp_millis(col("ms")).as("ts"))
+      val units = Seq(Second, Minute, Hour, Day, Week, Month)
+      val randomGrans = (1 to 10).map(_ =>
+        Granularity(1 + rnd.nextInt(11), units(rnd.nextInt(units.size))))
       for (g <- Seq(Granularity(1, Month), Granularity(3, Month),
-          Granularity(1, Week), Granularity(2, Day), Granularity(1, Day))) {
+          Granularity(1, Week), Granularity(2, Day), Granularity(1, Day)) ++
+          randomGrans) {
         val got = df.select(col("ts"), bucketExpr(col("ts"), g).as("b"),
             bucketSecondsExpr(bucketExpr(col("ts"), g), g).as("sec"))
           .collect()
