@@ -85,6 +85,63 @@ object CommitLog {
   private def checkpointPath(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.checkpoint.json")
 
+  /** TIME TRAVEL: the table as of `version` — replay entries 1..version
+    * (checkpoints at or before the version speed it up the same way).
+    * Entries are never rewritten, so any historical version stays
+    * reconstructible until [[vacuum]] removes its unreferenced files. */
+  def snapshotAt(table: String, version: Long): Snapshot = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return Snapshot(0L, Nil)
+    val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    (1L to version).foreach { v =>
+      val p = entryPath(table, v)
+      if (Files.exists(p)) {
+        val (adds, removes) = parseEntry(Files.readString(p))
+        adds.foreach(a => live(a.path) = a)
+        removes.foreach(live.remove)
+      }
+    }
+    Snapshot(version, live.values.toSeq)
+  }
+
+  /** Read the table as of an historical version. */
+  def scanAt(spark: SparkSession, table: String, version: Long): DataFrame = {
+    val files = snapshotAt(table, version).files
+      .map(f => Paths.get(table).resolve(f.path).toString)
+    if (files.isEmpty)
+      throw new IllegalStateException(s"no files at version $version of $table")
+    spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
+  }
+
+  /** Physically delete data files no longer referenced by the CURRENT
+    * snapshot (removed by compaction/retention, or left by a crashed
+    * writer). After a vacuum, time travel reaches back only as far as the
+    * files that remain — same contract as Delta's VACUUM, including the
+    * RETENTION GRACE: files younger than `graceMillis` are never touched,
+    * which protects a concurrent writer's moved-but-not-yet-committed
+    * files from being eaten between its stage and its commit (Delta's
+    * retention-hours rule exists for exactly this race). Returns the
+    * deleted paths. */
+  def vacuum(table: String, graceMillis: Long = 15L * 60 * 1000): Seq[String] = {
+    val liveRel = snapshot(table).files.map(_.path).toSet
+    val data = dataDir(table)
+    if (!Files.isDirectory(data)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val deleted = Seq.newBuilder[String]
+    Files.list(data).iterator().asScala.filter(Files.isDirectory(_)).foreach { mdir =>
+      Files.list(mdir).iterator().asScala
+        .filter(f => f.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          val rel = s"data/${mdir.getFileName}/${f.getFileName}"
+          if (!liveRel.contains(rel) &&
+              Files.getLastModifiedTime(f).toMillis < cutoff) {
+            Files.deleteIfExists(f)
+            deleted += rel
+          }
+        }
+    }
+    deleted.result()
+  }
+
   /** Current snapshot: newest parsable checkpoint + replay of the (≤ K)
     * entries after it; full replay only if no checkpoint works. */
   def snapshot(table: String): Snapshot = {

@@ -138,6 +138,24 @@ class CommitLogSpec extends GraftSuite {
       "corrupt checkpoint must not change the snapshot")
   }
 
+  test("time travel reads an historical version; vacuum bounds it to live files") {
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 30, "2024-01"), t, "id", "ts")
+    val v1 = CommitLog.snapshot(t).version
+    CommitLog.append(sampleBatch(30 until 50, "2024-01"), t, "id", "ts")
+    CommitLog.compactMonth(spark, t, "2024-01", "id", "ts")
+    // post-compaction: current = 50 rows in 1 file; version v1 still = 30
+    assert(CommitLog.scan(spark, t).count() == 50)
+    assert(CommitLog.scanAt(spark, t, v1).count() == 30)
+    // vacuum (grace 0 for the test; the default 15-min grace protects
+    // racing writers) deletes the compacted-away originals; current scan
+    // unaffected, the historical version becomes unreachable
+    val deleted = CommitLog.vacuum(t, graceMillis = 0L) // test: no grace
+    assert(deleted.nonEmpty)
+    assert(CommitLog.scan(spark, t).count() == 50)
+    intercept[Exception] { CommitLog.scanAt(spark, t, v1).count() }
+  }
+
   test("retention deletes files only after the commit; readers never see a half state") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
