@@ -93,6 +93,31 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top-3 terms per document: term frequency and document
+    // frequency are two aggregates over the exploded term list; the corpus
+    // size joins in as a broadcast 1-row aggregate (no driver-side count in
+    // the plan); ranking is a per-doc window over the scored terms.
+    // Scores are rounded to 6 dp BEFORE ranking so cross-engine ulp noise
+    // in ln() can't flip a rank — ties break deterministically by term.
+    "tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          log(col("n_docs").cast("double") / col("df")), 6))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Benchmark decontamination (the GPT-3 appendix-C / PaLM style n-gram
     // overlap check): flag every training document sharing at least one
     // 5-gram with the held-out eval set (here: every 50th doc). Both sides
@@ -213,6 +238,23 @@ object TextOps {
         |  round(1.0 - CAST(d5 AS DOUBLE) / t5, 6) AS dup_5gram_frac
         |FROM base b JOIN s2 USING (doc_id) JOIN s5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "decontaminate_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (SELECT doc_id, unnest(CASE WHEN len(w) < 5

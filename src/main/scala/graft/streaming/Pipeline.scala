@@ -122,8 +122,8 @@ object Pipeline {
     * remaining window — a crash after the parquet job commit but before
     * the marker create — degrades to duplicate rows that
     * `Logstore.scanLatest` read-repair and `compactMonth` permanently
-    * remove; closing it fully needs an atomic commit-log table format
-    * (DESIGN.md deferred list). */
+    * remove; [[logSinkBatchTx]] closes it fully (the token commits
+    * atomically with the data). */
   def logSinkBatch(batch: DataFrame, tablePath: String, batchId: Long = -1L): Unit = {
     val marker = new java.io.File(
       new java.io.File(tablePath, "_applied_batches"), batchId.toString)
