@@ -172,4 +172,31 @@ object Runner {
         count(when(col("eligible_for_retry") === false, 1)).as("ineligible_count"))
       .select(col("window.start").as("bucket"), col("topic"),
         col("count"), col("ineligible_count"))
+
+  /** [[streamingMetrics]] at the reference's exact bucket semantics: any
+    * sub-month [[graft.functions.Buckets.Granularity]] maps LOSSLESSLY
+    * onto Spark's native tumbling `window(ts, step, step, startOffset)` —
+    * s/m/h/d buckets are epoch-anchored (Spark's window anchor is already
+    * 1970-01-01T00:00Z) and week buckets shift the anchor by 3 days to
+    * 1970-01-04 (a Sunday), matching `Buckets.truncate` bit for bit
+    * (spec-pinned). Native windows, not a custom group key, so watermark
+    * state eviction works and the stream runs forever in bounded memory.
+    * Month buckets are calendar-variable and cannot be a fixed window —
+    * rejected here; the batch Metrics engine covers them. */
+  def streamingMetricsAt(events: DataFrame, g: graft.functions.Buckets.Granularity,
+                         watermark: String): DataFrame = {
+    require(g.unit != graft.functions.Buckets.Month,
+      "month buckets are calendar-variable; use the batch Metrics engine")
+    val step = s"${g.unit.seconds * g.value} seconds"
+    val anchor = if (g.unit == graft.functions.Buckets.Week) "259200 seconds"
+      else "0 seconds"
+    events
+      .withWatermark("event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(
+        col("event_time"), step, step, anchor), col("topic"))
+      .agg(count(lit(1)).as("count"),
+        count(when(col("eligible_for_retry") === false, 1)).as("ineligible_count"))
+      .select(col("window.start").as("bucket"), col("topic"),
+        col("count"), col("ineligible_count"))
+  }
 }

@@ -101,4 +101,28 @@ class BucketsSpec extends GraftSuite {
       generateSlots(Instant.EPOCH, Instant.parse("1974-01-01T00:00:00Z"), Granularity(1, Second))
     }
   }
+
+  test("native tumbling window(step, step, anchor) == truncate for sub-month granularities") {
+    // the mapping streamingMetricsAt relies on: Spark's window anchor is
+    // the epoch, ours too (weeks shift to Sunday 1970-01-04 via startTime)
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new Random(11)
+    val instants = (1 to 80).map(_ =>
+      Instant.ofEpochMilli(math.abs(rnd.nextLong()) % 4102444800000L))
+    val df = instants.map(i => new java.sql.Timestamp(i.toEpochMilli)).toDF("ts")
+    val grans = Seq(Granularity(1, Hour), Granularity(7, Minute),
+      Granularity(90, Second), Granularity(2, Day), Granularity(1, Week),
+      Granularity(3, Week), Granularity(5, Day))
+    for (g <- grans) {
+      val step = s"${g.unit.seconds * g.value} seconds"
+      val anchor = if (g.unit == Week) "259200 seconds" else "0 seconds"
+      val got = df.select(unix_millis(
+          window(col("ts"), step, step, anchor).getField("start")).as("b"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = instants.map(i => truncate(i, g).toEpochMilli)
+      assert(got == want, s"granularity $g")
+    }
+  }
 }

@@ -111,4 +111,32 @@ class RunnerSpec extends GraftSuite {
         (1704070800000L, "a", 1L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming metrics at reference granularities: Sunday-anchored 1w buckets") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Runner.streamingMetricsAt(mem.toDF(),
+      graft.functions.Buckets.Granularity.parse("1w"), "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("stream_metrics_1w")
+      .outputMode("complete").start()
+    try {
+      // 2024-01-01 is a Monday: its 1w bucket starts Sunday 2023-12-31
+      def ev(id: String, ms: Long) =
+        Event(id, "t1", "a", true, new java.sql.Timestamp(ms), Map.empty, "{}")
+      val mon = 1704067200000L // 2024-01-01T00:00Z
+      mem.addData(ev("e1", mon), ev("e2", mon + 86400000L),
+        ev("e3", mon + 7L * 86400000L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT unix_millis(bucket), count FROM stream_metrics_1w")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sun = 1703980800000L // 2023-12-31T00:00Z, a Sunday
+      assert(got == Set((sun, 2L), (sun + 7L * 86400000L, 1L)),
+        s"Sunday-anchored week buckets, got $got")
+      assert(graft.functions.Buckets.truncate(
+        java.time.Instant.ofEpochMilli(mon),
+        graft.functions.Buckets.Granularity.parse("1w")).toEpochMilli == sun)
+    } finally q.stop()
+  }
 }
