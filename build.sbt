@@ -28,3 +28,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Tests run on a DST-shifting, negative-offset host timezone on purpose:
+// operators must be timezone-independent (explicit-UTC field arithmetic),
+// and a UTC test JVM would mask any regression that sneaks host-TZ
+// dependence back in. TimezoneIndependenceSpec additionally flips the
+// SESSION timezone; this flips the JVM default.
+Test / javaOptions += "-Duser.timezone=America/New_York"
