@@ -89,4 +89,30 @@ object TextFunctions {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** PII patterns for detection/redaction, ordered by scrub precedence
+    * (email first — its placeholder removes the chars the dotted-quad and
+    * phone patterns could otherwise rematch). Kept inside the common
+    * regex subset (ASCII classes, `\b`, `\d`, bounded repeats — no
+    * backrefs/lookaround) so Java regex (Spark) and RE2 (DuckDB et al.)
+    * find identical matches. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "card" -> "\\b\\d{4} \\d{4} \\d{4} \\d{4}\\b")
+
+  /** Count of matches of one PII class. Per-row, codegen'd, no shuffle. */
+  def piiCount(text: Column, kind: String): Column = {
+    val pat = PiiPatterns.toMap.apply(kind)
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  /** Redact all PII classes to `<KIND>` placeholders, in catalog order.
+    * The standard pre-training scrub pass: deterministic, leftmost-first
+    * per class, class order fixed so engines agree on overlapping hits. */
+  def piiScrub(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, pat)) =>
+      regexp_replace(acc, pat, s"<${kind.toUpperCase}>")
+    }
 }

@@ -38,6 +38,38 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Exact substring-level duplication census at word granularity (the
+    * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    * Better" signal): per document, how many of its word n-gram positions
+    * carry a gram that also occurs in at least `minDocs` DISTINCT
+    * documents. `dup_frac` near 1 marks boilerplate worth span-removal.
+    *
+    * Plan shape: one explode, one shuffle keyed by the gram (first as a
+    * distinct-doc count, then as a semi-join back onto the gram stream) —
+    * documents themselves never shuffle. `hashGrams=true` swaps the
+    * string shuffle key for xxhash64(gram) (8-byte keys, same grouping
+    * modulo 2^-64 collisions) — the form to run at 100 TB; the default
+    * keeps the string key so cross-engine comparisons are exact. */
+  def ngramSpanStats(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                     hashGrams: Boolean = false,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gram = TextFunctions.shingles(col(textCol), n)
+    val key = if (hashGrams) xxhash64(col("g")) else col("g")
+    val grams = docs.select(col(idCol).as("id"), explode(gram).as("g"))
+      .select(col("id"), key.as("g"))
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    val dupPerDoc = grams.join(crossDoc, Seq("g"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_grams"))
+    perDoc.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        round(coalesce(col("n_dup_grams"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("dup_frac"))
+  }
+
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), col(blockCol).as("block"),

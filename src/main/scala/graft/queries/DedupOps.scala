@@ -84,6 +84,18 @@ object DedupOps {
           numHashes = 120, bands = 30)
         .orderBy(col("id"))),
 
+    // Exact substring-level dedup census at word granularity (the Lee et
+    // al. 2022 "Deduplicating Training Data" signal): a gram position is
+    // duplicated if its 10-gram occurs in >= 2 DISTINCT documents; the
+    // per-doc duplicated fraction drives span-removal decisions. One
+    // shuffle keyed by the gram; documents themselves never shuffle. At
+    // 100 TB the gram key becomes xxhash64(gram) — an 8-byte shuffle key
+    // with identical grouping semantics modulo 2^-64 collisions; the gate
+    // keeps the string key so the DuckDB comparison is exact.
+    "dedup_ngram_spans" -> ((s, dir) =>
+      Dedup.ngramSpanStats(Tables.documents(s, dir), n = 10)
+        .orderBy(col("doc_id"))),
+
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
     "approx_stats" -> ((s, dir) =>
@@ -249,6 +261,22 @@ object DedupOps {
         |SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper
         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         |ORDER BY id""".stripMargin,
+    "dedup_ngram_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id, unnest(CASE WHEN len(w) < 10
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 8),
+        |      i -> array_to_string(w[i:i+9], ' ')) END) AS g
+        |  FROM t),
+        |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |    FROM gr GROUP BY g) WHERE nd >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_grams FROM gr GROUP BY doc_id),
+        |dup AS (SELECT doc_id, count(*) AS n_dup_grams FROM gr
+        |  WHERE g IN (SELECT g FROM d) GROUP BY doc_id)
+        |SELECT p.doc_id, p.n_grams,
+        |  coalesce(u.n_dup_grams, 0) AS n_dup_grams,
+        |  round(CAST(coalesce(u.n_dup_grams, 0) AS DOUBLE) / p.n_grams, 6) AS dup_frac
+        |FROM per p LEFT JOIN dup u USING (doc_id) ORDER BY doc_id""".stripMargin,
     // subset/recall summary oracles: the count column is genuinely
     // DuckDB-computed; the booleans are Spark-side contract claims the
     // hash compare pins to true

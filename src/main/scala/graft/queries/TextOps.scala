@@ -141,6 +141,30 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // PII detection + redaction census (the standard pre-training scrub
+    // pass). The synthetic corpus is digit-free word soup, so the gate
+    // splices deterministic contact lines — a pure function of doc_id —
+    // into each document before detecting; both engines build the
+    // identical input, so the nonzero per-class counts and the scrubbed
+    // fingerprint exercise real cross-engine regex parity. Per-row only:
+    // no shuffle, the same plan scrubs a 100 TB corpus.
+    "text_pii_scrub" -> ((s, dir) => {
+      val salted = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+        ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" call 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-"), lpad(((col("doc_id") * 13) % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        piiCount(salted, "email").as("n_email"),
+        piiCount(salted, "ipv4").as("n_ipv4"),
+        piiCount(salted, "phone").as("n_phone"),
+        substring(md5(piiScrub(salted)), 1, 16).as("fp_scrubbed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4/Gopher-style keep/drop verdicts over the repetition + length
     // signals, aggregated to a per-reason census (the form a curation run
     // reports). Thresholds adapted to this corpus's synthetic word-soup
@@ -269,6 +293,25 @@ object TextOps {
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(s, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |  substr(md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{4} \d{4} \d{4} \d{4}\b', '<CARD>', 'g')), 1, 16) AS fp_scrubbed
+        |FROM t ORDER BY doc_id""".stripMargin,
     "quality_filter" ->
       """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
         |v AS (SELECT CASE WHEN len(w) < 50 THEN 'too_short'

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** PII detection/redaction and substring-level (word n-gram) dedup — the
+  * curation passes the synthetic corpus can't exercise with nonzero hits,
+  * pinned here on constructed rows. */
+class TextCurationSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("pii detection counts emails, ipv4s, phones, cards per class") {
+    val df = Seq(
+      "write to alice.smith+x@mail.example.org or bob@x.io now",
+      "servers 192.168.1.10 and 10.0.0.1 responded",
+      "call 415-555-2671 about card 4242 4242 4242 4242",
+      "no pii here at all").toDF("text")
+    val got = df.select(
+      piiCount(col("text"), "email").as("e"),
+      piiCount(col("text"), "ipv4").as("i"),
+      piiCount(col("text"), "phone").as("p"),
+      piiCount(col("text"), "card").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq == Seq((2, 0, 0, 0), (0, 2, 0, 0), (0, 0, 1, 1), (0, 0, 0, 0)))
+  }
+
+  test("pii scrub redacts every class and is idempotent") {
+    val df = Seq("mail a@b.co ip 10.0.0.1 tel 555-123-4567 card 1111 2222 3333 4444")
+      .toDF("text")
+    val once = df.select(piiScrub(col("text")).as("t"))
+    val first = once.head().getString(0)
+    assert(first == "mail <EMAIL> ip <IPV4> tel <PHONE> card <CARD>")
+    assert(once.select(piiScrub(col("t"))).head().getString(0) == first)
+  }
+
+  test("pii scrub precedence: email eats its digits before ipv4/phone see them") {
+    // a dotted-quad-shaped local part must redact as ONE email, not leak
+    // a phantom ipv4 match out of the local part
+    val df = Seq("from 10.0.0.1@relay.example.net end").toDF("text")
+    assert(df.select(piiScrub(col("text"))).head().getString(0)
+      == "from <EMAIL> end")
+    assert(df.select(piiCount(col("text"), "email")).head().getInt(0) == 1)
+  }
+
+  test("ngram spans: cross-doc duplicated grams counted, self-repeats ignored") {
+    val run = (1 to 12).map(i => s"w$i").mkString(" ") // 12 tokens → 3 10-grams
+    val docs = Seq(
+      (1L, run + " x1 x2"),             // shares the 12-token run with doc 2
+      (2L, run + " y1 y2"),
+      (3L, ("r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 " * 2).trim), // repeats ITS OWN grams
+      (4L, (101 to 140).map(i => s"z$i").mkString(" ")))  // unique
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramSpanStats(docs, n = 10).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 1/2: 14 tokens → 5 grams each; the 3 grams inside the shared
+    // 12-token run are cross-doc dups, the 2 crossing into x*/y* are not.
+    // doc 3's repeated grams live in ONE doc → zero. doc 4 unique → zero.
+    assert(got == Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 11L, 0L), (4L, 31L, 0L)))
+  }
+
+  test("ngram spans: hashed-key variant (the 100 TB shuffle form) agrees") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(50)
+    val str = Dedup.ngramSpanStats(docs, n = 5).orderBy("doc_id").collect().toSeq
+    val hashed = Dedup.ngramSpanStats(docs, n = 5, hashGrams = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(str == hashed)
+  }
+}
