@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   * curation passes the synthetic corpus can't exercise with nonzero hits,
   * pinned here on constructed rows. */
 class TextCurationSpec extends GraftSuite {
-  import spark.implicits._
+  private val spark2 = spark
+  import spark2.implicits._
 
   test("pii detection counts emails, ipv4s, phones, cards per class") {
     val df = Seq(
