@@ -163,14 +163,27 @@ object Dedup {
 
   /** MinHash signature: sig[i] = min over tokens of xxhash64(h(token) ⊕
     * seed_i). One base hash per token, then a long-XOR remix per hash
-    * function — no per-(token,i) string allocation, stays in codegen. */
-  def minhashSignature(tokensCol: Column, numHashes: Int): Column = {
+    * function — no per-(token,i) string allocation.
+    *
+    * Declarative reference form, kept for the parity spec; the operator
+    * pipeline uses the bit-identical native [[graft.plans.MinHashSig]]
+    * expression (one fused loop instead of `numHashes` interpreted
+    * higher-order-function traversals — the HOF lambdas evaluate per
+    * element OUTSIDE whole-stage codegen, which at k=120 made signature
+    * computation the dominant cost of the LSH headline query). */
+  def minhashSignatureDeclarative(tokensCol: Column, numHashes: Int): Column = {
     val baseHashes = transform(tokensCol, t => xxhash64(t))
     array((0 until numHashes).map { i =>
       val seed = i.toLong * 0x9E3779B97F4A7C15L
       array_min(transform(baseHashes, h => xxhash64(h.bitwiseXOR(lit(seed)))))
     }: _*)
   }
+
+  /** Native fused-loop MinHash signature (bit-identical to
+    * [[minhashSignatureDeclarative]]; see [[graft.plans.MinHashSig]]).
+    * Requires [[graft.plans.HashExprs.install]] on the session. */
+  def minhashSignature(tokensCol: Column, numHashes: Int): Column =
+    graft.plans.HashExprs.minhashSig(tokensCol, numHashes)
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -218,6 +231,7 @@ object Dedup {
                           idCol: String, textCol: String): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    graft.plans.HashExprs.install(docs.sparkSession)
 
     // Representative collapse: on a duplicate-heavy corpus most of the LSH
     // candidate mass is exact token-set duplicates colliding in EVERY band.

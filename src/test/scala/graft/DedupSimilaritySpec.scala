@@ -207,4 +207,37 @@ class DedupSimilaritySpec extends GraftSuite {
     val c = df.select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
   }
+
+  test("native minhash signature is bit-identical to the declarative form") {
+    graft.plans.HashExprs.install(spark)
+    val toks = docs.limit(100).select(
+      graft.functions.TextFunctions.distinctTokens(col("text")).as("toks"))
+    val k = 24
+    val both = toks.select(
+      Dedup.minhashSignature(col("toks"), k).as("fast"),
+      Dedup.minhashSignatureDeclarative(col("toks"), k).as("ref"))
+    assert(both.collect().forall(r => r.getSeq[Any](0) == r.getSeq[Any](1)))
+  }
+
+  test("native minhash signature null/empty parity with the declarative form") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.plans.HashExprs.install(spark)
+    // empty token array, a null element among tokens (xxhash64 is
+    // null-tolerant: a null hashes to the bare seed), and a null array
+    val df = Seq(
+      (1L, Seq[String]()),
+      (2L, Seq("a", null, "b")),
+      (3L, null)).toDF("id", "toks")
+    val k = 5
+    val rows = df.select(col("id"),
+      Dedup.minhashSignature(col("toks"), k).as("fast"),
+      Dedup.minhashSignatureDeclarative(col("toks"), k).as("ref"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"id=${r.getLong(0)}")
+    }
+    assert(rows(0).getSeq[Any](1).forall(_ == null))
+    assert(rows(1).getSeq[Any](1).forall(_ != null))
+  }
 }
