@@ -244,17 +244,21 @@ object JmesPath {
         advance(); advance()
         Projection(left, parseProjectionRhs(Bp("star")))
       case _ if nudContext =>
-        // multiselect list
-        val elems = ArrayBuffer[Ast]()
-        while (peek.typ != "rbracket") {
-          elems += expression(0)
-          if (peek.typ == "comma") advance()
-          else if (peek.typ != "rbracket")
-            throw JmesPathError(s"expected ',' or ']' at ${peek.pos}")
-        }
-        advance()
-        Subexpr(left, MultiList(elems.toSeq))
+        Subexpr(left, parseMultiList())
       case other => throw JmesPathError(s"unexpected $other in brackets at ${peek.pos}")
+    }
+
+    /** `[` already consumed; parse `expr, expr, …]`. */
+    private def parseMultiList(): Ast = {
+      val elems = ArrayBuffer[Ast]()
+      while (peek.typ != "rbracket") {
+        elems += expression(0)
+        if (peek.typ == "comma") advance()
+        else if (peek.typ != "rbracket")
+          throw JmesPathError(s"expected ',' or ']' at ${peek.pos}")
+      }
+      advance()
+      MultiList(elems.toSeq)
     }
 
     private def parseSliceRest(left: Ast, start: Option[Int]): Ast = {
@@ -278,11 +282,11 @@ object JmesPath {
     }
 
     private def parseDotRhs(bp: Int): Ast = peek.typ match {
-      case "field" | "quoted" => nud(advance())
-      case "lbracket" => advance(); parseBracket(Identity, nudContext = true) match {
-        case Subexpr(Identity, m) => m
-        case other => other
-      }
+      // parse the FULL sub-expression at the dot's binding power, so
+      // `a[*].b[0].c` chains the RHS's own indexes/projections
+      case "field" | "quoted" | "star" => expression(bp)
+      // after a dot, a bracket is a multiselect list (never an index)
+      case "lbracket" => advance(); parseMultiList()
       case "lbrace" => advance(); parseMultiHash()
       case other => throw JmesPathError(s"unexpected $other after '.' at ${peek.pos}")
     }

@@ -9,15 +9,14 @@ import org.apache.spark.sql.functions._
   * expression over the delivery payload, falling back to the event id when
   * the expression is empty or evaluates to nothing).
   *
-  * The supported expression subset is what partition keys actually use —
-  * driven by the reference's OWN test corpus (`partitionkey_test.go`):
-  * identifier paths with dots, array indexing, quoted identifiers, and the
-  * `join('<sep>', [path, …])` function over a multiselect list — `a.b`,
-  * `items[0].sku`, `"weird-key".id`, `join('-', [metadata.topic,
-  * metadata."event-id"])`. JMESPath's remaining computational forms (pipes,
-  * projections, other functions) appear in no reference test or default
-  * config; the parser rejects them so misconfiguration fails loudly
-  * instead of silently keying everything to the fallback.
+  * A FAST SUBSET — identifier paths with dots, array indexing, quoted
+  * identifiers (`a.b`, `items[0].sku`, `"weird-key".id`), and the
+  * `join('<sep>', [path, …])` form the reference's own test corpus
+  * exercises — compiles to codegen'd `get_json_object` extraction.
+  * Everything else the JMESPath spec allows (projections, flatten, pipes,
+  * filters, multiselects, the builtin function library) evaluates through
+  * the full [[JmesPath]] engine, matching the reference's use of the
+  * complete go-jmespath library; only SYNTAX errors reject.
   *
   * Two forms:
   *   - [[evaluate]]: exact per-row evaluation with the reference's scalar
@@ -98,9 +97,11 @@ object PartitionKey {
   }
 
   /** Exact evaluation over a parsed payload; mirrors partitionkey.go's
-    * result rendering and fallback rules. Throws on an out-of-subset
-    * template (the reference errors on invalid JMESPath too — its Kinesis
-    * caller catches and falls back, `destawskinesis.go:236-239`). */
+    * result rendering and fallback rules. Templates outside the fast
+    * subset evaluate through the full [[JmesPath]] engine (the reference
+    * links the complete go-jmespath library, so any spec-legal template is
+    * a legal config); invalid SYNTAX throws, as in the reference — its
+    * Kinesis caller catches and falls back (`destawskinesis.go:236-239`). */
   def evaluate(template: String, payload: JsonNode, fallbackKey: String): String = {
     if (template == null || template.isEmpty) return fallbackKey
     parseJoin(template) match {
@@ -116,16 +117,28 @@ object PartitionKey {
         return if (joined.isEmpty) fallbackKey else joined
       case None => ()
     }
-    val path = toJsonPath(template).getOrElse(
-      throw new IllegalArgumentException(
-        s"unsupported partition key template: $template"))
-    val node = walkPath(payload, path)
+    val node = toJsonPath(template) match {
+      case Some(path) => walkPath(payload, path)
+      case None =>
+        try compiled(template).search(payload)
+        catch {
+          case e: JmesPath.JmesPathError =>
+            throw new IllegalArgumentException(e.msg)
+        }
+    }
     if (node == null || node.isNull) fallbackKey
     else if (node.isTextual) { val s = node.asText; if (s.isEmpty) fallbackKey else s }
     else if (node.isNumber) goG(node.doubleValue)
     else if (node.isBoolean) node.asBoolean.toString
     else node.toString // objects/arrays: raw JSON, the %v analogue
   }
+
+  // parse-once template cache (streaming sinks evaluate one template per
+  // destination across every row of every micro-batch)
+  private val templateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, JmesPath.Compiled]()
+  private def compiled(template: String): JmesPath.Compiled =
+    templateCache.computeIfAbsent(template, t => JmesPath.compile(t))
 
   def evaluate(template: String, payloadJson: String, fallbackKey: String): String =
     try evaluate(template, JsonMatch.parse(payloadJson), fallbackKey)
@@ -177,11 +190,15 @@ object PartitionKey {
   }
 
   /** Column fast path: extract the key from a JSON payload column with the
-    * event-id fallback. String-typed keys only (numbers come back in raw
-    * JSON text form, not `%g` — use [[evaluate]] for exact parity).
+    * event-id fallback. Subset templates compile to codegen'd
+    * `get_json_object` (string-typed keys only — numbers come back in raw
+    * JSON text form, not `%g`; use [[evaluate]] for exact parity).
     * `join(…)` templates render via `concat_ws`; a missing element — an
     * evaluation error in the reference — takes the fallback, matching what
-    * the reference's Kinesis caller does with that error. */
+    * the reference's Kinesis caller does with that error. Any other
+    * spec-legal template runs the full [[JmesPath]] engine per row with
+    * [[evaluate]]'s exact rendering; syntax errors throw HERE, at query
+    * build, not per row. */
   def column(template: String, payloadCol: Column, fallbackCol: Column): Column =
     parseJoin(template) match {
       case Some((sep, parts)) =>
@@ -190,10 +207,14 @@ object PartitionKey {
         val joined = concat_ws(sep, cols: _*)
         when(anyMissing || joined === "", fallbackCol).otherwise(joined)
       case None => toJsonPath(template) match {
-        case None => fallbackCol
         case Some(p) =>
           val extracted = get_json_object(payloadCol, p)
           when(extracted.isNull || extracted === "", fallbackCol).otherwise(extracted)
+        case None =>
+          JmesPath.compile(template) // validate now; fail at plan time
+          val full = udf((payload: String, fb: String) =>
+            evaluate(template, payload, fb))
+          full(payloadCol, fallbackCol)
       }
     }
 }

@@ -1,0 +1,193 @@
+package graft
+
+import graft.functions.JmesPath
+import graft.functions.JmesPath.JmesPathError
+import graft.functions.JsonMatch
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec-example conformance for the full JMESPath engine (cases drawn
+  * from the published jmespath.org specification examples). */
+class JmesPathSpec extends AnyFunSuite {
+
+  private def run(expr: String, data: String): String =
+    JmesPath.search(expr, JsonMatch.parse(data)).toString
+
+  private def check(expr: String, data: String, expected: String): Unit =
+    assert(run(expr, data) == JsonMatch.parse(expected).toString,
+      s"expr=$expr data=$data")
+
+  test("basic field, nested, missing, index, negative index") {
+    check("a", """{"a":"foo"}""", "\"foo\"")
+    check("a.b.c.d", """{"a":{"b":{"c":{"d":"value"}}}}""", "\"value\"")
+    check("b", """{"a":"foo"}""", "null")
+    check("a.b", """{"a":"foo"}""", "null")
+    check("[1]", """["a","b","c"]""", "\"b\"")
+    check("[-1]", """["a","b","c"]""", "\"c\"")
+    check("[5]", """["a"]""", "null")
+    check("a[0]", """{"a":[1,2]}""", "1")
+    check("\"with space\"", """{"with space":"v"}""", "\"v\"")
+    check("\"special-chars!\"", """{"special-chars!":"v"}""", "\"v\"")
+  }
+
+  test("slices: basic, step, negative, defaults") {
+    val d = "[0,1,2,3,4,5,6,7,8,9]"
+    check("[0:5]", d, "[0,1,2,3,4]")
+    check("[5:10]", d, "[5,6,7,8,9]")
+    check("[:5]", d, "[0,1,2,3,4]")
+    check("[::2]", d, "[0,2,4,6,8]")
+    check("[::-1]", d, "[9,8,7,6,5,4,3,2,1,0]")
+    check("[8:2:-2]", d, "[8,6,4]")
+    check("[-3:]", d, "[7,8,9]")
+  }
+
+  test("list and slice projections continue with RHS and drop nulls") {
+    check("people[*].first",
+      """{"people":[{"first":"James","last":"d"},{"first":"Jacob","last":"e"},{"missing":"x"}]}""",
+      """["James","Jacob"]""")
+    check("people[:2].first",
+      """{"people":[{"first":"James"},{"first":"Jacob"},{"first":"Jayden"}]}""",
+      """["James","Jacob"]""")
+    // projection on a non-array is null
+    check("a[*].b", """{"a":{"b":1}}""", "null")
+    // projections stop at pipe
+    check("people[*].first | [0]",
+      """{"people":[{"first":"James"},{"first":"Jacob"}]}""",
+      "\"James\"")
+    // without pipe, [0] applies per-element (and yields nothing here)
+    check("ops[*].numArgs[0]",
+      """{"ops":[{"numArgs":[1,2]},{"numArgs":[3]}]}""",
+      "[1,3]")
+  }
+
+  test("object projection and flatten") {
+    check("ops.*.numArgs",
+      """{"ops":{"functionA":{"numArgs":2},"functionB":{"numArgs":3},"functionC":{"variadic":true}}}""",
+      "[2,3]")
+    check("reservations[*].instances[*].state | []",
+      """{"reservations":[{"instances":[{"state":"running"},{"state":"stopped"}]},{"instances":[{"state":"terminated"}]}]}""",
+      """["running","stopped","terminated"]""")
+    check("[]", """[[0,1],[2,3],4,[5]]""", "[0,1,2,3,4,5]")
+    check("a[].b", """{"a":[{"b":1},[{"b":2}],{"b":3}]}""", "[1,2,3]")
+  }
+
+  test("filter projections with comparators and logic") {
+    val machines = """{"machines":[{"name":"a","state":"running"},{"name":"b","state":"stopped"},{"name":"c","state":"running"}]}"""
+    check("machines[?state=='running'].name", machines, """["a","c"]""")
+    check("machines[?state!='running'].name", machines, """["b"]""")
+    val nums = """{"xs":[{"v":1},{"v":2},{"v":3},{"v":4}]}"""
+    check("xs[?v>`2`].v", nums, "[3,4]")
+    check("xs[?v>=`2` && v<`4`].v", nums, "[2,3]")
+    check("xs[?v<`2` || v>`3`].v", nums, "[1,4]")
+    check("xs[?!(v>`1`)].v", nums, "[1]")
+    // ordering comparator on non-number is null -> falsy -> excluded
+    check("xs[?v>'a']", """{"xs":[{"v":"b"}]}""", "[]")
+  }
+
+  test("multiselect list and hash") {
+    val d = """{"people":[{"name":"a","state":{"name":"up"}},{"name":"b","state":{"name":"down"}}]}"""
+    check("people[].[name, state.name]", d, """[["a","up"],["b","down"]]""")
+    check("people[].{Name: name, State: state.name}", d,
+      """[{"Name":"a","State":"up"},{"Name":"b","State":"down"}]""")
+    // multiselect keeps nulls (unlike projections)
+    check("[missing, name]", """{"name":"x"}""", """[null,"x"]""")
+    // multiselect on null input is null
+    check("a.[b]", """{"c":1}""", "null")
+  }
+
+  test("pipes, or/and value semantics, not, current node") {
+    check("a || b", """{"b":"bee"}""", "\"bee\"")
+    check("a || b", """{"a":"aye","b":"bee"}""", "\"aye\"")
+    check("a && b", """{"a":"aye","b":"bee"}""", "\"bee\"")
+    check("a && b", """{"a":[],"b":"bee"}""", "[]")
+    check("!a", """{"a":""}""", "true")
+    check("!a", """{"a":0}""", "false") // numbers always truthy, incl. 0
+    check("@", """{"a":1}""", """{"a":1}""")
+    check("a | @", """{"a":{"b":1}}""", """{"b":1}""")
+    check("length(@)", "[1,2,3]", "3.0")
+  }
+
+  test("literals: raw strings, JSON, legacy bare form") {
+    check("'raw string'", "{}", "\"raw string\"")
+    check("`{\"k\":2}`", "{}", """{"k":2}""")
+    check("`[1,2]`[0]", "{}", "1")
+    check("`foo`", "{}", "\"foo\"") // legacy: non-JSON backtick content is a string
+    check("foo[?bar==`1`]", """{"foo":[{"bar":1},{"bar":2}]}""", """[{"bar":1}]""")
+  }
+
+  test("functions: strings and arrays") {
+    check("join(', ', @)", """["a","b"]""", "\"a, b\"")
+    check("starts_with(@, 'jme')", "\"jmespath\"", "true")
+    check("ends_with(@, 'path')", "\"jmespath\"", "true")
+    check("contains(@, 'mes')", "\"jmespath\"", "true")
+    check("contains(@, `2`)", "[1,2,3]", "true")
+    check("contains(@, `5`)", "[1,2,3]", "false")
+    check("length('abc')", "{}", "3.0")
+    check("length(@)", """{"a":1,"b":2}""", "2.0")
+    check("reverse(@)", "[1,2,3]", "[3,2,1]")
+    check("reverse(@)", "\"abc\"", "\"cba\"")
+    check("sort(@)", "[3,1,2]", "[1,2,3]")
+    check("sort(@)", """["b","a","c"]""", """["a","b","c"]""")
+    check("keys(@)", """{"a":1,"b":2}""", """["a","b"]""")
+    check("values(@)", """{"a":1,"b":2}""", "[1,2]")
+    check("merge(@, `{\"b\":2}`)", """{"a":1,"b":1}""", """{"a":1,"b":2}""")
+    check("not_null(a, b, c)", """{"b":null,"c":"x"}""", "\"x\"")
+    check("to_array(@)", "1", "[1]")
+    check("to_array(@)", "[1]", "[1]")
+  }
+
+  test("functions: numeric") {
+    check("abs(`-5`)", "{}", "5.0")
+    check("ceil(`1.2`)", "{}", "2.0")
+    check("floor(`1.8`)", "{}", "1.0")
+    check("sum(@)", "[1,2,3]", "6.0")
+    check("sum(@)", "[]", "0.0")
+    check("avg(@)", "[1,2,3]", "2.0")
+    check("avg(@)", "[]", "null")
+    check("max(@)", "[1,3,2]", "3")
+    check("min(@)", "[1,3,2]", "1")
+    check("max(@)", """["a","c","b"]""", "\"c\"")
+    check("to_number('4')", "{}", "4.0")
+    check("to_number('abc')", "{}", "null")
+    check("to_string(`2`)", "{}", "\"2\"")
+    check("to_string(@)", """{"a":1}""", "\"{\\\"a\\\":1}\"")
+    check("type(@)", "[1]", "\"array\"")
+    check("type('x')", "{}", "\"string\"")
+  }
+
+  test("functions: expression references (map, sort_by, max_by, min_by)") {
+    val people = """{"people":[{"name":"b","age":30},{"name":"a","age":50},{"name":"c","age":40}]}"""
+    check("sort_by(people, &age)[].name", people, """["b","c","a"]""")
+    check("sort_by(people, &name)[0].age", people, "50")
+    check("max_by(people, &age).name", people, "\"a\"")
+    check("min_by(people, &age).name", people, "\"b\"")
+    check("map(&age, people)", people, "[30,50,40]")
+    // map keeps nulls where projections would drop them
+    check("map(&missing, people)", people, "[null,null,null]")
+  }
+
+  test("errors: syntax, unknown function, invalid types, arity") {
+    assertThrows[JmesPathError](JmesPath.compile("foo["))
+    assertThrows[JmesPathError](JmesPath.compile("a ="))
+    assertThrows[JmesPathError](JmesPath.compile("a.'b'"))
+    assertThrows[JmesPathError](run("nope(@)", "{}"))
+    assertThrows[JmesPathError](run("abs('x')", "{}"))
+    assertThrows[JmesPathError](run("abs(`1`, `2`)", "{}"))
+    assertThrows[JmesPathError](run("sum(@)", """["a"]"""))
+    assertThrows[JmesPathError](run("sort_by(@, &a)", """[{"a":{}}]"""))
+    assertThrows[JmesPathError](run("join(', ', @)", "[1,2]"))
+  }
+
+  test("deep equality and number comparison across int/double forms") {
+    check("a==`1`", """{"a":1.0}""", "true")
+    check("a==b", """{"a":[1,{"k":2}],"b":[1,{"k":2.0}]}""", "true")
+    check("a==b", """{"a":{"x":1},"b":{"x":2}}""", "false")
+    check("a!=b", """{"a":[1],"b":[1,2]}""", "true")
+  }
+
+  test("projection chains: nested wildcards") {
+    check("a[*].b[*].c",
+      """{"a":[{"b":[{"c":1},{"c":2}]},{"b":[{"c":3}]}]}""",
+      "[[1,2],[3]]")
+    check("*.b", """{"x":{"b":1},"y":{"b":2},"z":{"c":3}}""", "[1,2]")
+  }
+}

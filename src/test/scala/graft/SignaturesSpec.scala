@@ -181,7 +181,39 @@ class SignaturesSpec extends AnyFunSuite {
     assert(PartitionKey.evaluate("user.empty", p, "fb") == "fb") // "" -> fallback
     assert(PartitionKey.evaluate("user.missing", p, "fb") == "fb")
     assert(PartitionKey.evaluate("", p, "fb") == "fb")
-    intercept[IllegalArgumentException](PartitionKey.evaluate("a[*].b", p, "fb"))
+    // beyond the fast subset, spec-legal templates run the FULL JMESPath
+    // engine (the reference links all of go-jmespath); syntax errors throw
+    assert(PartitionKey.evaluate("a[*].b", p, "fb") == "fb") // null projection
+    assert(PartitionKey.evaluate("user.* | [0]", p, "fb") == "u7")
+    assert(PartitionKey.evaluate("user.id || user.missing", p, "fb") == "u7")
+    assert(PartitionKey.evaluate("user.missing || user.id", p, "fb") == "u7")
+    assert(PartitionKey.evaluate("length(user.id)", p, "fb") == "2")
+    intercept[IllegalArgumentException](PartitionKey.evaluate("user.id[", p, "fb"))
+  }
+
+  test("partition key: full-JMESPath templates in evaluate and Column form") {
+    val spark2 = SparkTestBase.spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val p =
+      """{"items":[{"sku":"a1","qty":2},{"sku":"b2","qty":0},{"sku":"c3","qty":5}],
+        |"meta":{"region":"eu","tier":"gold"}}""".stripMargin.replace("\n", "")
+    // filter projection + pipe; multiselect hash; sort_by; to_string
+    assert(PartitionKey.evaluate("items[?qty>`1`].sku | [0]", p, "fb") == "a1")
+    assert(PartitionKey.evaluate("join('-', items[*].sku)", p, "fb") == "a1-b2-c3")
+    assert(PartitionKey.evaluate("sort_by(items, &qty)[-1].sku", p, "fb") == "c3")
+    assert(PartitionKey.evaluate("meta.[region, tier] | join('_', @)", p, "fb") == "eu_gold")
+    // %g rendering applies to full-engine numeric results too
+    assert(PartitionKey.evaluate("sum(items[*].qty)", p, "fb") == "7")
+    // Column form routes out-of-subset templates through the same engine
+    val df = Seq(p, """{"items":[],"meta":{}}""").toDF("j")
+    val got = df.select(PartitionKey.column(
+      "items[?qty>`1`].sku | [0]", col("j"), lit("FB")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a1", "FB"))
+    // syntax errors surface at query build, not per row
+    intercept[graft.functions.JmesPath.JmesPathError](
+      PartitionKey.column("items[", col("j"), lit("FB")))
   }
 
   test("partition key: reference test table ported verbatim (partitionkey_test.go)") {
