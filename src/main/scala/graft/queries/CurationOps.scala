@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-selection operators for pretraining corpora: hashed-feature
+  * importance weighting (the DSIR recipe — Xie et al. 2023, "Data
+  * Selection for Language Models via Importance Resampling") and
+  * temperature-flattened source mixing (the multilingual/multi-source
+  * sampling scheme from the mT5/data-mixing literature).
+  *
+  * Both are exact and engine-independent by construction — every
+  * "random" choice is a pure function of md5 over row content, and every
+  * floating aggregation is integerized before summing (see the
+  * determinism note in [[Relational]]) — so both gate queries hash-match
+  * a DuckDB oracle.
+  *
+  * Scale shape (100 TB): DSIR is two token-bucket aggregations (a 256-row
+  * distribution each), a broadcast of those 256 log-ratios onto the token
+  * stream, and one per-doc integer sum — no shuffle carries anything
+  * wider than (doc_id, bucket). Mixture sampling is one per-group count,
+  * a broadcast of per-group rates, and a per-row hash compare.
+  */
+object CurationOps {
+
+  /** 256 hashed feature buckets: the first two md5 hex chars of the
+    * token. Cheap, engine-portable, and collision-uniform — the hashed
+    * n-gram trick from the DSIR paper at its smallest useful size. */
+  private def bucketOf(tok: org.apache.spark.sql.Column) =
+    substring(md5(tok), 1, 2)
+
+  /** Importance score per document: sum over tokens of
+    * ln(p_target(bucket)) − ln(p_corpus(bucket)), add-1 smoothed over the
+    * 256-bucket domain, integerized to micro-nats per token BEFORE the
+    * per-doc sum (double-summation order is nondeterministic under
+    * shuffle; integer summation is exact). Target distribution = the
+    * English subcorpus; the score therefore ranks documents by how
+    * English-unigram-like their token mass is. */
+  def dsirImportance(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket", bucketOf(col("tok")))
+
+    val targetCounts = toks.filter(col("lang") === "en")
+      .groupBy("bucket").agg(count(lit(1)).as("c_t"))
+    val corpusCounts = toks.groupBy("bucket").agg(count(lit(1)).as("c_s"))
+
+    // full 256-bucket domain so add-1 smoothing covers unseen buckets
+    val domain = spark.range(256)
+      .select(format_string("%02x", col("id")).as("bucket"))
+    val dist = domain
+      .join(targetCounts, Seq("bucket"), "left")
+      .join(corpusCounts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"))
+    val totals = dist.agg(sum("c_t").as("tt"), sum("c_s").as("ts"))
+    val lr = dist.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("c_t") + 1).cast("double") / (col("tt") + 256).cast("double")) -
+          log((col("c_s") + 1).cast("double") / (col("ts") + 256).cast("double")))
+          .as("lr"))
+      .select(col("bucket"), round(col("lr") * 1e6).cast("long").as("micro"))
+
+    toks.join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("micro").as("score_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Temperature-flattened mixture sampling (τ = 0.5): each group g is
+    * down-sampled at rate min(1, K/√n_g), i.e. an expected budget of
+    * K·√n_g docs per group — the τ-power flattening of the natural
+    * distribution, without any cross-group normalizing sum (a double
+    * reduction whose order would differ between engines). The keep
+    * decision is a pure hash threshold: md5(doc_id) as a 32-bit hex
+    * fraction under floor(rate·2³²), so membership is deterministic,
+    * id-stable, and identical in any engine. */
+  def mixtureSample(docs: DataFrame, groupCol: String, k: Double): DataFrame = {
+    val rates = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rate", least(lit(1.0), lit(k) / sqrt(col("n_docs"))))
+      .withColumn("cut",
+        format_string("%08x", floor(col("rate") * lit(4294967296.0)).cast("long")))
+    docs.join(broadcast(rates), Seq(groupCol))
+      .withColumn("kept",
+        col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 8) < col("cut"))
+      .groupBy(col(groupCol), col("n_docs"), round(col("rate"), 6).as("rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col(groupCol))
+  }
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_importance" -> ((s, dir) => dsirImportance(Tables.documents(s, dir))),
+    "mixture_sample" -> ((s, dir) =>
+      mixtureSample(Tables.documents(s, dir), "lang", k = 5.0))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dsir_importance" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |domain AS (SELECT printf('%02x', i) AS bucket FROM range(256) t(i)),
+        |tc AS (SELECT bucket, count(*) AS c_t FROM toks WHERE lang = 'en' GROUP BY 1),
+        |sc AS (SELECT bucket, count(*) AS c_s FROM toks GROUP BY 1),
+        |dist AS (
+        |  SELECT d.bucket, coalesce(tc.c_t, 0) AS c_t, coalesce(sc.c_s, 0) AS c_s
+        |  FROM domain d LEFT JOIN tc USING (bucket) LEFT JOIN sc USING (bucket)),
+        |tot AS (SELECT sum(c_t) AS tt, sum(c_s) AS ts FROM dist),
+        |lr AS (
+        |  SELECT bucket,
+        |    CAST(round((ln((c_t + 1) / CAST(tt + 256 AS DOUBLE))
+        |              - ln((c_s + 1) / CAST(ts + 256 AS DOUBLE))) * 1e6) AS BIGINT)
+        |      AS micro
+        |  FROM dist, tot)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(lr.micro) AS BIGINT) AS score_micro
+        |FROM toks t JOIN lr USING (bucket)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "mixture_sample" ->
+      """WITH rates AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    least(1.0, 5.0 / sqrt(count(*))) AS rate
+        |  FROM documents GROUP BY 1),
+        |cuts AS (
+        |  SELECT lang, n_docs, rate,
+        |    printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT)) AS cut
+        |  FROM rates)
+        |SELECT d.lang, c.n_docs, round(c.rate, 6) AS rate,
+        |  CAST(sum(CASE WHEN c.rate >= 1.0
+        |        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < c.cut
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN cuts c USING (lang)
+        |GROUP BY d.lang, c.n_docs, c.rate ORDER BY d.lang""".stripMargin
+  )
+}
