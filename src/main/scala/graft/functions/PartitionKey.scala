@@ -200,7 +200,8 @@ object PartitionKey {
     * [[evaluate]]'s exact rendering; syntax errors throw HERE, at query
     * build, not per row. */
   def column(template: String, payloadCol: Column, fallbackCol: Column): Column =
-    parseJoin(template) match {
+    if (template == null || template.isEmpty) fallbackCol
+    else parseJoin(template) match {
       case Some((sep, parts)) =>
         val cols = parts.map(p => get_json_object(payloadCol, toJsonPath(p).get))
         val anyMissing = cols.map(_.isNull).reduce(_ || _)
