@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] shares one unified memory pool across 32 task slots; 8g
+  // starved the storage fraction under the bench's persisted dedup
+  // intermediates (measured eviction churn). The sandbox has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
 // Tests run on a DST-shifting, negative-offset host timezone on purpose:
 // operators must be timezone-independent (explicit-UTC field arithmetic),

@@ -29,7 +29,12 @@ for name in HEADLINE:
         continue
     sql = oracles[name]
     con.sql(sql).fetchall()  # warmup
-    t0 = time.time()
-    con.sql(sql).fetchall()
-    out[name] = round(time.time() - t0, 3)
+    def timed():
+        t0 = time.time()
+        con.sql(sql).fetchall()
+        return time.time() - t0
+    first = timed()
+    # median-of-3 on multi-second queries, mirroring graft.Bench
+    dt = sorted([first, timed(), timed()])[1] if first > 2.0 else first
+    out[name] = round(dt, 3)
 print(json.dumps({"total": round(sum(out.values()), 3), "queries": out, "sf": sfdir}))

@@ -6,8 +6,18 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line {"metric":...,"queries":{...}}.
   *
   * Queries are fully materialized through the noop sink (count() would let
-  * Catalyst prune the world). One untimed warmup pass amortizes JIT +
-  * codegen so the numbers measure the plans, not the JVM.
+  * Catalyst prune the world). Methodology mirrors the DuckDB side
+  * (`scripts/duck_bench.py`: per-query warmup run, then a timed full
+  * re-execution): each query gets one untimed warmup pass (JIT, codegen,
+  * file listing, OS page cache — the things a steady-state engine has),
+  * then the cache manager is CLEARED so the timed pass re-executes the
+  * whole query including its own persist materializations — Spark's
+  * plan-matching cache reuse would otherwise let a timed run skip work
+  * its warmup did, which DuckDB's timed runs cannot. Clearing again after
+  * the timed pass keeps 25 queries' accumulated intermediates from
+  * evicting each other (the storage pool is shared; cross-query churn
+  * measured +3–6 s on the dedup family under the previous
+  * warmup-all-then-time-all loop).
   */
 object Bench {
 
@@ -43,13 +53,30 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warmup (untimed): JIT, codegen caches, file listing
-    qs.foreach(n => try runOne(n) catch { case _: Throwable => () })
-
-    val results = qs.map { name =>
+    def timedRun(name: String): Double = {
+      spark.catalog.clearCache() // timed pass re-executes everything
+      // settle async unpersist/broadcast cleanup + prior query's garbage
+      // BEFORE the clock starts, so it isn't charged to this query
+      System.gc()
+      Thread.sleep(200)
       val t0 = System.nanoTime()
       val ok = try { runOne(name); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      spark.catalog.clearCache() // no cross-query storage-pool churn
+      dt
+    }
+
+    val results = qs.map { name =>
+      try runOne(name) catch { case _: Throwable => () } // warmup (untimed)
+      val first = timedRun(name)
+      // multi-second queries carry multi-second GC/AQE/scheduling noise at
+      // local[32]; report the MEDIAN of three cold runs (not the min —
+      // median is the honest central tendency, and duck_bench.py applies
+      // the same rule)
+      val dt =
+        if (first > 2.0) Seq(first, timedRun(name), timedRun(name)).sorted.apply(1)
+        else first
+      name -> dt
     }
     val qJson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

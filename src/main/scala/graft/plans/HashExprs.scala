@@ -59,9 +59,66 @@ case class MinHashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Native intersection size over two SORTED string arrays:
+  * `graft_sorted_intersect_size(a, b): int`.
+  *
+  * Exact-Jaccard verification intersects two ~10³-element token arrays
+  * for every surviving candidate pair (millions of pairs). Spark's
+  * `array_intersect` builds a per-row hash set — one allocation-heavy
+  * O(n) pass per PAIR. When both arrays are sorted (a per-REP
+  * `array_sort`, paid once before the pair join, not per pair), the
+  * intersection size is a zero-allocation two-pointer merge. Inputs must
+  * be sorted ascending and duplicate-free (graft token sets are distinct
+  * by construction); result equals `size(array_intersect(a, b))` exactly.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(Seq(left, right).forall(_.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }), s"graft_sorted_intersect_size expects array<string> inputs, " +
+    s"got ${left.dataType} / ${right.dataType}")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashExprs.sortedIntersectCount(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.HashExprs.sortedIntersectCount($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object HashExprs {
   private final val GoldenGamma = 0x9E3779B97F4A7C15L
   private final val SparkHashSeed = 42L
+
+  /** Two-pointer merge count over sorted duplicate-free string arrays.
+    * Null elements (none in graft token sets) sort wherever the producing
+    * sort put them and simply never match. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (n, m) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n && j < m) {
+      if (a.isNullAt(i)) i += 1
+      else if (b.isNullAt(j)) j += 1
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
 
   /** Shared by interpreted eval and generated code (static forwarder). */
   def minhashCompute(tokens: ArrayData, k: Int): ArrayData = {
@@ -92,7 +149,7 @@ object HashExprs {
   }
 
   /** Register graft hash expressions on a session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhash_sig",
       exprs => {
@@ -104,8 +161,17 @@ object HashExprs {
         MinHashSig(exprs(0), k)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_sorted_intersect_size",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)),
+      "built-in")
+  }
 
   /** Column form; requires [[install]] on the executing session. */
   def minhashSig(tokens: Column, numHashes: Int): Column =
     call_function("graft_minhash_sig", tokens, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Column form; requires [[install]] on the executing session. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect_size", a, b)
 }

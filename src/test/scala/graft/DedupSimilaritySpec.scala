@@ -208,6 +208,33 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(math.abs(c - 1.0) < 1e-12)
   }
 
+  test("sorted-intersect count equals array_intersect size on real token sets") {
+    graft.plans.HashExprs.install(spark)
+    val toks = docs.select(
+      graft.functions.TextFunctions.distinctTokens(col("text")).as("a"))
+    val pairs = toks.limit(60).crossJoin(
+      toks.limit(60).withColumnRenamed("a", "b"))
+    val both = pairs.select(
+      graft.plans.HashExprs.sortedIntersectSize(
+        array_sort(col("a")), array_sort(col("b"))).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+    assert(both.filter(col("fast") =!= col("ref")).count() == 0)
+  }
+
+  test("sorted-intersect edge cases: empty, disjoint, identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.plans.HashExprs.install(spark)
+    val df = Seq(
+      (Seq[String](), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq("a", "c", "e"), Seq("b", "c", "d", "e"))).toDF("a", "b")
+    val got = df.select(graft.plans.HashExprs.sortedIntersectSize(
+      array_sort(col("a")), array_sort(col("b")))).collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(0, 0, 3, 2))
+  }
+
   test("native minhash signature is bit-identical to the declarative form") {
     graft.plans.HashExprs.install(spark)
     val toks = docs.limit(100).select(
