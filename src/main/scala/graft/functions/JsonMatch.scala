@@ -52,6 +52,11 @@ object JsonMatch {
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
+  /** Parse UTF-8 bytes directly — the batch hot path hands Spark
+    * `UTF8String` payloads whose bytes Jackson can consume without the
+    * UTF-16 round trip `toString` would pay (one decode per row saved). */
+  def parse(json: Array[Byte]): JsonNode = mapper.readTree(json)
+
   /** Top-level entry: does `input` match `schema`? */
   def matches(schema: JsonNode, input: JsonNode): Boolean = matchSchema(input, schema)
 

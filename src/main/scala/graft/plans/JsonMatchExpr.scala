@@ -44,7 +44,9 @@ case class JsonMatchExpr(left: Expression, right: Expression)
   /** Entry point shared by interpreted eval and generated code. */
   def doMatch(schema: UTF8String, in: UTF8String): Boolean = constSchema match {
     case Some(parsed) =>
-      try JsonMatch.matches(parsed, JsonMatch.parse(in.toString))
+      // parse the UTF8String's bytes directly: Jackson reads UTF-8, so the
+      // toString UTF-16 decode would be pure overhead on the per-row path
+      try JsonMatch.matches(parsed, JsonMatch.parse(in.getBytes))
       catch { case _: Exception => false }
     case None => JsonMatch.matches(schema.toString, in.toString)
   }

@@ -53,4 +53,49 @@ class PlanSpec extends GraftSuite {
       assert(got(d) == graft.functions.JsonMatch.matches(schema, d), d)
     }
   }
+
+  test("dsir importance: the log-ratio table broadcasts, tokens never re-shuffle for it") {
+    val df = graft.queries.CurationOps.dsirImportance(
+      graft.core.Tables.documents(spark, sf))
+    val phys = df.queryExecution.executedPlan.toString
+    // the 256-bucket lr table must come in as a broadcast build side (the
+    // tiny c_t/c_s distribution aggregates legitimately exchange their
+    // 256-bucket partials); the TOKEN-STREAM probe side must flow
+    // Generate → Project → BroadcastHashJoin with no exchange of its own
+    val lines = phys.linesIterator.toVector
+    val bhj = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin [bucket") && l.contains("BuildRight"))
+    assert(bhj >= 0, s"no broadcast join on bucket:\n$phys")
+    val probeSide = lines.drop(bhj + 1)
+      .takeWhile(l => !l.contains("BroadcastExchange"))
+    assert(probeSide.exists(_.contains("Generate explode")), phys)
+    assert(!probeSide.exists(_.contains("Exchange")),
+      s"token stream re-shuffled before the broadcast join:\n$phys")
+  }
+
+  test("mixture sample: per-group rates broadcast onto the doc stream") {
+    val df = graft.queries.CurationOps.mixtureSample(
+      graft.core.Tables.documents(spark, sf), "lang", k = 5.0)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+  }
+
+  test("mixture sample: rate clamps to 1.0 and keeps every doc in tiny groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group "big" has 400 docs (rate 5/20 = 0.25), "tiny" has 4 (rate 1.0)
+    val docs = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (1001 to 1004).map(i => (i.toLong, "tiny"))).toDF("doc_id", "grp")
+    val got = graft.queries.CurationOps.mixtureSample(docs, "grp", k = 5.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("big", "tiny"))
+    val big = got.head
+    assert(big._2 == 400L && math.abs(big._3 - 0.25) < 1e-9)
+    // hash-thresholded keep count concentrates near rate·n; exact value is
+    // deterministic, bound it loosely so the pin survives data edits
+    assert(big._4 > 60 && big._4 < 140, s"kept ${big._4} of 400 at rate 0.25")
+    val tiny = got(1)
+    assert(tiny._3 == 1.0 && tiny._4 == 4L, "rate-1 group must keep all docs")
+  }
 }
