@@ -180,6 +180,34 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"),
+    * in THE 100 TB output form: one (id, keeper) row per vector — keeper
+    * = the minimum id in its semantic near-duplicate component — without
+    * ever materializing member-level pair explosions.
+    *
+    * Candidate generation is the multi-table hyperplane-LSH bucket join
+    * ([[cosinePairsLsh]]: only (table, bucket, id) rows cross the wire),
+    * every candidate is verified against the EXACT cosine before it can
+    * merge anything, and components come from the same label-propagation
+    * loop the token-dedup path uses ([[graft.operators.Dedup
+    * .connectedComponents]], constant-depth localCheckpoint'ed plans).
+    * False merges are therefore impossible — the output is a refinement
+    * of the exact-threshold graph's components, with recall governed by
+    * the LSH table/bit configuration (contract-gated ≥ 0.8 alongside a
+    * Spark-side exactness refinement check in `semantic_dedup_check`). */
+  def semanticClusters(vectors: DataFrame, threshold: Double,
+                       tables: Int = 16, bits: Int = 4, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = cosinePairsLsh(vectors, threshold, tables, bits, dim, idCol, vecCol)
+      .select("id_a", "id_b")
+    val comp = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id"), col("component"))
+    vectors.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("keeper"))
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,

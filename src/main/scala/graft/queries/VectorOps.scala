@@ -90,6 +90,46 @@ object VectorOps {
         .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_80")
     }),
 
+    // SemDeDup cluster contract: (id, keeper) per vector over the
+    // exact-verified LSH graph. DuckDB recomputes n_vecs and the EXACT
+    // closure's cluster count (the 0.4-threshold graph is sparse — 59
+    // pairs at sf0.01 — so the recursive CTE is cheap); Spark pins two
+    // booleans: keeper assignment is a REFINEMENT of the exact components
+    // (no false merge — guaranteed by exact-cosine verification, asserted
+    // anyway), and merge recall ≥ 0.8 vs the exact graph.
+    "semantic_dedup_check" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, dir)
+      val clusters = Similarity.semanticClusters(vecs, threshold = 0.4).persist()
+      val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exactPairs = v.select(col("id").as("id_a"), col("v").as("v_a"))
+        .join(v.select(col("id").as("id_b"), col("v").as("v_b")),
+          col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("v_a"), col("v_b")), 6) >= 0.4)
+        .select("id_a", "id_b")
+      val exactComp = graft.operators.Dedup.connectedComponents(exactPairs)
+        .select(col("id"), col("component"))
+      val n = clusters.count()
+      val nSparkClusters = clusters.select("keeper").distinct().count()
+      val nExactClusters = n - exactComp.count() +
+        exactComp.select("component").distinct().count()
+      // refinement: id and its keeper sit in the same EXACT component
+      val merged = clusters.filter(col("id") =!= col("keeper"))
+      val badMerges = merged
+        .join(exactComp.select(col("id"), col("component").as("c_id")), Seq("id"), "left")
+        .join(exactComp.select(col("id").as("keeper"), col("component").as("c_keep")),
+          Seq("keeper"), "left")
+        .filter(col("c_id").isNull || col("c_keep").isNull ||
+          col("c_id") =!= col("c_keep"))
+        .count()
+      val sparkMerges = merged.count()
+      val exactMerges = n - nExactClusters
+      clusters.unpersist()
+      Seq((n, nExactClusters, badMerges == 0L,
+        exactMerges == 0L || sparkMerges * 10L >= exactMerges * 8L))
+        .toDF("n_vecs", "exact_clusters", "refinement_ok", "merge_recall_ge_80")
+    }),
+
     // multimodal plumbing: binary payload table → stub decode via
     // mapPartitions (real partition-batched pipeline, fake codec).
     "multimodal_meta" -> ((s, dir) => {
@@ -135,6 +175,27 @@ object VectorOps {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
+    "semantic_dedup_check" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS keeper
+        |  FROM reach GROUP BY a),
+        |agg AS (SELECT count(DISTINCT id) AS nv_in,
+        |  count(DISTINCT keeper) AS ncomp FROM comp)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+        |  CAST((SELECT count(*) FROM embeddings)
+        |    - (SELECT nv_in FROM agg) + (SELECT ncomp FROM agg) AS BIGINT)
+        |    AS exact_clusters,
+        |  true AS refinement_ok, true AS merge_recall_ge_80""".stripMargin,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
