@@ -93,10 +93,34 @@ object CurationOps {
       .orderBy(col(groupCol))
   }
 
+  /** Contiguous sequence packing: assign each document to a training
+    * context-window bin of `binTokens` tokens, filled in doc_id order
+    * within each stream (source). A document's bin is where its FIRST
+    * token lands in the concatenated stream — the standard
+    * concat-and-chop packing used to build fixed-length pretraining
+    * batches. One shuffle (by stream) + an in-partition running sum —
+    * the canonical distributed cumsum. Per-stream sequentiality is
+    * inherent to contiguous packing (a hot stream serializes); the 100 TB
+    * form shards each source into independent streams upstream. */
+  def sequencePacking(docs: DataFrame, binTokens: Int,
+                      streamCol: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(streamCol)).orderBy(col("doc_id"))
+    docs.select(col(streamCol), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("start", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("bin_id", floor(col("start") / binTokens))
+      .groupBy(col(streamCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy(col(streamCol), col("bin_id"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_importance" -> ((s, dir) => dsirImportance(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
-      mixtureSample(Tables.documents(s, dir), "lang", k = 5.0))
+      mixtureSample(Tables.documents(s, dir), "lang", k = 5.0)),
+    "sequence_packing" -> ((s, dir) =>
+      sequencePacking(Tables.documents(s, dir), binTokens = 2048))
   )
 
   def oracles: Map[String, String] = Map(
@@ -136,6 +160,18 @@ object CurationOps {
         |        OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < c.cut
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN cuts c USING (lang)
-        |GROUP BY d.lang, c.n_docs, c.rate ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang, c.n_docs, c.rate ORDER BY d.lang""".stripMargin,
+    "sequence_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS start
+        |  FROM t)
+        |SELECT source, CAST(floor(start / 2048.0) AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
   )
 }
