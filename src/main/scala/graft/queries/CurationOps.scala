@@ -78,7 +78,16 @@ object CurationOps {
     * decision is a pure hash threshold: md5(doc_id) as a 32-bit hex
     * fraction under floor(rate·2³²), so membership is deterministic,
     * id-stable, and identical in any engine. */
-  def mixtureSample(docs: DataFrame, groupCol: String, k: Double): DataFrame = {
+  def mixtureSample(docs: DataFrame, groupCol: String, k: Double): DataFrame =
+    mixtureKept(docs, groupCol, k)
+      .groupBy(col(groupCol), col("n_docs"), round(col("rate"), 6).as("rate"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col(groupCol))
+
+  /** Row-level form of [[mixtureSample]]: the input plus `n_docs`, `rate`,
+    * and the deterministic `kept` decision — the shape a pipeline composes
+    * (filter on `kept`) while the aggregate gate reports the census. */
+  def mixtureKept(docs: DataFrame, groupCol: String, k: Double): DataFrame = {
     val rates = docs.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("rate", least(lit(1.0), lit(k) / sqrt(col("n_docs"))))
@@ -88,9 +97,7 @@ object CurationOps {
       .withColumn("kept",
         col("rate") >= 1.0 ||
           substring(md5(col("doc_id").cast("string")), 1, 8) < col("cut"))
-      .groupBy(col(groupCol), col("n_docs"), round(col("rate"), 6).as("rate"))
-      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
-      .orderBy(col(groupCol))
+      .drop("cut")
   }
 
   /** Contiguous sequence packing: assign each document to a training
@@ -120,7 +127,29 @@ object CurationOps {
     "mixture_sample" -> ((s, dir) =>
       mixtureSample(Tables.documents(s, dir), "lang", k = 5.0)),
     "sequence_packing" -> ((s, dir) =>
-      sequencePacking(Tables.documents(s, dir), binTokens = 2048))
+      sequencePacking(Tables.documents(s, dir), binTokens = 2048)),
+
+    // THE composed curation pass — the realistic 100 TB shape: quality
+    // gate → exact dedup (min-id survivor per content digest) →
+    // temperature-mixture sampling, reported as a per-language funnel
+    // census. Every stage is deterministic, so the whole composition
+    // hash-matches DuckDB end-to-end. Plan shape: one window by content
+    // digest (dedup), one broadcast of per-lang rates, three lang
+    // aggregates joined — no stage shuffles document text more than once.
+    "curation_pipeline" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .filter(col("n_tok") >= 50)
+      val uniq = graft.operators.Dedup.dropExactDups(base)
+      val kept = mixtureKept(uniq, "lang", k = 5.0).filter(col("kept"))
+      val cand = base.groupBy("lang").agg(count(lit(1)).as("n_candidates"))
+      val un = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      val kk = kept.groupBy("lang").agg(
+        count(lit(1)).as("n_kept"), sum("n_tok").as("tokens_kept"),
+        min("doc_id").as("min_kept_id"), max("doc_id").as("max_kept_id"))
+      cand.join(un, Seq("lang")).join(kk, Seq("lang"), "left")
+        .orderBy("lang")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -172,6 +201,33 @@ object CurationOps {
         |  FROM t)
         |SELECT source, CAST(floor(start / 2048.0) AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin
+        |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+    "curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 50),
+        |uniq AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY doc_id) AS rn FROM base) WHERE rn = 1),
+        |rates AS (
+        |  SELECT lang, least(1.0, 5.0 / sqrt(count(*))) AS rate
+        |  FROM uniq GROUP BY 1),
+        |kept AS (
+        |  SELECT u.* FROM uniq u JOIN rates r USING (lang)
+        |  WHERE r.rate >= 1.0
+        |     OR substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 8)
+        |        < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+        |cand AS (SELECT lang, count(*) AS n_candidates FROM base GROUP BY 1),
+        |un AS (SELECT lang, count(*) AS n_unique FROM uniq GROUP BY 1),
+        |k AS (
+        |  SELECT lang, count(*) AS n_kept,
+        |    CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+        |    min(doc_id) AS min_kept_id, max(doc_id) AS max_kept_id
+        |  FROM kept GROUP BY 1)
+        |SELECT c.lang, c.n_candidates, un.n_unique,
+        |  k.n_kept, k.tokens_kept, k.min_kept_id, k.max_kept_id
+        |FROM cand c JOIN un USING (lang) LEFT JOIN k USING (lang)
+        |ORDER BY c.lang""".stripMargin
   )
 }
