@@ -190,4 +190,38 @@ class JmesPathSpec extends AnyFunSuite {
       "[[1,2],[3]]")
     check("*.b", """{"x":{"b":1},"y":{"b":2},"z":{"c":3}}""", "[1,2]")
   }
+
+  test("spec corners: quoted hash keys, escaped identifiers, filter on strings") {
+    check("""{"a b": x}""", """{"x":1}""", """{"a b":1}""")
+    check(""""\"q\"".v""", """{"\"q\"":{"v":7}}""", "7")
+    val people = """{"people":[{"n":"ann"},{"n":"bob"},{"n":"al"}]}"""
+    check("people[?starts_with(n, 'a')].n", people, """["ann","al"]""")
+    check("people[?contains(n, 'o')].n", people, """["bob"]""")
+    check("people[?n=='ann' || n=='bob'].n", people, """["ann","bob"]""")
+    check("people[?!(n=='ann')].n", people, """["bob","al"]""")
+  }
+
+  test("spec corners: projections on wrong types, stop semantics, slices of strings") {
+    check("a.b[*]", """{"a":{"b":{"c":1}}}""", "null") // [*] on object
+    check("a.*", """{"a":[1,2]}""", "null") // .* on array
+    check("[foo, bar[0]]", """{"foo":1,"bar":[9]}""", "[1,9]")
+    // filter directly on the root array
+    check("[?a>`1`] | [0].a", """[{"a":1},{"a":2},{"a":3}]""", "2")
+    // negative slice bounds beyond length clamp, not error
+    check("[-100:100]", "[1,2]", "[1,2]")
+    check("[100:]", "[1,2]", "[]")
+  }
+
+  test("spec corners: function composition and expref through pipes") {
+    val d = """{"xs":[{"k":"b","v":2},{"k":"a","v":1},{"k":"c","v":3}]}"""
+    check("sort_by(xs, &k) | [0].v", d, "1")
+    check("max_by(xs, &v) | k", d, "\"c\"")
+    check("length(xs[?v>=`2`])", d, "2.0")
+    check("join('-', sort(xs[*].k))", d, "\"a-b-c\"")
+    check("sum(map(&v, xs))", d, "6.0")
+    // later merge arguments override earlier ones
+    check("""merge(xs[0], xs[1], `{"z":9}`)""",
+      d, """{"k":"a","v":1,"z":9}""")
+    check("to_number(to_string(sum(xs[*].v)))", d, "6.0")
+  }
 }
