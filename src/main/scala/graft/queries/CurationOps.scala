@@ -122,7 +122,35 @@ object CurationOps {
       .orderBy(col(streamCol), col("bin_id"))
   }
 
+  /** CCNet-style unigram-LM perplexity signal (Wenzek et al. 2020 filter
+    * corpora by LM perplexity; the unigram LM is the degenerate exact
+    * form): per-document mean negative log-likelihood under the corpus's
+    * own unigram distribution, integerized to micro-nats per token before
+    * the per-doc sum (same determinism rule as DSIR). Exact-vocab form —
+    * the synthetic vocabulary is small; at 100 TB the vocab table is
+    * either still broadcast-able after min-count pruning (Zipf: the tail
+    * is hapaxes a min-count drops) or hashed into bounded buckets exactly
+    * like [[dsirImportance]]. */
+  def unigramPerplexity(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("n"))
+    val nll = counts.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(-log(col("c").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long").as("nll_micro"))
+    toks.join(broadcast(nll), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nll_micro").as("nll_micro_sum"))
+      .withColumn("mean_nll",
+        round(col("nll_micro_sum").cast("double") / col("n_tokens") / 1e6, 6))
+      .orderBy("doc_id")
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unigram_perplexity" -> ((s, dir) =>
+      unigramPerplexity(Tables.documents(s, dir))),
     "dsir_importance" -> ((s, dir) => dsirImportance(Tables.documents(s, dir))),
     "mixture_sample" -> ((s, dir) =>
       mixtureSample(Tables.documents(s, dir), "lang", k = 5.0)),
@@ -153,6 +181,22 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "unigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+        |nll AS (
+        |  SELECT tok,
+        |    CAST(round(-ln(c / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS nll_micro
+        |  FROM counts, tot)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(nll.nll_micro) AS BIGINT) AS nll_micro_sum,
+        |  round(CAST(sum(nll.nll_micro) AS DOUBLE) / count(*) / 1e6, 6)
+        |    AS mean_nll
+        |FROM toks t JOIN nll USING (tok)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "dsir_importance" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, substr(md5(tok), 1, 2) AS bucket
