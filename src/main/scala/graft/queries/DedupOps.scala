@@ -185,7 +185,34 @@ object DedupOps {
             .as("hll_within_5pct"),
           (col("ap95") >= col("p94") && col("ap95") <= col("p96"))
             .as("p95_within_band"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Heavy hitters: exact global top-10 tokens (DuckDB-verified rows)
+    // plus Spark's native count-min sketch pinned inside its guarantees —
+    // est ≥ true (always, by construction) and est ≤ true + ε·N (holds
+    // w.p. 1-δ; deterministic for fixed data + seed). The CMS is THE
+    // 100 TB form of "what are the hot tokens": a mergeable fixed-size
+    // aggregate, no full vocabulary aggregation needed.
+    "heavy_hitters_check" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val total = toks.count()
+      val eps = 0.001
+      val cms = toks.stat.countMinSketch(
+        "tok", eps, 0.99, 42)
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("tok"))
+        .limit(10).collect()
+        .zipWithIndex.map { case (r, i) =>
+          val est = cms.estimateCount(r.getString(0))
+          (i + 1, r.getString(0), r.getLong(1),
+            est >= r.getLong(1),
+            est <= r.getLong(1) + (eps * total).toLong)
+        }
+      top.toSeq.toDF("rank", "tok", "exact_count",
+        "cms_never_undercounts", "cms_within_eps")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -295,7 +322,16 @@ object DedupOps {
     "approx_stats_check" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS hll_within_5pct, true AS p95_within_band
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "heavy_hitters_check" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank,
+        |  tok, c AS exact_count,
+        |  true AS cms_never_undercounts, true AS cms_within_eps
+        |FROM (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok)
+        |ORDER BY c DESC, tok LIMIT 10""".stripMargin
     // dedup_minhash_lsh / dedup_simhash{,_complete} / approx_stats keep
     // their full outputs rows-only (hash-family / sketch specific); their
     // contracts are gate-checked by the *_check rows above — plus the
