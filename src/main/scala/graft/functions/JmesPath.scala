@@ -500,7 +500,19 @@ object JmesPath {
     else if (n.isArray) "array"
     else "object"
 
-  private def num(d: Double): JsonNode = DoubleNode.valueOf(d)
+  /** Engine-computed numbers. go-jmespath computes in float64, and Go's
+    * `json.Marshal` renders integral floats with no fraction (`6`, not
+    * `6.0`); every rendering of engine output goes through
+    * `JsonNode.toString`, so materialize exactly-integral results as long
+    * nodes — composed `to_string`/`join` partition keys then match
+    * reference-produced bytes. Comparisons are unaffected ([[numEq]] and
+    * orderings go through `doubleValue`). 2^53 bound keeps the long form
+    * lossless; anything beyond stays a double. */
+  private def num(d: Double): JsonNode =
+    if (d == math.rint(d) && math.abs(d) <= 9007199254740992d &&
+        !(d == 0.0 && 1 / d < 0))
+      JsonNodeFactory.instance.numberNode(d.toLong)
+    else DoubleNode.valueOf(d)
 
   private def badType(fn: String, got: JsonNode): Nothing =
     throw JmesPathError(s"$fn: invalid type ${typeName(got)}")

@@ -140,9 +140,20 @@ object PartitionKey {
   private def compiled(template: String): JmesPath.Compiled =
     templateCache.computeIfAbsent(template, t => JmesPath.compile(t))
 
+  /** String-payload form with the CALLER's error contract folded in: the
+    * reference's one production call site treats any evaluation failure as
+    * fallback-to-event-id (`destawskinesis.go:238-241`), and substitutes an
+    * empty object for a nil parsed payload (`destawskinesis.go:231-233`).
+    * So here: null/unparseable payload and runtime evaluation errors (e.g.
+    * `abs(name)` on a string — spec-legal template, type error at eval) all
+    * yield the fallback; nothing throws per row. */
   def evaluate(template: String, payloadJson: String, fallbackKey: String): String =
-    try evaluate(template, JsonMatch.parse(payloadJson), fallbackKey)
-    catch { case _: com.fasterxml.jackson.core.JacksonException => fallbackKey }
+    try {
+      val payload =
+        if (payloadJson == null) JsonMatch.parse("{}")
+        else JsonMatch.parse(payloadJson)
+      evaluate(template, payload, fallbackKey)
+    } catch { case scala.util.control.NonFatal(_) => fallbackKey }
 
   /** Go `%g` float rendering: shortest round-trip digits, fixed notation
     * unless the decimal exponent reaches the digit count or drops below -4

@@ -103,7 +103,7 @@ class JmesPathSpec extends AnyFunSuite {
     check("!a", """{"a":0}""", "false") // numbers always truthy, incl. 0
     check("@", """{"a":1}""", """{"a":1}""")
     check("a | @", """{"a":{"b":1}}""", """{"b":1}""")
-    check("length(@)", "[1,2,3]", "3.0")
+    check("length(@)", "[1,2,3]", "3")
   }
 
   test("literals: raw strings, JSON, legacy bare form") {
@@ -121,8 +121,8 @@ class JmesPathSpec extends AnyFunSuite {
     check("contains(@, 'mes')", "\"jmespath\"", "true")
     check("contains(@, `2`)", "[1,2,3]", "true")
     check("contains(@, `5`)", "[1,2,3]", "false")
-    check("length('abc')", "{}", "3.0")
-    check("length(@)", """{"a":1,"b":2}""", "2.0")
+    check("length('abc')", "{}", "3")
+    check("length(@)", """{"a":1,"b":2}""", "2")
     check("reverse(@)", "[1,2,3]", "[3,2,1]")
     check("reverse(@)", "\"abc\"", "\"cba\"")
     check("sort(@)", "[3,1,2]", "[1,2,3]")
@@ -136,17 +136,17 @@ class JmesPathSpec extends AnyFunSuite {
   }
 
   test("functions: numeric") {
-    check("abs(`-5`)", "{}", "5.0")
-    check("ceil(`1.2`)", "{}", "2.0")
-    check("floor(`1.8`)", "{}", "1.0")
-    check("sum(@)", "[1,2,3]", "6.0")
-    check("sum(@)", "[]", "0.0")
-    check("avg(@)", "[1,2,3]", "2.0")
+    check("abs(`-5`)", "{}", "5")
+    check("ceil(`1.2`)", "{}", "2")
+    check("floor(`1.8`)", "{}", "1")
+    check("sum(@)", "[1,2,3]", "6")
+    check("sum(@)", "[]", "0")
+    check("avg(@)", "[1,2,3]", "2")
     check("avg(@)", "[]", "null")
     check("max(@)", "[1,3,2]", "3")
     check("min(@)", "[1,3,2]", "1")
     check("max(@)", """["a","c","b"]""", "\"c\"")
-    check("to_number('4')", "{}", "4.0")
+    check("to_number('4')", "{}", "4")
     check("to_number('abc')", "{}", "null")
     check("to_string(`2`)", "{}", "\"2\"")
     check("to_string(@)", """{"a":1}""", "\"{\\\"a\\\":1}\"")
@@ -216,12 +216,22 @@ class JmesPathSpec extends AnyFunSuite {
     val d = """{"xs":[{"k":"b","v":2},{"k":"a","v":1},{"k":"c","v":3}]}"""
     check("sort_by(xs, &k) | [0].v", d, "1")
     check("max_by(xs, &v) | k", d, "\"c\"")
-    check("length(xs[?v>=`2`])", d, "2.0")
+    check("length(xs[?v>=`2`])", d, "2")
     check("join('-', sort(xs[*].k))", d, "\"a-b-c\"")
-    check("sum(map(&v, xs))", d, "6.0")
+    check("sum(map(&v, xs))", d, "6")
     // later merge arguments override earlier ones
     check("""merge(xs[0], xs[1], `{"z":9}`)""",
       d, """{"k":"a","v":1,"z":9}""")
-    check("to_number(to_string(sum(xs[*].v)))", d, "6.0")
+    check("to_number(to_string(sum(xs[*].v)))", d, "6")
+  }
+
+  test("to_string renders Go json.Marshal number forms (VERDICT r4 #2)") {
+    // integral computed floats carry no fraction: json.Marshal(6.0) == "6"
+    check("to_string(sum(@))", "[1,2,3]", "\"6\"")
+    check("to_string(avg(@))", "[1,2,3,4]", "\"2.5\"") // non-integral keeps fraction
+    check("to_string(ceil(`1.2`))", "{}", "\"2\"")
+    // composed partition keys built from computed numbers match Go bytes
+    check("join('-', [to_string(sum(a)), to_string(length(a))])",
+      """{"a":[2,4]}""", "\"6-2\"")
   }
 }

@@ -3,7 +3,7 @@ package graft
 import java.time.Instant
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.PartitionKey
+import graft.functions.{JsonMatch, PartitionKey}
 import graft.streaming.Signatures
 import graft.streaming.Signatures._
 
@@ -182,13 +182,22 @@ class SignaturesSpec extends AnyFunSuite {
     assert(PartitionKey.evaluate("user.missing", p, "fb") == "fb")
     assert(PartitionKey.evaluate("", p, "fb") == "fb")
     // beyond the fast subset, spec-legal templates run the FULL JMESPath
-    // engine (the reference links all of go-jmespath); syntax errors throw
+    // engine (the reference links all of go-jmespath)
     assert(PartitionKey.evaluate("a[*].b", p, "fb") == "fb") // null projection
     assert(PartitionKey.evaluate("user.* | [0]", p, "fb") == "u7")
     assert(PartitionKey.evaluate("user.id || user.missing", p, "fb") == "u7")
     assert(PartitionKey.evaluate("user.missing || user.id", p, "fb") == "u7")
     assert(PartitionKey.evaluate("length(user.id)", p, "fb") == "2")
-    intercept[IllegalArgumentException](PartitionKey.evaluate("user.id[", p, "fb"))
+    // LIBRARY contract (JsonNode form = partitionkey.go): errors THROW
+    intercept[IllegalArgumentException](
+      PartitionKey.evaluate("user.id[", JsonMatch.parse(p), "fb"))
+    // CALLER contract (string form = destawskinesis.go:238-241): ANY
+    // failure — syntax, runtime type error, null/unparseable payload —
+    // falls back to the event id instead of aborting the query
+    assert(PartitionKey.evaluate("user.id[", p, "fb") == "fb")
+    assert(PartitionKey.evaluate("abs(user.id)", p, "fb") == "fb") // abs of string: eval-time type error
+    assert(PartitionKey.evaluate("user.id", null: String, "fb") == "fb")
+    assert(PartitionKey.evaluate("user.id", "not json", "fb") == "fb")
   }
 
   test("partition key: full-JMESPath templates in evaluate and Column form") {
@@ -214,6 +223,16 @@ class SignaturesSpec extends AnyFunSuite {
     // syntax errors surface at query build, not per row
     intercept[graft.functions.JmesPath.JmesPathError](
       PartitionKey.column("items[", col("j"), lit("FB")))
+    // spec-legal template with a RUNTIME type error (abs of a string) and a
+    // null payload row: every row falls back, nothing aborts the query
+    // (destawskinesis.go:238-241)
+    val df2 = Seq(Some(p), Some("""{"meta":{"region":"eu"}}"""), None).toDF("j")
+    val got2 = df2.select(PartitionKey.column("abs(meta.region)", col("j"), lit("FB")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("FB", "FB", "FB"))
+    val got3 = df2.select(PartitionKey.column("meta.region", col("j"), lit("FB")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got3 == Seq("eu", "eu", "FB"))
   }
 
   test("partition key: reference test table ported verbatim (partitionkey_test.go)") {
@@ -230,7 +249,7 @@ class SignaturesSpec extends AnyFunSuite {
     assert(PartitionKey.evaluate("metadata.nonexistent",
       """{"metadata":{"topic":"test"}}""", "fallback-123") == "fallback-123")
     intercept[IllegalArgumentException](
-      PartitionKey.evaluate("metadata.topic[", """{}""", "fallback"))
+      PartitionKey.evaluate("metadata.topic[", JsonMatch.parse("""{}"""), "fallback"))
     assert(PartitionKey.evaluate("data.count",
       """{"data":{"count":123}}""", "fallback") == "123")
     assert(PartitionKey.evaluate("data.active",
@@ -238,8 +257,10 @@ class SignaturesSpec extends AnyFunSuite {
     assert(PartitionKey.evaluate("data.empty",
       """{"data":{"empty":""}}""", "fallback-123") == "fallback-123")
     // join with a missing/non-string element is an ERROR in go-jmespath
+    // (library form throws; the string/caller form maps it to the fallback)
     intercept[IllegalArgumentException](
-      PartitionKey.evaluate("join('-', [a, b])", """{"a":"x"}""", "fb"))
+      PartitionKey.evaluate("join('-', [a, b])", JsonMatch.parse("""{"a":"x"}"""), "fb"))
+    assert(PartitionKey.evaluate("join('-', [a, b])", """{"a":"x"}""", "fb") == "fb")
   }
 
   test("partition key join(): Column form matches the evaluator") {
