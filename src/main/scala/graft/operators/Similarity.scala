@@ -93,7 +93,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64-derived value in [-1, 1). Same formula on driver and
     * executors → the same planes everywhere with no broadcast state. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+  private[graft] def planeComponent(plane: Int, dim: Int): Double = {
     val h = scala.util.hashing.MurmurHash3.productHash((plane, dim)) & 0x7fffffff
     (h.toDouble / Int.MaxValue.toDouble) * 2.0 - 1.0
   }
@@ -198,10 +198,13 @@ object Similarity {
     * Spark-side exactness refinement check in `semantic_dedup_check`). */
   def semanticClusters(vectors: DataFrame, threshold: Double,
                        tables: Int = 16, bits: Int = 4, dim: Int = 64,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxIter: Int = 20): DataFrame = {
     val pairs = cosinePairsLsh(vectors, threshold, tables, bits, dim, idCol, vecCol)
       .select("id_a", "id_b")
-    val comp = graft.operators.Dedup.connectedComponents(pairs)
+    // maxIter propagates, and connectedComponents THROWS rather than
+    // returning unconverged (= silently split) clusters (VERDICT r4 #3)
+    val comp = graft.operators.Dedup.connectedComponents(pairs, maxIter = maxIter)
       .select(col("id"), col("component"))
     vectors.select(col(idCol).as("id"))
       .join(comp, Seq("id"), "left")

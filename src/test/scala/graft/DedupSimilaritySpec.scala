@@ -87,6 +87,64 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(prefixOnly.subsetOf(complete))
   }
 
+  test("simhash hot-bucket guard: bounded candidates, exact results (adversarial 10^4)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 10^4 fingerprints crammed into ONE high-16 bucket with pseudo-random
+    // low 48 bits, plus two planted near pairs. Unguarded this bucket alone
+    // is 5·10^7 candidate comparisons; the 12-bit sub-window re-blocking
+    // spreads it to ~2.4 ids per (win, sub) group.
+    def splitmix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val hi = 0xABCDL << 48
+    val base = (0 until 10000).map(i =>
+      (i.toLong, hi | (splitmix(i.toLong) & 0xFFFFFFFFFFFFL)))
+    val planted = Seq(
+      (10001L, base(0)._2 ^ 3L), // hamming 2 from doc 0
+      (10002L, base(7)._2 ^ ((1L << 5) | (1L << 17) | (1L << 40)))) // hamming 3, bits spread across 3 sub-windows
+    val all = base ++ planted
+    val got = Dedup.simhashPairsFromFingerprints(all.toDF("id", "sh"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: local brute force (5·10^7 popcounts, well under a second)
+    val ids = all.map(_._1).toArray
+    val shs = all.map(_._2).toArray
+    val truth = scala.collection.mutable.Set.empty[(Long, Long, Int)]
+    var i = 0
+    while (i < shs.length) {
+      var j = i + 1
+      while (j < shs.length) {
+        val h = java.lang.Long.bitCount(shs(i) ^ shs(j))
+        if (h <= 3 && (shs(i) >>> 48) == (shs(j) >>> 48))
+          truth += ((math.min(ids(i), ids(j)), math.max(ids(i), ids(j)), h))
+        j += 1
+      }
+      i += 1
+    }
+    assert(got == truth.toSet)
+    assert(got.contains((0L, 10001L, 2)) && got.contains((7L, 10002L, 3)))
+    // guard's actual candidate volume: Σ C(n,2) over (win, sub) groups
+    val groups = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    all.foreach { case (_, s) =>
+      (0 until 4).foreach { w =>
+        val sub = (s >>> (w * 12)) & 0xFFFL
+        groups((w, sub)) = groups.getOrElse((w, sub), 0L) + 1
+      }
+    }
+    val cands = groups.values.map(n => n * (n - 1) / 2).sum
+    assert(cands < 300000L, s"guarded candidate volume $cands (unguarded: ~5e7)")
+  }
+
+  test("simhash hot-bucket guard is result-invariant on real docs") {
+    val sample = docs.limit(300)
+    def run(cap: Int) = Dedup.simhashPairs(sample, maxHamming = 3, hotBucketCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(run(1) == run(Int.MaxValue)) // every bucket hot vs none hot
+  }
+
   test("simhash pairs have genuinely similar token multisets") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
     // sanity: hamming bound respected and pair ids ordered
@@ -163,6 +221,20 @@ class DedupSimilaritySpec extends GraftSuite {
     val got = graft.operators.Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: diameter past maxIter raises, never splits silently") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a 25-edge chain (diameter 25): min-label propagation moves the min one
+    // hop per iteration, so the default maxIter=20 CANNOT converge — the
+    // contract is to throw, not to return split components (VERDICT r4 #3)
+    val chain = (1L to 25L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException](
+      graft.operators.Dedup.connectedComponents(chain))
+    val got = graft.operators.Dedup.connectedComponents(chain, maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 26L).toSet && got.values.forall(_ == 1L))
   }
 
   test("cosinePairsLsh: verified subset of exact global pairs, recall >= 0.8") {
