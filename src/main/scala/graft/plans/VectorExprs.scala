@@ -34,12 +34,18 @@ case class DotProduct(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    // element accessors are PER SIDE, as in doGenCode: a mixed
+    // float×double call (e.g. a float embedding against a double literal
+    // plane array) must not read 8 bytes from a 4-byte-element array
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
     var acc = 0.0
     var i = 0
-    if (elemIsFloat(left) && elemIsFloat(right)) {
-      while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-    } else {
-      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
     }
     acc
   }

@@ -26,14 +26,18 @@ object VectorOps {
     "knn_brute_force" -> ((s, dir) =>
       Similarity.knnBrute(Tables.embeddings(s, dir), queryVec(s, dir), k = 20)),
 
-    // IVF-style ANN: label cells, probe 3 nearest centroids (rows-only —
-    // approximate by design; exactness pinned in ScalaTest vs brute force).
+    // IVF-style ANN: label cells, probe 3 nearest centroids. FULLY oracled
+    // (round 5): the probe→re-rank pipeline is deterministic given the
+    // data, so DuckDB replays it — 64 per-dimension avg centroids, top-3
+    // cells by centroid cosine, exact re-rank inside them.
     "ann_ivf" -> ((s, dir) =>
       Similarity.annIvf(Tables.embeddings(s, dir), queryVec(s, dir),
         k = 20, nProbe = 3, cellCol = "label")),
 
-    // hyperplane-LSH ANN: cosine-aligned buckets, Hamming-1 probing
-    // (rows-only — approximate; recall pinned in ScalaTest).
+    // hyperplane-LSH ANN: cosine-aligned sign buckets. FULLY oracled
+    // (round 5): the planes are pseudo-random but DETERMINISTIC
+    // (planeComponent), so the oracle SQL embeds the same plane components
+    // as literals and DuckDB recomputes the signature match itself.
     "ann_hyperplane" -> ((s, dir) =>
       Similarity.annHyperplane(Tables.embeddings(s, dir), queryVec(s, dir), k = 20)),
 
@@ -141,7 +145,56 @@ object VectorOps {
     })
   )
 
+  /** DuckDB replay of [[Similarity.annIvf]] (label cells, nProbe=3, k=20):
+    * per-dimension avg centroids, top-3 cells by centroid cosine (ties by
+    * cell), exact re-rank within probed cells. Cell ranking tolerates the
+    * engines' different fp summation orders because centroid cosines are
+    * separated by far more than the ~1e-15 accumulation noise. */
+  private def annIvfOracle: String = {
+    val centroid = (1 to 64).map(i => s"avg(CAST(embedding[$i] AS DOUBLE))")
+      .mkString("[", ", ", "]")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |cents AS (SELECT label, $centroid AS centroid
+       |  FROM embeddings GROUP BY label),
+       |probed AS (SELECT label FROM cents CROSS JOIN q
+       |  ORDER BY list_cosine_similarity(centroid, qv) DESC, label LIMIT 3)
+       |SELECT e.vec_id,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE e.label IN (SELECT label FROM probed)
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.annHyperplane]] (12 tables × 5 bits,
+    * k=20): the deterministic plane components are embedded as literal
+    * double arrays, and a vector is a candidate iff in some table every
+    * plane's sign bit matches the query's — exactly the Spark predicate.
+    * Both engines fold dot products left-to-right in double, so the sign
+    * comparisons agree bit-for-bit. */
+  private def annHyperplaneOracle: String = {
+    val tables = 12
+    val bits = 5
+    def planeArr(t: Int, p: Int): String =
+      (0 until 64).map(j => Similarity.planeComponent(t * 64 + p, j).toString)
+        .mkString("[", ", ", "]")
+    val cond = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        val arr = planeArr(t, p)
+        s"((list_dot_product(CAST(e.embedding AS DOUBLE[]), $arr) >= 0) = " +
+          s"(list_dot_product(q.qv, $arr) >= 0))"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", "\n OR ", ")")
+    s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+       |FROM embeddings e CROSS JOIN q
+       |WHERE $cond
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "ann_ivf" -> annIvfOracle,
+    "ann_hyperplane" -> annHyperplaneOracle,
     "vector_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 6) AS l2
@@ -204,7 +257,5 @@ object VectorOps {
         |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 359 AS INT) AS height
         |FROM documents ORDER BY media_id""".stripMargin
-    // ann_ivf: intentionally no oracle (approximate); ScalaTest pins
-    // its recall against knn_brute_force.
   )
 }
