@@ -64,7 +64,14 @@ object Retry {
   }
 
   /** Streaming wiring: attempt outcomes → due DeliveryTasks. Uses
-    * processing-time timers to wake keys whose backoff expired. */
+    * processing-time timers to wake keys whose backoff expired — the exact
+    * analogue of the reference's wall-clock Redis-ZSET scheduler
+    * (`scheduler.go:25-40`). Caveat inherited from that semantics: on a
+    * HISTORY REPLAY (reprocessing a day of log files), every recorded
+    * failure's backoff has long expired on the wall clock, so stale
+    * retries fire immediately even though the log also contains the
+    * success that resolved them. Use [[scheduleStreamEventTime]] when the
+    * input may be replayed. */
   def scheduleStream(spark: SparkSession, outcomes: Dataset[Outcome],
                      backoff: Backoff = Backoff()): Dataset[DeliveryTask] = {
     import spark.implicits._
@@ -78,6 +85,43 @@ object Retry {
             case Some(p) =>
               gs.update(p)
               gs.setTimeoutDuration(math.max(p.fireAtMillis - now, 1L))
+            case None => if (gs.exists) gs.remove()
+          }
+          due.iterator
+        })
+  }
+
+  /** Replay-safe variant: the schedule runs on EVENT time. The retry clock
+    * is the stream's watermark, so a pending retry fires only when the
+    * watermark (data-derived, monotone) passes fire_at — never because the
+    * wall clock moved. Reprocessing a day of history therefore schedules
+    * zero live retries for chains the history already resolved: the
+    * recorded success (or the recorded next attempt) reaches the key's
+    * state before the watermark reaches its fire_at, cancelling or
+    * replacing the pending entry exactly as the original run did. Only a
+    * chain that ended the replay UNRESOLVED fires — once, when live data
+    * advances the watermark past its backoff — which is the correct
+    * pick-up-where-history-left-off semantics.
+    *
+    * Same [[transition]] function, same state shape; `now` is the
+    * watermark instead of the wall clock, and timers are
+    * `EventTimeTimeout` timestamps (clamped one ms past the current
+    * watermark, which Spark requires of event-time timers). */
+  def scheduleStreamEventTime(spark: SparkSession, outcomes: Dataset[Outcome],
+                              backoff: Backoff = Backoff(),
+                              watermarkDelay: String = "10 minutes"): Dataset[DeliveryTask] = {
+    import spark.implicits._
+    outcomes
+      .withWatermark("outcome_time", watermarkDelay)
+      .groupByKey(o => s"${o.event_id}:${o.destination_id}")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, it: Iterator[Outcome], gs: GroupState[PendingRetry]) => {
+          val wm = gs.getCurrentWatermarkMs()
+          val (next, due) = transition(backoff, gs.getOption, it.toSeq, wm)
+          next match {
+            case Some(p) =>
+              gs.update(p)
+              gs.setTimeoutTimestamp(math.max(p.fireAtMillis, wm + 1L))
             case None => if (gs.exists) gs.remove()
           }
           due.iterator

@@ -30,7 +30,13 @@ object Sinks {
 
   /** All-success attempt outcomes for a published task batch (spool-backed
     * sinks succeed atomically-per-task; network sinks would branch on the
-    * response like [[MockSink]] does). */
+    * response like [[MockSink]] does).
+    *
+    * Outcomes are DENORMALIZED with the task's event columns — the
+    * reference's LogEntry carries event + attempt together
+    * (`models/tasks.go:99-103`) — so the log sink consumes them directly:
+    * no join back onto the (by then unpersisted) batch, no fanout
+    * recompute, one fewer shuffle per micro-batch (round-5 throughput). */
   private def successOutcomes(tasks: DataFrame, destType: String): DataFrame =
     tasks.select(
       concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
@@ -40,7 +46,9 @@ object Sinks {
       col("attempt").as("attempt_number"), col("manual"),
       lit("success").as("status"),
       current_timestamp().as("attempt_time"),
-      lit("200").as("code"))
+      lit("200").as("code"),
+      col("event_time"), col("topic"), col("data"), col("metadata"),
+      col("eligible_for_retry"))
 
   private val emptyStrMap = map().cast(
     org.apache.spark.sql.types.MapType(
@@ -390,7 +398,9 @@ object Sinks {
         col("attempt").as("attempt_number"), col("manual"),
         when(failing, "failed").otherwise("success").as("status"),
         col("event_time").as("attempt_time"),
-        when(failing, "503").otherwise("200").as("code"))
+        when(failing, "503").otherwise("200").as("code"),
+        col("event_time"), col("topic"), col("data"), col("metadata"),
+        col("eligible_for_retry"))
     }
   }
 
@@ -408,8 +418,13 @@ object Sinks {
     def deliver(batch: DataFrame): DataFrame = {
       val b = batch.persist()
       try {
-        val types = b.select("dest_type").distinct().collect().map(_.getString(0))
-        types.toSeq
+        // single registered type (the overwhelmingly common batch in a
+        // per-tenant deployment): the distinct-type probe job is pure
+        // overhead — route everything through the one sink directly
+        val types =
+          if (byType.size == 1) byType.keys.toSeq
+          else b.select("dest_type").distinct().collect().map(_.getString(0)).toSeq
+        types
           .flatMap(t => byType.get(t).map(_.publish(b.filter(col("dest_type") === t))))
           .reduceOption(_.unionByName(_))
           .map(_.localCheckpoint(true))

@@ -87,6 +87,55 @@ class RunnerSpec extends GraftSuite {
     } finally running.stopAll()
   }
 
+  test("event-time retry scheduler: history replay fires zero stale retries") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    def outcome(ev: String, att: Int, status: String, atMs: Long) =
+      graft.streaming.Retry.Outcome(ev, "t1", "d1", att, status,
+        eligible_for_retry = true, manual = false,
+        new java.sql.Timestamp(t0), "order.created", "{}", Map.empty,
+        new java.sql.Timestamp(atMs))
+
+    val mem = MemoryStream[graft.streaming.Retry.Outcome]
+    val tasks = graft.streaming.Retry.scheduleStreamEventTime(spark, mem.toDS(),
+      graft.core.Backoff(baseMillis = 60000, factor = 1, maxRetries = 5))
+    val q = tasks.writeStream.format("memory").outputMode("append")
+      .queryName("replay_retries").start()
+    try {
+      def emitted(): Set[(String, Int)] =
+        spark.sql("SELECT event_id, attempt FROM replay_retries")
+          .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+
+      // REPLAY a day-old history: e1 failed then succeeded (resolved);
+      // e2 failed and was never resolved. Batches arrive in log order.
+      mem.addData(outcome("e1", 1, "failed", t0),
+        outcome("e2", 1, "failed", t0 + 60000L))
+      q.processAllAvailable()
+      mem.addData(outcome("e1", 2, "success", t0 + 120000L))
+      q.processAllAvailable()
+      // the whole replay is in: the wall clock is ~2 years past every
+      // backoff, but the event-time scheduler must have fired NOTHING —
+      // e1 was resolved by its recorded success before the watermark
+      // reached its fire_at, and e2's fire_at is still past the watermark
+      assert(emitted() == Set.empty, s"stale retries fired: ${emitted()}")
+
+      // live data arrives (an hour later in event time): the watermark
+      // passes e2's fire_at and its — genuinely unresolved — retry fires
+      // exactly once; e1 stays quiet
+      var i = 0
+      val deadline = System.currentTimeMillis() + 60000
+      while (emitted().isEmpty && System.currentTimeMillis() < deadline) {
+        mem.addData(outcome(s"live_$i", 1, "success", t0 + 3600000L + i * 60000L))
+        q.processAllAvailable()
+        i += 1
+      }
+      assert(emitted() == Set(("e2", 2)), s"got ${emitted()}")
+    } finally q.stop()
+  }
+
   test("streaming metrics: watermarked tumbling windows with conditional counts") {
     val spark2 = spark
     import spark2.implicits._

@@ -14,10 +14,10 @@ class SinksSkewSpec extends GraftSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val secret = "whsec_test"
     val tasks = Seq(
-      ("e1", "t1", "d1", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":1}""", "webhook"),
-      ("e2", "t1", "d2", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":2}""", "webhook"))
+      ("e1", "t1", "d1", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":1}""", Map.empty[String, String], true, "webhook"),
+      ("e2", "t1", "d2", 1, false, new java.sql.Timestamp(0), "order.created", """{"amount":2}""", Map.empty[String, String], true, "webhook"))
       .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
-        "event_time", "topic", "data", "dest_type")
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
     val registry = new Sinks.Registry(Seq(Sinks.FileWebhookSink(root, secret)))
     val outcomes = registry.deliver(tasks).collect()
     assert(outcomes.length == 2 && outcomes.forall(_.getAs[String]("status") == "success"))

@@ -236,9 +236,10 @@ class StreamingSpec extends GraftSuite {
     val root = java.nio.file.Files.createTempDirectory("graft_salt").toString
     // 90%-tenant scenario: one destination receives the whole batch
     val tasks = (0 until 800).map(i =>
-      (s"e$i", "t1", "d_hot", 1, false, ts(i), "a.b", s"""{"p":$i}""", "webhook"))
+      (s"e$i", "t1", "d_hot", 1, false, ts(i), "a.b", s"""{"p":$i}""",
+        Map.empty[String, String], true, "webhook"))
       .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
-        "event_time", "topic", "data", "dest_type")
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
     // AQE's size-based coalescing re-merges these tiny test partitions (at
     // real scale it only merges SMALL ones — a hot destination's salt groups
     // stay split); disable it here to observe the salt structure itself
