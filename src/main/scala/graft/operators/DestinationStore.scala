@@ -1,0 +1,231 @@
+package graft.operators
+
+import java.sql.Timestamp
+import graft.functions.{Crypto, TopicMatch}
+import graft.streaming.Model
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenant/destination CRUD store — the control-plane piece the reference
+  * keeps in Redis (`internal/tenantstore/redistenantstore/redistenantstore
+  * .go:523-667`), re-expressed as a Spark-native CHANGELOG table on
+  * [[CommitLog]].
+  *
+  * Shape: every mutation appends one immutable row stamped with a
+  * monotonically increasing `op_seq`; the CURRENT state is the read-side
+  * top-1 per (tenant_id, destination_id) by `op_seq`, minus tombstones —
+  * the same last-write-wins the reference gets from Redis HSET, with two
+  * properties Redis does not give it: full mutation history (time travel
+  * via the commit log) and a directly scannable dimension table for the
+  * data plane (no point-read fan-in to build the broadcast side).
+  *
+  * Reference semantics preserved:
+  *   - upsert writes the full record and clears any tombstone
+  *     (`redistenantstore.go:544-619` — `HDel deleted_at`), so creating
+  *     over a soft-deleted id revives it;
+  *   - create fails on a LIVE duplicate (`ErrDuplicateDestination`,
+  *     `:523-531`) and on the per-tenant cap
+  *     (`ErrMaxDestinationsPerTenantReached`, `:533-540`; cap counts live
+  *     rows — the summary hash excludes deleted ids);
+  *   - delete is a SOFT delete: the record gains `deleted_at` and leaves
+  *     the listing (`:622-641`); missing id → `ErrDestinationNotFound`;
+  *   - credentials and delivery_metadata encrypt at rest with the
+  *     byte-compatible AES-GCM cipher ([[Crypto.Credentials]] ↔
+  *     `cipher.go:16-64`): the parquet files never hold plaintext;
+  *   - list filters by type (any-of) and topics (destination must match
+  *     EVERY requested topic unless it subscribes to `*`;
+  *     a `["*"]` filter selects only match-all destinations —
+  *     `serialization.go:350-378`), ordered by created_at.
+  *
+  * Scale: mutations are driver-side row-at-a-time (control plane — the
+  * reference's Redis ops are too); reads are one manifest-planned scan +
+  * a top-1 window over (tenant, destination) — the dimension stays tiny
+  * relative to the fact tables and broadcasts into the fanout join
+  * unchanged ([[graft.streaming.Pipeline.matchFanout]] via
+  * [[asDestinations]]). Old changelog months compact/retire through the
+  * normal [[CommitLog]] operations.
+  */
+object DestinationStore {
+
+  final class ErrDuplicateDestination(id: String)
+    extends RuntimeException(s"destination already exists: $id")
+  final class ErrMaxDestinationsPerTenantReached(max: Int)
+    extends RuntimeException(s"max destinations per tenant reached: $max")
+  final class ErrDestinationNotFound(id: String)
+    extends RuntimeException(s"destination not found: $id")
+
+  /** Full destination record, plaintext credentials (reference
+    * `entities.go:27-40`). */
+  final case class DestinationRecord(
+      tenant_id: String,
+      destination_id: String,
+      dest_type: String,
+      topics: Seq[String],
+      filter_json: Option[String],
+      config: Map[String, String],
+      credentials: Map[String, String],
+      delivery_metadata: Map[String, String],
+      metadata: Map[String, String],
+      created_at: Timestamp,
+      updated_at: Timestamp,
+      disabled_at: Option[Timestamp],
+      deleted_at: Option[Timestamp])
+
+  /** Stored changelog row: credentials/delivery_metadata as AES-GCM
+    * ciphertext of their canonical (sorted-key) JSON rendering. */
+  private final case class StoredRow(
+      op_seq: Long,
+      tenant_id: String,
+      destination_id: String,
+      dest_type: String,
+      topics: Seq[String],
+      filter_json: Option[String],
+      config: Map[String, String],
+      credentials_enc: Array[Byte],
+      delivery_metadata_enc: Array[Byte],
+      metadata: Map[String, String],
+      created_at: Timestamp,
+      updated_at: Timestamp,
+      disabled_at: Option[Timestamp],
+      deleted_at: Option[Timestamp])
+
+  private def esc(s: String): String =
+    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+  /** Canonical JSON of a string map: keys sorted, so the rendering (and
+    * therefore the ciphertext length and the gate query's decrypted
+    * output) is deterministic regardless of map iteration order. */
+  def mapJson(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+      .mkString("{", ",", "}")
+
+  private def toStored(d: DestinationRecord, secret: String, opSeq: Long): StoredRow =
+    StoredRow(opSeq, d.tenant_id, d.destination_id, d.dest_type, d.topics,
+      d.filter_json, d.config,
+      Crypto.Credentials.encryptBytes(mapJson(d.credentials).getBytes("UTF-8"), secret),
+      Crypto.Credentials.encryptBytes(mapJson(d.delivery_metadata).getBytes("UTF-8"), secret),
+      d.metadata, d.created_at, d.updated_at, d.disabled_at, d.deleted_at)
+
+  /** Append one mutation row. The op_seq must be strictly increasing per
+    * (tenant, destination) across calls — callers that mutate concurrently
+    * from several processes should derive it from the committed CommitLog
+    * version; single-writer control planes (the common case) can use a
+    * counter or clock. */
+  def upsert(spark: SparkSession, table: String, d: DestinationRecord,
+             secret: String, opSeq: Long): Unit = {
+    import spark.implicits._
+    val row = toStored(d.copy(deleted_at = None), secret, opSeq)
+    CommitLog.append(Seq(row).toDS().toDF(), table,
+      idCol = "op_seq", tsCol = "updated_at")
+    ()
+  }
+
+  /** Reference create: duplicate LIVE id → [[ErrDuplicateDestination]];
+    * live count at the cap → [[ErrMaxDestinationsPerTenantReached]];
+    * otherwise an upsert (which also revives a soft-deleted id). */
+  def create(spark: SparkSession, table: String, d: DestinationRecord,
+             secret: String, opSeq: Long, maxPerTenant: Int = 100): Unit = {
+    val live = latestRows(spark, table)
+      .filter(col("tenant_id") === d.tenant_id)
+      .select("destination_id").collect().map(_.getString(0))
+    if (live.contains(d.destination_id))
+      throw new ErrDuplicateDestination(d.destination_id)
+    if (live.length >= maxPerTenant)
+      throw new ErrMaxDestinationsPerTenantReached(maxPerTenant)
+    upsert(spark, table, d, secret, opSeq)
+  }
+
+  /** Soft delete: the latest live row gains `deleted_at` (content kept —
+    * the reference holds soft-deleted hashes for 7 days). */
+  def delete(spark: SparkSession, table: String, tenantId: String,
+             destinationId: String, opSeq: Long, at: Timestamp): Unit = {
+    import spark.implicits._
+    val cur = latestRows(spark, table)
+      .filter(col("tenant_id") === tenantId &&
+        col("destination_id") === destinationId)
+      .as[StoredRow].collect().headOption
+      .getOrElse(throw new ErrDestinationNotFound(destinationId))
+    CommitLog.append(
+      Seq(cur.copy(op_seq = opSeq, deleted_at = Some(at))).toDS().toDF(),
+      table, idCol = "op_seq", tsCol = "updated_at")
+    ()
+  }
+
+  /** Latest stored row per (tenant, destination), tombstones excluded. */
+  def latestRows(spark: SparkSession, table: String): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id"), col("destination_id"))
+      .orderBy(col("op_seq").desc)
+    if (CommitLog.snapshot(table).files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[StoredRow].schema)
+    CommitLog.scan(spark, table)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "month")
+      .filter(col("deleted_at").isNull)
+  }
+
+  /** Point read with decrypted credentials. */
+  def retrieve(spark: SparkSession, table: String, tenantId: String,
+               destinationId: String, secret: String): Option[DestinationRecord] = {
+    import spark.implicits._
+    latestRows(spark, table)
+      .filter(col("tenant_id") === tenantId &&
+        col("destination_id") === destinationId)
+      .as[StoredRow].collect().headOption.map(fromStored(_, secret))
+  }
+
+  private def fromStored(r: StoredRow, secret: String): DestinationRecord =
+    DestinationRecord(r.tenant_id, r.destination_id, r.dest_type, r.topics,
+      r.filter_json, r.config,
+      parseFlatJson(new String(
+        Crypto.Credentials.decryptBytes(r.credentials_enc, secret), "UTF-8")),
+      parseFlatJson(new String(
+        Crypto.Credentials.decryptBytes(r.delivery_metadata_enc, secret), "UTF-8")),
+      r.metadata, r.created_at, r.updated_at, r.disabled_at, r.deleted_at)
+
+  private def parseFlatJson(json: String): Map[String, String] = {
+    val node = graft.functions.JsonMatch.parse(json)
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText) }
+    b.result()
+  }
+
+  /** List a tenant's live destinations with the reference's filter rules
+    * (`serialization.go:350-378`): `types` = any-of on dest_type; `topics`
+    * = the destination must match EVERY requested topic unless it
+    * subscribes to `*`, and a `["*"]` filter selects only match-all
+    * subscriptions. Ordered by created_at (`redistenantstore.go:502-505`). */
+  def list(spark: SparkSession, table: String, tenantId: String,
+           secret: String, types: Seq[String] = Nil,
+           topics: Seq[String] = Nil): Seq[DestinationRecord] = {
+    import spark.implicits._
+    val base = latestRows(spark, table).filter(col("tenant_id") === tenantId)
+    val typed = if (types.isEmpty) base
+      else base.filter(col("dest_type").isin(types: _*))
+    typed.as[StoredRow].collect().toSeq
+      .filter { r =>
+        topics.isEmpty || r.topics.contains("*") || {
+          val filterMatchesAll = topics == Seq("*")
+          !filterMatchesAll && topics.forall(t => TopicMatch.matches(r.topics, t))
+        }
+      }
+      .sortBy(r => (r.created_at.getTime, r.destination_id))
+      .map(fromStored(_, secret))
+  }
+
+  /** The data-plane view: current live destinations as the broadcastable
+    * dimension [[graft.streaming.Pipeline.matchFanout]] consumes —
+    * credentials stay encrypted (the fanout never needs them; sinks
+    * decrypt per destination at publish time). */
+  def asDestinations(spark: SparkSession, table: String): Dataset[Model.Destination] = {
+    import spark.implicits._
+    latestRows(spark, table)
+      .select(col("destination_id"), col("tenant_id"), col("dest_type"),
+        col("topics"), col("filter_json"),
+        col("disabled_at").isNotNull.as("disabled"))
+      .as[Model.Destination]
+  }
+}
