@@ -73,8 +73,10 @@ object DestinationStore {
       deleted_at: Option[Timestamp])
 
   /** Stored changelog row: credentials/delivery_metadata as AES-GCM
-    * ciphertext of their canonical (sorted-key) JSON rendering. */
-  private final case class StoredRow(
+    * ciphertext of their canonical (sorted-key) JSON rendering. Public
+    * only because Catalyst's generated encoder code must instantiate it —
+    * treat as internal storage shape. */
+  final case class StoredRow(
       op_seq: Long,
       tenant_id: String,
       destination_id: String,
@@ -227,5 +229,112 @@ object DestinationStore {
         col("topics"), col("filter_json"),
         col("disabled_at").isNotNull.as("disabled"))
       .as[Model.Destination]
+  }
+
+  // ------------------------------------------------------------- tenants
+
+  final class ErrTenantNotFound(id: String)
+    extends RuntimeException(s"tenant not found: $id")
+
+  /** Stored tenant fields (reference `redistenantstore.go:200-240` — only
+    * id, metadata and the timestamps persist; counts and topics derive). */
+  final case class TenantRecord(
+      tenant_id: String,
+      metadata: Map[String, String],
+      created_at: Timestamp,
+      updated_at: Timestamp,
+      deleted_at: Option[Timestamp])
+
+  /** Read view (reference `RetrieveTenant`, `:169-198`):
+    * `destinations_count` = live destinations (disabled included — only
+    * deletion leaves the summary), `topics` = the union of their
+    * subscriptions collapsed to `["*"]` when any destination subscribes to
+    * everything (`serialization.go:323-348`; sorted here for determinism —
+    * the reference's map-iteration order is unspecified). */
+  final case class TenantView(
+      tenant_id: String,
+      destinations_count: Long,
+      topics: Seq[String],
+      metadata: Map[String, String],
+      created_at: Timestamp,
+      updated_at: Timestamp)
+
+  /** Internal storage shape; public for Catalyst codegen (see [[StoredRow]]). */
+  final case class StoredTenant(
+      op_seq: Long,
+      tenant_id: String,
+      metadata: Map[String, String],
+      created_at: Timestamp,
+      updated_at: Timestamp,
+      deleted_at: Option[Timestamp])
+
+  /** Upsert a tenant row; like the destination form it clears tombstones. */
+  def upsertTenant(spark: SparkSession, tenantTable: String, t: TenantRecord,
+                   opSeq: Long): Unit = {
+    import spark.implicits._
+    val row = StoredTenant(opSeq, t.tenant_id, t.metadata,
+      t.created_at, t.updated_at, None)
+    CommitLog.append(Seq(row).toDS().toDF(), tenantTable,
+      idCol = "op_seq", tsCol = "updated_at")
+    ()
+  }
+
+  private def latestTenantRows(spark: SparkSession, tenantTable: String): DataFrame = {
+    val w = Window.partitionBy(col("tenant_id")).orderBy(col("op_seq").desc)
+    if (CommitLog.snapshot(tenantTable).files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.Encoders.product[StoredTenant].schema)
+    CommitLog.scan(spark, tenantTable)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "month")
+      .filter(col("deleted_at").isNull)
+  }
+
+  /** Union of a live-destination set's topics with the reference's `*`
+    * collapse (`parseTenantTopics`), sorted. */
+  def tenantTopics(destTopics: Seq[Seq[String]]): Seq[String] =
+    if (destTopics.exists(_.contains("*"))) Seq("*")
+    else destTopics.flatten.distinct.sorted
+
+  /** Point read with the DERIVED destination summary. */
+  def retrieveTenant(spark: SparkSession, tenantTable: String,
+                     destTable: String, tenantId: String): Option[TenantView] = {
+    import spark.implicits._
+    latestTenantRows(spark, tenantTable)
+      .filter(col("tenant_id") === tenantId)
+      .as[StoredTenant].collect().headOption.map { t =>
+        val topicSets = latestRows(spark, destTable)
+          .filter(col("tenant_id") === tenantId)
+          .select(col("topics")).as[Seq[String]].collect().toSeq
+        TenantView(t.tenant_id, topicSets.size.toLong, tenantTopics(topicSets),
+          t.metadata, t.created_at, t.updated_at)
+      }
+  }
+
+  /** Cascade soft delete (reference `DeleteTenant`, `:241-270`): every live
+    * destination gains a tombstone in ONE changelog append, then the tenant
+    * row does. op_seqs are allocated from `baseOpSeq`. */
+  def deleteTenant(spark: SparkSession, tenantTable: String, destTable: String,
+                   tenantId: String, baseOpSeq: Long, at: Timestamp): Unit = {
+    import spark.implicits._
+    val cur = latestTenantRows(spark, tenantTable)
+      .filter(col("tenant_id") === tenantId)
+      .as[StoredTenant].collect().headOption
+      .getOrElse(throw new ErrTenantNotFound(tenantId))
+    val dests = latestRows(spark, destTable)
+      .filter(col("tenant_id") === tenantId).as[StoredRow].collect()
+    if (dests.nonEmpty) {
+      val tombs = dests.zipWithIndex.map { case (d, i) =>
+        d.copy(op_seq = baseOpSeq + i, deleted_at = Some(at))
+      }.toSeq
+      CommitLog.append(tombs.toDS().toDF(), destTable,
+        idCol = "op_seq", tsCol = "updated_at")
+    }
+    CommitLog.append(
+      Seq(cur.copy(op_seq = baseOpSeq + dests.length,
+        deleted_at = Some(at))).toDS().toDF(),
+      tenantTable, idCol = "op_seq", tsCol = "updated_at")
+    ()
   }
 }

@@ -30,35 +30,62 @@ object StoreOps {
       Map.empty, Map.empty, ts(createdMs), ts(updatedMs),
       disabledMs.map(ts), None)
 
+  private val secret = "store-secret"
+
+  /** The fixed six-op CRUD fixture both gates replay: create two t1
+    * destinations, rotate+disable one, soft-delete the other, add a t2
+    * destination, then revive the soft-deleted id (reference
+    * `redistenantstore.go:523-531` only rejects LIVE duplicates). */
+  private def applyFixture(s: SparkSession): String = {
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_dest_crud").toString + "/destinations"
+    DestinationStore.create(s, table,
+      rec("t1", "d1", "webhook", Seq("order.*", "user.created"),
+        Map("secret" -> "s1"), T0, T0), secret, opSeq = 1)
+    DestinationStore.create(s, table,
+      rec("t1", "d2", "kafka", Seq("*"),
+        Map("api_key" -> "k2"), T0 + H, T0 + H), secret, opSeq = 2)
+    // rotate d1's credentials and disable it (full-row upsert)
+    DestinationStore.upsert(s, table,
+      rec("t1", "d1", "webhook", Seq("order.*", "user.created"),
+        Map("secret" -> "s1b"), T0, T0 + D, disabledMs = Some(T0 + D)),
+      secret, opSeq = 3)
+    // soft-delete d2 (drops from the listing, content retained)
+    DestinationStore.delete(s, table, "t1", "d2", opSeq = 4, at = ts(T0 + 2 * D))
+    DestinationStore.create(s, table,
+      rec("t2", "d3", "aws_sqs", Seq("order.created"),
+        Map("queue" -> "q3"), T0 + D, T0 + D), secret, opSeq = 5)
+    DestinationStore.create(s, table,
+      rec("t1", "d2", "kafka", Seq("*"),
+        Map("api_key" -> "k2b"), T0 + 2 * D, T0 + 2 * D), secret, opSeq = 6)
+    table
+  }
+
+  /** Shared VALUES changelog: the oracle-side twin of [[applyFixture]]. */
+  private def opsCte: String =
+    s"""ops(op_seq, tenant_id, destination_id, dest_type, topics, disabled,
+       |          credentials, created_ms, updated_ms, deleted) AS (VALUES
+       |  (1, 't1', 'd1', 'webhook', 'order.*,user.created', false,
+       |      '{"secret":"s1"}', ${T0}, ${T0}, false),
+       |  (2, 't1', 'd2', 'kafka', '*', false,
+       |      '{"api_key":"k2"}', ${T0 + H}, ${T0 + H}, false),
+       |  (3, 't1', 'd1', 'webhook', 'order.*,user.created', true,
+       |      '{"secret":"s1b"}', ${T0}, ${T0 + D}, false),
+       |  (4, 't1', 'd2', 'kafka', '*', false,
+       |      '{"api_key":"k2"}', ${T0 + H}, ${T0 + H}, true),
+       |  (5, 't2', 'd3', 'aws_sqs', 'order.created', false,
+       |      '{"queue":"q3"}', ${T0 + D}, ${T0 + D}, false),
+       |  (6, 't1', 'd2', 'kafka', '*', false,
+       |      '{"api_key":"k2b"}', ${T0 + 2 * D}, ${T0 + 2 * D}, false)),
+       |latest AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY tenant_id, destination_id ORDER BY op_seq DESC) AS rn
+       |  FROM ops),
+       |live AS (SELECT * FROM latest WHERE rn = 1 AND NOT deleted)""".stripMargin
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "destination_crud" -> ((s, _) => {
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_dest_crud").toString + "/destinations"
-      val secret = "store-secret"
-      // op 1-2: create two destinations for t1
-      DestinationStore.create(s, table,
-        rec("t1", "d1", "webhook", Seq("order.*", "user.created"),
-          Map("secret" -> "s1"), T0, T0), secret, opSeq = 1)
-      DestinationStore.create(s, table,
-        rec("t1", "d2", "kafka", Seq("*"),
-          Map("api_key" -> "k2"), T0 + H, T0 + H), secret, opSeq = 2)
-      // op 3: rotate d1's credentials and disable it (full-row upsert)
-      DestinationStore.upsert(s, table,
-        rec("t1", "d1", "webhook", Seq("order.*", "user.created"),
-          Map("secret" -> "s1b"), T0, T0 + D, disabledMs = Some(T0 + D)),
-        secret, opSeq = 3)
-      // op 4: soft-delete d2 (drops from the listing, content retained)
-      DestinationStore.delete(s, table, "t1", "d2", opSeq = 4, at = ts(T0 + 2 * D))
-      // op 5: another tenant's destination
-      DestinationStore.create(s, table,
-        rec("t2", "d3", "aws_sqs", Seq("order.created"),
-          Map("queue" -> "q3"), T0 + D, T0 + D), secret, opSeq = 5)
-      // op 6: create over the soft-deleted d2 REVIVES it (reference
-      // redistenantstore.go:523-531 only rejects live duplicates)
-      DestinationStore.create(s, table,
-        rec("t1", "d2", "kafka", Seq("*"),
-          Map("api_key" -> "k2b"), T0 + 2 * D, T0 + 2 * D), secret, opSeq = 6)
-
+      val table = applyFixture(s)
       DestinationStore.latestRows(s, table)
         .select(col("tenant_id"), col("destination_id"), col("dest_type"),
           array_join(col("topics"), ",").as("topics"),
@@ -68,33 +95,51 @@ object StoreOps {
           unix_millis(col("created_at")).as("created_ms"),
           unix_millis(col("updated_at")).as("updated_ms"))
         .orderBy(col("tenant_id"), col("destination_id"))
+    }),
+
+    // Derived tenant summary over the same fixture (reference
+    // RetrieveTenant, redistenantstore.go:169-198): live-destination count
+    // (disabled ones included — only deletion leaves the summary) and the
+    // topic union collapsed to '*' when any destination subscribes to all.
+    "tenant_summary" -> ((s, _) => {
+      val table = applyFixture(s)
+      val live = DestinationStore.latestRows(s, table)
+      val summary = live.groupBy(col("tenant_id"))
+        .agg(count(lit(1)).as("destinations_count"),
+          max(array_contains(col("topics"), "*").cast("int")).as("has_all"))
+      val union = live.select(col("tenant_id"), explode(col("topics")).as("t"))
+        .groupBy(col("tenant_id"))
+        .agg(array_join(array_sort(collect_set(col("t"))), ",").as("topics_union"))
+      summary.join(union, Seq("tenant_id"))
+        .select(col("tenant_id"), col("destinations_count"),
+          when(col("has_all") === 1, "*").otherwise(col("topics_union")).as("topics"))
+        .orderBy(col("tenant_id"))
     })
   )
 
   def oracles: Map[String, String] = Map(
     "destination_crud" ->
-      s"""WITH ops(op_seq, tenant_id, destination_id, dest_type, topics, disabled,
-        |          credentials, created_ms, updated_ms, deleted) AS (VALUES
-        |  (1, 't1', 'd1', 'webhook', 'order.*,user.created', false,
-        |      '{"secret":"s1"}', ${T0}, ${T0}, false),
-        |  (2, 't1', 'd2', 'kafka', '*', false,
-        |      '{"api_key":"k2"}', ${T0 + H}, ${T0 + H}, false),
-        |  (3, 't1', 'd1', 'webhook', 'order.*,user.created', true,
-        |      '{"secret":"s1b"}', ${T0}, ${T0 + D}, false),
-        |  (4, 't1', 'd2', 'kafka', '*', false,
-        |      '{"api_key":"k2"}', ${T0 + H}, ${T0 + H}, true),
-        |  (5, 't2', 'd3', 'aws_sqs', 'order.created', false,
-        |      '{"queue":"q3"}', ${T0 + D}, ${T0 + D}, false),
-        |  (6, 't1', 'd2', 'kafka', '*', false,
-        |      '{"api_key":"k2b"}', ${T0 + 2 * D}, ${T0 + 2 * D}, false)),
-        |latest AS (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY tenant_id, destination_id ORDER BY op_seq DESC) AS rn
-        |  FROM ops)
+      s"""WITH $opsCte
         |SELECT tenant_id, destination_id, dest_type, topics, disabled,
         |  credentials, CAST(created_ms AS BIGINT) AS created_ms,
         |  CAST(updated_ms AS BIGINT) AS updated_ms
-        |FROM latest WHERE rn = 1 AND NOT deleted
-        |ORDER BY tenant_id, destination_id""".stripMargin
+        |FROM live
+        |ORDER BY tenant_id, destination_id""".stripMargin,
+    "tenant_summary" ->
+      s"""WITH $opsCte,
+        |summary AS (
+        |  SELECT tenant_id, count(*) AS destinations_count,
+        |    bool_or(list_contains(string_split(topics, ','), '*')) AS has_all
+        |  FROM live GROUP BY tenant_id),
+        |tops AS (
+        |  SELECT tenant_id,
+        |    string_agg(DISTINCT topic, ',' ORDER BY topic) AS topics_union
+        |  FROM (SELECT tenant_id, unnest(string_split(topics, ',')) AS topic
+        |        FROM live)
+        |  GROUP BY tenant_id)
+        |SELECT s.tenant_id, s.destinations_count,
+        |  CASE WHEN s.has_all THEN '*' ELSE t.topics_union END AS topics
+        |FROM summary s JOIN tops t USING (tenant_id)
+        |ORDER BY s.tenant_id""".stripMargin
   )
 }

@@ -107,6 +107,39 @@ class DestinationStoreSpec extends GraftSuite {
     assert(ids(topics = Seq("*")) == Seq("d_all"))
   }
 
+  test("tenant view derives count and topics; delete cascades to destinations") {
+    val table = freshTable()
+    val tenants = freshTable() + "_tenants"
+    DestinationStore.upsertTenant(spark, tenants,
+      TenantRecord("t1", Map("plan" -> "pro"), ts(t0), ts(t0), None), opSeq = 1)
+    DestinationStore.create(spark, table,
+      rec("t1", "d1", topics = Seq("order.*", "user.created")), secret, 1)
+    DestinationStore.create(spark, table,
+      rec("t1", "d2", topics = Seq("order.created")), secret, 2)
+    val v = DestinationStore.retrieveTenant(spark, tenants, table, "t1").get
+    assert(v.destinations_count == 2)
+    // union of subscriptions, sorted, no '*' collapse yet
+    assert(v.topics == Seq("order.*", "order.created", "user.created"))
+    assert(v.metadata == Map("plan" -> "pro"))
+    // a match-all subscription collapses the summary to ["*"]
+    DestinationStore.create(spark, table, rec("t1", "d3", topics = Seq("*")), secret, 3)
+    assert(DestinationStore.retrieveTenant(spark, tenants, table, "t1")
+      .get.topics == Seq("*"))
+    // cascade: deleting the tenant tombstones every live destination too
+    intercept[ErrTenantNotFound](
+      DestinationStore.deleteTenant(spark, tenants, table, "t9",
+        baseOpSeq = 10, at = ts(t0 + 1)))
+    DestinationStore.deleteTenant(spark, tenants, table, "t1",
+      baseOpSeq = 10, at = ts(t0 + 1))
+    assert(DestinationStore.retrieveTenant(spark, tenants, table, "t1").isEmpty)
+    assert(DestinationStore.list(spark, table, "t1", secret).isEmpty)
+    // upsert revives the tenant (tombstone cleared, reference HDel deleted_at)
+    DestinationStore.upsertTenant(spark, tenants,
+      TenantRecord("t1", Map.empty, ts(t0), ts(t0 + 2), None), opSeq = 20)
+    assert(DestinationStore.retrieveTenant(spark, tenants, table, "t1")
+      .exists(_.destinations_count == 0))
+  }
+
   test("asDestinations feeds the fanout join; disabled destinations drop") {
     val spark2 = spark
     import spark2.implicits._
