@@ -282,8 +282,10 @@ object CommitLog {
   }
 
   /** Move staged month-partition part files into `data/` under fresh
-    * UUID names; return their AddFile records (paths relative to table). */
-  private def moveStaged(staging: Path, table: String): Seq[AddFile] = {
+    * UUID names; return their AddFile records (paths relative to table).
+    * Package-visible so table-shaped operators (the destination store's
+    * state checkpoint) can stage their own rewrite commits. */
+  private[operators] def moveStaged(staging: Path, table: String): Seq[AddFile] = {
     val adds = Seq.newBuilder[AddFile]
     Files.list(staging).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("month=")).foreach { mdir =>

@@ -70,6 +70,58 @@ object Dedup {
           col("n_grams"), 6).as("dup_frac"))
   }
 
+  /** Exact substring-level span REMOVAL — the ACTION for the census
+    * [[ngramSpanStats]] reports (Lee et al. 2022 §4.1 "ExactSubstr":
+    * deduplicating the training data at substring granularity, not
+    * document granularity). Every word position covered by a duplicated
+    * word n-gram (a gram occurring in ≥ `minDocs` DISTINCT documents) is
+    * removed; the document is rewritten from the surviving words.
+    * Documents the corpus fully duplicates come back with empty text, not
+    * dropped — the caller decides whether empty survivors stay.
+    *
+    * Plan shape: gram census shuffles grams (as [[ngramSpanStats]]);
+    * duplicated gram POSITIONS (small: only dup hits) explode to covered
+    * word indices; surviving words shuffle once, keyed by doc, for
+    * reassembly. Rewriting text is inherently output-volume work — the
+    * one unavoidable text-sized shuffle is the reassembly of the words
+    * that survive; the original documents never shuffle whole.
+    *
+    * @return (doc_id, text_clean, n_words, n_removed)
+    */
+  def removeDuplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .withColumnRenamed("pos", "widx").withColumnRenamed("col", "word")
+    val grams = docs.select(col(idCol).as("id"),
+        posexplode(TextFunctions.shingles(col(textCol), n)))
+      .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val crossDoc = grams.groupBy(col("g"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("g")
+    // covered word indices per doc; a short doc's single whole-text gram
+    // covers indices [0, n) — beyond its real words, harmlessly, since the
+    // anti-join only ever matches existing positions
+    val covered = grams.join(crossDoc, Seq("g"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("widx"))
+      .distinct()
+    val rebuilt = words.join(covered, Seq("id", "widx"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("widx"), col("word")))),
+          x => x.getField("word")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).as("id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_words"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), col(blockCol).as("block"),

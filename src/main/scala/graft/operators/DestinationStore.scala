@@ -312,6 +312,46 @@ object DestinationStore {
       }
   }
 
+  /** Checkpoint the destination changelog to CURRENT STATE: one row per
+    * (tenant, destination) — the last-write-wins winner — with tombstones
+    * older than `tombstoneGraceMs` dropped entirely (the reference expires
+    * soft-deleted hashes after 7 days, `redistenantstore.go:633-637`; an
+    * expired tombstone behaves as never-existed, so a later create needs
+    * no revive path). Without this the changelog grows with mutation
+    * count forever; with it, growth is bounded by live keys + recent
+    * tombstones. One conflict-checked commit (adds state files, removes
+    * every pre-snapshot file): appends landing after the snapshot stay
+    * visible untouched; a racing compact loses the version claim and
+    * aborts with [[CommitLog.ConcurrentDelete]] rather than resurrecting
+    * or dropping data. */
+  def compact(spark: SparkSession, table: String,
+              nowMs: Long,
+              tombstoneGraceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
+    val old = CommitLog.snapshot(table).files
+    if (old.isEmpty) return
+    val w = Window.partitionBy(col("tenant_id"), col("destination_id"))
+      .orderBy(col("op_seq").desc)
+    val state = CommitLog.scan(spark, table)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+      .filter(col("deleted_at").isNull ||
+        unix_millis(col("deleted_at")) > nowMs - tombstoneGraceMs)
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(table), ".stage-")
+    state.repartition(col("month"))
+      .sortWithinPartitions(col("tenant_id"), col("destination_id"))
+      .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+    val adds = CommitLog.moveStaged(staging, table)
+    try {
+      CommitLog.commit(table, "compact", adds, removes = old.map(_.path))
+      ()
+    } catch {
+      case e: CommitLog.ConcurrentDelete =>
+        adds.foreach(a => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(table).resolve(a.path)))
+        throw e
+    }
+  }
+
   /** Cascade soft delete (reference `DeleteTenant`, `:241-270`): every live
     * destination gains a tombstone in ONE changelog append, then the tenant
     * row does. op_seqs are allocated from `baseOpSeq`. */

@@ -96,6 +96,12 @@ object DedupOps {
       Dedup.ngramSpanStats(Tables.documents(s, dir), n = 10)
         .orderBy(col("doc_id"))),
 
+    // the span-removal ACTION for the census above: documents rewritten
+    // with every cross-doc-duplicated 10-gram span cut out.
+    "dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 10)
+        .orderBy(col("doc_id"))),
+
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
     "approx_stats" -> ((s, dir) =>
@@ -304,6 +310,31 @@ object DedupOps {
         |  coalesce(u.n_dup_grams, 0) AS n_dup_grams,
         |  round(CAST(coalesce(u.n_dup_grams, 0) AS DOUBLE) / p.n_grams, 6) AS dup_frac
         |FROM per p LEFT JOIN dup u USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(w) < 10 THEN [0]
+        |      ELSE list_transform(range(1, len(w) - 8), i -> i - 1) END) AS gpos,
+        |    unnest(CASE WHEN len(w) < 10 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 8),
+        |        i -> array_to_string(w[i:i+9], ' ')) END) AS g
+        |  FROM t),
+        |d AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |    FROM gr GROUP BY g) WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 10)) AS widx
+        |  FROM gr WHERE g IN (SELECT g FROM d)),
+        |words AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS widx,
+        |    unnest(w) AS word
+        |  FROM t),
+        |kept AS (SELECT * FROM words ANTI JOIN cov USING (doc_id, widx)),
+        |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.text_clean, '') AS text_clean,
+        |  CAST(len(t.w) AS BIGINT) AS n_words,
+        |  CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // subset/recall summary oracles: the count column is genuinely
     // DuckDB-computed; the booleans are Spark-side contract claims the
     // hash compare pins to true

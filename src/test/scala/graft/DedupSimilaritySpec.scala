@@ -154,6 +154,28 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("span removal: duplicated 10-gram spans cut, unique text untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1/2 share a 12-word boilerplate prefix: its duplicated 10-grams
+    // sit at positions 0-2, covering exactly words 0-11; the unique tails
+    // survive. doc 3 shares nothing. docs 4/5 are full duplicates of each
+    // other -> entirely removed, still present with empty text.
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val dupd = (1 to 10).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$boiler u1 u2 u3"),
+      (2L, s"$boiler v1 v2 v3"),
+      (3L, "totally unique text with nothing shared at all here ok fine"),
+      (4L, dupd), (5L, dupd)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, n = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("u1 u2 u3", 15L, 12L)))
+    assert(got(2L) == (("v1 v2 v3", 15L, 12L)))
+    assert(got(3L) == (("totally unique text with nothing shared at all here ok fine", 11L, 0L)))
+    assert(got(4L) == (("", 10L, 10L)) && got(5L) == (("", 10L, 10L)))
+  }
+
   test("exact dedup groups/drop are consistent") {
     val n = docs.count()
     val survivors = Dedup.dropExactDups(docs).count()

@@ -140,6 +140,39 @@ class DestinationStoreSpec extends GraftSuite {
       .exists(_.destinations_count == 0))
   }
 
+  test("compact: changelog shrinks to state, expired tombstones vanish, fresh survive") {
+    val day = 86400000L
+    val table = freshTable()
+    // churn d1 (4 versions), delete d2 long ago, delete d3 recently
+    DestinationStore.create(spark, table, rec("t1", "d1"), secret, 1)
+    (2 to 4).foreach(i => DestinationStore.upsert(spark, table,
+      rec("t1", "d1", creds = Map("k" -> s"v$i")), secret, i))
+    DestinationStore.create(spark, table, rec("t1", "d2"), secret, 5)
+    DestinationStore.delete(spark, table, "t1", "d2", opSeq = 6, at = ts(t0)) // 8d old at compact
+    DestinationStore.create(spark, table, rec("t1", "d3"), secret, 7)
+    DestinationStore.delete(spark, table, "t1", "d3", opSeq = 8, at = ts(t0 + 2 * day)) // 6d old
+    val before = DestinationStore.list(spark, table, "t1", secret).map(_.destination_id)
+    val filesBefore = graft.operators.CommitLog.snapshot(table).files.size
+
+    DestinationStore.compact(spark, table, nowMs = t0 + 8 * day)
+
+    // visible state unchanged; physical changelog collapsed
+    assert(DestinationStore.list(spark, table, "t1", secret)
+      .map(_.destination_id) == before)
+    assert(graft.operators.CommitLog.snapshot(table).files.size < filesBefore)
+    val raw = graft.operators.CommitLog.scan(spark, table)
+    assert(raw.count() == 2) // d1 live + d3's fresh tombstone
+    assert(raw.filter(col("deleted_at").isNotNull).count() == 1)
+    // d1 kept its LAST version through the rewrite
+    assert(DestinationStore.retrieve(spark, table, "t1", "d1", secret)
+      .exists(_.credentials == Map("k" -> "v4")))
+    // d2's tombstone expired entirely: a new create is a plain create
+    DestinationStore.create(spark, table,
+      rec("t1", "d2", creds = Map("k" -> "fresh")), secret, 9)
+    assert(DestinationStore.retrieve(spark, table, "t1", "d2", secret)
+      .exists(_.credentials == Map("k" -> "fresh")))
+  }
+
   test("asDestinations feeds the fanout join; disabled destinations drop") {
     val spark2 = spark
     import spark2.implicits._
