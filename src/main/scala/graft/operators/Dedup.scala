@@ -79,20 +79,19 @@ object Dedup {
     * Documents the corpus fully duplicates come back with empty text, not
     * dropped — the caller decides whether empty survivors stay.
     *
-    * Plan shape: gram census shuffles grams (as [[ngramSpanStats]]);
-    * duplicated gram POSITIONS (small: only dup hits) explode to covered
-    * word indices; surviving words shuffle once, keyed by doc, for
-    * reassembly. Rewriting text is inherently output-volume work — the
-    * one unavoidable text-sized shuffle is the reassembly of the words
-    * that survive; the original documents never shuffle whole.
+    * Plan shape: the gram census shuffles grams (as [[ngramSpanStats]]);
+    * duplicated gram POSITIONS — only the dup hits — aggregate to one
+    * sorted int array per affected doc and join back onto the documents
+    * (ONE shuffle of small rows against the doc table); the rewrite
+    * itself is the codegen'd [[graft.plans.SpanScrub]] expression — a
+    * single O(words + positions) two-pointer pass per row. Words are
+    * never exploded and never reassembled through a shuffle.
     *
     * @return (doc_id, text_clean, n_words, n_removed)
     */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-        posexplode(TextFunctions.tokens(col(textCol))))
-      .withColumnRenamed("pos", "widx").withColumnRenamed("col", "word")
+    graft.plans.TextExprs.install(docs.sparkSession)
     val grams = docs.select(col(idCol).as("id"),
         posexplode(TextFunctions.shingles(col(textCol), n)))
       .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "g")
@@ -100,26 +99,20 @@ object Dedup {
     val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs).select("g")
-    // covered word indices per doc; a short doc's single whole-text gram
-    // covers indices [0, n) — beyond its real words, harmlessly, since the
-    // anti-join only ever matches existing positions
-    val covered = grams.join(crossDoc, Seq("g"), "left_semi")
-      .select(col("id"),
-        explode(sequence(col("gpos"), col("gpos") + (n - 1))).as("widx"))
-      .distinct()
-    val rebuilt = words.join(covered, Seq("id", "widx"), "left_anti")
+    // sorted duplicated-gram start positions per affected doc (small: one
+    // int-array row per doc that HAS duplication)
+    val dupArr = grams.join(crossDoc, Seq("g"), "left_semi")
       .groupBy(col("id"))
-      .agg(array_join(transform(
-          array_sort(collect_list(struct(col("widx"), col("word")))),
-          x => x.getField("word")), " ").as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    docs.select(col(idCol).as("id"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_words"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        col("n_words"),
-        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .agg(sort_array(collect_set(col("gpos"))).as("gps"))
+    val scrub = graft.plans.TextExprs.spanScrub(col(textCol),
+      coalesce(col("gps"), array().cast("array<int>")), n)
+    docs.select(col(idCol).as("id"), col(textCol))
+      .join(dupArr, Seq("id"), "left")
+      .select(col("id").as(idCol), scrub.as("r"))
+      .select(col(idCol),
+        col("r.text_clean").as("text_clean"),
+        col("r.n_words").cast("long").as("n_words"),
+        col("r.n_removed").cast("long").as("n_removed"))
   }
 
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,

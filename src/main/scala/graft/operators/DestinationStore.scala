@@ -54,6 +54,10 @@ object DestinationStore {
     extends RuntimeException(s"max destinations per tenant reached: $max")
   final class ErrDestinationNotFound(id: String)
     extends RuntimeException(s"destination not found: $id")
+  /** Retrieval of a soft-deleted id — distinct from not-found, as the
+    * reference's `ErrDestinationDeleted` (drivertest `crud.go:389-393`). */
+  final class ErrDestinationDeleted(id: String)
+    extends RuntimeException(s"destination deleted: $id")
 
   /** Full destination record, plaintext credentials (reference
     * `entities.go:27-40`). */
@@ -140,23 +144,27 @@ object DestinationStore {
   }
 
   /** Soft delete: the latest live row gains `deleted_at` (content kept —
-    * the reference holds soft-deleted hashes for 7 days). */
+    * the reference holds soft-deleted hashes for 7 days). Deleting an
+    * already-soft-deleted id is a NO-OP, not an error (drivertest
+    * `crud.go:380-382` — the Redis hash still exists); only a
+    * never-existed id raises. */
   def delete(spark: SparkSession, table: String, tenantId: String,
              destinationId: String, opSeq: Long, at: Timestamp): Unit = {
     import spark.implicits._
-    val cur = latestRows(spark, table)
+    val cur = latestAnyRows(spark, table)
       .filter(col("tenant_id") === tenantId &&
         col("destination_id") === destinationId)
       .as[StoredRow].collect().headOption
       .getOrElse(throw new ErrDestinationNotFound(destinationId))
+    if (cur.deleted_at.isDefined) return // already deleted: no-op
     CommitLog.append(
       Seq(cur.copy(op_seq = opSeq, deleted_at = Some(at))).toDS().toDF(),
       table, idCol = "op_seq", tsCol = "updated_at")
     ()
   }
 
-  /** Latest stored row per (tenant, destination), tombstones excluded. */
-  def latestRows(spark: SparkSession, table: String): DataFrame = {
+  /** Latest stored row per (tenant, destination), tombstones INCLUDED. */
+  private def latestAnyRows(spark: SparkSession, table: String): DataFrame = {
     val w = Window.partitionBy(col("tenant_id"), col("destination_id"))
       .orderBy(col("op_seq").desc)
     if (CommitLog.snapshot(table).files.isEmpty)
@@ -165,17 +173,25 @@ object DestinationStore {
         org.apache.spark.sql.Encoders.product[StoredRow].schema)
     CommitLog.scan(spark, table)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "month")
-      .filter(col("deleted_at").isNull)
   }
 
-  /** Point read with decrypted credentials. */
+  /** Latest stored row per (tenant, destination), tombstones excluded. */
+  def latestRows(spark: SparkSession, table: String): DataFrame =
+    latestAnyRows(spark, table).filter(col("deleted_at").isNull)
+
+  /** Point read with decrypted credentials. A soft-deleted id raises
+    * [[ErrDestinationDeleted]] (the reference's distinct error for this
+    * case); a never-existed id yields None. */
   def retrieve(spark: SparkSession, table: String, tenantId: String,
                destinationId: String, secret: String): Option[DestinationRecord] = {
     import spark.implicits._
-    latestRows(spark, table)
+    latestAnyRows(spark, table)
       .filter(col("tenant_id") === tenantId &&
         col("destination_id") === destinationId)
-      .as[StoredRow].collect().headOption.map(fromStored(_, secret))
+      .as[StoredRow].collect().headOption.map { r =>
+        if (r.deleted_at.isDefined) throw new ErrDestinationDeleted(destinationId)
+        fromStored(r, secret)
+      }
   }
 
   private def fromStored(r: StoredRow, secret: String): DestinationRecord =
@@ -202,11 +218,15 @@ object DestinationStore {
     * subscriptions. Ordered by created_at (`redistenantstore.go:502-505`). */
   def list(spark: SparkSession, table: String, tenantId: String,
            secret: String, types: Seq[String] = Nil,
-           topics: Seq[String] = Nil): Seq[DestinationRecord] = {
+           topics: Seq[String] = Nil, ids: Seq[String] = Nil): Seq[DestinationRecord] = {
     import spark.implicits._
     val base = latestRows(spark, table).filter(col("tenant_id") === tenantId)
-    val typed = if (types.isEmpty) base
-      else base.filter(col("dest_type").isin(types: _*))
+    // batch-by-IDs (reference HMGET path, redistenantstore.go:441-465):
+    // nonexistent ids skip silently, deleted ids stay excluded
+    val keyed = if (ids.isEmpty) base
+      else base.filter(col("destination_id").isin(ids: _*))
+    val typed = if (types.isEmpty) keyed
+      else keyed.filter(col("dest_type").isin(types: _*))
     typed.as[StoredRow].collect().toSeq
       .filter { r =>
         topics.isEmpty || r.topics.contains("*") || {

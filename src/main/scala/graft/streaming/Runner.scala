@@ -76,7 +76,8 @@ object Runner {
             checkpointRoot: String,
             alertCfg: Alerts.Config = Alerts.Config(),
             retryPath: Option[String] = None,
-            backoff: Backoff = Backoff()): Running = {
+            backoff: Backoff = Backoff(),
+            eventTimeRetries: Boolean = false): Running = {
     import spark.implicits._
     new java.io.File(logPath).mkdirs()
     retryPath.foreach(p => new java.io.File(p).mkdirs())
@@ -142,7 +143,11 @@ object Runner {
           col("manual"), col("event_time"), col("topic"), col("data"),
           col("metadata"), col("attempt_time").as("outcome_time"))
         .as[Retry.Outcome]
-      Retry.scheduleStream(spark, outcomes, backoff)
+      // event-time mode: the retry clock is the log stream's watermark, so
+      // reprocessing history (fresh checkpoint over an old log) schedules
+      // no stale retries; default stays the reference's wall-clock scheduler
+      (if (eventTimeRetries) Retry.scheduleStreamEventTime(spark, outcomes, backoff)
+       else Retry.scheduleStream(spark, outcomes, backoff))
         .writeStream
         .queryName("graft_retries")
         // real trigger: the timer-bearing stateful op re-batches forever, so

@@ -57,7 +57,10 @@ class DestinationStoreSpec extends GraftSuite {
       DestinationStore.create(spark, table, rec("t1", "d1"), secret, opSeq = 2))
     // soft delete, then create again: revived (reference only rejects LIVE)
     DestinationStore.delete(spark, table, "t1", "d1", opSeq = 3, at = ts(t0 + 1))
-    assert(DestinationStore.retrieve(spark, table, "t1", "d1", secret).isEmpty)
+    // retrieving a deleted id is its own error, distinct from not-found
+    intercept[ErrDestinationDeleted](
+      DestinationStore.retrieve(spark, table, "t1", "d1", secret))
+    assert(DestinationStore.retrieve(spark, table, "t1", "nope", secret).isEmpty)
     DestinationStore.create(spark, table,
       rec("t1", "d1", creds = Map("k" -> "v2")), secret, opSeq = 4)
     assert(DestinationStore.retrieve(spark, table, "t1", "d1", secret)
@@ -80,9 +83,23 @@ class DestinationStoreSpec extends GraftSuite {
       DestinationStore.delete(spark, table, "t1", "nope", opSeq = 2, at = ts(t0)))
     DestinationStore.delete(spark, table, "t1", "d1", opSeq = 2, at = ts(t0 + 1))
     assert(DestinationStore.list(spark, table, "t1", secret).isEmpty)
-    // the changelog retains the tombstone (soft delete, not erasure)
+    // deleting an already-deleted id is a NO-OP, not an error (crud.go:380)
+    DestinationStore.delete(spark, table, "t1", "d1", opSeq = 3, at = ts(t0 + 2))
+    // the changelog retains the tombstone (soft delete, not erasure),
+    // and the no-op delete appended nothing
     assert(graft.operators.CommitLog.scan(spark, table)
       .filter(col("deleted_at").isNotNull).count() == 1)
+  }
+
+  test("list by ids: nonexistent skip silently, deleted stay excluded") {
+    val table = freshTable()
+    DestinationStore.create(spark, table, rec("t1", "d1", createdMs = t0), secret, 1)
+    DestinationStore.create(spark, table, rec("t1", "d2", createdMs = t0 + 1), secret, 2)
+    DestinationStore.create(spark, table, rec("t1", "d3", createdMs = t0 + 2), secret, 3)
+    DestinationStore.delete(spark, table, "t1", "d2", opSeq = 4, at = ts(t0 + 3))
+    val got = DestinationStore.list(spark, table, "t1", secret,
+      ids = Seq("d1", "d2", "ghost", "d3")).map(_.destination_id)
+    assert(got == Seq("d1", "d3"))
   }
 
   test("list: type any-of, topics must ALL match unless destination is match-all") {
