@@ -211,6 +211,43 @@ object Similarity {
       .select(col("id"), coalesce(col("component"), col("id")).as("keeper"))
   }
 
+  /** Cross-corpus semantic decontamination: training vectors within
+    * cosine ≥ `threshold` of ANY eval-set vector (the embedding-level
+    * counterpart of n-gram benchmark decontamination — flag training
+    * documents that are semantic near-copies of evaluation data).
+    *
+    * Same scale shape as [[cosinePairsLsh]], but the hyperplane-bucket
+    * join runs ACROSS the two tables: only (table, bucket, id) rows meet
+    * in the join, candidates dedup to (train, eval) id pairs before
+    * vectors attach, and every candidate is verified against the exact
+    * cosine — flagged ids are never false positives; recall follows the
+    * sign-LSH curve and is contract-gated. Returns distinct flagged
+    * train ids as `flagged_id`. */
+  def crossContaminated(train: DataFrame, evalSet: DataFrame, threshold: Double,
+                        tables: Int = 16, bits: Int = 4, dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    install(train)
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nnorm(col(vecCol)).as("nrm"))
+    def buckets(df: DataFrame) = df.select(col("id"),
+      posexplode(array((0 until tables).map(tb =>
+        hyperplaneSig(col("v"), tb, bits, dim)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+    val t = prep(train).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = prep(evalSet).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = buckets(t).select(col("tbl"), col("bucket"), col("id").as("id_t"))
+      .join(buckets(e).select(col("tbl"), col("bucket"), col("id").as("id_e")),
+        Seq("tbl", "bucket"))
+      .select("id_t", "id_e")
+      .dropDuplicates("id_t", "id_e")
+    cands
+      .join(t.select(col("id").as("id_t"), col("v").as("v_t"), col("nrm").as("n_t")), "id_t")
+      .join(e.select(col("id").as("id_e"), col("v").as("v_e"), col("nrm").as("n_e")), "id_e")
+      .filter(round(ndot(col("v_t"), col("v_e")) /
+        nullif(col("n_t") * col("n_e"), lit(0.0)), 6) >= threshold)
+      .select(col("id_t").as("flagged_id")).distinct()
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,

@@ -94,6 +94,32 @@ object VectorOps {
         .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_80")
     }),
 
+    // Embedding-level benchmark decontamination contract: train = vectors
+    // with vec_id % 50 != 0, eval = the rest; flagged = train vectors
+    // within cosine >= 0.4 of any eval vector. DuckDB verifies the EXACT
+    // flagged count; the booleans pin the LSH path's no-false-positive
+    // subset property and recall >= 0.8 (same operating point as
+    // embedding_dedup_check: 16 tables x 4 bits).
+    "embedding_decontaminate_check" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, dir)
+      val train = vecs.filter(col("vec_id") % 50 =!= 0)
+      val evalSet = vecs.filter(col("vec_id") % 50 === 0)
+      val t = train.select(col("vec_id").as("id_t"), col("embedding").as("v_t"))
+      val e = evalSet.select(col("vec_id").as("id_e"), col("embedding").as("v_e"))
+      val exact = t.crossJoin(e)
+        .filter(round(Similarity.cosine(col("v_t"), col("v_e")), 6) >= 0.4)
+        .select(col("id_t")).distinct().persist()
+      val lsh = Similarity.crossContaminated(train, evalSet, 0.4)
+        .withColumnRenamed("flagged_id", "id_t").persist()
+      val nExact = exact.count()
+      val nLsh = lsh.count()
+      val nHit = lsh.join(exact, Seq("id_t"), "left_semi").count()
+      exact.unpersist(); lsh.unpersist()
+      Seq((nExact, nLsh == nHit, nExact == 0L || nHit * 10L >= nExact * 8L))
+        .toDF("exact_flagged", "lsh_subset_ok", "lsh_recall_ge_80")
+    }),
+
     // SemDeDup cluster contract: (id, keeper) per vector over the
     // exact-verified LSH graph. DuckDB recomputes n_vecs and the EXACT
     // closure's cluster count (the 0.4-threshold graph is sparse — 59
@@ -226,6 +252,13 @@ object VectorOps {
       """SELECT count(*) AS exact_pairs, true AS lsh_subset_ok,
         |  true AS lsh_recall_ge_80
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
+    "embedding_decontaminate_check" ->
+      """SELECT count(DISTINCT a.vec_id) AS exact_flagged,
+        |  true AS lsh_subset_ok, true AS lsh_recall_ge_80
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
         |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4""".stripMargin,
     "semantic_dedup_check" ->

@@ -277,6 +277,22 @@ class DedupSimilaritySpec extends GraftSuite {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("cross-corpus decontamination: verified subset of exact, recall >= 0.8") {
+    val train = vecs.filter(col("vec_id") % 50 =!= 0)
+    val evalSet = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = train.select(col("vec_id").as("id_t"), col("embedding").as("v_t"))
+      .crossJoin(evalSet.select(col("embedding").as("v_e")))
+      .filter(org.apache.spark.sql.functions.round(
+        Similarity.cosine(col("v_t"), col("v_e")), 6) >= 0.4)
+      .select("id_t").distinct().collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.crossContaminated(train, evalSet, 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh.subsetOf(exact), "LSH flagged a non-contaminated id")
+    assert(exact.isEmpty ||
+      lsh.intersect(exact).size.toDouble / exact.size >= 0.8,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("hyperplane ANN beats cell-probing recall and stays a subset of the ranking") {
     val q = vecs.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
     val brute = Similarity.knnBrute(vecs, q, 20).collect().map(_.getLong(0)).toSet
