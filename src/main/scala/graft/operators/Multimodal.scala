@@ -39,9 +39,12 @@ object Multimodal {
       var i = 0
       while (i < n) { s = (s * 31 + (row.payload(i) & 0xff)) & 0x7fffffffL; i += 1 }
       val feat = Array.tabulate(8)(j => (((s >> (j * 4)) & 0xf).toFloat) / 15.0f)
+      // envelope-derived fields (byte_len math only) so downstream stages
+      // (frame sampling) stay replayable by the oracle; the byte-fold `s`
+      // feeds only the feature vector, the stand-in for decoded content
       DecodedMedia(row.media_id, row.kind, n,
         width = 64 + (n % 577), height = 64 + ((n * 31) % 359),
-        frames = 1 + (s % 30).toInt, feature = feat)
+        frames = 1 + (n % 30), feature = feat)
     }
   }
 
@@ -62,5 +65,43 @@ object Multimodal {
       // per-partition codec init would go here
       it.map(StubCodec.decode)
     }
+  }
+
+  /** Resized media: original + target geometry with the scale factors a
+    * real resampler would apply. */
+  final case class ResizedMedia(media_id: Long, kind: String,
+                                width: Int, height: Int,
+                                target_w: Int, target_h: Int,
+                                scale_x: Double, scale_y: Double,
+                                feature: Array[Float])
+
+  /** The resize stage: per-partition streamed like decode (a real
+    * resampler inits its kernel tables once per partition). The geometry
+    * arithmetic is real; only the pixel work is stubbed (the feature
+    * vector passes through, as a cheap resampler stand-in). */
+  def resizeAll(decoded: Dataset[DecodedMedia], targetW: Int, targetH: Int): Dataset[ResizedMedia] = {
+    import decoded.sparkSession.implicits._
+    decoded.mapPartitions { it =>
+      it.map { m =>
+        ResizedMedia(m.media_id, m.kind, m.width, m.height, targetW, targetH,
+          math.rint(targetW.toDouble / m.width * 1e6) / 1e6,
+          math.rint(targetH.toDouble / m.height * 1e6) / 1e6,
+          m.feature)
+      }
+    }
+  }
+
+  /** Frame sampling for video media: `k` evenly spaced frame indices over
+    * `[0, frames)` — `floor(j·frames/k)` for j < k, deduplicated when the
+    * clip is shorter than k — exploded to one row per sampled frame (the
+    * fan-out shape a real frame extractor feeds downstream). Non-video
+    * rows drop. */
+  def sampleFrames(decoded: Dataset[DecodedMedia], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    decoded.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("frames"),
+        explode(array_distinct(transform(sequence(lit(0), lit(k - 1)),
+          j => floor(j * col("frames") / k).cast("int")))).as("frame_idx"))
   }
 }

@@ -168,6 +168,15 @@ object VectorOps {
         .select(col("media_id"), col("kind"), col("byte_len"),
           col("width"), col("height"))
         .orderBy(col("media_id"))
+    }),
+
+    // decode → frame-sample fan-out for video media: 3 evenly spaced
+    // frame indices per clip (deduped for short clips), one row each —
+    // the envelope math is byte_len-derived so DuckDB replays it exactly.
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      Multimodal.sampleFrames(Multimodal.decodeAll(s, media), 3)
+        .orderBy(col("media_id"), col("frame_idx"))
     })
   )
 
@@ -289,6 +298,15 @@ object VectorOps {
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 31) % 359 AS INT) AS height
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """SELECT media_id, frames, frame_idx FROM (
+        |  SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |    CAST(1 + octet_length(encode(text)) % 30 AS INT) AS frames,
+        |    unnest(list_distinct(list_transform(range(0, 3),
+        |      j -> CAST(floor(j * (1 + octet_length(encode(text)) % 30) / 3.0) AS INT))))
+        |      AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

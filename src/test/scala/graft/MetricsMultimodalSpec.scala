@@ -112,4 +112,32 @@ class MetricsMultimodalSpec extends GraftSuite {
       assert(Set("image", "audio", "video").contains(m.kind))
     }
   }
+
+  test("multimodal resize and frame sampling stages") {
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
+    val decoded = Multimodal.decodeAll(spark, media)
+    val resized = Multimodal.resizeAll(decoded, 224, 224).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      assert(r.target_w == 224 && r.target_h == 224)
+      assert(math.abs(r.scale_x - 224.0 / r.width) < 1e-6)
+      assert(math.abs(r.scale_y - 224.0 / r.height) < 1e-6)
+      assert(r.feature.length == 8)
+    }
+    // 3 evenly spaced frames per video clip, deduped for short clips;
+    // indices in range, ascending per clip, non-video kinds absent
+    val frames = Multimodal.sampleFrames(decoded, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byClip = frames.groupBy(_._1)
+    val videoIds = decoded.filter(_.kind == "video").collect()
+      .map(m => m.media_id -> m.frames).toMap
+    assert(byClip.keySet == videoIds.keySet)
+    byClip.foreach { case (id, rows) =>
+      val n = videoIds(id)
+      val idxs = rows.map(_._3).toSeq
+      assert(idxs == idxs.sorted && idxs.distinct == idxs)
+      assert(idxs.forall(i => i >= 0 && i < n))
+      assert(idxs == (0 until 3).map(j => j * n / 3).distinct)
+    }
+  }
 }
