@@ -28,6 +28,10 @@ object Pipeline {
   val rawEventSchema: StructType = StructType(Seq(
     StructField("event_id", StringType),
     StructField("tenant_id", StringType),
+    // optional DIRECT ADDRESS: when set, the event is matched against that
+    // one destination only (entities.go:97 `destination_id`,
+    // eventhandler.go:202-224)
+    StructField("destination_id", StringType),
     StructField("topic", StringType),
     StructField("eligible_for_retry", BooleanType),
     StructField("event_time", TimestampType),
@@ -69,7 +73,13 @@ object Pipeline {
     filterJson == null || filterJson.isEmpty || JsonMatch.matches(filterJson, envelope))
 
   /** P7/J1: event × destination fanout. Returns one row per matched
-    * (event, destination) with task columns. */
+    * (event, destination) with task columns.
+    *
+    * Direct-addressed events (a non-null event `destination_id`) restrict
+    * the candidate set to that one destination; the full match predicate
+    * (enabled ∧ topic ∧ filter) still applies, exactly as the reference's
+    * `matchSpecificDestination` → `destination.MatchEvent`
+    * (eventhandler.go:202-224). */
   def matchFanout(spark: SparkSession, events: DataFrame,
                   destinations: Dataset[Destination]): DataFrame = {
     val d = destinations.toDF()
@@ -92,8 +102,15 @@ object Pipeline {
     val envelope = concat(
       substring(fixed, lit(1), length(fixed) - 1),
       lit(""","data":"""), col("data"), lit("}"))
-    events
+    // tolerate event frames without the optional direct-address column
+    val e =
+      if (events.columns.contains("destination_id"))
+        events.withColumnRenamed("destination_id", "direct_destination_id")
+      else events.withColumn("direct_destination_id", lit(null).cast(StringType))
+    e
       .join(broadcast(d), col("tenant_id") === col("d_tenant_id"), "inner")
+      .filter(col("direct_destination_id").isNull ||
+        col("direct_destination_id") === col("destination_id"))
       .filter(topicMatchUdf(col("topics"), col("topic")))
       .filter(filterMatchUdf(col("filter_json"), envelope))
       .select(col("event_id"), col("tenant_id"), col("destination_id"),

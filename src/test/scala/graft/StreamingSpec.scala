@@ -42,6 +42,31 @@ class StreamingSpec extends GraftSuite {
     assert(stamped == Set("d_all", "d_orders", "d_big"))
   }
 
+  test("direct-addressed events match only the named destination (eventhandler.go:202-224)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      // direct to d_orders: others would also match this topic, but only
+      // the named destination is a candidate
+      ("e1", "t1", "d_orders", "order.created", true, ts(0), Map.empty[String, String], """{"amount":150}"""),
+      // direct to a destination whose TOPIC rejects: no fanout at all
+      ("e2", "t1", "d_orders", "user.created", true, ts(1), Map.empty[String, String], """{}"""),
+      // direct to a destination whose FILTER rejects: no fanout
+      ("e3", "t1", "d_big", "order.created", true, ts(2), Map.empty[String, String], """{"amount":50}"""),
+      // direct to a disabled destination: no fanout
+      ("e4", "t1", "d_off", "order.created", true, ts(3), Map.empty[String, String], """{}"""),
+      // no direct address: normal topic matching
+      ("e5", "t1", null, "order.created", true, ts(4), Map.empty[String, String], """{"amount":150}"""))
+      .toDF("event_id", "tenant_id", "destination_id", "topic",
+        "eligible_for_retry", "event_time", "metadata", "data")
+    val got = Pipeline.matchFanout(spark, events, destinations.toDS())
+      .select("event_id", "destination_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("e1", "d_orders"),
+      ("e5", "d_all"), ("e5", "d_orders"), ("e5", "d_big")))
+  }
+
   test("fanout envelope: escaped fields, RFC3339 UTC time, sub-second filter boundary") {
     val spark2 = spark
     import spark2.implicits._
