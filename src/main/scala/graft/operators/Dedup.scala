@@ -87,14 +87,22 @@ object Dedup {
     * single O(words + positions) two-pointer pass per row. Words are
     * never exploded and never reassembled through a shuffle.
     *
+    * `hashGrams=true` swaps the census shuffle key for xxhash64(gram) —
+    * 8-byte keys, identical grouping modulo 2⁻⁶⁴ collisions — the form to
+    * run at 100 TB (same knob as [[ngramSpanStats]]); the default keeps
+    * the string key so the DuckDB gate compares exactly.
+    *
     * @return (doc_id, text_clean, n_words, n_removed)
     */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                           hashGrams: Boolean = false,
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.TextExprs.install(docs.sparkSession)
+    val key = if (hashGrams) xxhash64(col("g")) else col("g")
     val grams = docs.select(col(idCol).as("id"),
         posexplode(TextFunctions.shingles(col(textCol), n)))
       .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "g")
+      .select(col("id"), col("gpos"), key.as("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
