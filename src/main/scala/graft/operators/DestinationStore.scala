@@ -251,6 +251,26 @@ object DestinationStore {
       .as[Model.Destination]
   }
 
+  /** Data-plane webhook signing dimension: (destination_id, secret,
+    * previous_secret, previous_secret_invalid_at) for live webhook
+    * destinations — the three credential fields the reference's webhook
+    * provider reads (`destwebhook.go:125-126,455-480`). Decryption happens
+    * IN the projection (codegen'd `try_aes_decrypt`): plaintext exists
+    * only in flight toward the signer, never at rest, and a destination
+    * whose ciphertext doesn't decrypt under this secret yields nulls
+    * rather than failing the scan. Broadcast-sized by construction. */
+  def webhookCredsDim(spark: SparkSession, table: String,
+                      storeSecret: String): DataFrame = {
+    val creds = Crypto.Credentials.decrypt(col("credentials_enc"), storeSecret)
+    latestRows(spark, table)
+      .filter(col("dest_type") === "webhook")
+      .select(col("destination_id"),
+        get_json_object(creds, "$.secret").as("secret"),
+        get_json_object(creds, "$.previous_secret").as("previous_secret"),
+        get_json_object(creds, "$.previous_secret_invalid_at")
+          .as("previous_secret_invalid_at"))
+  }
+
   // ------------------------------------------------------------- tenants
 
   final class ErrTenantNotFound(id: String)

@@ -111,6 +111,76 @@ object Sinks {
     }
   }
 
+  /** File webhook sink with PER-DESTINATION signing secrets sourced from
+    * the destination store (reference: each destination's webhook
+    * credentials carry `secret` / `previous_secret` /
+    * `previous_secret_invalid_at`, `destwebhook.go:125-126,455-480`),
+    * instead of [[FileWebhookSink]]'s single static secret.
+    *
+    * The credentials dimension ([[graft.operators.DestinationStore
+    * .webhookCredsDim]], or any (destination_id, secret, previous_secret,
+    * previous_secret_invalid_at) frame) broadcast-joins onto the task
+    * batch; each delivery is signed with every ACTIVE secret — current
+    * always, previous while inside its invalid-at window — comma-joined,
+    * exactly [[Signatures.SignatureManager]]'s rotation policy. A task
+    * whose destination has no webhook credentials produces a FAILED
+    * attempt (code 500) instead of being silently dropped. `credsDim` is
+    * a thunk so each micro-batch re-reads current store state (the
+    * reference re-fetches destinations per delivery). */
+  final case class StoreWebhookSink(root: String, credsDim: () => DataFrame,
+                                    algoName: String = Signatures.HmacSha256.name,
+                                    base64: Boolean = false,
+                                    contentTemplate: String = Signatures.DefaultSignatureContentTemplate,
+                                    saltBuckets: Int = 8,
+                                    destType: String = "webhook")
+    extends Sink {
+    override def publish(tasks: DataFrame): DataFrame = {
+      val (algo, enc, tmpl) = (algoName, base64, contentTemplate)
+      val sign = udf((eventId: String, topic: String, tsMs: java.sql.Timestamp,
+                      body: String, secret: String, prev: String,
+                      prevInvalidAt: String) =>
+        if (secret == null) null
+        else {
+          val secrets = Seq(
+            Signatures.WebhookSecret(secret, java.time.Instant.EPOCH.plusSeconds(1))) ++
+            Option(prev).map(p => Signatures.WebhookSecret(p,
+              java.time.Instant.EPOCH,
+              Option(prevInvalidAt).map(java.time.Instant.parse)))
+          val mgr = new Signatures.SignatureManager(secrets,
+            Signatures.Algos(algo),
+            if (enc) Signatures.Base64Encoder else Signatures.HexEncoder,
+            new Signatures.Template(tmpl))
+          mgr.generateSignatures(Signatures.SignaturePayload(
+            eventId, topic, tsMs.toInstant, body)).mkString(",")
+        })
+      val joined = tasks.join(broadcast(credsDim()), Seq("destination_id"), "left")
+        .withColumn("signature",
+          sign(col("event_id"), col("topic"), col("event_time"), col("data"),
+            col("secret"), col("previous_secret"),
+            col("previous_secret_invalid_at")))
+      joined.filter(col("signature").isNotNull)
+        .withColumn("delivery", to_json(struct(
+          col("event_id"), col("topic"), col("data"), col("signature"))))
+        .select(col("destination_id"), col("delivery"))
+        .repartition(col("destination_id"),
+          pmod(xxhash64(col("delivery")), lit(saltBuckets)))
+        .write.mode("append").partitionBy("destination_id")
+        .text(root)
+      // outcomes: signed deliveries succeed; missing credentials fail
+      joined.select(
+        concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
+          lit(":"), col("attempt")).as("attempt_id"),
+        col("event_id"), col("tenant_id"), col("destination_id"),
+        lit(destType).as("destination_type"),
+        col("attempt").as("attempt_number"), col("manual"),
+        when(col("signature").isNull, "failed").otherwise("success").as("status"),
+        current_timestamp().as("attempt_time"),
+        when(col("signature").isNull, "500").otherwise("200").as("code"),
+        col("event_time"), col("topic"), col("data"), col("metadata"),
+        col("eligible_for_retry"))
+    }
+  }
+
   /** Kafka delivery sink (reference: `destregistry/providers/destkafka/
     * destkafka.go:209-258`): renders each task into the exact Kafka record
     * shape — key from the destination's JMESPath partition-key template

@@ -190,6 +190,55 @@ class DestinationStoreSpec extends GraftSuite {
       .exists(_.credentials == Map("k" -> "fresh")))
   }
 
+  test("store-backed webhook signing: per-destination secrets with rotation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = freshTable()
+    val root = java.nio.file.Files.createTempDirectory("graft_store_sink").toString
+    // d1: single secret; d2: rotated, previous still valid until 2099
+    DestinationStore.create(spark, table,
+      rec("t1", "d1", creds = Map("secret" -> "sec1")), secret, 1)
+    DestinationStore.create(spark, table,
+      rec("t1", "d2", creds = Map("secret" -> "sec2",
+        "previous_secret" -> "old2",
+        "previous_secret_invalid_at" -> "2099-01-01T00:00:00Z")), secret, 2)
+    val dim = () => DestinationStore.webhookCredsDim(spark, table, secret)
+    val sink = graft.streaming.Sinks.StoreWebhookSink(root, dim)
+    val tasks = Seq(
+      ("e1", "t1", "d1", 1, false, ts(t0), "a.b", """{"n":1}""", Map.empty[String, String], true, "webhook"),
+      ("e2", "t1", "d2", 1, false, ts(t0), "a.b", """{"n":2}""", Map.empty[String, String], true, "webhook"),
+      ("e3", "t1", "d9", 1, false, ts(t0), "a.b", """{"n":3}""", Map.empty[String, String], true, "webhook"))
+      .toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry", "dest_type")
+    val outcomes = sink.publish(tasks).collect()
+      .map(r => r.getAs[String]("destination_id") ->
+        ((r.getAs[String]("status"), r.getAs[String]("code")))).toMap
+    // signed deliveries succeed; unknown destination = missing creds = failed
+    assert(outcomes("d1") == (("success", "200")))
+    assert(outcomes("d2") == (("success", "200")))
+    assert(outcomes("d9") == (("failed", "500")))
+    def sigOf(dest: String): String = {
+      val line = spark.read.text(s"$root/destination_id=$dest")
+        .head().getString(0)
+      graft.functions.JsonMatch.parse(line).get("signature").asText
+    }
+    def verify(sig: String, key: String, eventId: String, body: String): Boolean =
+      new graft.streaming.Signatures.SignatureManager(
+        Seq(graft.streaming.Signatures.WebhookSecret(key, java.time.Instant.EPOCH)))
+        .verify(sig, key, graft.streaming.Signatures.SignaturePayload(
+          eventId, "a.b", ts(t0).toInstant, body))
+    // d1: exactly one signature, by sec1
+    val s1 = sigOf("d1")
+    assert(!s1.contains(",") && verify(s1, "sec1", "e1", """{"n":1}"""))
+    // d2: current + still-valid previous, comma-joined, in that order
+    val s2 = sigOf("d2").split(',')
+    assert(s2.length == 2)
+    assert(verify(s2(0), "sec2", "e2", """{"n":2}"""))
+    assert(verify(s2(1), "old2", "e2", """{"n":2}"""))
+    // no d9 delivery was written
+    assert(!new java.io.File(s"$root/destination_id=d9").exists())
+  }
+
   test("asDestinations feeds the fanout join; disabled destinations drop") {
     val spark2 = spark
     import spark2.implicits._
