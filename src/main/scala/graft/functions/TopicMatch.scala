@@ -51,6 +51,31 @@ object TopicMatch {
     }
   }
 
+  /** The `["*"]` subscription (reference `entities.go:146-148`). */
+  def matchesAll(patterns: Seq[String]): Boolean =
+    patterns.length == 1 && patterns.head == "*"
+
+  /** Subscription-set validation (reference `entities.go:162-197`
+    * `Topics.Validate`): an empty set is invalid; `["*"]` alone is always
+    * valid; against a configured available-topics list every entry must
+    * be an available topic — or, when wildcards are allowed, a pattern
+    * matching at least one available topic — and a bare `*` entry mixed
+    * with others is rejected; with NO available list, exact topics pass
+    * and wildcard patterns only when allowed. */
+  def validate(patterns: Seq[String], availableTopics: Seq[String],
+               allowWildcards: Boolean = false): Boolean = {
+    if (patterns.isEmpty) return false
+    if (matchesAll(patterns)) return true
+    if (availableTopics.isEmpty)
+      return allowWildcards || patterns.forall(!_.contains('*'))
+    patterns.forall { p =>
+      if (p == "*") false
+      else if (p.contains('*'))
+        allowWildcards && availableTopics.exists(matchOne(p, _))
+      else availableTopics.contains(p)
+    }
+  }
+
   /** Compile one glob pattern to an anchored Java regex. */
   def toRegex(pattern: String): String =
     "^" + pattern.split("\\*", -1).map(java.util.regex.Pattern.quote).mkString(".*") + "$"

@@ -47,6 +47,33 @@ class TopicMatchSpec extends GraftSuite {
     assert(TopicMatch.normalize(Seq("*", "x", "y")) == Seq("*"))
   }
 
+  test("topic-set validation: reference test table ported verbatim (entities_test.go:13-125)") {
+    val avail = Seq("user.created", "user.deleted", "user.updated")
+    val cases = Seq(
+      (Seq("user.created"), avail, false, true),
+      (Seq("user.created", "user.updated"), avail, false, true),
+      (Seq("user.*"), avail, false, false),
+      (Seq("user.*"), avail, true, true),
+      (Seq("order.*"), avail, true, false),
+      (Seq("user.created", "order.*"), avail, true, false),
+      (Seq("order.*"), Seq("order.created", "user.created"), true, true),
+      (Seq("*"), avail, false, true),
+      (Seq("*", "user.created"), avail, false, false),
+      (Seq("user.invalid"), avail, false, false),
+      (Seq("user.created", "user.invalid"), avail, false, false),
+      (Seq(), avail, false, false),
+      (Seq("any.topic"), Seq(), false, true),
+      (Seq("any.topic", "another.topic"), Seq(), false, true),
+      (Seq("*"), Seq(), false, true),
+      (Seq("user.*"), Seq(), false, false),
+      (Seq("user.*"), Seq(), true, true),
+      (Seq(), Seq(), false, false))
+    cases.foreach { case (topics, available, wild, expect) =>
+      assert(TopicMatch.validate(topics, available, wild) == expect,
+        s"topics=$topics available=$available allowWildcards=$wild")
+    }
+  }
+
   test("column form agrees with pure matcher") {
     val spark2 = spark
     import spark2.implicits._
