@@ -135,7 +135,11 @@ object Sinks {
                                     destType: String = "webhook")
     extends Sink {
     override def publish(tasks: DataFrame): DataFrame = {
-      val (algo, enc, tmpl) = (algoName, base64, contentTemplate)
+      // algo/encoder/template resolve ONCE per batch (the template parse
+      // is not per-row work); only the per-destination secret set varies
+      val algoObj = Signatures.Algos(algoName)
+      val encObj = if (base64) Signatures.Base64Encoder else Signatures.HexEncoder
+      val tmplObj = new Signatures.Template(contentTemplate)
       val sign = udf((eventId: String, topic: String, tsMs: java.sql.Timestamp,
                       body: String, secret: String, prev: String,
                       prevInvalidAt: String) =>
@@ -146,12 +150,9 @@ object Sinks {
             Option(prev).map(p => Signatures.WebhookSecret(p,
               java.time.Instant.EPOCH,
               Option(prevInvalidAt).map(java.time.Instant.parse)))
-          val mgr = new Signatures.SignatureManager(secrets,
-            Signatures.Algos(algo),
-            if (enc) Signatures.Base64Encoder else Signatures.HexEncoder,
-            new Signatures.Template(tmpl))
-          mgr.generateSignatures(Signatures.SignaturePayload(
-            eventId, topic, tsMs.toInstant, body)).mkString(",")
+          new Signatures.SignatureManager(secrets, algoObj, encObj, tmplObj)
+            .generateSignatures(Signatures.SignaturePayload(
+              eventId, topic, tsMs.toInstant, body)).mkString(",")
         })
       val joined = tasks.join(broadcast(credsDim()), Seq("destination_id"), "left")
         .withColumn("signature",

@@ -80,6 +80,23 @@ class PlanSpec extends GraftSuite {
     assert(phys.contains("BroadcastHashJoin"), phys)
   }
 
+  test("span removal: scan prunes to (doc_id, text); rewrite is the native expression") {
+    val df = graft.operators.Dedup.removeDuplicateSpans(
+      graft.core.Tables.documents(spark, sf))
+    val phys = df.queryExecution.executedPlan.toString
+    // the parquet scan must read only the two columns the operator uses
+    val readSchema = phys.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("source") && !readSchema.contains("lang"),
+      s"scan not pruned to (doc_id, text): $readSchema")
+    // the per-row rewrite is the codegen'd expression, not a HOF chain
+    // (the shingle TRANSFORM in the census stage is legitimately a HOF;
+    // the rewrite projection itself must carry only graft_span_scrub)
+    assert(phys.contains("graft_span_scrub"), phys)
+    assert(!phys.contains("aggregate(lambdafunction"),
+      s"interval-merge HOF fold leaked back into the plan:\n$phys")
+  }
+
   test("mixture sample: rate clamps to 1.0 and keeps every doc in tiny groups") {
     val spark2 = spark
     import spark2.implicits._
