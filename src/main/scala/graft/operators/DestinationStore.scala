@@ -251,6 +251,31 @@ object DestinationStore {
       .as[Model.Destination]
   }
 
+  /** Act on `destination_disabled` alert signals (the reference's alert
+    * evaluator only EMITS the auto-disable signal — `alert/evaluator.go:4`
+    * "acting on the signals ... is the caller's concern"; this is that
+    * caller for the store): every named (tenant, destination) gets its
+    * latest live row upserted with `disabled_at = at`. Alerts for unknown
+    * or already-deleted destinations are ignored. Returns the number of
+    * destinations disabled. */
+  def applyDisableAlerts(spark: SparkSession, table: String, alerts: DataFrame,
+                         baseOpSeq: Long, at: Timestamp): Int = {
+    import spark.implicits._
+    val targets = alerts.filter(col("kind") === "destination_disabled")
+      .select(col("tenant_id"), col("destination_id")).distinct()
+    val rows = latestRows(spark, table)
+      .join(targets, Seq("tenant_id", "destination_id"), "left_semi")
+      .as[StoredRow].collect()
+    if (rows.isEmpty) return 0
+    val disabled = rows.sortBy(r => (r.tenant_id, r.destination_id))
+      .zipWithIndex.map { case (r, i) =>
+        r.copy(op_seq = baseOpSeq + i, disabled_at = Some(at))
+      }.toSeq
+    CommitLog.append(disabled.toDS().toDF(), table,
+      idCol = "op_seq", tsCol = "updated_at")
+    disabled.size
+  }
+
   /** Data-plane webhook signing dimension: (destination_id, secret,
     * previous_secret, previous_secret_invalid_at) for live webhook
     * destinations — the three credential fields the reference's webhook

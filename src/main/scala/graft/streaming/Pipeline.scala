@@ -41,13 +41,20 @@ object Pipeline {
   /** S2: parse a raw JSON event stream and apply ingest defaults
     * (missing id → uuid, missing time → now, missing eligibility → true).
     * `data` must be a JSON object or the row is dropped (fails closed, as
-    * the reference 400s — messagehandler.go:33-37). */
-  def validateAndDefault(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
+    * the reference 400s — messagehandler.go:33-37). When `availableTopics`
+    * is configured, events naming a topic outside it also drop (the
+    * reference's ErrInvalidTopic, eventhandler.go:71-76; the literal `*`
+    * topic passes, as there). */
+  def validateAndDefault(raw: DataFrame, jsonCol: String = "value",
+                         availableTopics: Seq[String] = Nil): DataFrame = {
     val parsed = raw.select(from_json(col(jsonCol), rawEventSchema).as("e"))
       .select("e.*")
+    val topicOk =
+      if (availableTopics.isEmpty) lit(true)
+      else col("topic") === "*" || col("topic").isin(availableTopics: _*)
     parsed
       .filter(col("tenant_id").isNotNull && col("topic").isNotNull &&
-        col("data").startsWith("{"))
+        topicOk && col("data").startsWith("{"))
       .withColumn("event_id", coalesce(col("event_id"), expr("uuid()")))
       .withColumn("event_time", coalesce(col("event_time"), current_timestamp()))
       .withColumn("eligible_for_retry", coalesce(col("eligible_for_retry"), lit(true)))

@@ -190,6 +190,28 @@ class DestinationStoreSpec extends GraftSuite {
       .exists(_.credentials == Map("k" -> "fresh")))
   }
 
+  test("destination_disabled alerts flow back into the store") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = freshTable()
+    DestinationStore.create(spark, table, rec("t1", "d1"), secret, 1)
+    DestinationStore.create(spark, table, rec("t1", "d2"), secret, 2)
+    val alerts = Seq(
+      ("t1", "d1", "destination_disabled", 100, 5),
+      ("t1", "d2", "consecutive_failure", 50, 3), // below 100%: no disable
+      ("t1", "ghost", "destination_disabled", 100, 9)) // unknown: ignored
+      .toDF("tenant_id", "destination_id", "kind", "threshold_pct", "failure_count")
+    val n = DestinationStore.applyDisableAlerts(spark, table, alerts,
+      baseOpSeq = 10, at = ts(t0 + 1))
+    assert(n == 1)
+    val byId = DestinationStore.list(spark, table, "t1", secret)
+      .map(d => d.destination_id -> d.disabled_at.isDefined).toMap
+    assert(byId == Map("d1" -> true, "d2" -> false))
+    // the data-plane dimension drops the disabled destination
+    assert(DestinationStore.asDestinations(spark, table)
+      .filter(!col("disabled")).collect().map(_.destination_id).toSeq == Seq("d2"))
+  }
+
   test("store-backed webhook signing: per-destination secrets with rotation") {
     val spark2 = spark
     import spark2.implicits._

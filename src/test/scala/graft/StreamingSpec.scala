@@ -296,6 +296,16 @@ class StreamingSpec extends GraftSuite {
     assert(r.getAs[String]("event_id") != null)
     assert(r.getAs[Timestamp]("event_time") != null)
     assert(r.getAs[Boolean]("eligible_for_retry"))
+    // configured topic list: unknown topics drop, "*" passes
+    // (eventhandler.go:71-76 ErrInvalidTopic)
+    val raw2 = Seq(
+      """{"tenant_id":"t1","topic":"a.b","data":{}}""",
+      """{"tenant_id":"t1","topic":"z.z","data":{}}""",
+      """{"tenant_id":"t1","topic":"*","data":{}}""").toDF("value")
+    val topics = Pipeline.validateAndDefault(raw2,
+        availableTopics = Seq("a.b", "c.d"))
+      .select("topic").collect().map(_.getString(0)).toSet
+    assert(topics == Set("a.b", "*"))
   }
 
   test("alert evaluator: threshold crossings, reset on success, idempotent redelivery") {
