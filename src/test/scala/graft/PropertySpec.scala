@@ -49,6 +49,34 @@ class PropertySpec extends GraftSuite {
     }, "wrong-resource")
   }
 
+  test("property: SpanScrub equals the brute-force coverage model") {
+    // the native expression is hand-written two-pointer code; pin it
+    // against the obvious O(words × starts) model on random inputs
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val genDoc = for {
+      nw <- Gen.choose(0, 40)
+      words <- Gen.listOfN(nw, Gen.oneOf("a", "b", "cc", "", "dd"))
+    } yield words.mkString(" ")
+    val genCase = for {
+      doc <- genDoc
+      n <- Gen.choose(1, 12)
+      k <- Gen.choose(0, 10)
+      gps <- Gen.listOfN(k, Gen.choose(0, 45))
+    } yield (doc, n, gps.distinct.sorted)
+    check(Prop.forAll(genCase) { case (doc, n, gps) =>
+      val words = doc.split(" ", -1)
+      val covered = words.indices.filter(i =>
+        gps.exists(p => p <= i && i < p + n)).toSet
+      val expectKept = words.indices.filterNot(covered).map(words)
+      val row = graft.plans.TextExprs.spanScrub(
+        UTF8String.fromString(doc), new GenericArrayData(gps.toArray), n)
+      row.getString(0) == expectKept.mkString(" ") &&
+        row.getInt(1) == words.length &&
+        row.getInt(2) == words.length - expectKept.length
+    }, "span-scrub")
+  }
+
   test("property: glob match agrees with regex compilation") {
     // BOUNDED sizes: an unbounded pattern like a*a*a*...a* against a long
     // non-matching topic is catastrophic backtracking in BOTH engines —
