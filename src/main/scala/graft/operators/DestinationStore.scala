@@ -391,11 +391,23 @@ object DestinationStore {
     * or dropping data. */
   def compact(spark: SparkSession, table: String,
               nowMs: Long,
-              tombstoneGraceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
+              tombstoneGraceMs: Long = 7L * 24 * 3600 * 1000): Unit =
+    compactChangelog(spark, table, Seq("tenant_id", "destination_id"),
+      nowMs, tombstoneGraceMs)
+
+  /** [[compact]] for the tenant changelog (key = tenant_id). */
+  def compactTenants(spark: SparkSession, tenantTable: String,
+                     nowMs: Long,
+                     tombstoneGraceMs: Long = 7L * 24 * 3600 * 1000): Unit =
+    compactChangelog(spark, tenantTable, Seq("tenant_id"),
+      nowMs, tombstoneGraceMs)
+
+  private def compactChangelog(spark: SparkSession, table: String,
+                               keyCols: Seq[String], nowMs: Long,
+                               tombstoneGraceMs: Long): Unit = {
     val old = CommitLog.snapshot(table).files
     if (old.isEmpty) return
-    val w = Window.partitionBy(col("tenant_id"), col("destination_id"))
-      .orderBy(col("op_seq").desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("op_seq").desc)
     val state = CommitLog.scan(spark, table)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       .filter(col("deleted_at").isNull ||
@@ -403,7 +415,7 @@ object DestinationStore {
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(table), ".stage-")
     state.repartition(col("month"))
-      .sortWithinPartitions(col("tenant_id"), col("destination_id"))
+      .sortWithinPartitions(keyCols.map(col): _*)
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
     val adds = CommitLog.moveStaged(staging, table)
     try {

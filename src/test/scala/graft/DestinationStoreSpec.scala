@@ -188,6 +188,16 @@ class DestinationStoreSpec extends GraftSuite {
       rec("t1", "d2", creds = Map("k" -> "fresh")), secret, 9)
     assert(DestinationStore.retrieve(spark, table, "t1", "d2", secret)
       .exists(_.credentials == Map("k" -> "fresh")))
+    // the tenant changelog compacts through the same machinery
+    val tenants = freshTable() + "_tenants"
+    DestinationStore.upsertTenant(spark, tenants,
+      TenantRecord("t1", Map("v" -> "1"), ts(t0), ts(t0), None), 1)
+    DestinationStore.upsertTenant(spark, tenants,
+      TenantRecord("t1", Map("v" -> "2"), ts(t0), ts(t0 + 1), None), 2)
+    DestinationStore.compactTenants(spark, tenants, nowMs = t0 + 8 * day)
+    assert(graft.operators.CommitLog.scan(spark, tenants).count() == 1)
+    assert(DestinationStore.retrieveTenant(spark, tenants, table, "t1")
+      .exists(_.metadata == Map("v" -> "2")))
   }
 
   test("destination_disabled alerts flow back into the store") {
