@@ -81,6 +81,10 @@ class PlanSpec extends GraftSuite {
   }
 
   test("span removal: scan prunes to (doc_id, text); rewrite is the native expression") {
+    // another suite's span-removal run leaves its persisted gram frame in
+    // the cache manager; a plan-matched InMemoryTableScan would replace
+    // the parquet scan this test inspects
+    spark.catalog.clearCache()
     val df = graft.operators.Dedup.removeDuplicateSpans(
       graft.core.Tables.documents(spark, sf))
     val phys = df.queryExecution.executedPlan.toString
