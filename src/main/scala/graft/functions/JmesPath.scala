@@ -514,6 +514,61 @@ object JmesPath {
       JsonNodeFactory.instance.numberNode(d.toLong)
     else DoubleNode.valueOf(d)
 
+  /** Shortest round-trip decimal digits of a positive double:
+    * (significant digits, decimal exponent of the leading digit).
+    * 123456.0 → ("123456", 5); 0.001 → ("1", -3). Shared by the `%g`
+    * renderer ([[PartitionKey.goG]]) and [[goJsonNumber]]. */
+  private[functions] def shortestDigits(ad: Double): (String, Int) = {
+    val repr = java.lang.Double.toString(ad)
+    val (mantissa, exp10) = repr.split('E') match {
+      case Array(m) =>
+        val dot = m.indexOf('.')
+        (m.replace(".", ""), dot - 1)
+      case Array(m, e) =>
+        val dot = m.indexOf('.')
+        (m.replace(".", ""), e.toInt + (if (dot > 1) dot - 1 else 0))
+    }
+    val digits = mantissa.replaceFirst("0+$", "") match { case "" => "0"; case s => s }
+    val lead = digits.indexWhere(_ != '0')
+    if (lead > 0) (digits.substring(lead), exp10 - lead) else (digits, exp10)
+  }
+
+  /** Go `encoding/json` float rendering (`floatEncoder`): shortest
+    * round-trip digits; FIXED notation unless |d| < 1e-6 or ≥ 1e21, where
+    * the 'e' form appears with Go's cleanup of single-digit negative
+    * exponents (`1e-7`, not `1e-07`; positive exponents keep two digits:
+    * `1e+21`). `to_string` of a non-integral payload double must produce
+    * these bytes to match go-jmespath's json.Marshal. */
+  private[functions] def goJsonNumber(d: Double): String = {
+    if (d.isNaN || d.isInfinite) return d.toString // json.Marshal errors; unreachable from parsed payloads
+    if (d == 0.0) return if (1 / d < 0) "-0" else "0"
+    val neg = d < 0
+    val ad = math.abs(d)
+    val (sig, exp) = shortestDigits(ad)
+    val nd = sig.length
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (ad < 1e-6 || ad >= 1e21) {
+      sb.append(sig.head)
+      if (nd > 1) sb.append('.').append(sig.tail)
+      sb.append('e').append(if (exp < 0) '-' else '+')
+      val ae = math.abs(exp)
+      if (ae < 10) sb.append('0')
+      sb.append(ae)
+      val s = sb.toString
+      // encoding/json: e-0X collapses to e-X
+      if (s(s.length - 3) == '-' && s(s.length - 2) == '0')
+        s.substring(0, s.length - 2) + s.last
+      else s
+    } else if (exp >= nd - 1) {
+      sb.append(sig).append("0" * (exp - nd + 1)).toString
+    } else if (exp >= 0) {
+      sb.append(sig.substring(0, exp + 1)).append('.')
+        .append(sig.substring(exp + 1)).toString
+    } else {
+      sb.append("0.").append("0" * (-exp - 1)).append(sig).toString
+    }
+  }
+
   private def badType(fn: String, got: JsonNode): Nothing =
     throw JmesPathError(s"$fn: invalid type ${typeName(got)}")
 
@@ -717,7 +772,13 @@ object JmesPath {
       case "to_string" =>
         arity(name, rawArgs, 1)
         val a = evalArg(rawArgs.head)
-        if (a.isTextual) a else TextNode.valueOf(a.toString)
+        if (a.isTextual) a
+        // non-integral doubles (integral ones materialize as longs in
+        // [[num]]) render with json.Marshal's byte-exact float form —
+        // Jackson's toString goes scientific at 1e7 where Go stays fixed
+        else if (a.isDouble || a.isFloat)
+          TextNode.valueOf(goJsonNumber(a.doubleValue))
+        else TextNode.valueOf(a.toString)
       case "type" =>
         arity(name, rawArgs, 1)
         TextNode.valueOf(typeName(evalArg(rawArgs.head)))

@@ -164,21 +164,8 @@ object PartitionKey {
     if (d == 0.0) return if (1 / d < 0) "-0" else "0"
     val neg = d < 0
     val ad = math.abs(d)
-    // shortest decimal digits via Java's shortest-repr Double.toString
-    val repr = java.lang.Double.toString(ad) // e.g. "1.23456789E9", "123456.0"
-    val (mantissa, exp10) = repr.split('E') match {
-      case Array(m) =>
-        val dot = m.indexOf('.')
-        val digitsRaw = m.replace(".", "")
-        (digitsRaw, dot - 1)
-      case Array(m, e) =>
-        val dot = m.indexOf('.')
-        (m.replace(".", ""), e.toInt + (if (dot > 1) dot - 1 else 0))
-    }
-    val digits = mantissa.replaceFirst("0+$", "") match { case "" => "0"; case s => s }
-    // strip leading zeros (values < 1 render like "0.001" -> digits "001")
-    val lead = digits.indexWhere(_ != '0')
-    val (sig, expAdj) = if (lead > 0) (digits.substring(lead), exp10 - lead) else (digits, exp10)
+    // shortest decimal digits (shared with JmesPath's json.Marshal form)
+    val (sig, expAdj) = JmesPath.shortestDigits(ad)
     val nd = sig.length
     val sb = new StringBuilder(if (neg) "-" else "")
     // strconv/ftoa.go: shortest %g goes scientific iff exp < -4 || exp >= 6

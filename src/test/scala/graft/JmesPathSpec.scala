@@ -233,5 +233,13 @@ class JmesPathSpec extends AnyFunSuite {
     // composed partition keys built from computed numbers match Go bytes
     check("join('-', [to_string(sum(a)), to_string(length(a))])",
       """{"a":[2,4]}""", "\"6-2\"")
+    // non-integral payload doubles: json.Marshal stays FIXED through 1e20
+    // (Jackson's toString would go scientific at 1e7) and uses Go's 'e'
+    // form with stripped-zero negative exponents outside that range
+    check("to_string(x)", """{"x":12345678.5}""", "\"12345678.5\"")
+    check("to_string(x)", """{"x":0.000001}""", "\"0.000001\"")
+    check("to_string(x)", """{"x":0.0000001}""", "\"1e-7\"")
+    check("to_string(x)", """{"x":1e21}""", "\"1e+21\"")
+    check("to_string(x)", """{"x":-12345678.5}""", "\"-12345678.5\"")
   }
 }
