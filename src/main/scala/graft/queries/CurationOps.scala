@@ -164,6 +164,46 @@ object CurationOps {
     // hash-matches DuckDB end-to-end. Plan shape: one window by content
     // digest (dedup), one broadcast of per-lang rates, three lang
     // aggregates joined — no stage shuffles document text more than once.
+    // THE FULL PRETRAINING PASS (round 5) — every curation stage a modern
+    // pipeline runs, composed as one lazy DataFrame program and
+    // hash-matched against DuckDB END TO END: exact-substring span removal
+    // (Lee et al.) → quality gate on the CLEANED text → 5-gram benchmark
+    // decontamination of the cleaned text vs the eval split → exact dedup
+    // (min-id survivor per cleaned-content digest) → temperature-mixture
+    // sampling, reported as a per-language funnel census. Each stage's
+    // scale shape is its operator's (census shuffles grams, scrub is the
+    // native expression, dedup is one window, rates broadcast).
+    "pretrain_pipeline" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir)
+      val clean = graft.operators.Dedup.removeDuplicateSpans(docs, n = 10)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("n_clean", (col("n_words") - col("n_removed")).cast("long"))
+      val quality = clean.filter(col("n_clean") >= 50)
+      val train = quality.filter(col("doc_id") % 50 =!= 0)
+      val evalGrams = quality.filter(col("doc_id") % 50 === 0)
+        .select(explode(TextFunctions.shingles(col("text_clean"), 5)).as("g"))
+        .distinct()
+      val contaminated = train
+        .select(col("doc_id"),
+          explode(TextFunctions.shingles(col("text_clean"), 5)).as("g"))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val decon = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val uniq = graft.operators.Dedup.dropExactDups(decon,
+        idCol = "doc_id", textCol = "text_clean")
+      val kept = mixtureKept(uniq, "lang", k = 5.0).filter(col("kept"))
+      val i = docs.groupBy("lang").agg(count(lit(1)).as("n_input"))
+      val q = train.groupBy("lang").agg(count(lit(1)).as("n_train_quality"))
+      val dd = decon.groupBy("lang").agg(count(lit(1)).as("n_decontaminated"))
+      val uu = uniq.groupBy("lang").agg(count(lit(1)).as("n_unique"))
+      val kk = kept.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+        sum(col("n_clean")).as("tokens_kept"), min("doc_id").as("min_kept_id"))
+      i.join(q, Seq("lang"), "left").join(dd, Seq("lang"), "left")
+        .join(uu, Seq("lang"), "left").join(kk, Seq("lang"), "left")
+        .orderBy("lang")
+    }),
+
     "curation_pipeline" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
         .withColumn("n_tok", size(split(col("text"), " ")))
@@ -246,6 +286,64 @@ object CurationOps {
         |SELECT source, CAST(floor(start / 2048.0) AS BIGINT) AS bin_id,
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, bin_id ORDER BY source, bin_id""".stripMargin,
+    "pretrain_pipeline" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |gr AS (SELECT doc_id,
+        |    unnest(CASE WHEN len(w) < 10 THEN [0]
+        |      ELSE list_transform(range(1, len(w) - 8), i -> i - 1) END) AS gpos,
+        |    unnest(CASE WHEN len(w) < 10 THEN [array_to_string(w, ' ')]
+        |      ELSE list_transform(range(1, len(w) - 8),
+        |        i -> array_to_string(w[i:i+9], ' ')) END) AS g
+        |  FROM t),
+        |dup AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |    FROM gr GROUP BY g) WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, unnest(range(gpos, gpos + 10)) AS widx
+        |  FROM gr WHERE g IN (SELECT g FROM dup)),
+        |words AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) + 1), i -> i - 1)) AS widx,
+        |    unnest(w) AS word
+        |  FROM t),
+        |keptw AS (SELECT * FROM words ANTI JOIN cov USING (doc_id, widx)),
+        |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS text_clean,
+        |    count(*) AS n_clean
+        |  FROM keptw GROUP BY doc_id),
+        |clean AS (SELECT t.doc_id, t.lang,
+        |    coalesce(r.text_clean, '') AS text_clean,
+        |    CAST(coalesce(r.n_clean, 0) AS BIGINT) AS n_clean
+        |  FROM t LEFT JOIN reb r USING (doc_id)),
+        |quality AS (SELECT * FROM clean WHERE n_clean >= 50),
+        |train AS (SELECT * FROM quality WHERE doc_id % 50 <> 0),
+        |cgrams AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS g
+        |  FROM (SELECT doc_id, string_split(text_clean, ' ') AS w FROM quality)),
+        |eg AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % 50 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM cgrams
+        |  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM eg)),
+        |decon AS (SELECT * FROM train
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hit)),
+        |uniq AS (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY md5(text_clean)
+        |      ORDER BY doc_id) AS rn FROM decon) WHERE rn = 1),
+        |rates AS (SELECT lang, least(1.0, 5.0 / sqrt(count(*))) AS rate
+        |  FROM uniq GROUP BY 1),
+        |keptd AS (SELECT u.* FROM uniq u JOIN rates r USING (lang)
+        |  WHERE r.rate >= 1.0
+        |     OR substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 8)
+        |        < printf('%08x', CAST(floor(r.rate * 4294967296.0) AS BIGINT))),
+        |i AS (SELECT lang, count(*) AS n_input FROM t GROUP BY 1),
+        |q AS (SELECT lang, count(*) AS n_train_quality FROM train GROUP BY 1),
+        |dd AS (SELECT lang, count(*) AS n_decontaminated FROM decon GROUP BY 1),
+        |uu AS (SELECT lang, count(*) AS n_unique FROM uniq GROUP BY 1),
+        |kk AS (SELECT lang, count(*) AS n_kept,
+        |    CAST(sum(n_clean) AS BIGINT) AS tokens_kept,
+        |    min(doc_id) AS min_kept_id
+        |  FROM keptd GROUP BY 1)
+        |SELECT i.lang, i.n_input, q.n_train_quality, dd.n_decontaminated,
+        |  uu.n_unique, kk.n_kept, kk.tokens_kept, kk.min_kept_id
+        |FROM i LEFT JOIN q USING (lang) LEFT JOIN dd USING (lang)
+        |  LEFT JOIN uu USING (lang) LEFT JOIN kk USING (lang)
+        |ORDER BY i.lang""".stripMargin,
     "curation_pipeline" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tok
