@@ -77,6 +77,42 @@ class PropertySpec extends GraftSuite {
     }, "span-scrub")
   }
 
+  test("property: commit-log snapshot equals the add/remove model under random ops") {
+    // the log is load-bearing for the log store AND the control-plane
+    // store: replay (including across checkpoint boundaries every 10
+    // commits) must equal the trivial in-memory model for ANY op sequence
+    import graft.operators.CommitLog
+    val genOps: Gen[List[(String, Int)]] = Gen.choose(5, 35).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(
+        Gen.oneOf("add", "remove"), Gen.choose(0, 20))))
+    // 40 sequences (not the default 200): each case is dozens of real
+    // filesystem commits, and 40 random walks already cross several
+    // checkpoint boundaries
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40),
+      Prop.forAll(genOps) { ops =>
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_cl_prop").toString + "/t"
+      val model = scala.collection.mutable.LinkedHashMap[String, String]()
+      ops.foreach { case (op, i) =>
+        val path = s"data/month=2024-01/part-$i.parquet"
+        op match {
+          case "add" =>
+            CommitLog.commit(table, "append",
+              Seq(CommitLog.AddFile(path, "2024-01")))
+            model(path) = "2024-01"
+          case "remove" if model.contains(path) =>
+            CommitLog.commit(table, "retain", Nil, removes = Seq(path))
+            model.remove(path)
+          case _ => () // removing a non-live file: the model skips it too
+        }
+      }
+      val snap = CommitLog.snapshot(table).files.map(f => f.path -> f.month).toMap
+      snap == model.toMap
+    })
+    assert(res.passed, s"commit-log-model: $res")
+  }
+
   test("property: glob match agrees with regex compilation") {
     // BOUNDED sizes: an unbounded pattern like a*a*a*...a* against a long
     // non-matching topic is catastrophic backtracking in BOTH engines —
