@@ -271,6 +271,30 @@ class DestinationStoreSpec extends GraftSuite {
     assert(!new java.io.File(s"$root/destination_id=d9").exists())
   }
 
+  test("randomized op sequence agrees with the last-write-wins model") {
+    val table = freshTable()
+    val rnd = new scala.util.Random(42) // deterministic walk
+    val ids = Seq("a", "b", "c")
+    // model: id -> (credsVersion, deleted)
+    val model = scala.collection.mutable.Map.empty[String, (Int, Boolean)]
+    (1 to 18).foreach { seq =>
+      val id = ids(rnd.nextInt(ids.size))
+      val cur = model.get(id)
+      if (rnd.nextBoolean() || cur.forall(_._2)) {
+        DestinationStore.upsert(spark, table,
+          rec("t1", id, creds = Map("v" -> seq.toString)), secret, seq)
+        model(id) = (seq, false)
+      } else {
+        DestinationStore.delete(spark, table, "t1", id, seq, ts(t0 + seq))
+        model(id) = (cur.get._1, true)
+      }
+    }
+    val got = DestinationStore.list(spark, table, "t1", secret)
+      .map(d => d.destination_id -> d.credentials("v")).toMap
+    val expect = model.collect { case (id, (v, false)) => id -> v.toString }.toMap
+    assert(got == expect, s"model=$model")
+  }
+
   test("asDestinations feeds the fanout join; disabled destinations drop") {
     val spark2 = spark
     import spark2.implicits._
