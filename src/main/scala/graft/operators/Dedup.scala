@@ -38,6 +38,24 @@ object Dedup {
     docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** The (id, gpos, g) word-n-gram stream both span operators consume:
+    * one row per gram position. `hashGrams=true` (the 100 TB default)
+    * emits `g` as the native byte-range xxhash64 of the gram
+    * ([[graft.plans.GramHashes]] — zero string allocation, 8-byte shuffle
+    * keys, identical grouping modulo 2⁻⁶⁴ collisions); `false` emits the
+    * gram STRING itself, the form for byte-exact cross-engine audits.
+    * Pipelines running BOTH the census and the removal should persist
+    * this frame once and pass it to the `FromGrams` variants. */
+  def gramFrame(docs: DataFrame, n: Int = 10, hashGrams: Boolean = true,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.TextExprs.install(docs.sparkSession)
+    val gram =
+      if (hashGrams) graft.plans.TextExprs.gramHashes(col(textCol), n)
+      else TextFunctions.shingles(col(textCol), n)
+    docs.select(col(idCol).as("id"), posexplode(gram))
+      .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "g")
+  }
+
   /** Exact substring-level duplication census at word granularity (the
     * Lee et al. 2022 "Deduplicating Training Data Makes Language Models
     * Better" signal): per document, how many of its word n-gram positions
@@ -46,21 +64,31 @@ object Dedup {
     *
     * Plan shape: one explode, one shuffle keyed by the gram (first as a
     * distinct-doc count, then as a semi-join back onto the gram stream) —
-    * documents themselves never shuffle. `hashGrams=true` swaps the
-    * string shuffle key for xxhash64(gram) (8-byte keys, same grouping
-    * modulo 2^-64 collisions) — the form to run at 100 TB; the default
-    * keeps the string key so cross-engine comparisons are exact. */
+    * documents themselves never shuffle, and the per-doc gram COUNT is
+    * derived per-row from the word count (no aggregation at all on that
+    * side). The gram stream is deliberately NOT cached: with the native
+    * hash expression its two reads are two cheap scans, where persisting
+    * the exploded frame (≈ one row per corpus word position) is exactly
+    * the kind of working set that breaks at 100 TB. `hashGrams` as in
+    * [[gramFrame]]. */
   def ngramSpanStats(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-                     hashGrams: Boolean = false,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val gram = TextFunctions.shingles(col(textCol), n)
-    val key = if (hashGrams) xxhash64(col("g")) else col("g")
-    val grams = docs.select(col(idCol).as("id"), explode(gram).as("g"))
-      .select(col("id"), key.as("g"))
+                     hashGrams: Boolean = true,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    ngramSpanStatsFromGrams(docs, gramFrame(docs, n, hashGrams, idCol, textCol),
+      n, minDocs, idCol, textCol)
+
+  /** [[ngramSpanStats]] over a prebuilt [[gramFrame]] (persist it when
+    * sharing with [[removeDuplicateSpansFromGrams]]). */
+  def ngramSpanStatsFromGrams(docs: DataFrame, grams: DataFrame,
+                              n: Int = 10, minDocs: Int = 2,
+                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs).select("g")
-    val perDoc = grams.groupBy(col("id")).agg(count(lit(1)).as("n_grams"))
+    // per-row arithmetic, not an aggregation: shingle count = max(words-n+1, 1)
+    val words = size(split(col(textCol), " "))
+    val perDoc = docs.select(col(idCol).as("id"),
+      greatest(words - n + 1, lit(1)).cast("long").as("n_grams"))
     val dupPerDoc = grams.join(crossDoc, Seq("g"), "left_semi")
       .groupBy(col("id")).agg(count(lit(1)).as("n_dup_grams"))
     perDoc.join(dupPerDoc, Seq("id"), "left")
@@ -87,23 +115,27 @@ object Dedup {
     * single O(words + positions) two-pointer pass per row. Words are
     * never exploded and never reassembled through a shuffle.
     *
-    * `hashGrams=true` swaps the census shuffle key for xxhash64(gram) —
-    * 8-byte keys, identical grouping modulo 2⁻⁶⁴ collisions — the form to
-    * run at 100 TB (same knob as [[ngramSpanStats]]); the default keeps
-    * the string key so the DuckDB gate compares exactly.
+    * `hashGrams` as in [[gramFrame]] (default true — 8-byte census keys,
+    * the 100 TB form; string keys remain available for byte-exact
+    * cross-engine audits). The gram stream is rebuilt for each of its two
+    * reads rather than cached: two native-hash scans are cheaper at scale
+    * than materializing one row per corpus word position (and the r5
+    * persist here leaked cache across calls — ADVICE r5).
     *
     * @return (doc_id, text_clean, n_words, n_removed)
     */
   def removeDuplicateSpans(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
-                           hashGrams: Boolean = false,
-                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                           hashGrams: Boolean = true,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    removeDuplicateSpansFromGrams(docs,
+      gramFrame(docs, n, hashGrams, idCol, textCol), n, minDocs, idCol, textCol)
+
+  /** [[removeDuplicateSpans]] over a prebuilt [[gramFrame]] (persist it
+    * when sharing with [[ngramSpanStatsFromGrams]]). */
+  def removeDuplicateSpansFromGrams(docs: DataFrame, grams: DataFrame,
+                                    n: Int = 10, minDocs: Int = 2,
+                                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.TextExprs.install(docs.sparkSession)
-    val key = if (hashGrams) xxhash64(col("g")) else col("g")
-    val grams = docs.select(col(idCol).as("id"),
-        posexplode(TextFunctions.shingles(col(textCol), n)))
-      .withColumnRenamed("pos", "gpos").withColumnRenamed("col", "g")
-      .select(col("id"), col("gpos"), key.as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs).select("g")

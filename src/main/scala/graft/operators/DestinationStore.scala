@@ -97,7 +97,15 @@ object DestinationStore {
       deleted_at: Option[Timestamp])
 
   private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 
   /** Canonical JSON of a string map: keys sorted, so the rendering (and
     * therefore the ciphertext length and the gate query's decrypted
@@ -414,18 +422,28 @@ object DestinationStore {
         unix_millis(col("deleted_at")) > nowMs - tombstoneGraceMs)
     val staging = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(table), ".stage-")
-    state.repartition(col("month"))
-      .sortWithinPartitions(keyCols.map(col): _*)
-      .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
-    val adds = CommitLog.moveStaged(staging, table)
     try {
-      CommitLog.commit(table, "compact", adds, removes = old.map(_.path))
-      ()
-    } catch {
-      case e: CommitLog.ConcurrentDelete =>
-        adds.foreach(a => java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(table).resolve(a.path)))
-        throw e
+      state.repartition(col("month"))
+        .sortWithinPartitions(keyCols.map(col): _*)
+        .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+      val adds = CommitLog.moveStaged(staging, table)
+      try {
+        CommitLog.commit(table, "compact", adds, removes = old.map(_.path))
+        ()
+      } catch {
+        case e: CommitLog.ConcurrentDelete =>
+          adds.foreach(a => java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(table).resolve(a.path)))
+          throw e
+      }
+    } finally deleteRecursively(staging)
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    import java.nio.file._
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
     }
   }
 

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, Literal, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -49,7 +49,80 @@ case class SpanScrub(left: Expression, right: Expression, n: Int)
     copy(left = l, right = r)
 }
 
+/** Native word n-gram hash array: `graft_gram_hashes(text, n): array<long>`
+  * — element i is `xxhash64` (Spark seed 42) of the i-th word n-gram of
+  * `text`, bit-identical to
+  * `transform(shingles(text, n), g => xxhash64(g))`.
+  *
+  * Why: the declarative shingle pipeline materializes one n-word STRING
+  * per word position (≈n× the corpus text volume in allocations) through
+  * higher-order-function lambdas that evaluate per element outside
+  * whole-stage codegen, only for the census to immediately hash each
+  * string. Because [[graft.functions.TextFunctions.tokens]] splits on a
+  * single space and shingles re-join with a single space, every gram IS a
+  * byte range of the original text — so this expression hashes the ranges
+  * in place: one O(bytes) boundary scan plus one buffer-hash per window,
+  * zero string allocation. This is the form the 100 TB span census runs
+  * on ([[graft.operators.Dedup.ngramSpanStats]] `hashGrams`).
+  */
+case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, "gram length must be positive")
+  require(child.dataType == StringType,
+    s"text must be string, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    TextExprs.gramHashes(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.TextExprs.gramHashes($t, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
+
+  /** Hash every word n-gram of `text` as the byte range it occupies.
+    * Word boundaries are single 0x20 bytes (UTF-8 guarantees a space byte
+    * never occurs inside a multibyte character), matching
+    * `split(text, " ")` with trailing empties kept; texts with fewer than
+    * n words produce one gram covering the whole text, matching the
+    * shingle fallback `array(concat_ws(" ", toks))`. */
+  def gramHashes(text: UTF8String, n: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var spaces = 0
+    var i = 0
+    while (i < len) { if (text.getByte(i) == 0x20) spaces += 1; i += 1 }
+    val words = spaces + 1
+    if (words < n)
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, off, len, 42L)))
+    val starts = new Array[Int](words)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < len) {
+      if (text.getByte(i) == 0x20) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    val m = words - n + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) {
+      val s = starts(g)
+      val e = if (g + n - 1 == words - 1) len else starts(g + n) - 1
+      out(g) = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
 
   /** One pass over the words with a pointer into the SORTED duplicated
     * gram starts: a word at index i is covered iff some start p ≤ i has
@@ -85,7 +158,7 @@ object TextExprs {
   }
 
   /** Register graft text expressions on a session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_span_scrub",
       exprs => {
@@ -97,9 +170,26 @@ object TextExprs {
         SpanScrub(exprs(0), exprs(1), n)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_gram_hashes",
+      exprs => {
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_gram_hashes n must be an int literal, got $other")
+        }
+        GramHashes(exprs(0), n)
+      },
+      "built-in")
+  }
 
   /** Column form; requires [[install]] on the executing session. */
   def spanScrub(text: Column, gps: Column, n: Int): Column =
     call_function("graft_span_scrub", text, gps,
+      org.apache.spark.sql.functions.lit(n))
+
+  /** Column form; requires [[install]] on the executing session. */
+  def gramHashes(text: Column, n: Int): Column =
+    call_function("graft_gram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
 }

@@ -154,11 +154,15 @@ object Sinks {
             .generateSignatures(Signatures.SignaturePayload(
               eventId, topic, tsMs.toInstant, body)).mkString(",")
         })
+      // localCheckpoint: the signed frame feeds TWO actions (the .text
+      // write and the outcomes frame) — without it the creds join and the
+      // per-row signing UDF run twice per micro-batch (ADVICE r5)
       val joined = tasks.join(broadcast(credsDim()), Seq("destination_id"), "left")
         .withColumn("signature",
           sign(col("event_id"), col("topic"), col("event_time"), col("data"),
             col("secret"), col("previous_secret"),
             col("previous_secret_invalid_at")))
+        .localCheckpoint()
       joined.filter(col("signature").isNotNull)
         .withColumn("delivery", to_json(struct(
           col("event_id"), col("topic"), col("data"), col("signature"))))

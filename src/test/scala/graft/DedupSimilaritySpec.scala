@@ -174,10 +174,11 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got(2L) == (("v1 v2 v3", 15L, 12L)))
     assert(got(3L) == (("totally unique text with nothing shared at all here ok fine", 11L, 0L)))
     assert(got(4L) == (("", 10L, 10L)) && got(5L) == (("", 10L, 10L)))
-    // hashed census keys (the 100 TB shuffle form) agree with string keys
-    val hashed = Dedup.removeDuplicateSpans(df, n = 10, hashGrams = true).collect()
+    // string census keys (the byte-exact audit form) agree with the
+    // hashed default
+    val str = Dedup.removeDuplicateSpans(df, n = 10, hashGrams = false).collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
-    assert(hashed == got)
+    assert(str == got)
   }
 
   test("exact dedup groups/drop are consistent") {

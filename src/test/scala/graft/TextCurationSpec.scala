@@ -60,9 +60,33 @@ class TextCurationSpec extends GraftSuite {
     assert(got == Seq((1L, 5L, 3L), (2L, 5L, 3L), (3L, 11L, 0L), (4L, 31L, 0L)))
   }
 
+  test("graft_gram_hashes is bit-identical to xxhash64 over string shingles") {
+    graft.plans.TextExprs.install(spark)
+    // multiple spaces (empty tokens), fewer words than n, single word,
+    // trailing space, unicode — every shingle edge the declarative form has
+    val df = Seq(
+      "one two three four five six",
+      "a  b   c d e",       // consecutive spaces → empty tokens kept
+      "short text",          // fewer than n words → whole-text gram
+      "solo",
+      "trailing space ",
+      "héllo wörld ünïcode bytes go here",
+      "").toDF("text")
+    Seq(1, 3, 5).foreach { n =>
+      val declarative = df.select(
+        transform(shingles(col("text"), n), g => xxhash64(g)).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      val native = df.select(
+        graft.plans.TextExprs.gramHashes(col("text"), n).as("h"))
+        .collect().map(_.getSeq[Long](0)).toSeq
+      assert(native == declarative, s"n=$n")
+    }
+  }
+
   test("ngram spans: hashed-key variant (the 100 TB shuffle form) agrees") {
     val docs = graft.core.Tables.documents(spark, sf).limit(50)
-    val str = Dedup.ngramSpanStats(docs, n = 5).orderBy("doc_id").collect().toSeq
+    val str = Dedup.ngramSpanStats(docs, n = 5, hashGrams = false)
+      .orderBy("doc_id").collect().toSeq
     val hashed = Dedup.ngramSpanStats(docs, n = 5, hashGrams = true)
       .orderBy("doc_id").collect().toSeq
     assert(str == hashed)
