@@ -536,7 +536,13 @@ object Dedup {
     * but there the OUTPUT is quadratic too (every pair qualifies): that is
     * the pair contract's cost — use [[clusters]]-style component forms
     * when output size is the concern. Only (bucket, id, sh) rows shuffle;
-    * the hot-bucket list is a ≤65536-row broadcast. */
+    * the hot-bucket list is a ≤65536-row broadcast.
+    *
+    * The (id, sh, bucket) frame is persisted and referenced lazily by the
+    * returned plan, so the operator cannot unpersist it itself; callers
+    * invoking this repeatedly in a long-lived session should
+    * `spark.catalog.clearCache()` (or unpersist via the storage UI) after
+    * consuming the result (ADVICE r5 #4). */
   def simhashPairsFromFingerprints(fingerprints: DataFrame, maxHamming: Int = 3,
                                    hotBucketCap: Int = 4096): DataFrame = {
     // persisted: read by the bucket census and by both sides of each

@@ -222,7 +222,14 @@ object Similarity {
     * vectors attach, and every candidate is verified against the exact
     * cosine — flagged ids are never false positives; recall follows the
     * sign-LSH curve and is contract-gated. Returns distinct flagged
-    * train ids as `flagged_id`. */
+    * train ids as `flagged_id`.
+    *
+    * Both prepped sides are persisted and referenced lazily by the
+    * returned plan (each feeds its bucket explode AND the exact-cosine
+    * re-rank), so the operator cannot unpersist them itself; callers
+    * invoking this repeatedly in a long-lived session should
+    * `spark.catalog.clearCache()` after consuming the result
+    * (ADVICE r5 #4). */
   def crossContaminated(train: DataFrame, evalSet: DataFrame, threshold: Double,
                         tables: Int = 16, bits: Int = 4, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -50,6 +50,30 @@ class DestinationStoreSpec extends GraftSuite {
       .head().getBoolean(0))
   }
 
+  test("control characters in credential values round-trip (ADVICE r5 #1)") {
+    val table = freshTable()
+    // newline/tab/CR/low control chars/quote/backslash — the values the
+    // reference round-trips via Go json.Marshal; pre-fix these produced
+    // invalid JSON inside the ciphertext
+    val creds = Map(
+      "pem"   -> "-----BEGIN KEY-----\nline1\r\nline2\n-----END KEY-----",
+      "weird" -> "tab\there  and \"quotes\" \\slash",
+      "secret" -> "s\nvalue")
+    val meta = Map("note" -> "multi\nline\tmeta")
+    DestinationStore.upsert(spark, table,
+      DestinationRecord("t1", "d1", "webhook", Seq("*"), None, Map.empty,
+        creds, meta, Map.empty, ts(t0), ts(t0), None, None),
+      secret, opSeq = 1)
+    val got = DestinationStore.retrieve(spark, table, "t1", "d1", secret).get
+    assert(got.credentials == creds)
+    assert(got.delivery_metadata == meta)
+    // the data-plane signing dim parses the same JSON with
+    // get_json_object — control chars must not null it out
+    val dim = DestinationStore.webhookCredsDim(spark, table, secret)
+      .select("secret").head()
+    assert(dim.getString(0) == "s\nvalue")
+  }
+
   test("create: live duplicate rejected, soft-deleted id revives, cap enforced") {
     val table = freshTable()
     DestinationStore.create(spark, table, rec("t1", "d1"), secret, opSeq = 1)
