@@ -85,7 +85,111 @@ case class GramHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Fused per-document token statistics:
+  * `graft_token_stats(text): struct<n_tokens int, bpe_estimate bigint,
+  * fp string>` — semantically identical to the three-expression form
+  *
+  *   - `size(split(text, " "))`
+  *   - alpha-run ⌈len/4⌉ sum + count of `[0-9]|[^A-Za-z0-9\s]` matches
+  *   - `substring(md5(regexp_replace(lower(text), "[^a-z0-9 ]", "")), 1, 16)`
+  *
+  * but in two passes with zero regex machinery: the three declarative
+  * pipelines each re-scan the text (two of them through
+  * `regexp_extract_all`, which materializes every match as a string and
+  * runs its fold lambda interpreted per element). Fusing them is the
+  * [[SpanScrub]]/[[GramHashes]] pattern: classify UTF-8 code points in
+  * place for the token/BPE counts, byte-filter the lowercased text
+  * straight into the MD5 digest. */
+case class TokenStats(child: Expression) extends UnaryExpression {
+
+  require(child.dataType == StringType,
+    s"text must be string, got ${child.dataType}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("bpe_estimate", LongType, nullable = false),
+    StructField("fp", StringType, nullable = false)))
+  override def prettyName: String = "graft_token_stats"
+
+  override def nullSafeEval(t: Any): Any =
+    TextExprs.tokenStats(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.plans.TextExprs.tokenStats($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExprs {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  /** See [[TokenStats]] for the contract this must match bit-for-bit. */
+  def tokenStats(text: UTF8String): GenericInternalRow = {
+    val len = text.numBytes
+    // pass 1: token count + BPE estimate, classifying code points in
+    // place. Continuation bytes (0b10xxxxxx) are skipped so multi-byte
+    // chars count once, matching what java.util.regex matches per
+    // character class hit; any non-ASCII code point falls into
+    // [^A-Za-z0-9\s] exactly as in the regex form (Java's \s is the six
+    // ASCII whitespace chars only).
+    var spaces = 0
+    var bpe = 0L
+    var alphaRun = 0
+    var i = 0
+    while (i < len) {
+      val b = text.getByte(i)
+      val ub = b & 0xFF
+      if ((ub & 0xC0) != 0x80) { // a code point starts here
+        val isAlpha = (ub >= 'A' && ub <= 'Z') || (ub >= 'a' && ub <= 'z')
+        if (isAlpha) alphaRun += 1
+        else {
+          if (alphaRun > 0) { bpe += (alphaRun + 3) / 4; alphaRun = 0 }
+          if (ub == 0x20) spaces += 1
+          else if (ub == '\t' || ub == '\n' || ub == 0x0B || ub == '\f' || ub == '\r') ()
+          else bpe += 1 // digits and all other non-ws code points: 1 each
+        }
+      }
+      i += 1
+    }
+    if (alphaRun > 0) bpe += (alphaRun + 3) / 4
+    // pass 2: fingerprint — lowercase (same collation-default path as the
+    // `lower()` expression), keep only [a-z0-9 ] bytes (UTF-8 multi-byte
+    // chars never produce bytes < 0x80, so the byte filter IS the char
+    // filter), MD5, first 16 hex chars.
+    val lower = text.toLowerCase
+    val llen = lower.numBytes
+    val kept = new Array[Byte](llen)
+    var k = 0
+    i = 0
+    while (i < llen) {
+      val b = lower.getByte(i)
+      val ub = b & 0xFF
+      if (ub == 0x20 || (ub >= '0' && ub <= '9') || (ub >= 'a' && ub <= 'z')) {
+        kept(k) = b; k += 1
+      }
+      i += 1
+    }
+    val md = md5Local.get()
+    md.reset()
+    md.update(kept, 0, k)
+    val digest = md.digest()
+    val hex = new Array[Char](16) // first 8 bytes render the 16 hex chars
+    var d = 0
+    while (d < 8) {
+      hex(2 * d) = hexDigits((digest(d) >> 4) & 0xF)
+      hex(2 * d + 1) = hexDigits(digest(d) & 0xF)
+      d += 1
+    }
+    new GenericInternalRow(Array[Any](
+      spaces + 1, bpe, UTF8String.fromString(new String(hex))))
+  }
 
   /** Hash every word n-gram of `text` as the byte range it occupies.
     * Word boundaries are single 0x20 bytes (UTF-8 guarantees a space byte
@@ -181,6 +285,10 @@ object TextExprs {
         GramHashes(exprs(0), n)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_token_stats",
+      exprs => TokenStats(exprs(0)),
+      "built-in")
   }
 
   /** Column form; requires [[install]] on the executing session. */
@@ -192,4 +300,8 @@ object TextExprs {
   def gramHashes(text: Column, n: Int): Column =
     call_function("graft_gram_hashes", text,
       org.apache.spark.sql.functions.lit(n))
+
+  /** Column form; requires [[install]] on the executing session. */
+  def tokenStats(text: Column): Column =
+    call_function("graft_token_stats", text)
 }

@@ -44,15 +44,25 @@ object EventOps {
         .orderBy(col("event_type"))
     }),
 
-    // P6: JSON filter via the codegen'd single-parse evaluator expression
-    // (measured faster than any per-path predicate lowering; see DESIGN.md).
+    // P6: JSON filter + projection through ONE parse per row:
+    // json_match_project returns (empty | singleton) array<struct>, so the
+    // explode both filters non-matching rows and carries the extracted
+    // field — the previous filter(json_match) + get_json_object pair
+    // parsed props twice (VERDICT r5 #3).
     "json_filter_gte" -> ((s, dir) => {
       graft.plans.JsonMatchExpr.register(s)
       events(s, dir)
-        .filter(call_function("json_match", lit("""{"k":{"$gte":50}}"""), col("props")))
         .select(col("event_id"), col("user_id"),
-          get_json_object(col("props"), "$.k").cast("double").as("k"))
-        .orderBy(col("event_id"))
+          explode(call_function("json_match_project",
+            lit("""{"k":{"$gte":50}}"""), col("props"), lit("k"))).as("m"))
+        .select(col("event_id"), col("user_id"),
+          col("m.k").cast("double").as("k"))
+        // total order without orderBy's range-sampling pass: a global sort
+        // EXECUTES THE CHILD TWICE (once to sample range bounds); the
+        // match+explode is the expensive side and the output is ~5% of
+        // input, so shuffle the small result to one partition and sort
+        // there — identical ordering, single child execution
+        .repartition(1).sortWithinPartitions("event_id")
     }),
 
     // O6/J3: latest event per user — window top-1.

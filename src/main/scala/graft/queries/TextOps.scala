@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // token counting: whitespace + BPE-ish estimate + content fingerprint.
+    // token counting: whitespace + BPE-ish estimate + content fingerprint,
+    // fused into ONE native two-pass expression (graft_token_stats) — the
+    // three-regex declarative form re-scanned the text three times and ran
+    // 12× DuckDB at sf0.1 (VERDICT r5 #3).
     "text_token_stats" -> ((s, dir) => {
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        tokenCount(col("text")).as("n_tokens"),
-        bpeTokenEstimate(col("text")).as("bpe_estimate"),
-        fingerprint(col("text")).as("fp"))
-        .orderBy(col("doc_id"))
+      graft.plans.TextExprs.install(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          graft.plans.TextExprs.tokenStats(col("text")).as("ts"))
+        .select(col("doc_id"), col("ts.n_tokens").as("n_tokens"),
+          col("ts.bpe_estimate").as("bpe_estimate"), col("ts.fp").as("fp"))
+        // repartition(1)+sort, not orderBy: the global sort's range
+        // sampling would execute the stats scan twice; output is one row
+        // per doc (tiny), the scan is the cost
+        .repartition(1).sortWithinPartitions("doc_id")
     }),
 
     // quality scoring (length/shape/stopword mix).
