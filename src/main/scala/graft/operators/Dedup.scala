@@ -359,15 +359,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val toks = groups.select(col("rep").as("id"), col("toks"), col("sz"))
-    val withSig = toks.withColumn("sig", minhashSignature(col("toks"), numHashes))
     // (measured: carrying sz through the band rows to size-prune collisions
     // in the band join cuts candidates 2.77 M → 2.23 M at sf0.1 but makes
     // the warm pipeline 2× SLOWER — the wider build sides through the
     // twice-computed sigs outweigh the 20 % verification saving; rejected)
-    val sigs = withSig
+    // Band keys via the portable md5+Kirsch–Mitzenmacher form
+    // ([[graft.plans.MinHashBands]]): the DuckDB gate replicates the
+    // candidate set exactly, so the full pair output hash-matches.
+    val sigs = toks
       .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), lit(b * r + 1), lit(r)), lit(b))): _*)))
+        posexplode(graft.plans.HashExprs.minhashBandKeys(
+          col("toks"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
@@ -424,24 +426,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens as a LongType column: bit j is set iff
-    * Σ_tokens (±1 from bit j of xxhash64(token)) > 0. Pure array
-    * expression (per-row, codegen'd, no shuffle); the 64 shift amounts are
-    * compile-time literals. */
-  def simhash64(tokensCol: Column): Column = {
-    def bitContribs(t: Column): Column = {
-      val h = xxhash64(t)
-      array((0 until 64).map { j =>
-        when(shiftrightunsigned(h, j).bitwiseAND(lit(1L)) === lit(1L), lit(1))
-          .otherwise(lit(-1))
-      }: _*)
-    }
-    val contrib = aggregate(tokensCol, array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitContribs(t), (a, b) => a + b))
-    // disjoint bit masks → sum == bitwise-or (1L<<63 wraps negative; fine)
-    (0 until 64).map { j =>
-      when(element_at(contrib, j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
-  }
+    * Σ_tokens (±1 from bit j of the token hash) > 0, token hash = first
+    * 8 bytes of md5(token) ([[graft.plans.SimHash]] — native, codegen'd,
+    * per-row, no shuffle; md5 so the DuckDB gate recomputes fingerprints
+    * and pair lists exactly). Requires
+    * [[graft.plans.HashExprs.install]] on the session. */
+  def simhash64(tokensCol: Column): Column =
+    graft.plans.HashExprs.simhash(tokensCol)
 
   /** Connected components over an undirected pair list — the step that
     * turns near-duplicate PAIRS into dedup CLUSTERS (keep one doc per
@@ -514,11 +505,13 @@ object Dedup {
     * [[simhashPairsComplete]] for the full-recall variant. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text",
-                   hotBucketCap: Int = 4096): DataFrame =
+                   hotBucketCap: Int = 4096): DataFrame = {
+    graft.plans.HashExprs.install(docs.sparkSession)
     simhashPairsFromFingerprints(
       docs.select(col(idCol).as("id"),
         simhash64(TextFunctions.tokens(col(textCol))).as("sh")),
       maxHamming, hotBucketCap)
+  }
 
   /** [[simhashPairs]] over precomputed (id, sh) fingerprints, with the
     * hot-bucket guard (VERDICT r4 #6).
@@ -589,6 +582,7 @@ object Dedup {
   def simhashPairsComplete(docs: DataFrame, maxHamming: Int = 3,
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3, "4 x 16-bit windows guarantee recall only for hamming <= 3")
+    graft.plans.HashExprs.install(docs.sparkSession)
     val sh = docs.select(col(idCol).as("id"),
       simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
     val windows = sh.select(col("id"), col("sh"),

@@ -95,9 +95,185 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Portable MinHash LSH band keys:
+  * `graft_minhash_bands(tokens, k, bands): array<string>` — element b is
+  * the comma-joined unsigned-decimal lane minima of band b, where lane
+  * i ∈ [0,k) is the UNSIGNED min over tokens of
+  * `h1(t) + i·h2(t) (mod 2⁶⁴)` and (h1, h2) are the big-endian first and
+  * second 8 bytes of `md5(token)` (Kirsch–Mitzenmacher double hashing,
+  * "Less Hashing, Same Performance", ESA 2006).
+  *
+  * Two reasons this is the banding form:
+  *   - portable: every piece (md5, hex slices, mod-2⁶⁴ arithmetic,
+  *     unsigned min, decimal rendering) is exactly reproducible in
+  *     standard SQL, so the DuckDB gate replicates the CANDIDATE SET
+  *     bit-for-bit and the full LSH pair output hash-matches — recall
+  *     becomes a pinned fact instead of a sampled contract;
+  *   - cheap: one md5 per token then k multiply-adds beats k xxhash64
+  *     remixes per token; the md5 cost amortizes over all k lanes.
+  */
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(numHashes > 0 && bands > 0 && numHashes % bands == 0,
+    "bands must divide numHashes")
+  require(child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }, s"graft_minhash_bands expects array<string>, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_minhash_bands"
+
+  override def eval(input: InternalRow): Any =
+    HashExprs.minhashBands(
+      child.eval(input).asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.plans.HashExprs.minhashBands(
+            ${c.isNull} ? null : ${c.value}, $numHashes, $bands);
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Portable SimHash fingerprint: `graft_simhash(tokens): long` — bit j is
+  * set iff the sum over ALL token occurrences of ±1 (sign of bit j of the
+  * token hash) is strictly positive, with token hash = big-endian first
+  * 8 bytes of `md5(token)` (Charikar 2002 sign-vote construction).
+  *
+  * md5 rather than xxhash64 for the same portability reason as
+  * [[MinHashBands]] (the DuckDB gate recomputes fingerprints and pair
+  * lists exactly), and native rather than the HOF fold both for speed
+  * (the declarative form ran a 64-wide interpreted zip_with per token)
+  * and because the vote loop is branch-free here. */
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  require(child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }, s"graft_simhash expects array<string>, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash"
+
+  override def eval(input: InternalRow): Any =
+    HashExprs.simhashCompute(child.eval(input).asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val resultCode =
+      code"""
+        ${c.code}
+        long ${ev.value} = graft.plans.HashExprs.simhashCompute(
+          ${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = resultCode, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object HashExprs {
   private final val GoldenGamma = 0x9E3779B97F4A7C15L
   private final val SparkHashSeed = 42L
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** (h1, h2) = big-endian first/second 8 bytes of md5(token) — the
+    * layout `('0x' || substr(md5(t), 1, 16))::UBIGINT` parses in SQL. */
+  private def md5Halves(t: org.apache.spark.unsafe.types.UTF8String): (Long, Long) = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < 8) { h1 = (h1 << 8) | (d(i) & 0xFFL); i += 1 }
+    while (i < 16) { h2 = (h2 << 8) | (d(i) & 0xFFL); i += 1 }
+    (h1, h2)
+  }
+
+  /** Shared by interpreted eval and generated code (static forwarder).
+    * Null tokens (absent from graft token arrays) are skipped; an
+    * empty/null array yields zero bands (the row never joins). */
+  def minhashBands(tokens: ArrayData, k: Int, bands: Int): ArrayData = {
+    if (tokens == null || tokens.numElements() == 0)
+      return new GenericArrayData(Array.empty[Any])
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, -1L) // unsigned max
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val (h1, h2) = md5Halves(tokens.getUTF8String(j))
+        var lane = h1
+        var i = 0
+        while (i < k) {
+          if (java.lang.Long.compareUnsigned(lane, sig(i)) < 0) sig(i) = lane
+          lane += h2 // wraps mod 2^64, matching the SQL HUGEINT % form
+          i += 1
+        }
+      }
+      j += 1
+    }
+    val r = k / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(r * 21)
+      var i = b * r
+      while (i < (b + 1) * r) {
+        if (i > b * r) sb.append(',')
+        sb.append(java.lang.Long.toUnsignedString(sig(i)))
+        i += 1
+      }
+      out(b) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Shared by interpreted eval and generated code (static forwarder). */
+  def simhashCompute(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    if (tokens != null) {
+      val n = tokens.numElements()
+      var j = 0
+      while (j < n) {
+        if (!tokens.isNullAt(j)) {
+          val (h1, _) = md5Halves(tokens.getUTF8String(j))
+          var b = 0
+          while (b < 64) {
+            // branch-free ±1: bit set → +1, clear → -1
+            votes(b) += (((h1 >>> b) & 1L).toInt << 1) - 1
+            b += 1
+          }
+        }
+        j += 1
+      }
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
 
   /** Two-pointer merge count over sorted duplicate-free string arrays.
     * Null elements (none in graft token sets) sort wherever the producing
@@ -165,6 +341,21 @@ object HashExprs {
       "graft_sorted_intersect_size",
       exprs => SortedIntersectCount(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_bands",
+      exprs => {
+        val args = exprs.drop(1).map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_bands k/bands must be int literals, got $other")
+        }
+        MinHashBands(exprs(0), args(0), args(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHash(exprs(0)),
+      "built-in")
   }
 
   /** Column form; requires [[install]] on the executing session. */
@@ -174,4 +365,14 @@ object HashExprs {
   /** Column form; requires [[install]] on the executing session. */
   def sortedIntersectSize(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect_size", a, b)
+
+  /** Column form; requires [[install]] on the executing session. */
+  def minhashBandKeys(tokens: Column, numHashes: Int, bands: Int): Column =
+    call_function("graft_minhash_bands", tokens,
+      org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(bands))
+
+  /** Column form; requires [[install]] on the executing session. */
+  def simhash(tokens: Column): Column =
+    call_function("graft_simhash", tokens)
 }

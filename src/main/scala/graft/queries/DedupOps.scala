@@ -146,6 +146,7 @@ object DedupOps {
 
     "dedup_simhash_check" -> ((s, dir) => {
       import s.implicits._
+      graft.plans.HashExprs.install(s)
       val docs = Tables.documents(s, dir)
       val sh = docs.select(col("doc_id").as("id"),
         Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
@@ -362,10 +363,78 @@ object DedupOps {
         |  SELECT tok, count(*) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  GROUP BY tok)
-        |ORDER BY c DESC, tok LIMIT 10""".stripMargin
-    // dedup_minhash_lsh / dedup_simhash{,_complete} / approx_stats keep
-    // their full outputs rows-only (hash-family / sketch specific); their
-    // contracts are gate-checked by the *_check rows above — plus the
-    // ScalaTest recall/error-bound pins.
+        |ORDER BY c DESC, tok LIMIT 10""".stripMargin,
+    // Full-output oracles for the hash-family ops (r6): the operators use
+    // portable hashes — md5 halves + Kirsch–Mitzenmacher lanes for MinHash
+    // banding, md5-low-64 sign votes for SimHash — so DuckDB recomputes
+    // signatures, candidate sets, and pair lists bit-for-bit. The LSH
+    // pair list hash-matching means realized recall is a PINNED fact, not
+    // a sampled contract. approx_stats stays rows-only (sketch-specific;
+    // approx_stats_check pins its error envelope).
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+        |g AS (
+        |  SELECT min(id) AS rep, list(id) AS members, arg_min(toks, id) AS toks
+        |  FROM t GROUP BY md5(list_aggr(list_sort(toks), 'string_agg', ' '))),
+        |h AS (
+        |  SELECT rep, ('0x'||substr(md5(tok),1,16))::UBIGINT::HUGEINT AS h1,
+        |         ('0x'||substr(md5(tok),17,16))::UBIGINT::HUGEINT AS h2
+        |  FROM (SELECT rep, unnest(toks) AS tok FROM g)),
+        |lanes AS (
+        |  SELECT rep, i, min((h1 + i*h2) % 18446744073709551616::HUGEINT) AS lane
+        |  FROM h, generate_series(0, 59) s(i) GROUP BY rep, i),
+        |bands AS (
+        |  SELECT rep, i // 6 AS band, string_agg(lane::VARCHAR, ',' ORDER BY i) AS bandkey
+        |  FROM lanes GROUP BY rep, i // 6),
+        |cands AS (
+        |  SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.bandkey = b.bandkey AND a.rep < b.rep),
+        |reppairs AS (
+        |  SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+        |    SELECT c.id_a, c.id_b,
+        |      len(list_intersect(x.toks, y.toks))::DOUBLE /
+        |        (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))::DOUBLE AS j
+        |    FROM cands c JOIN g x ON c.id_a = x.rep JOIN g y ON c.id_b = y.rep)
+        |  WHERE j >= 0.8),
+        |mem AS (SELECT rep, unnest(members) AS m FROM g),
+        |inter AS (
+        |  SELECT least(x.m, y.m) AS id_a, greatest(x.m, y.m) AS id_b, p.jaccard
+        |  FROM reppairs p JOIN mem x ON p.id_a = x.rep JOIN mem y ON p.id_b = y.rep),
+        |intra AS (
+        |  SELECT a.m AS id_a, b.m AS id_b, 1.0::DOUBLE AS jaccard
+        |  FROM mem a JOIN mem b ON a.rep = b.rep AND a.m < b.m)
+        |SELECT * FROM (SELECT * FROM inter UNION ALL SELECT * FROM intra)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (('0x'||substr(md5(t),1,16))::UBIGINT >> j) & 1 = 1
+        |      THEN 1 ELSE -1 END) > 0
+        |    THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM tok, generate_series(0, 63) s(j) GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, sum(bit)::UBIGINT AS sh FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sh a JOIN sh b
+        |  ON (a.sh >> 48) = (b.sh >> 48) AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_simhash_complete" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN sum(CASE WHEN (('0x'||substr(md5(t),1,16))::UBIGINT >> j) & 1 = 1
+        |      THEN 1 ELSE -1 END) > 0
+        |    THEN (1::UBIGINT << j)::HUGEINT ELSE 0::HUGEINT END AS bit
+        |  FROM tok, generate_series(0, 63) s(j) GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id, sum(bit)::UBIGINT AS sh FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
