@@ -77,7 +77,8 @@ object Runner {
             alertCfg: Alerts.Config = Alerts.Config(),
             retryPath: Option[String] = None,
             backoff: Backoff = Backoff(),
-            eventTimeRetries: Boolean = false): Running = {
+            eventTimeRetries: Boolean = true,
+            retryWatermarkDelay: String = "10 minutes"): Running = {
     import spark.implicits._
     new java.io.File(logPath).mkdirs()
     retryPath.foreach(p => new java.io.File(p).mkdirs())
@@ -143,10 +144,17 @@ object Runner {
           col("manual"), col("event_time"), col("topic"), col("data"),
           col("metadata"), col("attempt_time").as("outcome_time"))
         .as[Retry.Outcome]
-      // event-time mode: the retry clock is the log stream's watermark, so
-      // reprocessing history (fresh checkpoint over an old log) schedules
-      // no stale retries; default stays the reference's wall-clock scheduler
-      (if (eventTimeRetries) Retry.scheduleStreamEventTime(spark, outcomes, backoff)
+      // event-time mode (the DEFAULT since r6): the retry clock is the log
+      // stream's watermark. q3's input is the log DIRECTORY — on a fresh
+      // checkpoint it rereads all existing log files, i.e. every restart
+      // is a history replay — so the replay-safe scheduler is the correct
+      // default, not just an option: the wall-clock variant would fire a
+      // stale retry for every long-resolved failure in the log. Live
+      // latency rides the watermark: every delivery attempt appends an
+      // outcome, so under traffic the watermark tracks the wall clock to
+      // within `retryWatermarkDelay` plus the idle gap.
+      (if (eventTimeRetries)
+        Retry.scheduleStreamEventTime(spark, outcomes, backoff, retryWatermarkDelay)
        else Retry.scheduleStream(spark, outcomes, backoff))
         .writeStream
         .queryName("graft_retries")

@@ -461,10 +461,16 @@ object Sinks {
     * destinations — exercises the retry loop. */
   final case class MockSink(destType: String,
                             failDestinations: Set[String] = Set.empty,
-                            failUntilAttempt: Int = 1) extends Sink {
+                            failUntilAttempt: Int = 1,
+                            failEvents: Set[String] = Set.empty) extends Sink {
     override def publish(tasks: DataFrame): DataFrame = {
+      // failEvents scopes the attempt-based failure to specific events
+      // (empty = all events), so tests can mix failing and healthy traffic
+      val attemptScope =
+        if (failEvents.isEmpty) lit(true)
+        else col("event_id").isin(failEvents.toSeq: _*)
       val failing = col("destination_id").isin(failDestinations.toSeq: _*) ||
-        col("attempt") < failUntilAttempt
+        (col("attempt") < failUntilAttempt && attemptScope)
       tasks.select(
         concat(lit("att_"), col("event_id"), lit(":"), col("destination_id"),
           lit(":"), col("attempt")).as("attempt_id"),

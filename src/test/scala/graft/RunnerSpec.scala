@@ -52,38 +52,55 @@ class RunnerSpec extends GraftSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_retry").toString
     val destinations = Seq(
       Destination("d_ok", "t1", "mock", Seq("*"), None, disabled = false)).toDS()
-    // every destination fails its first attempt, succeeds from the second
+    // e1 fails its first attempt, succeeds from the second; heartbeat
+    // events (hb*) succeed immediately
     val registry = new Sinks.Registry(Seq(
-      Sinks.MockSink("mock", failUntilAttempt = 2)))
+      Sinks.MockSink("mock", failUntilAttempt = 2, failEvents = Set("e1"))))
 
     val raw = MemoryStream[String]
+    // Runs on the DEFAULT scheduler — event-time since r6. The retry
+    // clock is the log watermark, so the test drives it the way live
+    // traffic does: each heartbeat delivery appends an outcome whose
+    // attempt_time advances the watermark past e1's backoff.
     val running = Runner.start(spark, raw.toDF(), destinations, registry,
       logPath = s"$tmp/log", alertSinkName = "retry_alerts",
       checkpointRoot = s"$tmp/ckpt",
       alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 100),
       retryPath = Some(s"$tmp/retry"),
-      backoff = graft.core.Backoff(baseMillis = 1, factor = 2, maxRetries = 3))
+      backoff = graft.core.Backoff(baseMillis = 1, factor = 2, maxRetries = 3),
+      retryWatermarkDelay = "0 seconds")
     try {
       raw.addData(
         """{"event_id":"e1","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:00Z","data":{"n":1}}""")
       running.delivery.processAllAvailable()
 
       // the retry query self-drives on its trigger; poll the observable
-      // outcome (attempt 2 success in the log) with a deadline
+      // outcome (e1 attempt 2 success in the log) with a deadline,
+      // feeding heartbeats so the watermark keeps moving
       def logState(): Set[(Int, String)] =
-        try spark.read.parquet(s"$tmp/log").select("attempt_number", "status")
+        try spark.read.parquet(s"$tmp/log")
+          .filter(col("event_id") === "e1")
+          .select("attempt_number", "status")
           .collect().map(r => (r.getInt(0), r.getString(1))).toSet
         catch { case _: Exception => Set.empty }
       val deadline = System.currentTimeMillis() + 60000
       var state = logState()
+      var hb = 0
       while (state != Set((1, "failed"), (2, "success")) &&
           System.currentTimeMillis() < deadline) {
+        hb += 1
+        // attempt_time (the watermark column) mirrors event_time in
+        // MockSink, so heartbeats carry strictly increasing event times
+        val hbTime = java.time.Instant.parse("2024-01-01T00:00:00Z")
+          .plusSeconds(hb * 60L)
+        raw.addData(
+          s"""{"event_id":"hb$hb","tenant_id":"t1","topic":"order.created","event_time":"$hbTime","data":{"n":0}}""")
         Thread.sleep(500)
         running.delivery.processAllAvailable()
         state = logState()
       }
       assert(state == Set((1, "failed"), (2, "success")),
-        s"expected fail-then-success, got $state")
+        s"expected fail-then-success for e1, got $state")
     } finally running.stopAll()
   }
 
