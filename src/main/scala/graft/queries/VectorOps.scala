@@ -160,13 +160,27 @@ object VectorOps {
         .toDF("n_vecs", "exact_clusters", "refinement_ok", "merge_recall_ge_80")
     }),
 
-    // multimodal plumbing: binary payload table → stub decode via
-    // mapPartitions (real partition-batched pipeline, fake codec).
+    // multimodal decode: image rows are REAL synthesized PNGs decoded by
+    // javax.imageio (width/height read from actual headers; the oracle
+    // predicts them from the synthesis contract, so the gate verifies the
+    // whole encode→decode loop); audio/video go through the labeled stub.
     "multimodal_meta" -> ((s, dir) => {
       val media = Multimodal.asMediaTable(Tables.documents(s, dir))
       Multimodal.decodeAll(s, media).toDF()
-        .select(col("media_id"), col("kind"), col("byte_len"),
-          col("width"), col("height"))
+        .join(media.select(col("media_id"), col("src_bytes")), "media_id")
+        .select(col("media_id"), col("kind"), col("src_bytes"),
+          col("width"), col("height"), col("frames"))
+        .orderBy(col("media_id"))
+    }),
+
+    // real resize path: decode PNG → bilinear resample → PNG re-encode →
+    // re-decode; out_w/out_h are read back from the re-encoded bytes.
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+        .filter(col("kind") === "image")
+      Multimodal.resizeMedia(s, media, targetW = 24, targetH = 16).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("out_w"), col("out_h"), col("scale_x"), col("scale_y"))
         .orderBy(col("media_id"))
     }),
 
@@ -295,10 +309,22 @@ object VectorOps {
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS width,
-        |  CAST(64 + (octet_length(encode(text)) * 31) % 359 AS INT) AS height
+        |  CAST(octet_length(encode(text)) AS INT) AS src_bytes,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 13) % 48
+        |    ELSE 64 + octet_length(encode(text)) % 577 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + (doc_id * 7) % 32
+        |    ELSE 64 + (octet_length(encode(text)) * 31) % 359 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+        |    ELSE 1 + octet_length(encode(text)) % 30 END AS INT) AS frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(16 + (doc_id * 13) % 48 AS INT) AS width,
+        |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+        |  24 AS out_w, 16 AS out_h,
+        |  round(24.0 / (16 + (doc_id * 13) % 48), 6) AS scale_x,
+        |  round(16.0 / (16 + (doc_id * 7) % 32), 6) AS scale_y
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin,
     "multimodal_frames" ->
       """SELECT media_id, frames, frame_idx FROM (
         |  SELECT CAST(doc_id AS BIGINT) AS media_id,

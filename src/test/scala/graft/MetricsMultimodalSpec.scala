@@ -107,9 +107,44 @@ class MetricsMultimodalSpec extends GraftSuite {
     val d2 = Multimodal.decodeAll(spark, media).collect().sortBy(_.media_id)
     assert(d1.map(key).toSeq == d2.map(key).toSeq, "deterministic decode")
     d1.foreach { m =>
-      assert(m.byte_len > 0 && m.width >= 64 && m.height >= 64 && m.frames >= 1)
+      assert(m.byte_len > 0 && m.frames >= 1)
+      if (m.kind == "image") {
+        // REAL decode: dims read from actual PNG headers must equal the
+        // synthesis contract
+        assert(m.width == Multimodal.imageWidth(m.media_id))
+        assert(m.height == Multimodal.imageHeight(m.media_id))
+        assert(m.frames == 1)
+        assert(math.abs(m.feature.sum - 1f) < 1e-4, "histogram L1-normalized")
+      } else assert(m.width >= 64 && m.height >= 64)
       assert(m.feature.length == 8 && m.feature.forall(f => f >= 0f && f <= 1f))
       assert(Set("image", "audio", "video").contains(m.kind))
+    }
+  }
+
+  test("image codec: PNG round-trip and real resize read back from bytes") {
+    import Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(40, 24, seed = 7)
+    // a real PNG: magic bytes + decodable + exact dims
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val img = ImageCodec.decodeImage(png)
+    assert(img.getWidth == 40 && img.getHeight == 24)
+    val resized = ImageCodec.resizePng(png, 10, 6)
+    val back = ImageCodec.decodeImage(resized)
+    assert(back.getWidth == 10 && back.getHeight == 6)
+    // garbage payload is rejected, not silently decoded
+    intercept[IllegalArgumentException] {
+      ImageCodec.decodeImage(Array[Byte](1, 2, 3, 4))
+    }
+    // the distributed resize stage reports geometry read from re-encoded
+    // bytes for every image row
+    val media = Multimodal.asMediaTable(Tables.documents(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+    val rs = Multimodal.resizeMedia(spark, media, 24, 16).collect()
+    assert(rs.nonEmpty)
+    rs.foreach { r =>
+      assert(r.out_w == 24 && r.out_h == 16)
+      assert(r.width == Multimodal.imageWidth(r.media_id))
+      assert(r.height == Multimodal.imageHeight(r.media_id))
     }
   }
 
@@ -119,7 +154,7 @@ class MetricsMultimodalSpec extends GraftSuite {
     val resized = Multimodal.resizeAll(decoded, 224, 224).collect()
     assert(resized.nonEmpty)
     resized.foreach { r =>
-      assert(r.target_w == 224 && r.target_h == 224)
+      assert(r.out_w == 224 && r.out_h == 224)
       assert(math.abs(r.scale_x - 224.0 / r.width) < 1e-6)
       assert(math.abs(r.scale_y - 224.0 / r.height) < 1e-6)
       assert(r.feature.length == 8)
