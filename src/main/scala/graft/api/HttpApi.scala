@@ -1,0 +1,340 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.sql.Timestamp
+import java.time.Instant
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.functions.Buckets
+import graft.operators.{DestinationStore, ListQuery, Metrics}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Thin HTTP shell over the typed request structs — the last user-facing
+  * surface of the reference not yet exposed
+  * (`/root/reference/internal/apirouter/log_handlers.go:41-60` limit
+  * clamping, `metrics_handlers.go:53-117` measure/dimension allowlists,
+  * `destination_handlers.go` CRUD). Routing and JSON rendering only: every
+  * semantic decision (keyset cursors, limit clamps, measure catalogs,
+  * resource guards, CRUD rules) already lives in
+  * [[graft.operators.ListQuery]]/[[graft.operators.Metrics]]/
+  * [[graft.operators.DestinationStore]]; the shell maps their typed
+  * errors onto status codes:
+  *
+  *   - validation (`IllegalArgumentException`) → 400
+  *   - [[Metrics.ResourceLimitExceeded]] → 400 (the reference surfaces the
+  *     ClickHouse max_rows_to_group_by breach as a client error)
+  *   - not-found → 404, duplicate create → 409, anything else → 500
+  *
+  * Built on the JDK's `com.sun.net.httpserver` — driver-side control
+  * plane, no new dependencies; the data plane stays Spark jobs.
+  */
+object HttpApi {
+
+  final case class Config(
+      events: DataFrame,
+      destTable: String,
+      storeSecret: String,
+      defaultLimit: Int = 100,
+      maxLimit: Int = 1000)
+
+  final class Server(val http: HttpServer) {
+    def port: Int = http.getAddress.getPort
+    def stop(): Unit = http.stop(0)
+  }
+
+  private val mapper = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+
+  private val EventDims = Set("event_type", "user_id")
+
+  def start(spark: SparkSession, cfg: Config, port: Int = 0): Server = {
+    val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // CRUD op sequencing continues from the table's persisted high-water
+    // mark, so restarts never reuse an op_seq (last-write-wins stays sane)
+    val opSeq = new java.util.concurrent.atomic.AtomicLong(
+      initialOpSeq(spark, cfg.destTable))
+    http.createContext("/", (ex: HttpExchange) => handle(spark, cfg, opSeq, ex))
+    http.start()
+    new Server(http)
+  }
+
+  private def initialOpSeq(spark: SparkSession, table: String): Long =
+    try {
+      val r = DestinationStore.latestAnyRows(spark, table)
+        .agg(org.apache.spark.sql.functions.max(col("op_seq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    } catch { case _: Exception => 0L } // empty/absent table
+
+  // ----------------------------------------------------------- routing --
+
+  private val EventsList = "/api/v1/([^/]+)/events".r
+  private val EventGet = "/api/v1/([^/]+)/events/([^/]+)".r
+  private val MetricsEvents = "/api/v1/([^/]+)/metrics/events".r
+  private val DestList = "/api/v1/([^/]+)/destinations".r
+  private val DestOne = "/api/v1/([^/]+)/destinations/([^/]+)".r
+
+  private def handle(spark: SparkSession, cfg: Config,
+                     opSeq: java.util.concurrent.atomic.AtomicLong,
+                     ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath
+    val q = parseQuery(ex.getRequestURI.getRawQuery)
+    try {
+      (method, path) match {
+        case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
+        case ("GET", EventGet(_, id)) => getEvent(cfg, id, ex)
+        case ("GET", MetricsEvents(_)) => metricsEvents(spark, cfg, q, ex)
+        case ("GET", DestList(tenant)) => listDestinations(spark, cfg, q, tenant, ex)
+        case ("GET", DestOne(tenant, id)) => getDestination(spark, cfg, tenant, id, ex)
+        case ("PUT", DestOne(tenant, id)) =>
+          putDestination(spark, cfg, opSeq, tenant, id, ex)
+        case ("DELETE", DestOne(tenant, id)) =>
+          deleteDestination(spark, cfg, opSeq, tenant, id, ex)
+        case _ => sendError(ex, 404, "no such route")
+      }
+    } catch {
+      case e: Metrics.ResourceLimitExceeded => sendError(ex, 400, e.getMessage)
+      case e: DestinationStore.ErrDestinationNotFound => sendError(ex, 404, e.getMessage)
+      case e: DestinationStore.ErrDestinationDeleted => sendError(ex, 404, e.getMessage)
+      case e: DestinationStore.ErrDuplicateDestination => sendError(ex, 409, e.getMessage)
+      case e: DestinationStore.ErrMaxDestinationsPerTenantReached =>
+        sendError(ex, 400, e.getMessage)
+      case e: IllegalArgumentException => sendError(ex, 400, e.getMessage)
+      case e: Exception => sendError(ex, 500, String.valueOf(e.getMessage))
+    } finally ex.close()
+  }
+
+  // ---------------------------------------------------------- handlers --
+
+  /** Reference parseLimit (`log_handlers.go:41-53`): absent/invalid →
+    * default; positive values capped at max. */
+  private[api] def parseLimit(raw: Option[String], dflt: Int, max: Int): Int = {
+    val parsed = raw.flatMap(_.toIntOption).filter(_ > 0).getOrElse(dflt)
+    math.min(parsed, max)
+  }
+
+  private def listEvents(cfg: Config, q: Map[String, Seq[String]],
+                         tenant: String, ex: HttpExchange): Unit = {
+    val inFilters = Seq("event_type" -> "event_type[]", "user_id" -> "user_id[]")
+      .flatMap { case (colName, param) =>
+        val vs = q.getOrElse(param, q.getOrElse(colName, Nil))
+        if (vs.isEmpty) None
+        else Some(colName -> vs.map(v =>
+          if (colName == "user_id") v.toLongOption.getOrElse(
+            throw new IllegalArgumentException(s"bad user_id: $v")): Any
+          else v: Any))
+      }.toMap
+    val timeFilters =
+      q.get("start").flatMap(_.headOption).map(s =>
+        (ListQuery.Gte: ListQuery.TimeOp, parseInstant("start", s))).toSeq ++
+      q.get("end").flatMap(_.headOption).map(s =>
+        (ListQuery.Lte: ListQuery.TimeOp, parseInstant("end", s))).toSeq
+    val req = ListQuery.Request(
+      inFilters = inFilters,
+      timeFilters = timeFilters,
+      order = graft.operators.Keyset.Order.parse(
+        q.get("order").flatMap(_.headOption).orNull),
+      limit = parseLimit(q.get("limit").flatMap(_.headOption),
+        cfg.defaultLimit, cfg.maxLimit),
+      next = q.get("next").flatMap(_.headOption),
+      prev = q.get("prev").flatMap(_.headOption))
+    val page = ListQuery.list(cfg.events, req, "events", "ts", "event_id")
+    val out = nf.objectNode()
+    val arr = out.putArray("models")
+    val schema = cfg.events.schema
+    page.rows.foreach(r => arr.add(rowToJson(r, schema)))
+    page.next.foreach(out.put("next", _))
+    page.prev.foreach(out.put("prev", _))
+    sendJson(ex, 200, out)
+  }
+
+  private def getEvent(cfg: Config, id: String, ex: HttpExchange): Unit = {
+    val eid = id.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"bad event id: $id"))
+    ListQuery.retrieve(cfg.events, "event_id", eid) match {
+      case Some(row) => sendJson(ex, 200, rowToJson(row, cfg.events.schema))
+      case None => sendError(ex, 404, s"event not found: $id")
+    }
+  }
+
+  private def metricsEvents(spark: SparkSession, cfg: Config,
+                            q: Map[String, Seq[String]], ex: HttpExchange): Unit = {
+    val measures = q.getOrElse("measures[]", q.getOrElse("measures", Nil))
+    require(measures.nonEmpty, "at least one measures[] is required")
+    val dimensions = q.getOrElse("dimensions[]", q.getOrElse("dimensions", Nil))
+    val granularity = Buckets.Granularity.parse(
+      q.get("granularity").flatMap(_.headOption).getOrElse(
+        throw new IllegalArgumentException("granularity is required")))
+    val start = parseInstant("start", q.get("start").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("start is required")))
+    val end = parseInstant("end", q.get("end").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("end is required")))
+    val filters = EventDims.toSeq.sorted.flatMap { d =>
+      val vs = q.getOrElse(s"$d[]", Nil)
+      if (vs.isEmpty) None else Some(d -> vs)
+    }.toMap
+    val req = Metrics.Request(start, end, granularity, measures, dimensions,
+      filters, rowLimit = parseLimit(q.get("limit").flatMap(_.headOption),
+        cfg.defaultLimit, 100000))
+    Metrics.validate(req, Metrics.eventMeasures, EventDims)
+    val res = Metrics.query(spark, cfg.events, req)
+    try {
+      val rows = res.df.collect()
+      val schema = res.df.schema
+      val out = nf.objectNode()
+      out.put("truncated", res.truncated)
+      val arr = out.putArray("buckets")
+      rows.foreach(r => arr.add(rowToJson(r, schema)))
+      sendJson(ex, 200, out)
+    } finally res.cleanup()
+  }
+
+  private def listDestinations(spark: SparkSession, cfg: Config,
+                               q: Map[String, Seq[String]], tenant: String,
+                               ex: HttpExchange): Unit = {
+    val recs = DestinationStore.list(spark, cfg.destTable, tenant,
+      cfg.storeSecret,
+      types = q.getOrElse("type[]", q.getOrElse("type", Nil)),
+      topics = q.getOrElse("topics[]", q.getOrElse("topics", Nil)),
+      ids = q.getOrElse("id[]", Nil))
+    val arr = nf.arrayNode()
+    recs.foreach(r => arr.add(destToJson(r)))
+    sendJson(ex, 200, arr)
+  }
+
+  private def getDestination(spark: SparkSession, cfg: Config, tenant: String,
+                             id: String, ex: HttpExchange): Unit =
+    DestinationStore.retrieve(spark, cfg.destTable, tenant, id, cfg.storeSecret) match {
+      case Some(rec) => sendJson(ex, 200, destToJson(rec))
+      case None => sendError(ex, 404, s"destination not found: $id")
+    }
+
+  private def putDestination(spark: SparkSession, cfg: Config,
+                             opSeq: java.util.concurrent.atomic.AtomicLong,
+                             tenant: String, id: String, ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    require(body != null && body.isObject, "body must be a JSON object")
+    def strMap(field: String): Map[String, String] = {
+      val n = body.get(field)
+      if (n == null || n.isNull) Map.empty
+      else {
+        require(n.isObject, s"$field must be an object")
+        val it = n.properties.iterator()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+        b.result()
+      }
+    }
+    val typ = Option(body.get("type")).map(_.asText).getOrElse(
+      throw new IllegalArgumentException("type is required"))
+    val topicsNode = body.get("topics")
+    require(topicsNode != null && topicsNode.isArray && topicsNode.size > 0,
+      "topics must be a non-empty array")
+    val topics = (0 until topicsNode.size).map(topicsNode.get(_).asText)
+    val now = new Timestamp(System.currentTimeMillis())
+    val rec = DestinationStore.DestinationRecord(
+      tenant, id, typ, topics,
+      Option(body.get("filter")).filterNot(_.isNull).map(_.toString),
+      strMap("config"), strMap("credentials"), strMap("delivery_metadata"),
+      strMap("metadata"), now, now, None, None)
+    DestinationStore.create(spark, cfg.destTable, rec, cfg.storeSecret,
+      opSeq.incrementAndGet())
+    sendJson(ex, 201, destToJson(rec))
+  }
+
+  private def deleteDestination(spark: SparkSession, cfg: Config,
+                                opSeq: java.util.concurrent.atomic.AtomicLong,
+                                tenant: String, id: String, ex: HttpExchange): Unit = {
+    DestinationStore.delete(spark, cfg.destTable, tenant, id,
+      opSeq.incrementAndGet(), new Timestamp(System.currentTimeMillis()))
+    sendJson(ex, 200, nf.objectNode().put("deleted", id))
+  }
+
+  // ------------------------------------------------------------- plumbing --
+
+  private def parseInstant(name: String, s: String): Instant =
+    try Instant.parse(s)
+    catch {
+      case _: Exception =>
+        s.toLongOption.map(Instant.ofEpochMilli).getOrElse(
+          throw new IllegalArgumentException(s"bad $name timestamp: $s"))
+    }
+
+  private[api] def parseQuery(raw: String): Map[String, Seq[String]] =
+    if (raw == null || raw.isEmpty) Map.empty
+    else raw.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(dec(k) -> dec(v))
+        case Array(k) => Some(dec(k) -> "")
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Generic Row → JSON on the DataFrame schema (timestamps as ISO-8601
+    * UTC, maps/arrays structurally). */
+  private[api] def rowToJson(row: Row, schema: StructType): ObjectNode = {
+    val o = nf.objectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) o.putNull(f.name)
+      else f.dataType match {
+        case StringType => o.put(f.name, row.getString(i))
+        case LongType => o.put(f.name, row.getLong(i))
+        case IntegerType => o.put(f.name, row.getInt(i))
+        case DoubleType => o.put(f.name, row.getDouble(i))
+        case FloatType => o.put(f.name, row.getFloat(i))
+        case BooleanType => o.put(f.name, row.getBoolean(i))
+        case TimestampType =>
+          o.put(f.name, row.getTimestamp(i).toInstant.toString)
+        case _: MapType =>
+          val m = o.putObject(f.name)
+          row.getMap[Any, Any](i).foreach { case (k, v) =>
+            m.put(String.valueOf(k), String.valueOf(v)) }
+        case _: ArrayType =>
+          val a = o.putArray(f.name)
+          row.getSeq[Any](i).foreach(v => a.add(String.valueOf(v)))
+        case _ => o.put(f.name, String.valueOf(row.get(i)))
+      }
+    }
+    o
+  }
+
+  private def destToJson(r: DestinationStore.DestinationRecord): ObjectNode = {
+    val o = nf.objectNode()
+    o.put("tenant_id", r.tenant_id)
+    o.put("destination_id", r.destination_id)
+    o.put("type", r.dest_type)
+    val t = o.putArray("topics")
+    r.topics.foreach(t.add)
+    r.filter_json.foreach(f => o.set[ObjectNode]("filter", mapper.readTree(f)))
+    def putMap(name: String, m: Map[String, String]): Unit = {
+      val n = o.putObject(name)
+      m.foreach { case (k, v) => n.put(k, v) }
+    }
+    putMap("config", r.config)
+    putMap("credentials", r.credentials)
+    putMap("delivery_metadata", r.delivery_metadata)
+    putMap("metadata", r.metadata)
+    o.put("created_at", r.created_at.toInstant.toString)
+    o.put("updated_at", r.updated_at.toInstant.toString)
+    r.disabled_at.foreach(d => o.put("disabled_at", d.toInstant.toString))
+    o
+  }
+
+  private def sendJson(ex: HttpExchange, code: Int,
+                       node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val bytes = mapper.writeValueAsBytes(node)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+
+  private def sendError(ex: HttpExchange, code: Int, msg: String): Unit =
+    sendJson(ex, code, nf.objectNode().put("error", msg))
+}

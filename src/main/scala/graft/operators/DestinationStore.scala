@@ -172,7 +172,7 @@ object DestinationStore {
   }
 
   /** Latest stored row per (tenant, destination), tombstones INCLUDED. */
-  private def latestAnyRows(spark: SparkSession, table: String): DataFrame = {
+  private[graft] def latestAnyRows(spark: SparkSession, table: String): DataFrame = {
     val w = Window.partitionBy(col("tenant_id"), col("destination_id"))
       .orderBy(col("op_seq").desc)
     if (CommitLog.snapshot(table).files.isEmpty)
