@@ -51,6 +51,23 @@ object CommitLog {
 
   final class ConcurrentDelete(msg: String) extends RuntimeException(msg)
 
+  /** THE one atomicity primitive the whole protocol needs from storage:
+    * publish `src`'s bytes at `target` iff nothing exists there, atomically,
+    * returning whether this caller won. Everything else (staging, retries,
+    * conflict detection, checkpoints) is built on plain writes and reads.
+    *
+    * Implementations by store:
+    *   - POSIX/NFS (this one): `Files.createLink` — the link either
+    *     appears with the full content or the call throws; no torn state;
+    *   - S3: `PutObject` with `If-None-Match: *` (412 → lost the race);
+    *   - GCS: upload with `ifGenerationMatch=0`;
+    *   - Azure ADLS: create with `If-None-Match: *`.
+    * Swapping this function is the ONLY change an object-store port needs —
+    * the Delta/Iceberg "commit service" boundary, minimized. */
+  private[operators] def createIfAbsent(target: Path, src: Path): Boolean =
+    try { Files.createLink(target, src); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
   private def logDir(table: String): Path = Paths.get(table, "_log")
   private def dataDir(table: String): Path = Paths.get(table, "data")
 
@@ -204,8 +221,7 @@ object CommitLog {
               s"$op lost ${gone.size} file(s) to a concurrent commit: ${gone.take(3).mkString(", ")}")
         }
         val target = entryPath(table, snap.version + 1)
-        try {
-          Files.createLink(target, tmp) // atomic create-if-absent
+        if (createIfAbsent(target, tmp)) {
           val v = snap.version + 1
           if (v % CheckpointInterval == 0) {
             // we are v's unique claimant → no checkpoint write race; the
@@ -218,11 +234,10 @@ object CommitLog {
               renderEntry("checkpoint", live.values.toSeq, Nil))
           }
           return v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            attempt += 1
-            if (attempt > maxRetries)
-              throw new IllegalStateException(s"$op: lost $maxRetries commit races")
+        } else {
+          attempt += 1
+          if (attempt > maxRetries)
+            throw new IllegalStateException(s"$op: lost $maxRetries commit races")
         }
       }
       0L // unreachable
