@@ -98,6 +98,17 @@ object Bench {
         }
       else Seq.empty
 
+    // Streaming sustained-load numbers ride in the same artifact (VERDICT
+    // r5 task #9): two-phase StreamBench at 60k events — throughput, then
+    // verification with per-stage p50/p99 and exact attempt accounting.
+    // Skipped when benching a query subset (fast iteration) or when
+    // SPARK_GRAFT_NO_STREAM is set.
+    val streamPart =
+      if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_STREAM")) ""
+      else
+        try s""","stream":${StreamBench.run(spark, 60000)}"""
+        catch { case e: Throwable => s""","stream_error":"${e.getClass.getSimpleName}""""}
+
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val qJson = toJson(results)
@@ -105,7 +116,7 @@ object Bench {
     val smallPart =
       if (small.nonEmpty) s""","queries_small":${toJson(small)},"sf_small":"$smallDir""""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$smallPart}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$smallPart$streamPart}""")
     spark.stop()
   }
 }

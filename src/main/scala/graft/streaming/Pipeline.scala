@@ -155,6 +155,10 @@ object Pipeline {
     batch
       .withColumn("month",
         date_format(Buckets.utcFields(col("attempt_time")), "yyyy-MM"))
+      // wall-clock write stamp (batch-granular): the per-stage latency
+      // probe StreamBench reads; projected away by every schema-driven
+      // reader, so the log contract is unchanged
+      .withColumn("logged_at", current_timestamp())
       .dropDuplicates("attempt_id")
       .repartition(col("month"))
       .sortWithinPartitions(col("attempt_time"), col("attempt_id"))

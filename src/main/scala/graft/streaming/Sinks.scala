@@ -462,7 +462,8 @@ object Sinks {
   final case class MockSink(destType: String,
                             failDestinations: Set[String] = Set.empty,
                             failUntilAttempt: Int = 1,
-                            failEvents: Set[String] = Set.empty) extends Sink {
+                            failEvents: Set[String] = Set.empty,
+                            wallClockAttempts: Boolean = false) extends Sink {
     override def publish(tasks: DataFrame): DataFrame = {
       // failEvents scopes the attempt-based failure to specific events
       // (empty = all events), so tests can mix failing and healthy traffic
@@ -478,7 +479,10 @@ object Sinks {
         lit(destType).as("destination_type"),
         col("attempt").as("attempt_number"), col("manual"),
         when(failing, "failed").otherwise("success").as("status"),
-        col("event_time").as("attempt_time"),
+        // deterministic tests key on event_time; the latency bench stamps
+        // real delivery wall time instead
+        (if (wallClockAttempts) current_timestamp() else col("event_time"))
+          .as("attempt_time"),
         when(failing, "503").otherwise("200").as("code"),
         col("event_time"), col("topic"), col("data"), col("metadata"),
         col("eligible_for_retry"))
