@@ -186,6 +186,185 @@ object Sinks {
     }
   }
 
+  /** Task row shape the HTTP sink delivers: task columns + the
+    * destination's endpoint/secret dim columns + pre-merged metadata
+    * headers. PUBLIC so the Dataset encoder stays codegen-compiled. */
+  final case class HttpTask(
+      event_id: String, tenant_id: String, destination_id: String,
+      attempt: Int, manual: Boolean, event_time: java.sql.Timestamp,
+      topic: String, data: String, metadata: Map[String, String],
+      eligible_for_retry: Boolean,
+      url: String, secret: String, previous_secret: String,
+      previous_secret_invalid_at: String, hdrs: Map[String, String])
+
+  /** Attempt outcome + the captured (truncated) response body — the
+    * reference's `Delivery.ResponseData` (`httphelper.go:173-199`). */
+  final case class HttpOutcome(
+      attempt_id: String, event_id: String, tenant_id: String,
+      destination_id: String, destination_type: String,
+      attempt_number: Int, manual: Boolean, status: String,
+      attempt_time: java.sql.Timestamp, code: String,
+      event_time: java.sql.Timestamp, topic: String, data: String,
+      metadata: Map[String, String], eligible_for_retry: Boolean,
+      response_body: String)
+
+  object HttpWebhookSink {
+    // one HttpClient per executor JVM per connect-timeout: connection
+    // pooling + keep-alive amortize across rows, batches and queries
+    private val clients =
+      new java.util.concurrent.ConcurrentHashMap[Long, java.net.http.HttpClient]()
+    private[streaming] def client(connectTimeoutMillis: Long): java.net.http.HttpClient =
+      clients.computeIfAbsent(connectTimeoutMillis, t =>
+        java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(t))
+          .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+          .build())
+
+    /** The reference's network-error taxonomy (`httphelper.go:144-171`) on
+      * JDK exception types instead of Go error-string matching. Specific
+      * types first; unwrap one cause layer (HttpClient wraps connect
+      * failures in IOException). */
+    private[streaming] def classify(e: Throwable): String = e match {
+      case _: java.net.http.HttpConnectTimeoutException => "timeout"
+      case _: java.net.http.HttpTimeoutException => "timeout"
+      case _: java.net.UnknownHostException => "dns_error"
+      case _: java.nio.channels.UnresolvedAddressException => "dns_error"
+      case _: javax.net.ssl.SSLException => "tls_error"
+      case _: java.net.ConnectException => "connection_refused"
+      case s: java.net.SocketException
+          if s.getMessage != null && s.getMessage.toLowerCase.contains("reset") =>
+        "connection_reset"
+      case io: java.io.IOException if (io.getCause ne null) && (io.getCause ne io) =>
+        classify(io.getCause)
+      case _ => "network_error"
+    }
+  }
+
+  /** REAL-NETWORK webhook delivery sink: POSTs each task's raw payload to
+    * its destination's HTTP endpoint and branches the attempt outcome on
+    * the live response — the reference's actual delivery path
+    * (`destwebhook/destwebhook.go:717-777` request format,
+    * `httphelper.go:37-142` execute/branch): 2xx/3xx → success with the
+    * status as `code`; >= 400 → failed with the status and the (truncated)
+    * response body captured; transport errors → failed with the
+    * reference's network-error class (connection_refused, timeout,
+    * dns_error, tls_error, connection_reset, network_error).
+    *
+    * Headers mirror `Format`: `content-type: application/json`, merged
+    * metadata (system < delivery < event) under `headerPrefix` (reference
+    * default `x-outpost-`, ours `x-graft-`), and the rotation-aware
+    * signature header rendered by [[Signatures.SignatureManager]]. The
+    * `timestamp` header carries the SAME second-truncated instant the
+    * signature was computed over, so receivers can verify out of band.
+    *
+    * Scale shape: the endpoint dim (control plane — tenants × destinations,
+    * small) broadcast-joins onto the batch; delivery runs in
+    * `mapPartitions` with one shared `java.net.http.HttpClient` per
+    * executor JVM (pooled keep-alive connections across rows AND batches);
+    * per-partition sends are sequential, so total in-flight concurrency =
+    * #partitions — bounded, backpressured, and tunable by repartitioning
+    * the batch. Delivery is at-least-once (a replayed micro-batch
+    * re-POSTs, exactly as the reference's MQ consumer redelivers); the log
+    * stage dedups outcome rows by attempt_id.
+    *
+    * The outcome frame is localCheckpoint-ed before return: ONE
+    * materialization = ONE POST per task, no downstream action can re-run
+    * the network pass. */
+  final case class HttpWebhookSink(endpoints: () => DataFrame,
+                                   algoName: String = Signatures.HmacSha256.name,
+                                   base64: Boolean = false,
+                                   contentTemplate: String = Signatures.DefaultSignatureContentTemplate,
+                                   headerTemplate: String = Signatures.DefaultSignatureHeaderTemplate,
+                                   headerPrefix: String = "x-graft-",
+                                   timeoutMillis: Int = 5000,
+                                   maxResponseBodyBytes: Int = 4096,
+                                   deliveryMetadata: Map[String, String] = Map.empty,
+                                   destType: String = "webhook")
+    extends Sink {
+
+    override def publish(tasks: DataFrame): DataFrame = {
+      val spark = tasks.sparkSession
+      import spark.implicits._
+      val algoObj = Signatures.Algos(algoName)
+      val encObj = if (base64) Signatures.Base64Encoder else Signatures.HexEncoder
+      val tmplObj = new Signatures.Template(contentTemplate)
+      val hdrTmplObj = new Signatures.Template(headerTemplate)
+      val (prefix, timeout, maxBody, dt) =
+        (headerPrefix, timeoutMillis, maxResponseBodyBytes, destType)
+
+      val joined = tasks
+        .join(broadcast(endpoints()), Seq("destination_id"), "left")
+        .withColumn("hdrs", makeMetadataExpr(deliveryMetadata))
+        .select(
+          col("event_id"), col("tenant_id"), col("destination_id"),
+          col("attempt").cast("int").as("attempt"), col("manual"),
+          col("event_time"), col("topic"), col("data"), col("metadata"),
+          col("eligible_for_retry"), col("url"), col("secret"),
+          col("previous_secret"), col("previous_secret_invalid_at"),
+          col("hdrs"))
+        .as[HttpTask]
+
+      val outcomes = joined.mapPartitions { it =>
+        val client = HttpWebhookSink.client(timeout)
+        it.map(t => deliverOne(client, t, algoObj, encObj, tmplObj,
+          hdrTmplObj, prefix, timeout, maxBody, dt))
+      }.toDF()
+      outcomes.localCheckpoint(true)
+    }
+
+    private def deliverOne(client: java.net.http.HttpClient, t: HttpTask,
+                           algo: Signatures.Algo, enc: Signatures.Encoder,
+                           tmpl: Signatures.Template, hdrTmpl: Signatures.Template,
+                           prefix: String, timeoutMillis: Int, maxBody: Int,
+                           destType: String): HttpOutcome = {
+      import java.time.Instant
+      val attemptTime = new java.sql.Timestamp(System.currentTimeMillis())
+      def out(status: String, code: String, body: String) = HttpOutcome(
+        s"att_${t.event_id}:${t.destination_id}:${t.attempt}",
+        t.event_id, t.tenant_id, t.destination_id, destType, t.attempt,
+        t.manual, status, attemptTime, code, t.event_time, t.topic, t.data,
+        t.metadata, t.eligible_for_retry, body)
+      // no endpoint / no signing secret registered for the destination:
+      // fail the attempt (500) instead of silently dropping, same contract
+      // as StoreWebhookSink's missing-credentials branch
+      if (t.url == null || t.secret == null) return out("failed", "500", null)
+
+      // second-truncated so the timestamp HEADER (RFC3339, second
+      // precision) round-trips to the exact instant that was signed
+      val now = Instant.now.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+      val secrets =
+        Seq(Signatures.WebhookSecret(t.secret, Instant.EPOCH.plusSeconds(1))) ++
+          Option(t.previous_secret).map(p => Signatures.WebhookSecret(p,
+            Instant.EPOCH,
+            Option(t.previous_secret_invalid_at).map(Instant.parse)))
+      val mgr = new Signatures.SignatureManager(secrets, algo, enc,
+        contentTemplate = tmpl, headerTemplate = hdrTmpl)
+      val sig = mgr.signatureHeader(
+        Signatures.SignaturePayload(t.event_id, t.topic, now, t.data), now)
+
+      val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(t.url))
+        .timeout(java.time.Duration.ofMillis(timeoutMillis))
+        .header("content-type", "application/json")
+      val hdrs = (if (t.hdrs == null) Map.empty[String, String] else t.hdrs) +
+        ("timestamp" -> now.toString)
+      hdrs.foreach { case (k, v) => b.header(prefix + k, v) }
+      if (sig.nonEmpty) b.header(prefix + "signature", sig)
+
+      try {
+        val resp = client.send(
+          b.POST(java.net.http.HttpRequest.BodyPublishers.ofString(t.data)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        val body = Option(resp.body()).map(s =>
+          if (s.length > maxBody) s.substring(0, maxBody) else s).orNull
+        if (resp.statusCode() >= 400) out("failed", resp.statusCode().toString, body)
+        else out("success", resp.statusCode().toString, body)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          out("failed", HttpWebhookSink.classify(e), null)
+      }
+    }
+  }
+
   /** Kafka delivery sink (reference: `destregistry/providers/destkafka/
     * destkafka.go:209-258`): renders each task into the exact Kafka record
     * shape — key from the destination's JMESPath partition-key template
@@ -511,7 +690,10 @@ object Sinks {
           else b.select("dest_type").distinct().collect().map(_.getString(0)).toSeq
         types
           .flatMap(t => byType.get(t).map(_.publish(b.filter(col("dest_type") === t))))
-          .reduceOption(_.unionByName(_))
+          // allowMissingColumns: the HTTP sink's outcomes carry
+          // response_body (the reference's attempt ResponseData); file
+          // sinks don't — mixed registries union to null there
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
           .map(_.localCheckpoint(true))
           .getOrElse(b.sparkSession.emptyDataFrame)
       } finally b.unpersist()
