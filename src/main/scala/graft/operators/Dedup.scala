@@ -155,6 +155,87 @@ object Dedup {
         col("r.n_removed").cast("long").as("n_removed"))
   }
 
+  /** Incremental exact dedup for a corpus ingested batch-by-batch — the
+    * operational reality of a growing 100 TB crawl: each increment must
+    * dedup against EVERYTHING accepted so far without ever re-shuffling
+    * the accumulated corpus. A digest LEDGER — a [[CommitLog]] table of
+    * (dup_hash, keeper_id, accepted_at) — carries every content digest
+    * accepted to date; for each new batch:
+    *   1. in-batch winners: min id per digest (one groupBy over 16 B
+    *      digests — the only shuffle, and it's batch-sized);
+    *   2. cross-batch filter: left_anti on the ledger's dup_hash. The
+    *      batch is the SMALL side, so at scale the new digests broadcast
+    *      against the ledger scan — history is read, never re-shuffled.
+    *      Ledger rows are a digest + an id (~50 B vs ~KB documents):
+    *      ~10⁻² of corpus bytes, linear in distinct content;
+    *   3. the survivors' digests append to the ledger in one atomic
+    *      commit; a batch token makes replays no-ops (the same
+    *      effectively-once contract as the attempt log).
+    * The returned frame is checkpointed: the ledger append and the
+    * caller's consumption see the same accepted set exactly once.
+    *
+    * @return the accepted (first-occurrence) batch rows
+    */
+  def incrementalDedupBatch(batch: DataFrame, ledgerTable: String,
+                            acceptedAt: java.sql.Timestamp,
+                            token: Option[String] = None,
+                            idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val spark = batch.sparkSession
+    val winners = dropExactDups(batch, idCol, textCol)
+      .withColumn("dup_hash", md5(col(textCol)))
+    val fresh =
+      if (CommitLog.snapshot(ledgerTable).files.isEmpty) winners
+      else winners.join(
+        CommitLog.scan(spark, ledgerTable).select("dup_hash"),
+        Seq("dup_hash"), "left_anti")
+    val accepted = fresh.localCheckpoint()
+    CommitLog.append(
+      accepted.select(col("dup_hash"), col(idCol).as("keeper_id"),
+        lit(acceptedAt).as("accepted_at")),
+      ledgerTable, idCol = "dup_hash", tsCol = "accepted_at", token = token)
+    accepted.drop("dup_hash")
+  }
+
+  /** Bloom-filter benchmark decontamination — the broadcast-side variant
+    * of the exact n-gram overlap check (GPT-3 appendix C / PaLM style;
+    * the exact form is the `decontaminate_overlap` semi-join).
+    *
+    * The eval suite's distinct n-grams aggregate into ONE mergeable Bloom
+    * sketch (`spark.util.sketch.BloomFilter` via `df.stat.bloomFilter` —
+    * partial sketches OR-merge on the driver), which broadcasts to every
+    * executor. Flagging the training corpus is then a pure MAP over the
+    * docs — zero shuffle of train-side grams, vs the exact form's
+    * hash-shuffle of one row per train gram. At 100 TB that's the
+    * difference between moving ~10× the corpus text through the exchange
+    * and moving a fixed few hundred MB of bits once: the eval suite is
+    * small and fixed (benchmarks), the train side is the 100 TB — the
+    * asymmetry is exactly what a Bloom filter wants.
+    *
+    * Error is ONE-SIDED by construction: a gram that is in the eval set
+    * always hits (no false negatives — a contaminated doc can never slip
+    * through); false positives over-flag clean docs at ≤ `fpp` per gram
+    * (union-bounded per doc), so `fpp` should be sized against the
+    * per-doc gram count (default 1e-5 → ~0.1% doc-level FP at ~100 grams
+    * per doc). The returned flags are therefore a certified SUPERSET of
+    * the exact semi-join's — the contract `decontaminate_bloom_check`
+    * pins (subset + FP bound) against the exact plan.
+    *
+    * @return (idCol, contaminated) one row per train doc
+    */
+  def bloomContaminated(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+                        expectedGrams: Long = 4000000L, fpp: Double = 1e-5,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
+    val bf = evalGrams.stat.bloomFilter("g", expectedGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((gs: scala.collection.Seq[String]) =>
+      gs != null && gs.exists(bc.value.mightContainString))
+    train.select(col(idCol),
+      hit(TextFunctions.shingles(col(textCol), n)).as("contaminated"))
+  }
+
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,
                         textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), col(blockCol).as("block"),

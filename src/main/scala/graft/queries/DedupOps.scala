@@ -23,6 +23,29 @@ object DedupOps {
         countDistinct(graft.functions.TextFunctions.fingerprint(col("text"))).as("n_distinct_fp"))
     }),
 
+    // Incremental ingest dedup: the corpus arrives as 4 batches (source
+    // number mod 4, replayed in order) and each batch dedups against the
+    // digest LEDGER of everything accepted so far
+    // ([[Dedup.incrementalDedupBatch]] — commit-log ledger, batch-side
+    // broadcast anti-join, effectively-once appends). DuckDB replays the
+    // same arrival order as one window: first occurrence per md5(text)
+    // ordered by (batch, doc_id) — so the gate checks the cross-batch
+    // keeper semantics end to end, including the ledger round-trip.
+    "incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_inc_dedup").toString + "/ledger"
+      val batchOf = expr("CAST(substring(source, 4) AS INT) % 4")
+      val t0 = 1704067200000L // 2024-01-01T00:00Z
+      (0 until 4).map { b =>
+        Dedup.incrementalDedupBatch(
+          docs.filter(batchOf === b), ledger,
+          new java.sql.Timestamp(t0 + b * 3600000L),
+          token = Some(s"batch-$b"))
+          .select(col("doc_id"), col("source"))
+      }.reduce(_.unionByName(_)).orderBy("doc_id")
+    }),
+
     // exact token-set Jaccard near-dup pairs, blocked by source.
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
@@ -228,6 +251,13 @@ object DedupOps {
         |  count(DISTINCT md5(text)) AS n_distinct_text,
         |  count(DISTINCT substr(md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), 1, 16)) AS n_distinct_fp
         |FROM documents""".stripMargin,
+    "incremental_dedup" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY CAST(substr(source, 4) AS INT) % 4, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks

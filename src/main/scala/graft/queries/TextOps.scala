@@ -148,6 +148,35 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination contract: the broadcast-sketch variant
+    // ([[graft.operators.Dedup.bloomContaminated]] — zero train-side gram
+    // shuffle) must flag a certified SUPERSET of the exact semi-join's
+    // docs (Bloom error is one-sided: no false negatives) with a bounded
+    // doc-level false-positive rate. DuckDB pins the exact flagged count;
+    // the booleans pin the two Bloom guarantees.
+    "decontaminate_bloom_check" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 50 === 0)
+      val trainSet = docs.filter(col("doc_id") % 50 =!= 0)
+      val evalGrams = evalSet
+        .select(explode(shingles(col("text"), 5)).as("g")).distinct()
+      val exact = trainSet
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+        .join(evalGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct().persist()
+      val bloom = graft.operators.Dedup
+        .bloomContaminated(trainSet, evalSet, n = 5)
+        .filter(col("contaminated")).select("doc_id").persist()
+      val nExact = exact.count()
+      val nBloom = bloom.count()
+      val nHit = exact.join(bloom, Seq("doc_id"), "left_semi").count()
+      val nTrain = trainSet.count()
+      exact.unpersist(); bloom.unpersist()
+      Seq((nExact, nHit == nExact, (nBloom - nHit) * 100L <= nTrain))
+        .toDF("exact_flagged", "no_false_negatives", "fp_rate_le_1pct")
+    }),
+
     // PII detection + redaction census (the standard pre-training scrub
     // pass). The synthetic corpus is digit-free word soup, so the gate
     // splices deterministic contact lines — a pure function of doc_id —
@@ -300,6 +329,17 @@ object TextOps {
         |FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
         |WHERE d.doc_id % 50 <> 0
         |ORDER BY d.doc_id""".stripMargin,
+    "decontaminate_bloom_check" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |grams AS (SELECT doc_id, unnest(CASE WHEN len(w) < 5
+        |    THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w) - 3),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) END) AS g
+        |  FROM t),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        |SELECT count(DISTINCT doc_id) AS exact_flagged,
+        |  true AS no_false_negatives, true AS fp_rate_le_1pct
+        |FROM grams WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM eg)""".stripMargin,
     "text_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -382,4 +382,34 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows(0).getSeq[Any](1).forall(_ == null))
     assert(rows(1).getSeq[Any](1).forall(_ != null))
   }
+
+  test("incremental dedup: ledger blocks cross-batch dups; token replay is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_inc_spec").toString + "/ledger"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 0$h:00:00")
+
+    // batch 1: doc 2 duplicates doc 1 in-batch -> min id wins
+    val b1 = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val k1 = Dedup.incrementalDedupBatch(b1, ledger, ts(1), Some("b1"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == Set(1L, 3L))
+
+    // batch 2: doc 10 repeats batch-1 content (ledger hit), 11 is new,
+    // 12/13 dup each other in-batch
+    val b2 = Seq((10L, "gamma"), (11L, "delta"), (12L, "eps"), (13L, "eps"))
+      .toDF("doc_id", "text")
+    val k2 = Dedup.incrementalDedupBatch(b2, ledger, ts(2), Some("b2"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k2 == Set(11L, 12L))
+
+    // replaying batch 2 under the same token must not re-append digests
+    Dedup.incrementalDedupBatch(b2, ledger, ts(2), Some("b2"))
+    val rows = graft.operators.CommitLog.scan(spark, ledger)
+      .select("dup_hash", "keeper_id").collect()
+    assert(rows.length == 4) // alpha-beta, gamma, delta, eps — exactly once
+    assert(rows.map(_.getLong(1)).toSet == Set(1L, 3L, 11L, 12L))
+  }
 }

@@ -91,4 +91,23 @@ class TextCurationSpec extends GraftSuite {
       .orderBy("doc_id").collect().toSeq
     assert(str == hashed)
   }
+
+  test("bloom decontamination: superset of exact flags, bounded over-flagging") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val evalSet = docs.filter(col("doc_id") % 50 === 0)
+    val trainSet = docs.filter(col("doc_id") % 50 =!= 0)
+    val evalGrams = evalSet
+      .select(explode(shingles(col("text"), 5)).as("g")).distinct()
+    val exact = trainSet
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.bloomContaminated(trainSet, evalSet, n = 5)
+      .filter(col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged), "bloom must never miss a contaminated doc")
+    val extra = flagged.size - exact.size
+    assert(extra * 100 <= trainSet.count(), s"doc-level FP rate too high: $extra extra flags")
+  }
 }
