@@ -38,7 +38,15 @@ object HttpApi {
       destTable: String,
       storeSecret: String,
       defaultLimit: Int = 100,
-      maxLimit: Int = 1000)
+      maxLimit: Int = 1000,
+      // POST /api/v1/publish target: a spool directory a streaming file
+      // source tails (`spark.readStream.text`) into the Runner's ingest
+      // stage. None = publish route disabled (404), as when the reference
+      // deploys the API without PublishMQ.
+      publishSpool: Option[String] = None,
+      // ingest topic allowlist (reference ErrRequiredTopic/ErrInvalidTopic,
+      // publishmq/eventhandler.go:71-76); empty = any topic accepted
+      availableTopics: Seq[String] = Nil)
 
   final class Server(val http: HttpServer) {
     def port: Int = http.getAddress.getPort
@@ -57,7 +65,18 @@ object HttpApi {
     // mark, so restarts never reuse an op_seq (last-write-wins stays sane)
     val opSeq = new java.util.concurrent.atomic.AtomicLong(
       initialOpSeq(spark, cfg.destTable))
-    http.createContext("/", (ex: HttpExchange) => handle(spark, cfg, opSeq, ex))
+    // publish idempotency window: the reference claims each event id in
+    // Redis with a TTL and 409s a second claim
+    // (`idempotence/idempotence.go:100-169`); the API-shell equivalent is
+    // a bounded insertion-order LRU — the DURABLE guarantee stays with
+    // the pipeline's watermark dedup + attempt-id log dedup
+    val seenIds = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](1024, 0.75f, false) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > 65536
+      })
+    http.createContext("/", (ex: HttpExchange) => handle(spark, cfg, opSeq, seenIds, ex))
     http.start()
     new Server(http)
   }
@@ -79,12 +98,14 @@ object HttpApi {
 
   private def handle(spark: SparkSession, cfg: Config,
                      opSeq: java.util.concurrent.atomic.AtomicLong,
+                     seenIds: java.util.Map[String, java.lang.Boolean],
                      ex: HttpExchange): Unit = {
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     try {
       (method, path) match {
+        case ("POST", "/api/v1/publish") => publishEvent(cfg, seenIds, ex)
         case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
         case ("GET", EventGet(_, id)) => getEvent(cfg, id, ex)
         case ("GET", MetricsEvents(_)) => metricsEvents(spark, cfg, q, ex)
@@ -150,6 +171,85 @@ object HttpApi {
     page.next.foreach(out.put("next", _))
     page.prev.foreach(out.put("prev", _))
     sendJson(ex, 200, out)
+  }
+
+  /** `POST /api/v1/publish` (reference `publish_handlers.go:37-120` +
+    * `publishmq/eventhandler.go:71-76`): validate → apply ingest defaults
+    * (missing id → generated, missing time → now, missing eligibility →
+    * true, missing metadata → {}) → enqueue. The queue here is a spool
+    * directory tailed by a streaming file source: one atomically-renamed
+    * JSON file per accepted event (FileStreamSource lists whole files, so
+    * rename-into-place is the no-partial-reads publish primitive). */
+  private def publishEvent(cfg: Config,
+                           seenIds: java.util.Map[String, java.lang.Boolean],
+                           ex: HttpExchange): Unit = {
+    val spool = cfg.publishSpool.getOrElse {
+      sendError(ex, 404, "publish is not enabled"); return
+    }
+    val body = try mapper.readTree(ex.getRequestBody) catch {
+      case _: Exception => null
+    }
+    if (body == null || !body.isObject) {
+      sendError(ex, 422, "validation error: body must be a JSON object"); return
+    }
+    def strField(n: String): Option[String] =
+      Option(body.get(n)).filter(_.isTextual).map(_.asText)
+    val tenant = strField("tenant_id").getOrElse {
+      sendError(ex, 422, "validation error: tenant_id is required"); return
+    }
+    val data = body.get("data")
+    if (data == null || !data.isObject) {
+      // the reference rejects null / non-object / invalid JSON data
+      // payloads with 422 (publish_handlers.go:42-53)
+      sendError(ex, 422, "validation error: data must be a valid JSON object")
+      return
+    }
+    val topic = strField("topic")
+    if (cfg.availableTopics.nonEmpty) {
+      if (topic.isEmpty) {
+        sendError(ex, 422, "validation error: topic is required"); return
+      }
+      if (!topic.contains("*") && !cfg.availableTopics.contains(topic.get)) {
+        sendError(ex, 422, "validation error: topic is invalid"); return
+      }
+    }
+    val id = strField("id").getOrElse(
+      "evt_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    if (seenIds.putIfAbsent(id, java.lang.Boolean.TRUE) != null) {
+      sendError(ex, 409, s"duplicate event id: $id"); return
+    }
+    val time = strField("time").getOrElse(
+      Instant.now.truncatedTo(java.time.temporal.ChronoUnit.MILLIS).toString)
+
+    val e = nf.objectNode()
+    e.put("event_id", id)
+    e.put("tenant_id", tenant)
+    strField("destination_id").foreach(d => e.put("destination_id", d))
+    topic.foreach(t => e.put("topic", t))
+    e.put("eligible_for_retry",
+      Option(body.get("eligible_for_retry")).filter(_.isBoolean)
+        .forall(_.asBoolean))
+    e.put("event_time", time)
+    e.set[ObjectNode]("metadata",
+      Option(body.get("metadata")).filter(_.isObject)
+        .getOrElse(nf.objectNode()))
+    e.set[ObjectNode]("data", data)
+
+    // atomic publish: write outside the listing dir, rename into place
+    // dot-prefixed files are hidden from Spark's file-source listing, so
+    // the staging write is invisible until the rename
+    val dir = java.nio.file.Paths.get(spool)
+    java.nio.file.Files.createDirectories(dir)
+    val tmp = java.nio.file.Files.createTempFile(dir, ".pub-", ".tmp")
+    java.nio.file.Files.write(tmp,
+      mapper.writeValueAsBytes(e))
+    java.nio.file.Files.move(tmp, dir.resolve(s"$id.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+
+    val out = nf.objectNode()
+    out.put("id", id)
+    out.put("status", "accepted")
+    sendJson(ex, 202, out)
   }
 
   private def getEvent(cfg: Config, id: String, ex: HttpExchange): Unit = {

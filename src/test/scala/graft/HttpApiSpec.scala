@@ -27,6 +27,7 @@ class HttpApiSpec extends GraftSuite {
     val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:${server.port}$path"))
     val req = method match {
       case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofString(body)).build()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body)).build()
       case "DELETE" => b.DELETE().build()
     }
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -138,5 +139,50 @@ class HttpApiSpec extends GraftSuite {
       // malformed body → 400
       assert(send(s, "PUT", "/api/v1/t1/destinations/d2", """{"topics":[]}""")._1 == 400)
     }
+  }
+
+  test("publish: validation, defaults, idempotency-conflict, spool file") {
+    val spool = java.nio.file.Files
+      .createTempDirectory("graft_pub").toString + "/spool"
+    val destTable = java.nio.file.Files
+      .createTempDirectory("graft_api_pub").toString + "/destinations"
+    val server = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = destTable,
+      storeSecret = "api-secret", publishSpool = Some(spool),
+      availableTopics = Seq("order.created", "user.updated")))
+    try {
+      val s = server
+      // reference publish_handlers.go validation ladder
+      assert(send(s, "POST", "/api/v1/publish", "not json")._1 == 422)
+      assert(send(s, "POST", "/api/v1/publish",
+        """{"data":{"a":1}}""")._1 == 422) // tenant_id required
+      assert(send(s, "POST", "/api/v1/publish",
+        """{"tenant_id":"t1","topic":"order.created","data":"str"}""")._1 == 422)
+      assert(send(s, "POST", "/api/v1/publish",
+        """{"tenant_id":"t1","data":{"a":1}}""")._1 == 422) // topic required
+      assert(send(s, "POST", "/api/v1/publish",
+        """{"tenant_id":"t1","topic":"bogus.topic","data":{"a":1}}""")._1 == 422)
+
+      // accepted: defaults applied, one spool file per event
+      val (c1, r1) = send(s, "POST", "/api/v1/publish",
+        """{"tenant_id":"t1","topic":"order.created","data":{"a":1}}""")
+      assert(c1 == 202 && r1.get("id").asText.startsWith("evt_"))
+      val (c2, _) = send(s, "POST", "/api/v1/publish",
+        """{"id":"e-fixed","tenant_id":"t1","topic":"user.updated","time":"2024-01-01T00:00:00Z","data":{"b":2}}""")
+      assert(c2 == 202)
+      // duplicate id inside the idempotency window → 409
+      assert(send(s, "POST", "/api/v1/publish",
+        """{"id":"e-fixed","tenant_id":"t1","topic":"user.updated","data":{"b":2}}""")._1 == 409)
+
+      val files = new java.io.File(spool).listFiles.filter(!_.isHidden).map(_.getName)
+      assert(files.length == 2 && files.contains("e-fixed.json"))
+      val fixed = mapper.readTree(
+        new java.io.File(spool, "e-fixed.json"))
+      assert(fixed.get("event_id").asText == "e-fixed")
+      assert(fixed.get("event_time").asText == "2024-01-01T00:00:00Z")
+      assert(fixed.get("eligible_for_retry").asBoolean)
+      assert(fixed.get("metadata").isObject && fixed.get("metadata").size == 0)
+      assert(fixed.get("data").get("b").asInt == 2)
+    } finally server.stop()
   }
 }

@@ -158,6 +158,55 @@ class HttpDeliverySpec extends GraftSuite {
     } finally rx.stop()
   }
 
+  test("full HTTP loop: POST /publish -> spool stream -> signed webhook out -> log") {
+    val spark2 = spark
+    import spark2.implicits._
+
+    val rx = new Receiver(Map.empty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    val spool = s"$tmp/spool"
+    val api = graft.api.HttpApi.start(spark, graft.api.HttpApi.Config(
+      events = spark.emptyDataFrame, destTable = s"$tmp/dest",
+      storeSecret = "s", publishSpool = Some(spool)))
+    try {
+      val destinations = Seq(
+        Destination("d1", "t1", "webhook", Seq("order.*"), None, disabled = false)).toDS()
+      val registry = new Sinks.Registry(Seq(
+        Sinks.HttpWebhookSink(endpointsDf(Seq(("d1", rx.url("/hook/d1"), "sec-loop"))))))
+      // ingest = the publish spool tailed as a text file stream
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(spool))
+      val raw = spark.readStream.text(spool)
+      val running = Runner.start(spark, raw, destinations, registry,
+        logPath = s"$tmp/log", alertSinkName = "loop_alerts",
+        checkpointRoot = s"$tmp/ckpt")
+      try {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val resp = client.send(
+          java.net.http.HttpRequest.newBuilder(
+            java.net.URI.create(s"http://127.0.0.1:${api.port}/api/v1/publish"))
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+              """{"id":"e-loop","tenant_id":"t1","topic":"order.created","time":"2024-01-01T00:00:00Z","data":{"k":"v"}}"""))
+            .build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        assert(resp.statusCode() == 202)
+
+        running.delivery.processAllAvailable()
+        // the published event crossed the wire to the webhook receiver…
+        val hit = rx.hits.asScala.find(
+          _.headers.get("x-graft-event-id").contains("e-loop"))
+        assert(hit.nonEmpty, "published event never reached the HTTP endpoint")
+        assert(hit.get.body == """{"k":"v"}""")
+        assert(hit.get.headers("x-graft-signature").startsWith("v0="))
+        // …and its attempt landed in the log
+        val log = spark.read.parquet(s"$tmp/log")
+          .filter(col("event_id") === "e-loop")
+          .select("status", "code", "destination_id").collect()
+        assert(log.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+          Seq(("success", "200", "d1")))
+      } finally running.stopAll()
+    } finally { api.stop(); rx.stop() }
+  }
+
   test("full pipeline over HTTP: 503 first attempt -> scheduled retry -> 200") {
     val spark2 = spark
     import spark2.implicits._
