@@ -46,7 +46,16 @@ object HttpApi {
       publishSpool: Option[String] = None,
       // ingest topic allowlist (reference ErrRequiredTopic/ErrInvalidTopic,
       // publishmq/eventhandler.go:71-76); empty = any topic accepted
-      availableTopics: Seq[String] = Nil)
+      availableTopics: Seq[String] = Nil,
+      // denormalized attempts log (Runner.logSchema) for /attempts and
+      // /metrics/attempts; None = those routes 404
+      attempts: Option[DataFrame] = None,
+      // tenant changelog table for the /tenants CRUD routes
+      tenantTable: Option[String] = None,
+      // retry-task store (Runner retryPath) for POST /retry
+      retrySpool: Option[String] = None,
+      // sink registry for /destination-types
+      registry: Option[graft.streaming.Sinks.Registry] = None)
 
   final class Server(val http: HttpServer) {
     def port: Int = http.getAddress.getPort
@@ -93,8 +102,16 @@ object HttpApi {
   private val EventsList = "/api/v1/([^/]+)/events".r
   private val EventGet = "/api/v1/([^/]+)/events/([^/]+)".r
   private val MetricsEvents = "/api/v1/([^/]+)/metrics/events".r
+  private val MetricsAttempts = "/api/v1/([^/]+)/metrics/attempts".r
   private val DestList = "/api/v1/([^/]+)/destinations".r
   private val DestOne = "/api/v1/([^/]+)/destinations/([^/]+)".r
+  private val DestEnable = "/api/v1/([^/]+)/destinations/([^/]+)/enable".r
+  private val DestDisable = "/api/v1/([^/]+)/destinations/([^/]+)/disable".r
+  private val AttemptsList = "/api/v1/([^/]+)/attempts".r
+  private val AttemptGet = "/api/v1/([^/]+)/attempts/([^/]+)".r
+  private val TenantOne = "/api/v1/tenants/([^/]+)".r
+  private val TenantToken = "/api/v1/tenants/([^/]+)/token".r
+  private val DestTypeOne = "/api/v1/destination-types/([^/]+)".r
 
   private def handle(spark: SparkSession, cfg: Config,
                      opSeq: java.util.concurrent.atomic.AtomicLong,
@@ -106,21 +123,37 @@ object HttpApi {
     try {
       (method, path) match {
         case ("POST", "/api/v1/publish") => publishEvent(cfg, seenIds, ex)
+        case ("POST", "/api/v1/retry") => retryEvent(spark, cfg, ex)
+        case ("GET", "/api/v1/topics") => listTopics(cfg, ex)
+        case ("GET", "/api/v1/destination-types") => listDestTypes(cfg, ex)
+        case ("GET", DestTypeOne(t)) => getDestType(cfg, t, ex)
+        case ("GET", TenantToken(id)) => tenantToken(spark, cfg, id, ex)
+        case ("PUT", TenantOne(id)) => putTenant(spark, cfg, opSeq, id, ex)
+        case ("GET", TenantOne(id)) => getTenant(spark, cfg, id, ex)
+        case ("DELETE", TenantOne(id)) => deleteTenantRoute(spark, cfg, opSeq, id, ex)
         case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
         case ("GET", EventGet(_, id)) => getEvent(cfg, id, ex)
         case ("GET", MetricsEvents(_)) => metricsEvents(spark, cfg, q, ex)
+        case ("GET", MetricsAttempts(tenant)) => metricsAttempts(spark, cfg, q, tenant, ex)
+        case ("GET", AttemptsList(tenant)) => listAttempts(cfg, q, tenant, ex)
+        case ("GET", AttemptGet(tenant, id)) => getAttempt(cfg, tenant, id, ex)
         case ("GET", DestList(tenant)) => listDestinations(spark, cfg, q, tenant, ex)
         case ("GET", DestOne(tenant, id)) => getDestination(spark, cfg, tenant, id, ex)
         case ("PUT", DestOne(tenant, id)) =>
           putDestination(spark, cfg, opSeq, tenant, id, ex)
         case ("DELETE", DestOne(tenant, id)) =>
           deleteDestination(spark, cfg, opSeq, tenant, id, ex)
+        case ("PUT", DestEnable(tenant, id)) =>
+          setDestinationDisabled(spark, cfg, opSeq, tenant, id, disabled = false, ex)
+        case ("PUT", DestDisable(tenant, id)) =>
+          setDestinationDisabled(spark, cfg, opSeq, tenant, id, disabled = true, ex)
         case _ => sendError(ex, 404, "no such route")
       }
     } catch {
       case e: Metrics.ResourceLimitExceeded => sendError(ex, 400, e.getMessage)
       case e: DestinationStore.ErrDestinationNotFound => sendError(ex, 404, e.getMessage)
       case e: DestinationStore.ErrDestinationDeleted => sendError(ex, 404, e.getMessage)
+      case e: DestinationStore.ErrTenantNotFound => sendError(ex, 404, e.getMessage)
       case e: DestinationStore.ErrDuplicateDestination => sendError(ex, 409, e.getMessage)
       case e: DestinationStore.ErrMaxDestinationsPerTenantReached =>
         sendError(ex, 400, e.getMessage)
@@ -352,6 +385,319 @@ object HttpApi {
     DestinationStore.delete(spark, cfg.destTable, tenant, id,
       opSeq.incrementAndGet(), new Timestamp(System.currentTimeMillis()))
     sendJson(ex, 200, nf.objectNode().put("deleted", id))
+  }
+
+  /** Enable/disable toggle (reference `destination_handlers.go`
+    * Enable/Disable): sets or clears `disabled_at` via an upsert — the
+    * same changelog row the alert auto-disable write-back appends, so the
+    * streaming fanout's `disabled` filter observes both paths uniformly. */
+  private def setDestinationDisabled(spark: SparkSession, cfg: Config,
+                                     opSeq: java.util.concurrent.atomic.AtomicLong,
+                                     tenant: String, id: String, disabled: Boolean,
+                                     ex: HttpExchange): Unit = {
+    val rec = DestinationStore.retrieve(spark, cfg.destTable, tenant, id,
+      cfg.storeSecret).getOrElse {
+        sendError(ex, 404, s"destination not found: $id"); return
+      }
+    val now = new Timestamp(System.currentTimeMillis())
+    val updated = rec.copy(
+      disabled_at = if (disabled) rec.disabled_at.orElse(Some(now)) else None,
+      updated_at = now)
+    DestinationStore.upsert(spark, cfg.destTable, updated, cfg.storeSecret,
+      opSeq.incrementAndGet())
+    sendJson(ex, 200, destToJson(updated))
+  }
+
+  /** `GET /api/v1/topics` (reference `topic_handlers.go` List): the
+    * configured topic allowlist. */
+  private def listTopics(cfg: Config, ex: HttpExchange): Unit = {
+    val arr = nf.arrayNode()
+    cfg.availableTopics.foreach(arr.add)
+    sendJson(ex, 200, arr)
+  }
+
+  /** `GET /api/v1/destination-types` (reference ListProviderMetadata —
+    * full field schemas there come from packaged JSON metadata files; the
+    * honest equivalent here is the registered sink types). */
+  private def listDestTypes(cfg: Config, ex: HttpExchange): Unit = {
+    val arr = nf.arrayNode()
+    cfg.registry.map(_.types).getOrElse(Nil)
+      .foreach(t => arr.add(nf.objectNode().put("type", t)))
+    sendJson(ex, 200, arr)
+  }
+
+  private def getDestType(cfg: Config, t: String, ex: HttpExchange): Unit =
+    if (cfg.registry.exists(_.types.contains(t)))
+      sendJson(ex, 200, nf.objectNode().put("type", t))
+    else sendError(ex, 404, s"no such destination type: $t")
+
+  // ------------------------------------------------------------- tenants --
+
+  private def tenantTableOr404(cfg: Config, ex: HttpExchange): Option[String] = {
+    val t = cfg.tenantTable
+    if (t.isEmpty) sendError(ex, 404, "tenant store is not configured")
+    t
+  }
+
+  /** `PUT /api/v1/tenants/:id` (reference `tenant_handlers.go:41-96`):
+    * create (201) or update (200, PUT replaces metadata, preserves
+    * created_at). */
+  private def putTenant(spark: SparkSession, cfg: Config,
+                        opSeq: java.util.concurrent.atomic.AtomicLong,
+                        id: String, ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    val body = try mapper.readTree(ex.getRequestBody) catch { case _: Exception => null }
+    val metadata: Map[String, String] =
+      Option(body).flatMap(b => Option(b.get("metadata"))).filter(_.isObject)
+        .map { n =>
+          val it = n.properties.iterator()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+          b.result()
+        }.getOrElse(Map.empty)
+    val existing = DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id)
+    val now = new Timestamp(System.currentTimeMillis())
+    val created = existing.map(_.created_at).getOrElse(now)
+    DestinationStore.upsertTenant(spark, tt,
+      DestinationStore.TenantRecord(id, metadata, created, now, None),
+      opSeq.incrementAndGet())
+    val view = DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id).get
+    sendJson(ex, if (existing.isDefined) 200 else 201, tenantToJson(view))
+  }
+
+  private def getTenant(spark: SparkSession, cfg: Config, id: String,
+                        ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id) match {
+      case Some(v) => sendJson(ex, 200, tenantToJson(v))
+      case None => sendError(ex, 404, s"tenant not found: $id")
+    }
+  }
+
+  /** `DELETE /api/v1/tenants/:id`: cascade delete (tombstones every
+    * destination, then the tenant). The cascade consumes one op_seq per
+    * destination, so a block is reserved up front — op_seq only needs to
+    * be monotonic for last-write-wins, gaps are harmless. */
+  private def deleteTenantRoute(spark: SparkSession, cfg: Config,
+                                opSeq: java.util.concurrent.atomic.AtomicLong,
+                                id: String, ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    val base = opSeq.getAndAdd(65536) + 1
+    DestinationStore.deleteTenant(spark, tt, cfg.destTable, id, base,
+      new Timestamp(System.currentTimeMillis()))
+    sendJson(ex, 200, nf.objectNode().put("deleted", id))
+  }
+
+  /** `GET /api/v1/tenants/:id/token` (reference RetrieveToken issues a
+    * tenant-scoped JWT signed with the configured secret): a compact
+    * HS256 JWT over the store secret — enough for a caller to verify
+    * integrity and read the tenant claim. */
+  private def tenantToken(spark: SparkSession, cfg: Config, id: String,
+                          ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    if (DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id).isEmpty) {
+      sendError(ex, 404, s"tenant not found: $id"); return
+    }
+    val b64 = java.util.Base64.getUrlEncoder.withoutPadding
+    def enc(s: String) = b64.encodeToString(s.getBytes("UTF-8"))
+    val nowSec = System.currentTimeMillis() / 1000
+    val header = enc("""{"alg":"HS256","typ":"JWT"}""")
+    val payload = enc(
+      s"""{"sub":"${esc(id)}","iat":$nowSec,"exp":${nowSec + 86400}}""")
+    val sig = b64.encodeToString(graft.functions.Crypto.hmac("HmacSHA256",
+      cfg.storeSecret.getBytes("UTF-8"), s"$header.$payload".getBytes("UTF-8")))
+    sendJson(ex, 200, nf.objectNode().put("token", s"$header.$payload.$sig"))
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def tenantToJson(v: DestinationStore.TenantView): ObjectNode = {
+    val o = nf.objectNode()
+    o.put("id", v.tenant_id)
+    o.put("destinations_count", v.destinations_count)
+    val t = o.putArray("topics")
+    v.topics.foreach(t.add)
+    val m = o.putObject("metadata")
+    v.metadata.foreach { case (k, x) => m.put(k, x) }
+    o.put("created_at", v.created_at.toInstant.toString)
+    o.put("updated_at", v.updated_at.toInstant.toString)
+    o
+  }
+
+  // ------------------------------------------------------------ attempts --
+
+  private def attemptsOr404(cfg: Config, ex: HttpExchange): Option[DataFrame] = {
+    val a = cfg.attempts
+    if (a.isEmpty) sendError(ex, 404, "attempts log is not configured")
+    a
+  }
+
+  /** `GET /api/v1/:tenant/attempts` (reference ListAttempts,
+    * `logstore/driver/driver.go:33-43` ListAttemptRequest): tenant-scoped
+    * conjunctive filters + keyset cursors over the denormalized log. */
+  private def listAttempts(cfg: Config, q: Map[String, Seq[String]],
+                           tenant: String, ex: HttpExchange): Unit = {
+    val df = attemptsOr404(cfg, ex).getOrElse(return)
+    val inFilters: Map[String, Seq[Any]] =
+      Map("tenant_id" -> Seq[Any](tenant)) ++
+        Seq("event_id", "destination_id", "status").flatMap { c =>
+          val vs = q.getOrElse(s"$c[]", q.getOrElse(c, Nil))
+          if (vs.isEmpty) None else Some(c -> vs.map(identity[Any]))
+        }
+    val timeFilters =
+      q.get("start").flatMap(_.headOption).map(s =>
+        (ListQuery.Gte: ListQuery.TimeOp, parseInstant("start", s))).toSeq ++
+      q.get("end").flatMap(_.headOption).map(s =>
+        (ListQuery.Lte: ListQuery.TimeOp, parseInstant("end", s))).toSeq
+    val req = ListQuery.Request(
+      inFilters = inFilters,
+      timeFilters = timeFilters,
+      order = graft.operators.Keyset.Order.parse(
+        q.get("order").flatMap(_.headOption).orNull),
+      limit = parseLimit(q.get("limit").flatMap(_.headOption),
+        cfg.defaultLimit, cfg.maxLimit),
+      next = q.get("next").flatMap(_.headOption),
+      prev = q.get("prev").flatMap(_.headOption))
+    val page = ListQuery.list(df, req, "attempts", "attempt_time", "attempt_id")
+    val out = nf.objectNode()
+    val arr = out.putArray("models")
+    val schema = df.schema
+    page.rows.foreach(r => arr.add(rowToJson(r, schema)))
+    page.next.foreach(out.put("next", _))
+    page.prev.foreach(out.put("prev", _))
+    sendJson(ex, 200, out)
+  }
+
+  private def getAttempt(cfg: Config, tenant: String, id: String,
+                         ex: HttpExchange): Unit = {
+    val df = attemptsOr404(cfg, ex).getOrElse(return)
+    ListQuery.retrieve(df.filter(col("tenant_id") === tenant), "attempt_id", id) match {
+      case Some(row) => sendJson(ex, 200, rowToJson(row, df.schema))
+      case None => sendError(ex, 404, s"attempt not found: $id")
+    }
+  }
+
+  /** Reference attempt dimension/filter allowlist
+    * (`metrics_handlers.go:58-60`). */
+  private val AttemptDims = Set("tenant_id", "destination_id",
+    "destination_type", "topic", "status", "code", "manual", "attempt_number")
+
+  /** `GET /api/v1/:tenant/metrics/attempts`: the attempt-measure matrix
+    * over the denormalized log, tenant-scoped. */
+  private def metricsAttempts(spark: SparkSession, cfg: Config,
+                              q: Map[String, Seq[String]], tenant: String,
+                              ex: HttpExchange): Unit = {
+    val df0 = attemptsOr404(cfg, ex).getOrElse(return)
+    val df = df0.filter(col("tenant_id") === tenant)
+      .withColumn("ts", col("attempt_time"))
+    val measures = q.getOrElse("measures[]", q.getOrElse("measures", Nil))
+    require(measures.nonEmpty, "at least one measures[] is required")
+    val dimensions = q.getOrElse("dimensions[]", q.getOrElse("dimensions", Nil))
+    val granularity = Buckets.Granularity.parse(
+      q.get("granularity").flatMap(_.headOption).getOrElse(
+        throw new IllegalArgumentException("granularity is required")))
+    val start = parseInstant("start", q.get("start").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("start is required")))
+    val end = parseInstant("end", q.get("end").flatMap(_.headOption)
+      .getOrElse(throw new IllegalArgumentException("end is required")))
+    val filters = AttemptDims.toSeq.sorted.flatMap { d =>
+      val vs = q.getOrElse(s"$d[]", Nil)
+      if (vs.isEmpty) None else Some(d -> vs)
+    }.toMap
+    val req = Metrics.Request(start, end, granularity, measures, dimensions,
+      filters, rowLimit = parseLimit(q.get("limit").flatMap(_.headOption),
+        cfg.defaultLimit, 100000))
+    Metrics.validate(req, Metrics.attemptMeasures, AttemptDims)
+    val res = Metrics.query(spark, df, req, Metrics.attemptMeasures)
+    try {
+      val rows = res.df.collect()
+      val schema = res.df.schema
+      val out = nf.objectNode()
+      out.put("truncated", res.truncated)
+      val arr = out.putArray("buckets")
+      rows.foreach(r => arr.add(rowToJson(r, schema)))
+      sendJson(ex, 200, out)
+    } finally res.cleanup()
+  }
+
+  // --------------------------------------------------------------- retry --
+
+  /** `POST /api/v1/retry` (reference `retry_handlers.go:47-131`): look up
+    * the latest attempt for (event, destination) → 404 if none; verify
+    * the destination exists (404), is enabled (400) and still matches the
+    * event (400); then publish a MANUAL delivery task (attempt+1) into
+    * the retry-task store the delivery query tails. */
+  private def retryEvent(spark: SparkSession, cfg: Config,
+                         ex: HttpExchange): Unit = {
+    val (attempts, spool) = (cfg.attempts, cfg.retrySpool) match {
+      case (Some(a), Some(s)) => (a, s)
+      case _ => sendError(ex, 404, "retry is not enabled"); return
+    }
+    val body = try mapper.readTree(ex.getRequestBody) catch { case _: Exception => null }
+    if (body == null || !body.isObject) {
+      sendError(ex, 422, "validation error: body must be a JSON object"); return
+    }
+    def strField(n: String): Option[String] =
+      Option(body.get(n)).filter(_.isTextual).map(_.asText)
+    val eventId = strField("event_id").getOrElse {
+      sendError(ex, 422, "validation error: event_id is required"); return
+    }
+    val destId = strField("destination_id").getOrElse {
+      sendError(ex, 422, "validation error: destination_id is required"); return
+    }
+    // single log query, newest attempt wins (retry_handlers.go:57-77)
+    val last = attempts
+      .filter(col("event_id") === eventId && col("destination_id") === destId)
+      .orderBy(col("attempt_number").desc)
+      .limit(1).collect().headOption.getOrElse {
+        sendError(ex, 404, s"event not found: $eventId"); return
+      }
+    val tenant = last.getAs[String]("tenant_id")
+    val dest = DestinationStore.retrieve(spark, cfg.destTable, tenant, destId,
+      cfg.storeSecret).getOrElse {
+        sendError(ex, 404, s"destination not found: $destId"); return
+      }
+    if (dest.disabled_at.isDefined) {
+      sendError(ex, 400, "destination is disabled"); return
+    }
+    // destination.MatchEvent parity: topic glob ∧ JSON filter over the
+    // same envelope shape the streaming fanout matches on
+    val topic = last.getAs[String]("topic")
+    val data = last.getAs[String]("data")
+    val metadata = Option(last.getAs[scala.collection.Map[String, String]]("metadata"))
+      .map(_.toMap).getOrElse(Map.empty[String, String])
+    val eventTime = last.getAs[Timestamp]("event_time")
+    val matches = graft.functions.TopicMatch.matches(dest.topics, topic) &&
+      dest.filter_json.forall { f =>
+        val env = nf.objectNode()
+        env.put("id", eventId)
+        env.put("topic", topic)
+        env.put("time", java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(java.time.ZoneOffset.UTC)
+          .format(eventTime.toInstant))
+        val m = env.putObject("metadata")
+        metadata.foreach { case (k, v) => m.put(k, v) }
+        env.set[ObjectNode]("data", mapper.readTree(data))
+        graft.functions.JsonMatch.matches(f, env.toString)
+      }
+    if (!matches) {
+      sendError(ex, 400, "destination does not match event"); return
+    }
+    val attemptNumber = last.getAs[Int]("attempt_number") + 1
+    graft.streaming.Runner.publishManualTask(spark,
+      graft.streaming.Model.DeliveryTask(eventId, tenant, destId,
+        attemptNumber, manual = true, eventTime, topic, data, metadata),
+      spool)
+    val out = nf.objectNode()
+    out.put("event_id", eventId)
+    out.put("destination_id", destId)
+    out.put("attempt", attemptNumber)
+    sendJson(ex, 202, out)
   }
 
   // ------------------------------------------------------------- plumbing --

@@ -178,6 +178,24 @@ object Runner {
   /** T10: continuous time-bucketed metrics over the event stream —
     * watermarked tumbling windows with conditional counts (the streaming
     * twin of the batch metrics engine). */
+  /** Publish one MANUAL delivery task into the retry-task store — the
+    * reference's `POST /retry` → DeliveryMQ publish
+    * (`apirouter/retry_handlers.go:118-122`,
+    * `models.NewManualDeliveryTask`). The task lands as one parquet file
+    * in the same spool q1 tails, so the running delivery query picks it
+    * up on its next trigger; [[Retry]]'s state machine already gives
+    * manual attempts their reference semantics (replaces any pending
+    * auto-retry, fires immediately). */
+  def publishManualTask(spark: SparkSession, task: DeliveryTask,
+                        retryPath: String): Unit = {
+    import spark.implicits._
+    new java.io.File(retryPath).mkdirs()
+    Seq(task.copy(manual = true)).toDS().toDF()
+      .withColumn("eligible_for_retry", lit(true))
+      .select(taskSchema.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("append").parquet(retryPath)
+  }
+
   def streamingMetrics(events: DataFrame, window: String, watermark: String): DataFrame =
     events
       .withWatermark("event_time", watermark)

@@ -670,6 +670,9 @@ object Sinks {
 
   final class Registry(sinks: Seq[Sink]) extends Serializable {
     private val byType = sinks.map(s => s.destType -> s).toMap
+    /** Registered destination types (the API's `GET /destination-types`
+      * surface, reference `destregistry/registry.go` provider listing). */
+    def types: Seq[String] = sinks.map(_.destType)
     /** Route one micro-batch of (task × dest_type) rows to sinks; returns
       * the union of attempt outcomes.
       *

@@ -141,6 +141,180 @@ class HttpApiSpec extends GraftSuite {
     }
   }
 
+  test("tenants: upsert/retrieve/token/cascade-delete; enable/disable; type+topic listings") {
+    val base = java.nio.file.Files.createTempDirectory("graft_api_ten").toString
+    val registry = new graft.streaming.Sinks.Registry(Seq(
+      graft.streaming.Sinks.FileWebhookSink(s"$base/out", "sec")))
+    val server = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = s"$base/destinations",
+      storeSecret = "api-secret", availableTopics = Seq("order.created", "user.updated"),
+      tenantTable = Some(s"$base/tenants"), registry = Some(registry)))
+    try {
+      val s = server
+      // static catalogs
+      val (tc, topics) = get(s, "/api/v1/topics")
+      assert(tc == 200 && (0 until topics.size).map(topics.get(_).asText) ==
+        Seq("order.created", "user.updated"))
+      val (dc, dts) = get(s, "/api/v1/destination-types")
+      assert(dc == 200 && dts.size == 1 && dts.get(0).get("type").asText == "webhook")
+      assert(get(s, "/api/v1/destination-types/webhook")._1 == 200)
+      assert(get(s, "/api/v1/destination-types/bogus")._1 == 404)
+
+      // create (201) → update replaces metadata (200), preserves created_at
+      val (c1, t1) = send(s, "PUT", "/api/v1/tenants/acme",
+        """{"metadata":{"tier":"gold"}}""")
+      assert(c1 == 201 && t1.get("metadata").get("tier").asText == "gold")
+      val (c2, t2) = send(s, "PUT", "/api/v1/tenants/acme",
+        """{"metadata":{"tier":"silver"}}""")
+      assert(c2 == 200 && t2.get("metadata").get("tier").asText == "silver")
+      assert(t2.get("created_at").asText == t1.get("created_at").asText)
+      assert(get(s, "/api/v1/tenants/nope")._1 == 404)
+
+      // destinations roll up into the view (count + union topics)
+      assert(send(s, "PUT", "/api/v1/acme/destinations/d1",
+        """{"type":"webhook","topics":["order.created"]}""")._1 == 201)
+      assert(send(s, "PUT", "/api/v1/acme/destinations/d2",
+        """{"type":"webhook","topics":["user.updated"]}""")._1 == 201)
+      val (_, view) = get(s, "/api/v1/tenants/acme")
+      assert(view.get("destinations_count").asLong == 2)
+      assert((0 until view.get("topics").size).map(view.get("topics").get(_).asText).toSet ==
+        Set("order.created", "user.updated"))
+
+      // HS256 token: three dot-joined segments, signature verifies
+      val (tkc, tok) = get(s, "/api/v1/tenants/acme/token")
+      assert(tkc == 200)
+      val parts = tok.get("token").asText.split('.')
+      assert(parts.length == 3)
+      val expSig = java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(
+        graft.functions.Crypto.hmac("HmacSHA256", "api-secret".getBytes("UTF-8"),
+          s"${parts(0)}.${parts(1)}".getBytes("UTF-8")))
+      assert(parts(2) == expSig)
+      val payload = mapper.readTree(java.util.Base64.getUrlDecoder.decode(parts(1)))
+      assert(payload.get("sub").asText == "acme")
+      assert(get(s, "/api/v1/tenants/nope/token")._1 == 404)
+
+      // disable sets disabled_at; enable clears it
+      val (dis, dBody) = send(s, "PUT", "/api/v1/acme/destinations/d1/disable")
+      assert(dis == 200 && dBody.hasNonNull("disabled_at"))
+      val (en, eBody) = send(s, "PUT", "/api/v1/acme/destinations/d1/enable")
+      assert(en == 200 && !eBody.hasNonNull("disabled_at"))
+      assert(send(s, "PUT", "/api/v1/acme/destinations/ghost/disable")._1 == 404)
+
+      // cascade delete: tenant 404s and its destinations are gone
+      assert(send(s, "DELETE", "/api/v1/tenants/acme")._1 == 200)
+      assert(get(s, "/api/v1/tenants/acme")._1 == 404)
+      assert(get(s, "/api/v1/acme/destinations/d1")._1 == 404)
+      assert(send(s, "DELETE", "/api/v1/tenants/acme")._1 == 404)
+    } finally server.stop()
+  }
+
+  test("attempts: tenant-scoped list/paginate/retrieve + attempt-measure metrics") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.from(
+      java.time.Instant.parse(f"2024-03-01T10:$m%02d:00Z"))
+    val attempts = (1 to 8).map { i =>
+      (s"att_$i", s"e$i", if (i % 2 == 0) "t1" else "t2", s"d${i % 3}",
+       "webhook", 1, false, if (i <= 4) "failed" else "success",
+       ts(i), if (i <= 4) "500" else "200",
+       ts(i), "order.created", s"""{"n":$i}""", Map.empty[String, String], true)
+    }.toDF("attempt_id", "event_id", "tenant_id", "destination_id",
+      "destination_type", "attempt_number", "manual", "status",
+      "attempt_time", "code", "event_time", "topic", "data", "metadata",
+      "eligible_for_retry")
+    val base = java.nio.file.Files.createTempDirectory("graft_api_att").toString
+    val server = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = s"$base/destinations",
+      storeSecret = "api-secret", attempts = Some(attempts)))
+    try {
+      val s = server
+      // tenant scoping + status filter
+      val (c1, l1) = get(s, "/api/v1/t1/attempts?status=failed&order=asc")
+      assert(c1 == 200)
+      val ids = (0 until l1.get("models").size).map(l1.get("models").get(_).get("attempt_id").asText)
+      assert(ids == Seq("att_2", "att_4"))
+      // keyset pagination over the tenant's attempts
+      val (_, p1) = get(s, "/api/v1/t1/attempts?limit=2&order=asc")
+      assert(p1.get("models").size == 2 && p1.hasNonNull("next"))
+      val (_, p2) = get(s, s"/api/v1/t1/attempts?limit=2&order=asc&next=${p1.get("next").asText}")
+      val page2Ids = (0 until p2.get("models").size).map(p2.get("models").get(_).get("attempt_id").asText)
+      assert(page2Ids == Seq("att_6", "att_8"))
+      // point retrieve respects tenant scope
+      assert(get(s, "/api/v1/t1/attempts/att_2")._1 == 200)
+      assert(get(s, "/api/v1/t1/attempts/att_1")._1 == 404)
+      // metrics: attempt-measure matrix, status dimension
+      val (mc, m) = get(s, "/api/v1/t1/metrics/attempts?measures[]=count&measures[]=failed_count" +
+        "&granularity=1h&dimensions[]=status" +
+        "&start=2024-03-01T00:00:00Z&end=2024-03-01T23:59:59Z")
+      assert(mc == 200)
+      val buckets = (0 until m.get("buckets").size).map(m.get("buckets").get(_))
+      val byStatus = buckets.filter(_.get("count").asLong > 0)
+        .map(b => b.get("status").asText -> (b.get("count").asLong, b.get("failed_count").asLong))
+        .toMap
+      assert(byStatus == Map("failed" -> ((2L, 2L)), "success" -> ((2L, 0L))))
+      // allowlist: unknown measure/dimension → 400
+      assert(get(s, "/api/v1/t1/metrics/attempts?measures[]=bogus&granularity=1h" +
+        "&start=2024-03-01T00:00:00Z&end=2024-03-01T23:59:59Z")._1 == 400)
+      // not configured → 404
+      withServer { bare => assert(get(bare, "/api/v1/t1/attempts")._1 == 404) }
+    } finally server.stop()
+  }
+
+  test("retry: validation ladder, disabled/mismatch 400s, manual task lands in the spool") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T10:00:00Z"))
+    val attempts = Seq(
+      ("att_1", "e1", "t1", "d1", "webhook", 1, false, "failed", t0, "500",
+       t0, "order.created", """{"k":1}""", Map.empty[String, String], true),
+      ("att_2", "e1", "t1", "d1", "webhook", 2, false, "failed", t0, "500",
+       t0, "order.created", """{"k":1}""", Map.empty[String, String], true))
+      .toDF("attempt_id", "event_id", "tenant_id", "destination_id",
+        "destination_type", "attempt_number", "manual", "status",
+        "attempt_time", "code", "event_time", "topic", "data", "metadata",
+        "eligible_for_retry")
+    val base = java.nio.file.Files.createTempDirectory("graft_api_rty").toString
+    val spool = s"$base/retry"
+    val server = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = s"$base/destinations",
+      storeSecret = "api-secret", attempts = Some(attempts),
+      retrySpool = Some(spool)))
+    try {
+      val s = server
+      assert(send(s, "POST", "/api/v1/retry", "nope")._1 == 422)
+      assert(send(s, "POST", "/api/v1/retry", """{"event_id":"e1"}""")._1 == 422)
+      // unknown event → 404
+      assert(send(s, "POST", "/api/v1/retry",
+        """{"event_id":"ghost","destination_id":"d1"}""")._1 == 404)
+      // destination missing → 404
+      assert(send(s, "POST", "/api/v1/retry",
+        """{"event_id":"e1","destination_id":"d1"}""")._1 == 404)
+      // topic-mismatching destination → 400
+      assert(send(s, "PUT", "/api/v1/t1/destinations/d1",
+        """{"type":"webhook","topics":["user.*"]}""")._1 == 201)
+      assert(send(s, "POST", "/api/v1/retry",
+        """{"event_id":"e1","destination_id":"d1"}""")._1 == 400)
+      // disabled destination → 400
+      assert(send(s, "DELETE", "/api/v1/t1/destinations/d1")._1 == 200)
+      assert(send(s, "PUT", "/api/v1/t1/destinations/d1",
+        """{"type":"webhook","topics":["order.*"]}""")._1 == 201)
+      assert(send(s, "PUT", "/api/v1/t1/destinations/d1/disable")._1 == 200)
+      assert(send(s, "POST", "/api/v1/retry",
+        """{"event_id":"e1","destination_id":"d1"}""")._1 == 400)
+      // enabled + matching → 202, manual task in the spool at attempt 3
+      assert(send(s, "PUT", "/api/v1/t1/destinations/d1/enable")._1 == 200)
+      val (rc, r) = send(s, "POST", "/api/v1/retry",
+        """{"event_id":"e1","destination_id":"d1"}""")
+      assert(rc == 202 && r.get("attempt").asInt == 3)
+      val task = spark.read.parquet(spool).collect()
+      assert(task.length == 1)
+      val row = task.head
+      assert(row.getAs[String]("event_id") == "e1" &&
+        row.getAs[String]("destination_id") == "d1" &&
+        row.getAs[Int]("attempt") == 3 && row.getAs[Boolean]("manual"))
+    } finally server.stop()
+  }
+
   test("publish: validation, defaults, idempotency-conflict, spool file") {
     val spool = java.nio.file.Files
       .createTempDirectory("graft_pub").toString + "/spool"

@@ -273,4 +273,72 @@ class HttpDeliverySpec extends GraftSuite {
       } finally running.stopAll()
     } finally rx.stop()
   }
+
+  test("manual retry over HTTP: POST /retry -> spooled task -> redelivered attempt 2") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+
+    val rx = new Receiver(Map.empty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mrty").toString
+    try {
+      val destinations = Seq(
+        Destination("d1", "t1", "webhook", Seq("order.*"), None, disabled = false)).toDS()
+      val registry = new Sinks.Registry(Seq(
+        Sinks.HttpWebhookSink(endpointsDf(Seq(("d1", rx.url("/hook/d1"), "sec-m"))))))
+      val raw = MemoryStream[String]
+      val running = Runner.start(spark, raw.toDF(), destinations, registry,
+        logPath = s"$tmp/log", alertSinkName = "mrty_alerts",
+        checkpointRoot = s"$tmp/ckpt", retryPath = Some(s"$tmp/retry"))
+      try {
+        raw.addData(
+          """{"event_id":"e1","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:00Z","data":{"k":"v"}}""")
+        running.delivery.processAllAvailable()
+        assert(rx.hits.asScala.count(
+          _.headers.get("x-graft-event-id").contains("e1")) == 1)
+
+        // the API reads the log the pipeline just wrote; the retry spool is
+        // the SAME directory the delivery query tails for retry tasks
+        val api = graft.api.HttpApi.start(spark, graft.api.HttpApi.Config(
+          events = spark.emptyDataFrame, destTable = s"$tmp/dest",
+          storeSecret = "s", attempts = Some(spark.read.parquet(s"$tmp/log")),
+          retrySpool = Some(s"$tmp/retry")))
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def post(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:${api.port}$path"))
+              .method("POST", java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          def put(path: String, body: String) = client.send(
+            java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(s"http://127.0.0.1:${api.port}$path"))
+              .PUT(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build(),
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          assert(put("/api/v1/t1/destinations/d1",
+            """{"type":"webhook","topics":["order.*"]}""").statusCode() == 201)
+          val resp = post("/api/v1/retry",
+            """{"event_id":"e1","destination_id":"d1"}""")
+          assert(resp.statusCode() == 202, resp.body())
+
+          // the running delivery query picks the manual task off the spool
+          val deadline = System.currentTimeMillis() + 30000
+          def e1Hits = rx.hits.asScala.count(
+            _.headers.get("x-graft-event-id").contains("e1"))
+          while (e1Hits < 2 && System.currentTimeMillis() < deadline) {
+            Thread.sleep(300)
+            running.delivery.processAllAvailable()
+          }
+          assert(e1Hits == 2, "manual retry never reached the endpoint")
+          val attempts = spark.read.parquet(s"$tmp/log")
+            .filter(col("event_id") === "e1")
+            .select("attempt_number", "manual", "status").collect()
+            .map(r => (r.getInt(0), r.getBoolean(1), r.getString(2))).toSet
+          assert(attempts == Set((1, false, "success"), (2, true, "success")))
+        } finally api.stop()
+      } finally running.stopAll()
+    } finally rx.stop()
+  }
 }
