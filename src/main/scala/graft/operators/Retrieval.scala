@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval: BM25 top-k over a document corpus.
+  *
+  * The "find the best-matching documents for each query" operation a
+  * training-data pipeline runs at corpus scale — quality mining by
+  * exemplar queries, retrieval-based decontamination, RAG corpus
+  * construction. Shaped like a distributed inverted-index probe rather
+  * than a scoring loop:
+  *
+  *   - the corpus reduces to postings `(term, doc_id, tf, dl)` BEFORE any
+  *     join — document text never crosses a shuffle;
+  *   - the query term set is tiny and broadcasts; the inner join against
+  *     it prunes postings to query terms only, so shuffled volume is
+  *     O(postings of query terms), not O(corpus);
+  *   - document frequency and corpus stats are per-term / scalar
+  *     aggregates (df over the pruned postings equals corpus df — the
+  *     prune keeps EVERY posting of each query term);
+  *   - per-(query, doc) scores aggregate with map-side combine and the
+  *     final top-k is a per-query window over the scored hits only.
+  *
+  * At 100 TB none of this changes: the only data-proportional shuffle is
+  * the `groupBy(doc, term)` postings build (8-byte ids + terms), and a
+  * pre-built postings table can be passed in to amortize it across query
+  * batches ([[bm25FromPostings]]).
+  *
+  * Scores are rounded to 6 dp BEFORE ranking so cross-engine ulp noise in
+  * `ln` cannot flip a rank (the tfidf gate's pattern); ties break by
+  * doc id. Formula: Robertson/Lucene BM25,
+  * `idf = ln(1 + (N - df + 0.5)/(df + 0.5))`,
+  * `tf_norm = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+  */
+object Retrieval {
+
+  /** Corpus → postings `(term, doc_id, tf, dl)`. Build once, reuse across
+    * query batches (persist or write out at scale). */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    toks.select(col("doc_id"), explode(col("w")).as("term"),
+        size(col("w")).as("dl"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Corpus scalar stats `(n_docs, avgdl)` as a 1-row frame. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+
+  def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
+               textCol: String, queries: Seq[(String, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromPostings(spark, postings(docs, idCol, textCol),
+      corpusStats(docs, textCol), queries, k, k1, b)
+
+  /** BM25 over a pre-built postings table (the amortized path). */
+  def bm25FromPostings(spark: SparkSession, postings: DataFrame,
+                       stats: DataFrame, queries: Seq[(String, String)],
+                       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query is required")
+    require(k > 0, "k must be positive")
+    val qterms = queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }
+    val qdf = spark.createDataFrame(qterms).toDF("qid", "term")
+    // prune FIRST: everything downstream sees only query-term postings
+    val hits = postings.join(broadcast(qdf.select("term").distinct()), Seq("term"))
+    val dfreq = hits.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = hits
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qdf), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(idf * tfNorm), 6).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+}

@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
   * (doc_id, text, lang, source, n_chars). */
 object TextOps {
 
+  /** Fixed query batch for the bm25 gate (terms from the synthetic corpus
+    * vocabulary), shared verbatim by the Spark query and the oracle. */
+  private val Bm25Queries = Seq(
+    "q1" -> "hash join merge",
+    "q2" -> "vector scan batch window",
+    "q3" -> "customer order line")
+  private def Bm25QueriesSql: String =
+    Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish estimate + content fingerprint,
     // fused into ONE native two-pass expression (graft_token_stats) — the
@@ -123,6 +132,15 @@ object TextOps {
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
         .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // BM25 top-10 retrieval for a fixed query batch — the inverted-index
+    // probe (operators/Retrieval.scala): postings pruned to query terms
+    // before any shuffle, broadcast stats, per-query window top-k.
+    "bm25_topk" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25TopK(s, Tables.documents(s, dir),
+          "doc_id", "text", Bm25Queries, k = 10)
+        .repartition(1).sortWithinPartitions("qid", "rank")
     }),
 
     // Benchmark decontamination (the GPT-3 appendix-C / PaLM style n-gram
@@ -315,6 +333,34 @@ object TextOps {
         |  FROM scored)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bm25_topk" ->
+      s"""WITH q(qid, qtext) AS (VALUES $Bm25QueriesSql),
+        |qt AS (SELECT DISTINCT qid, unnest(string_split(qtext, ' ')) AS term FROM q),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (SELECT count(*) AS n_docs,
+        |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |scored AS (
+        |  SELECT qt.qid, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+        |  FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN stats s
+        |  GROUP BY qt.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
     "decontaminate_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |grams AS (SELECT doc_id, unnest(CASE WHEN len(w) < 5

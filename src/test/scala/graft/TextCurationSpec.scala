@@ -110,4 +110,48 @@ class TextCurationSpec extends GraftSuite {
     val extra = flagged.size - exact.size
     assert(extra * 100 <= trainSet.count(), s"doc-level FP rate too high: $extra extra flags")
   }
+
+  test("bm25: distributed top-k matches a brute-force in-memory scorer") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "hash join hash join hash"),
+      (2L, "hash join"),
+      (3L, "merge sort merge"),
+      (4L, "scan filter scan filter scan filter scan filter scan filter"),
+      (5L, "join"),
+      (6L, "hash hash hash hash hash hash hash hash"))
+    val docs = corpus.toDF("doc_id", "text")
+    val queries = Seq("qa" -> "hash join", "qb" -> "merge scan")
+    val got = graft.operators.Retrieval
+      .bm25TopK(spark, docs, "doc_id", "text", queries, k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+
+    // brute force: same formula, plain Scala
+    val (k1, b) = (1.2, 0.75)
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toks.values.map(_.size).sum / n
+    def score(qtext: String, id: Long): Double = {
+      val dl = toks(id).size.toDouble
+      val tfm = toks(id).groupBy(identity).map { case (w, g) => w -> g.size }
+      val s = qtext.split(" ").distinct.map { term =>
+        val df = toks.values.count(_.contains(term)).toDouble
+        val tf = tfm.getOrElse(term, 0).toDouble
+        if (tf == 0) 0.0
+        else math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+          (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+      }.sum
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = queries.flatMap { case (qid, qtext) =>
+      corpus.map(_._1).map(id => (qid, id, score(qtext, id)))
+        .filter(_._3 > 0)
+        .sortBy(t => (-t._3, t._2))
+        .take(3).zipWithIndex
+        .map { case ((q, id, s), i) => (q, i + 1, id, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, s"got $got, want $want")
+  }
 }
