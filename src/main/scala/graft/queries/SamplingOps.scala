@@ -31,6 +31,18 @@ object SamplingOps {
         .orderBy(col("split"), col("event_type"))
     }),
 
+    // Efraimidis–Spirakis weighted sample without replacement, weight =
+    // n_chars (budget-proportional selection). Deterministic md5-derived
+    // uniforms make the draw reproducible and DuckDB-recomputable; the
+    // plan is TakeOrderedAndProject (no global sort, no row shuffle).
+    "weighted_sample_topn" -> ((s, dir) => {
+      graft.operators.Sampling
+        .weightedSample(Tables.documents(s, dir), "doc_id",
+          greatest(col("n_chars"), lit(1)).cast("double"), n = 50, salt = "r6")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"))
+    }),
+
     // per-group cap: at most 10 docs per source, chosen by hash order (a
     // deterministic "random" subset, stable across engines and runs).
     "capped_per_source" -> ((s, dir) => {
@@ -50,6 +62,14 @@ object SamplingOps {
         |  THEN 'train' ELSE 'test' END AS split,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY split, event_type""".stripMargin,
+    "weighted_sample_topn" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6'), 1, 12))::UBIGINT + 0.5)
+        |       / 281474976710656.0) / CAST(greatest(n_chars, 1) AS DOUBLE) AS raw_key
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(raw_key, 9) AS es_key FROM k
+        |ORDER BY raw_key DESC, doc_id LIMIT 50""".stripMargin,
     "capped_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,
