@@ -32,7 +32,8 @@ object Bench {
     "text_token_stats", "asof_click_before_purchase", "range_join_60s",
     "rollup_order_stats", "pivot_event_counts", "top3_per_user",
     "salted_agg_by_type", "dedup_clusters", "q17_small_quantity",
-    "moving_avg_revenue", "dedup_span_removal")
+    "moving_avg_revenue", "dedup_span_removal", "bm25_topk",
+    "weighted_sample_topn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

