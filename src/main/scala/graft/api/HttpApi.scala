@@ -109,6 +109,8 @@ object HttpApi {
   private val DestDisable = "/api/v1/([^/]+)/destinations/([^/]+)/disable".r
   private val AttemptsList = "/api/v1/([^/]+)/attempts".r
   private val AttemptGet = "/api/v1/([^/]+)/attempts/([^/]+)".r
+  private val DestAttempts = "/api/v1/([^/]+)/destinations/([^/]+)/attempts".r
+  private val DestAttemptGet = "/api/v1/([^/]+)/destinations/([^/]+)/attempts/([^/]+)".r
   private val TenantOne = "/api/v1/tenants/([^/]+)".r
   private val TenantToken = "/api/v1/tenants/([^/]+)/token".r
   private val DestTypeOne = "/api/v1/destination-types/([^/]+)".r
@@ -137,6 +139,9 @@ object HttpApi {
         case ("GET", MetricsAttempts(tenant)) => metricsAttempts(spark, cfg, q, tenant, ex)
         case ("GET", AttemptsList(tenant)) => listAttempts(cfg, q, tenant, ex)
         case ("GET", AttemptGet(tenant, id)) => getAttempt(cfg, tenant, id, ex)
+        case ("GET", DestAttempts(tenant, dest)) =>
+          listAttempts(cfg, q, tenant, ex, destScope = Some(dest))
+        case ("GET", DestAttemptGet(tenant, _, id)) => getAttempt(cfg, tenant, id, ex)
         case ("GET", DestList(tenant)) => listDestinations(spark, cfg, q, tenant, ex)
         case ("GET", DestOne(tenant, id)) => getDestination(spark, cfg, tenant, id, ex)
         case ("PUT", DestOne(tenant, id)) =>
@@ -539,16 +544,20 @@ object HttpApi {
 
   /** `GET /api/v1/:tenant/attempts` (reference ListAttempts,
     * `logstore/driver/driver.go:33-43` ListAttemptRequest): tenant-scoped
-    * conjunctive filters + keyset cursors over the denormalized log. */
+    * conjunctive filters + keyset cursors over the denormalized log.
+    * `destScope` pins destination_id for the
+    * `/destinations/:id/attempts` route (ListDestinationAttempts). */
   private def listAttempts(cfg: Config, q: Map[String, Seq[String]],
-                           tenant: String, ex: HttpExchange): Unit = {
+                           tenant: String, ex: HttpExchange,
+                           destScope: Option[String] = None): Unit = {
     val df = attemptsOr404(cfg, ex).getOrElse(return)
     val inFilters: Map[String, Seq[Any]] =
       Map("tenant_id" -> Seq[Any](tenant)) ++
         Seq("event_id", "destination_id", "status").flatMap { c =>
           val vs = q.getOrElse(s"$c[]", q.getOrElse(c, Nil))
           if (vs.isEmpty) None else Some(c -> vs.map(identity[Any]))
-        }
+        } ++
+        destScope.map(d => "destination_id" -> Seq[Any](d))
     val timeFilters =
       q.get("start").flatMap(_.headOption).map(s =>
         (ListQuery.Gte: ListQuery.TimeOp, parseInstant("start", s))).toSeq ++

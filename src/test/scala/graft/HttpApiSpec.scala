@@ -242,6 +242,12 @@ class HttpApiSpec extends GraftSuite {
       // point retrieve respects tenant scope
       assert(get(s, "/api/v1/t1/attempts/att_2")._1 == 200)
       assert(get(s, "/api/v1/t1/attempts/att_1")._1 == 404)
+      // destination-scoped attempts list (ListDestinationAttempts)
+      val (dc2, dl) = get(s, "/api/v1/t1/destinations/d0/attempts?order=asc")
+      assert(dc2 == 200)
+      val dIds = (0 until dl.get("models").size).map(dl.get("models").get(_).get("attempt_id").asText)
+      assert(dIds == Seq("att_6")) // t1 ∧ d0: only i=6 (even, 6%3==0)
+      assert(get(s, "/api/v1/t1/destinations/d0/attempts/att_6")._1 == 200)
       // metrics: attempt-measure matrix, status dimension
       val (mc, m) = get(s, "/api/v1/t1/metrics/attempts?measures[]=count&measures[]=failed_count" +
         "&granularity=1h&dimensions[]=status" +
