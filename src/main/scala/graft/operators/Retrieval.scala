@@ -10,23 +10,26 @@ import org.apache.spark.sql.functions._
   * training-data pipeline runs at corpus scale — quality mining by
   * exemplar queries, retrieval-based decontamination, RAG corpus
   * construction. Shaped like a distributed inverted-index probe rather
-  * than a scoring loop:
+  * than a scoring loop, with every skew trap closed:
   *
-  *   - the corpus reduces to postings `(term, doc_id, tf, dl)` BEFORE any
-  *     join — document text never crosses a shuffle;
-  *   - the query term set is tiny and broadcasts; the inner join against
-  *     it prunes postings to query terms only, so shuffled volume is
-  *     O(postings of query terms), not O(corpus);
-  *   - document frequency and corpus stats are per-term / scalar
-  *     aggregates (df over the pruned postings equals corpus df — the
-  *     prune keeps EVERY posting of each query term);
-  *   - per-(query, doc) scores aggregate with map-side combine and the
-  *     final top-k is a per-query window over the scored hits only.
-  *
-  * At 100 TB none of this changes: the only data-proportional shuffle is
-  * the `groupBy(doc, term)` postings build (8-byte ids + terms), and a
-  * pre-built postings table can be passed in to amortize it across query
-  * batches ([[bm25FromPostings]]).
+  *   - ONE corpus pass computes every global: `n_docs`, `avgdl`, and
+  *     per-term document frequency. df needs only EXISTENCE, so it rides
+  *     the scan as a padded-substring test per query term — there is NO
+  *     aggregation or window partitioned by term anywhere (a stop-word
+  *     query term would otherwise put one posting per document into a
+  *     single partition);
+  *   - idf folds into the broadcast query relation driver-side, so the
+  *     data-parallel part of the plan is postings → one broadcast join →
+  *     score aggregate;
+  *   - a higher-order `filter` INSIDE the token array drops non-query
+  *     tokens BEFORE explode (2.4× the explode-then-filter form): only
+  *     query-term tokens ever become rows, and the postings groupBy and
+  *     its shuffle hold query-term postings only — never the corpus
+  *     vocabulary, never document text;
+  *   - per-query top-k is TWO-PHASE: a salted partial top-k bounds every
+  *     window partition, then the final rank sees ≤ salt·k rows per
+  *     query — a query matching the whole corpus cannot pile its scored
+  *     rows into one partition.
   *
   * Scores are rounded to 6 dp BEFORE ranking so cross-engine ulp noise in
   * `ln` cannot flip a rank (the tfidf gate's pattern); ties break by
@@ -36,8 +39,10 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Corpus → postings `(term, doc_id, tf, dl)`. Build once, reuse across
-    * query batches (persist or write out at scale). */
+  private val TopKSalts = 64
+
+  /** Corpus → postings `(term, doc_id, tf, dl)`. Build once, write out,
+    * reuse across query batches ([[bm25FromPostings]]). */
   def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("w"))
@@ -57,31 +62,70 @@ object Retrieval {
       avg(length(col(textCol)) -
         length(translate(col(textCol), " ", "")) + lit(1)).as("avgdl"))
 
-  /** One-shot form: prunes the token stream to query terms BEFORE the
-    * postings aggregation, so the groupBy hash table and its shuffle hold
-    * query-term postings only — never the corpus vocabulary. (Measured at
-    * sf0.1: aggregating the full vocabulary first costs 3× the whole
-    * query.) The [[postings]]+[[bm25FromPostings]] pair is the amortized
-    * path when many query batches reuse one postings build. */
+  /** Salted two-phase per-query top-k over `(qid, doc_id, score)`. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val partial = Window.partitionBy(col("qid"), col("salt"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val fin = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("salt", pmod(hash(col("doc_id")), lit(TopKSalts)))
+      .withColumn("rn", row_number().over(partial))
+      .filter(col("rn") <= k)
+      .withColumn("rank", row_number().over(fin))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** One-shot form: stats + per-term df in one corpus scan (driver-side
+    * 1-row collect), postings pruned inside the token array, one
+    * broadcast join, salted top-k. */
   def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
                textCol: String, queries: Seq[(String, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "at least one query is required")
+    require(k > 0, "k must be positive")
     val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      avg(length(col(textCol)) -
+        length(translate(col(textCol), " ", "")) + lit(1)).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(padded.contains(s" $t "), 1)).as(s"df_$i")
+      }
+    val g = docs.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = g.getAs[Long]("n_docs")
+    val avgdl = g.getAs[Double]("avgdl")
+    val idfOf = terms.zipWithIndex.map { case (t, i) =>
+      val df = g.getAs[Long](s"df_$i").toDouble
+      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }.toMap
+    val qdf = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t, idfOf(t)))
+    }).toDF("qid", "term", "idf")
     val termsArr = array(terms.map(lit): _*)
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("w"))
-    val pruned = toks
-      // higher-order filter INSIDE the array, so only query-term tokens
-      // are ever materialized as rows — exploding the full token stream
-      // and filtering after measured 2.4× this form at sf0.1
+    val pruned = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"),
         explode(filter(col("w"), x => array_contains(termsArr, x))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    bm25FromPostings(spark, pruned, corpusStats(docs, textCol), queries, k, k1, b)
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = pruned
+      .join(broadcast(qdf), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
+    rankTopK(scored, k)
   }
 
-  /** BM25 over a pre-built postings table (the amortized path). */
+  /** BM25 over a pre-built postings table — the amortized path when many
+    * query batches reuse one [[postings]] build. `postings` should be a
+    * MATERIALIZED table (written out or persisted): the per-term df
+    * aggregate re-reads it column-pruned rather than re-executing a
+    * build subtree, and its map-side partials keep the shuffle at
+    * |terms| rows per partition — no term skew. */
   def bm25FromPostings(spark: SparkSession, postings: DataFrame,
                        stats: DataFrame, queries: Seq[(String, String)],
                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -93,25 +137,18 @@ object Retrieval {
     val qdf = spark.createDataFrame(qterms).toDF("qid", "term")
     // prune FIRST: everything downstream sees only query-term postings
     val hits = postings.join(broadcast(qdf.select("term").distinct()), Seq("term"))
-    // df per term as a WINDOW over the pruned hits (postings are unique
-    // per (doc, term), so the partition count IS the document frequency):
-    // a separate dfreq aggregate would re-execute the whole postings
-    // subtree to build its broadcast — Spark does not share common
-    // subtrees across a broadcast boundary — which measured 2× the query
-    val withDf = hits.withColumn("df",
-      count(lit(1)).over(Window.partitionBy(col("term"))))
+    // postings are unique per (doc, term), so df is a plain count
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    val scored = withDf
+    val scored = hits
+      .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .join(broadcast(qdf), Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(round(sum(idf * tfNorm), 6).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
+    rankTopK(scored, k)
   }
 }

@@ -153,5 +153,16 @@ class TextCurationSpec extends GraftSuite {
         .map { case ((q, id, s), i) => (q, i + 1, id, s) }
     }.sortBy(t => (t._1, t._2))
     assert(got == want, s"got $got, want $want")
+
+    // the amortized path over a materialized postings table agrees
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    graft.operators.Retrieval.postings(docs, "doc_id", "text")
+      .write.parquet(s"$dir/postings")
+    val viaPostings = graft.operators.Retrieval.bm25FromPostings(spark,
+        spark.read.parquet(s"$dir/postings"),
+        graft.operators.Retrieval.corpusStats(docs, "text"), queries, k = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    assert(viaPostings == want, s"postings path diverged: $viaPostings")
   }
 }
