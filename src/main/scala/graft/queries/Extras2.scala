@@ -78,6 +78,23 @@ object Extras2 {
     }),
 
     // ordered array aggregation: each user's first five event types.
+    // Z-order (Morton) clustering key over (custkey, order epoch-day) —
+    // the layout primitive behind multi-dimensional scan pruning
+    // (operators/Layout.scala). Exact integer normalization + unrolled
+    // bit interleave: DuckDB recomputes the key bit-for-bit.
+    "zorder_key" -> ((s, dir) => {
+      import graft.operators.Layout
+      val o = Tables.orders(s, dir)
+        .withColumn("odays", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+      val r = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("odays")), max(col("odays"))).head()
+      o.select(col("o_orderkey"),
+        Layout.zvalue(
+          Layout.normalize(col("o_custkey"), r.getLong(0), r.getLong(1)),
+          Layout.normalize(col("odays"), r.getLong(2), r.getLong(3))).as("zkey"))
+    }),
+
     "user_event_paths" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(col("user_id"))
@@ -89,6 +106,19 @@ object Extras2 {
   )
 
   def oracles: Map[String, String] = Map(
+    "zorder_key" ->
+      s"""WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    (o_orderdate::DATE - DATE '1970-01-01') AS odays FROM orders),
+        |b AS (SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+        |  min(odays) AS mnd, max(odays) AS mxd FROM o),
+        |n AS (SELECT o_orderkey,
+        |  ((o_custkey - b.mnx) * 65535) // (b.mxx - b.mnx) AS x,
+        |  ((odays - b.mnd) * 65535) // (b.mxd - b.mnd) AS y
+        |  FROM o, b)
+        |SELECT o_orderkey,
+        |  ${graft.operators.Layout.zvalueSql("x", "y")} AS zkey
+        |FROM n""".stripMargin,
     "partition_key_extract" ->
       """SELECT event_id,
         |  coalesce(nullif(json_extract_string(props, '$.k'), ''), CAST(event_id AS VARCHAR)) AS pkey,

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+
+/** Pins the Z-order layout machinery: bit interleave against a brute
+  * force, exact normalization bounds, and the actual pruning property —
+  * a z-ordered table's per-file footers bound BOTH dimensions, where a
+  * single-column sort bounds only its leading column. */
+class LayoutSpec extends GraftSuite {
+
+  private def brute(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zvalue matches brute-force interleave; normalize stays in range") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = rows.toDF("x", "y")
+      .select(Layout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == rows.map { case (x, y) => brute(x, y, 16) })
+
+    val vals = (0L to 1499L).toDF("v")
+      .select(Layout.normalize(col("v"), 0L, 1499L).as("n"))
+      .collect().map(_.getLong(0))
+    assert(vals.min == 0L && vals.max == 65535L)
+    assert(vals.toSeq == vals.toSeq.sorted, "normalization must be monotonic")
+  }
+
+  test("z-ordered files bound both dimensions; custkey-sort bounds only custkey") {
+    val orders = graft.core.Tables.orders(spark, sf)
+      .withColumn("odays", datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date")).cast("long"))
+    val r = orders.agg(min(col("o_custkey")), max(col("o_custkey")),
+      min(col("odays")), max(col("odays"))).head()
+    val (cSpan, dSpan) = ((r.getLong(1) - r.getLong(0)).toDouble,
+      (r.getLong(3) - r.getLong(2)).toDouble)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+
+    Layout.zorderWrite(orders.select("o_orderkey", "o_custkey", "odays"),
+      col("o_custkey"), col("odays"),
+      (r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)),
+      s"$tmp/z", numFiles = 16)
+    orders.select("o_orderkey", "o_custkey", "odays")
+      .repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$tmp/c")
+
+    // per-file fraction of each dimension's full span the footer covers
+    def spans(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(((max(col("o_custkey")) - min(col("o_custkey"))) / cSpan).as("cf"),
+          ((max(col("odays")) - min(col("odays"))) / dSpan).as("df"))
+        .collect().map(x => (x.getDouble(1), x.getDouble(2))).toSeq
+
+    val z = spans(s"$tmp/z"); val c = spans(s"$tmp/c")
+    // the single-column sort leaves (nearly) every file spanning the full
+    // date range — a date predicate prunes nothing
+    assert(c.count(_._2 > 0.8) >= c.size - 1, s"custkey-sort date spans: $c")
+    // z-order: most files cover well under half of EACH dimension, so
+    // min/max footers prune on either predicate
+    assert(z.count(_._1 <= 0.55) >= z.size * 3 / 4, s"z custkey spans: $z")
+    assert(z.count(_._2 <= 0.55) >= z.size * 3 / 4, s"z date spans: $z")
+  }
+}
