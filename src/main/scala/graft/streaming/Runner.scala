@@ -205,6 +205,25 @@ object Runner {
       .select(col("window.start").as("bucket"), col("topic"),
         col("count"), col("ineligible_count"))
 
+  /** T9/T10: streaming sessionization — the event-time twin of the batch
+    * gap-based sessionizer (gate `sessionize_30min`), on Spark's NATIVE
+    * `session_window` so watermark advancement both closes sessions and
+    * evicts their state: the stream runs forever in bounded memory, and
+    * in append mode a session row emits exactly once, when the watermark
+    * passes its close. Same semantics as the batch lag+running-sum form:
+    * events within `gap` of each other merge into one session per key. */
+  def streamingSessions(events: DataFrame, gap: String, watermark: String,
+                        keyCol: String = "user_id",
+                        tsCol: String = "event_time"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** [[streamingMetrics]] at the reference's exact bucket semantics: any
     * sub-month [[graft.functions.Buckets.Granularity]] maps LOSSLESSLY
     * onto Spark's native tumbling `window(ts, step, step, startOffset)` —

@@ -178,6 +178,44 @@ class RunnerSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming sessions: gap-merged, closed and emitted by the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Runner.streamingSessions(
+      mem.toDF().withColumnRenamed("tenant_id", "user_id"),
+      gap = "30 minutes", watermark = "0 seconds")
+    // append mode: a session row emits exactly once, after the watermark
+    // passes its close — the production contract (complete mode would
+    // re-emit every session forever)
+    val q = agg.writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+    try {
+      val t0 = 1704067200000L // 2024-01-01T00:00Z
+      def ev(id: String, user: String, ms: Long) =
+        Event(id, user, "a", true, new java.sql.Timestamp(ms), Map.empty, "{}")
+      // u1: two events 10 min apart (one session), then a 2h-later event
+      // (second session); u2: one event
+      mem.addData(ev("e1", "u1", t0), ev("e2", "u1", t0 + 600000L),
+        ev("e3", "u2", t0 + 300000L))
+      q.processAllAvailable()
+      mem.addData(ev("e4", "u1", t0 + 7200000L))
+      q.processAllAvailable()
+      // advance the watermark far past every session close
+      mem.addData(ev("e5", "u3", t0 + 36000000L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, unix_millis(session_start), unix_millis(session_end),
+          |n_events FROM stream_sessions""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(
+        ("u1", t0, t0 + 600000L + 1800000L, 2L),            // merged pair + gap
+        ("u2", t0 + 300000L, t0 + 300000L + 1800000L, 1L),
+        ("u1", t0 + 7200000L, t0 + 7200000L + 1800000L, 1L)), got.toString)
+    } finally q.stop()
+  }
+
   test("streaming metrics at reference granularities: Sunday-anchored 1w buckets") {
     val spark2 = spark
     import spark2.implicits._
