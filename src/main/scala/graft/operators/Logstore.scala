@@ -58,20 +58,58 @@ object Logstore {
     * Read-side dedup ([[scanLatest]] semantics) is applied while rewriting,
     * making compaction double as the log's repair pass. */
   def compactMonth(spark: SparkSession, path: String, month: String,
-                   idCol: String, tsCol: String, targetFiles: Int = 1): Unit = {
+                   idCol: String, tsCol: String, targetFiles: Int = 1): Unit =
+    rewriteMonth(spark, path, month, idCol, tsCol) { deduped =>
+      deduped.repartition(targetFiles)
+        .sortWithinPartitions(col(tsCol), col(idCol))
+    }
+
+  /** OPTIMIZE-style month rewrite: compaction that Z-ORDERS the files by
+    * (time, hash(dimCol)) instead of sorting on time alone. The log's two
+    * filter shapes are a time range plus `dimCol` IN-lists
+    * (destination_id / event_id — [[ListQuery]]); a pure (time, id) sort
+    * leaves every file spanning ALL dimension values, so an IN-list scan
+    * reads the whole time range. After this rewrite each file's footer
+    * bounds BOTH the time range and the dimension-hash range
+    * (spec-asserted), and either predicate skips most files at planning
+    * time. The hash is the same stable 16-bit bucket a reader derives
+    * from its literal IN-list values, so pruning needs no stats table. */
+  def optimizeMonth(spark: SparkSession, path: String, month: String,
+                    idCol: String, tsCol: String, dimCol: String,
+                    targetFiles: Int = 8): Unit =
+    rewriteMonth(spark, path, month, idCol, tsCol) { deduped =>
+      val tsLong = unix_millis(col(tsCol).cast("timestamp"))
+      val r = deduped.agg(min(tsLong), max(tsLong)).head()
+      val zkey = Layout.zvalue(
+        Layout.normalize(tsLong, r.getLong(0), r.getLong(1)),
+        dimHash16(col(dimCol)))
+      deduped.withColumn("_zkey", zkey)
+        .repartitionByRange(targetFiles, col("_zkey"))
+        .sortWithinPartitions(col("_zkey"), col(tsCol), col(idCol))
+        .drop("_zkey")
+    }
+
+  /** Stable 16-bit bucket of a dimension value — what [[optimizeMonth]]
+    * clusters on and what a reader recomputes from IN-list literals. */
+  def dimHash16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(c), lit(65536L))
+
+  /** Shared month-rewrite machinery: read → read-side dedup (repair) →
+    * caller's layout → atomic directory swap. Swap: the old dir goes away
+    * first (readers of a month mid-swap retry at the store level;
+    * single-writer maintenance window assumed, as with any filesystem
+    * table format without a commit log). */
+  private def rewriteMonth(spark: SparkSession, path: String, month: String,
+                           idCol: String, tsCol: String)
+                          (layout: DataFrame => DataFrame): Unit = {
     val dir = new java.io.File(path, s"month=$month")
     if (!dir.exists) return
     val tmp = new java.io.File(path, s".compact_month=$month")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(tsCol).desc, col(idCol))
-    spark.read.parquet(dir.getPath)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
-      .repartition(targetFiles)
-      .sortWithinPartitions(col(tsCol), col(idCol))
+    layout(spark.read.parquet(dir.getPath)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn"))
       .write.mode("overwrite").parquet(tmp.getPath)
-    // swap: the old dir goes away first (readers of a month mid-swap retry
-    // at the store level; single-writer maintenance window assumed, as with
-    // any filesystem table format without a commit log)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
     }

@@ -66,4 +66,41 @@ class LayoutSpec extends GraftSuite {
     assert(z.count(_._1 <= 0.55) >= z.size * 3 / 4, s"z custkey spans: $z")
     assert(z.count(_._2 <= 0.55) >= z.size * 3 / 4, s"z date spans: $z")
   }
+
+  test("optimizeMonth: content identical to compaction, both filter dims bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_opt").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 20000).map { i =>
+      val ts = new java.sql.Timestamp(1704067200000L + rnd.nextInt(28 * 86400) * 1000L)
+      (s"att_$i", s"d${rnd.nextInt(40)}", ts, s"payload_$i")
+    }
+    graft.operators.Logstore.insertMany(
+      rows.toDF("attempt_id", "destination_id", "ts", "body"),
+      s"$tmp/log", "attempt_id", "ts")
+
+    val before = spark.read.parquet(s"$tmp/log")
+      .select("attempt_id", "destination_id", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    graft.operators.Logstore.optimizeMonth(spark, s"$tmp/log", "2024-01",
+      "attempt_id", "ts", dimCol = "destination_id", targetFiles = 16)
+    val after = spark.read.parquet(s"$tmp/log")
+      .select("attempt_id", "destination_id", "body")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before, "optimize must not change table content")
+
+    // per-file footers: both the time range and the destination-hash
+    // range must be bounded well under the full span for most files
+    val spans = spark.read.parquet(s"$tmp/log")
+      .withColumn("h", graft.operators.Logstore.dimHash16(col("destination_id")))
+      .withColumn("t", unix_millis(col("ts").cast("timestamp")))
+      .groupBy(input_file_name())
+      .agg(((max(col("t")) - min(col("t"))) / (28.0 * 86400000)).as("tf"),
+        ((max(col("h")) - min(col("h"))) / 65535.0).as("hf"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(spans.size >= 8, s"expected multiple files, got ${spans.size}")
+    assert(spans.count(_._1 <= 0.6) >= spans.size * 3 / 4, s"time spans: $spans")
+    assert(spans.count(_._2 <= 0.6) >= spans.size * 3 / 4, s"hash spans: $spans")
+  }
 }
