@@ -52,6 +52,38 @@ object Relational3 {
     }),
 
     // window frames: 7-day moving average of daily revenue.
+    // q4-shaped correlated EXISTS: orders with any lineitem shipped more
+    // than 90 days after the order date. The correlated non-equi EXISTS
+    // lowers to ONE left-semi hash join on orderkey with the range
+    // predicate as a join residual — no decorrelation subquery machinery,
+    // no second scan of orders.
+    "q4_late_shipments" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // q16-shaped NOT IN + distinct count: per (brand, type), distinct
+    // suppliers excluding a blocklist subquery. NOT IN over a non-null
+    // key column lowers to a broadcast left-anti join; the distinct
+    // count is the only shuffle that scales with data.
+    "q16_supplier_variety" -> ((s, dir) => {
+      val bad = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(Tables.part(s, dir).filter(col("p_size") <= 10),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+        .limit(50)
+    }),
+
     "moving_avg_revenue" -> ((s, dir) => {
       val daily = Tables.orders(s, dir)
         .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
@@ -106,6 +138,19 @@ object Relational3 {
         |  SELECT 0.2 * avg(l_quantity) FROM lineitem li
         |  WHERE li.l_partkey = p_partkey)
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q4_late_shipments" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10 AND l_suppkey NOT IN
+        |  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type
+        |ORDER BY supplier_cnt DESC, p_brand, p_type LIMIT 50""".stripMargin,
     "moving_avg_revenue" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,
