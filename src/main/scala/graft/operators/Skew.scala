@@ -41,4 +41,28 @@ object Skew {
     saltedAgg(df, keyCols, salts, Seq(
       ("n", count(lit(1)), (p: String) => sum(col(p))),
       ("total", sum(col(valueCol)), (p: String) => sum(col(p)))))
+
+  /** Salted equi-join for a skewed big side when AQE's runtime skew split
+    * can't apply (stream-stream joins, AQE off, or a shuffle join whose
+    * hot key lands one task with 90% of the rows): the big side tags each
+    * row with a per-row salt, the small side replicates across all
+    * `salts` via an explode, and the join key becomes (key, salt) — the
+    * hot key's rows spread over `salts` tasks. Small-side cost is
+    * `salts×` replication, so keep it for genuinely small dimensions.
+    *
+    * Left-family joins only: each big row matches exactly its salt
+    * replica, so inner/left/semi/anti results are row-identical to the
+    * unsalted join (spec-pinned); right/full would see the replicas. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keyCols: Seq[String],
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-family joins, not $joinType")
+    val b = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts.toLong)))
+    val s = small.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    b.join(s, keyCols :+ "_salt", joinType).drop("_salt")
+  }
 }

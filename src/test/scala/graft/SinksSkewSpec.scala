@@ -81,6 +81,26 @@ class SinksSkewSpec extends GraftSuite {
     assert(salted == direct)
   }
 
+  test("salted join is row-identical to the unsalted join for every left-family type") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 90% of the big side on one hot key, plus keys with no dimension row
+    val big = ((1 to 9000).map(i => ("hot", i)) ++
+      (1 to 500).map(i => (s"k${i % 50}", i)) ++
+      (1 to 100).map(i => (s"orphan${i % 10}", i))).toDF("k", "v")
+    val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.toDF("k", "w")
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = big.join(small, Seq("k"), jt)
+      val salted = graft.operators.Skew.saltedJoin(big, small, Seq("k"),
+        salts = 8, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, jt)
+      val a = plain.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      val b = salted.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+      assert(a == b, s"$jt diverged")
+    }
+  }
+
   test("metrics request validation fails fast on bad input") {
     val cat = Metrics.eventMeasures
     val dims = Set("event_type", "user_id")
