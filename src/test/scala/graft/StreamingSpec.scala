@@ -438,4 +438,43 @@ class StreamingSpec extends GraftSuite {
     assert(back.count() == 2)
     assert(back.columns.contains("month"))
   }
+
+  test("streaming curation: watermark-bounded dedup, quality gate, pii scrub, state eviction") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val mem = MemoryStream[(String, Timestamp, String)]
+    val curated = graft.streaming.CurationStream.curate(
+      mem.toDF().toDF("doc_id", "event_time", "text"), watermark = "10 minutes")
+    val q = curated.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      val t0 = 1704067200000L
+      val good = "the quick brown fox jumps over the lazy dog " * 12
+      val withPii = (good + "contact me at alice@example.com for the data " * 4).trim
+      mem.addData(
+        ("d1", new Timestamp(t0), good.trim),
+        ("d2", new Timestamp(t0 + 1000), good.trim), // exact dup, collapses
+        ("d3", new Timestamp(t0 + 2000), "x"),       // fails the quality gate
+        ("d4", new Timestamp(t0 + 3000), withPii))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM curated")
+        .collect().map(_.getString(0)).toSet
+      assert(ids == Set("d1", "d4"), ids.toString)
+      val scrubbed = spark.sql("SELECT text FROM curated WHERE doc_id='d4'")
+        .head().getString(0)
+      assert(scrubbed.contains("<EMAIL>") && !scrubbed.contains("alice@example.com"))
+
+      // watermark eviction bounds the dedup state: once it passes the
+      // first sighting, the same content is admitted again
+      mem.addData(("wm", new Timestamp(t0 + 3600000L), good.trim + " advance the clock"))
+      q.processAllAvailable()
+      mem.addData(("d5", new Timestamp(t0 + 7200000L), good.trim))
+      q.processAllAvailable()
+      val again = spark.sql("SELECT doc_id FROM curated")
+        .collect().map(_.getString(0)).toSet
+      assert(again.contains("d5"),
+        s"re-sighting after watermark eviction should re-admit, got $again")
+    } finally q.stop()
+  }
 }
