@@ -70,10 +70,11 @@ object HttpApi {
   def start(spark: SparkSession, cfg: Config, port: Int = 0): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
-    // CRUD op sequencing continues from the table's persisted high-water
-    // mark, so restarts never reuse an op_seq (last-write-wins stays sane)
+    // CRUD op sequencing continues from the persisted high-water mark of
+    // BOTH changelogs (destinations and tenants share the counter), so
+    // restarts never reuse an op_seq (last-write-wins stays sane)
     val opSeq = new java.util.concurrent.atomic.AtomicLong(
-      initialOpSeq(spark, cfg.destTable))
+      initialOpSeq(spark, cfg))
     // publish idempotency window: the reference claims each event id in
     // Redis with a TTL and 409s a second claim
     // (`idempotence/idempotence.go:100-169`); the API-shell equivalent is
@@ -90,12 +91,11 @@ object HttpApi {
     new Server(http)
   }
 
-  private def initialOpSeq(spark: SparkSession, table: String): Long =
-    try {
-      val r = DestinationStore.latestAnyRows(spark, table)
-        .agg(org.apache.spark.sql.functions.max(col("op_seq"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    } catch { case _: Exception => 0L } // empty/absent table
+  private def initialOpSeq(spark: SparkSession, cfg: Config): Long =
+    try math.max(
+      DestinationStore.highWaterOpSeq(spark, cfg.destTable),
+      cfg.tenantTable.map(DestinationStore.highWaterOpSeq(spark, _)).getOrElse(0L))
+    catch { case _: Exception => 0L } // empty/absent table
 
   // ----------------------------------------------------------- routing --
 

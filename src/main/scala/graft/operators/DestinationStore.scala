@@ -352,6 +352,18 @@ object DestinationStore {
     ()
   }
 
+  /** Highest op_seq present in a changelog table — RAW rows, tombstones
+    * included (a deleted key's tombstone carries the table's maximum; a
+    * live-rows scan would under-seed and let a restarted writer reuse
+    * seqs, making last-write-wins resurrect old state). */
+  def highWaterOpSeq(spark: SparkSession, table: String): Long =
+    if (CommitLog.snapshot(table).files.isEmpty) 0L
+    else {
+      val r = CommitLog.scan(spark, table)
+        .agg(org.apache.spark.sql.functions.max(col("op_seq"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+
   private def latestTenantRows(spark: SparkSession, tenantTable: String): DataFrame = {
     val w = Window.partitionBy(col("tenant_id")).orderBy(col("op_seq").desc)
     if (CommitLog.snapshot(tenantTable).files.isEmpty)

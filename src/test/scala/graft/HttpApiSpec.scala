@@ -206,6 +206,26 @@ class HttpApiSpec extends GraftSuite {
       assert(get(s, "/api/v1/acme/destinations/d1")._1 == 404)
       assert(send(s, "DELETE", "/api/v1/tenants/acme")._1 == 404)
     } finally server.stop()
+
+    // RESTART: the op-seq counter must seed past TENANT rows too, or a
+    // post-restart update ties with (and can lose to) the pre-restart row
+    val server2 = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = s"$base/destinations",
+      storeSecret = "api-secret", tenantTable = Some(s"$base/tenants")))
+    try {
+      assert(send(server2, "PUT", "/api/v1/tenants/umbrella",
+        """{"metadata":{"v":"1"}}""")._1 == 201)
+    } finally server2.stop()
+    val server3 = HttpApi.start(spark, HttpApi.Config(
+      events = Tables.events(spark, sf), destTable = s"$base/destinations",
+      storeSecret = "api-secret", tenantTable = Some(s"$base/tenants")))
+    try {
+      assert(send(server3, "PUT", "/api/v1/tenants/umbrella",
+        """{"metadata":{"v":"2"}}""")._1 == 200)
+      val (_, v) = get(server3, "/api/v1/tenants/umbrella")
+      assert(v.get("metadata").get("v").asText == "2",
+        "post-restart update lost to a pre-restart row (op_seq reuse)")
+    } finally server3.stop()
   }
 
   test("attempts: tenant-scoped list/paginate/retrieve + attempt-measure metrics") {
