@@ -48,8 +48,11 @@ object HttpApi {
       // publishmq/eventhandler.go:71-76); empty = any topic accepted
       availableTopics: Seq[String] = Nil,
       // denormalized attempts log (Runner.logSchema) for /attempts and
-      // /metrics/attempts; None = those routes 404
-      attempts: Option[DataFrame] = None,
+      // /metrics/attempts; None = those routes 404. A THUNK, re-invoked
+      // per request, because a DataFrame's parquet file listing is frozen
+      // at creation — a live log grows between requests (the credsDim
+      // pattern, streaming/Sinks.scala)
+      attempts: Option[() => DataFrame] = None,
       // tenant changelog table for the /tenants CRUD routes
       tenantTable: Option[String] = None,
       // retry-task store (Runner retryPath) for POST /retry
@@ -537,7 +540,7 @@ object HttpApi {
   // ------------------------------------------------------------ attempts --
 
   private def attemptsOr404(cfg: Config, ex: HttpExchange): Option[DataFrame] = {
-    val a = cfg.attempts
+    val a = cfg.attempts.map(_.apply())
     if (a.isEmpty) sendError(ex, 404, "attempts log is not configured")
     a
   }
@@ -644,7 +647,7 @@ object HttpApi {
   private def retryEvent(spark: SparkSession, cfg: Config,
                          ex: HttpExchange): Unit = {
     val (attempts, spool) = (cfg.attempts, cfg.retrySpool) match {
-      case (Some(a), Some(s)) => (a, s)
+      case (Some(a), Some(s)) => (a(), s)
       case _ => sendError(ex, 404, "retry is not enabled"); return
     }
     val body = try mapper.readTree(ex.getRequestBody) catch { case _: Exception => null }

@@ -245,7 +245,7 @@ class HttpApiSpec extends GraftSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_api_att").toString
     val server = HttpApi.start(spark, HttpApi.Config(
       events = Tables.events(spark, sf), destTable = s"$base/destinations",
-      storeSecret = "api-secret", attempts = Some(attempts)))
+      storeSecret = "api-secret", attempts = Some(() => attempts)))
     try {
       val s = server
       // tenant scoping + status filter
@@ -303,7 +303,7 @@ class HttpApiSpec extends GraftSuite {
     val spool = s"$base/retry"
     val server = HttpApi.start(spark, HttpApi.Config(
       events = Tables.events(spark, sf), destTable = s"$base/destinations",
-      storeSecret = "api-secret", attempts = Some(attempts),
+      storeSecret = "api-secret", attempts = Some(() => attempts),
       retrySpool = Some(spool)))
     try {
       val s = server

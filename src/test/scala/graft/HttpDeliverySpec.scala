@@ -301,7 +301,7 @@ class HttpDeliverySpec extends GraftSuite {
         // the SAME directory the delivery query tails for retry tasks
         val api = graft.api.HttpApi.start(spark, graft.api.HttpApi.Config(
           events = spark.emptyDataFrame, destTable = s"$tmp/dest",
-          storeSecret = "s", attempts = Some(spark.read.parquet(s"$tmp/log")),
+          storeSecret = "s", attempts = Some(() => spark.read.parquet(s"$tmp/log")),
           retrySpool = Some(s"$tmp/retry")))
         try {
           val client = java.net.http.HttpClient.newHttpClient()
