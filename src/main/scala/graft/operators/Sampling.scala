@@ -41,4 +41,19 @@ object Sampling {
     df.withColumn("es_key", esKey(col(idCol), weight, salt))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(n)
+
+  /** Stratified form: an independent weighted sample of `nPerGroup` WITHIN
+    * each group (per-language / per-source curation quotas). One window
+    * per group partition — the same A-ES keys, so a row's inclusion
+    * depends only on (id, salt, weight) and its in-group competitors. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+                             weight: Column, nPerGroup: Int,
+                             salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", esKey(col(idCol), weight, salt))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nPerGroup)
+      .drop("_rk")
+  }
 }

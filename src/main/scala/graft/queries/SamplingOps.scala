@@ -43,6 +43,17 @@ object SamplingOps {
           round(col("es_key"), 9).as("es_key"))
     }),
 
+    // stratified weighted sample: an independent A-ES draw of 5 docs per
+    // language, weight = n_chars — the per-group curation-quota primitive.
+    "weighted_sample_per_lang" -> ((s, dir) => {
+      graft.operators.Sampling
+        .weightedSamplePerGroup(Tables.documents(s, dir), "doc_id", "lang",
+          greatest(col("n_chars"), lit(1)).cast("double"), nPerGroup = 5,
+          salt = "r6g")
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          round(col("es_key"), 9).as("es_key"))
+    }),
+
     // per-group cap: at most 10 docs per source, chosen by hash order (a
     // deterministic "random" subset, stable across engines and runs).
     "capped_per_source" -> ((s, dir) => {
@@ -70,6 +81,17 @@ object SamplingOps {
         |  FROM documents)
         |SELECT doc_id, n_chars, round(raw_key, 9) AS es_key FROM k
         |ORDER BY raw_key DESC, doc_id LIMIT 50""".stripMargin,
+    "weighted_sample_per_lang" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r6g'), 1, 12))::UBIGINT + 0.5)
+        |       / 281474976710656.0) / CAST(greatest(n_chars, 1) AS DOUBLE) AS raw_key
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, n_chars, raw_key,
+        |  row_number() OVER (PARTITION BY lang ORDER BY raw_key DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT lang, doc_id, n_chars, round(raw_key, 9) AS es_key
+        |FROM r WHERE rk <= 5""".stripMargin,
     "capped_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

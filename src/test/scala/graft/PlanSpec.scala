@@ -119,4 +119,24 @@ class PlanSpec extends GraftSuite {
     val tiny = got(1)
     assert(tiny._3 == 1.0 && tiny._4 == 4L, "rate-1 group must keep all docs")
   }
+
+  test("bm25 plan: broadcast query join, no exchange partitioned by term alone") {
+    val df = graft.operators.Retrieval.bm25TopK(spark,
+      graft.core.Tables.documents(spark, sf), "doc_id", "text",
+      Seq("q1" -> "hash join", "q2" -> "scan batch"), k = 5)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"), phys)
+    // the round-6 skew fix: df rides the stats scan, so NOTHING in the
+    // plan repartitions by the term column alone — a stop-word query term
+    // would otherwise pile one posting per document into one partition
+    assert(!phys.contains("hashpartitioning(term#"),
+      s"term-partitioned exchange reappeared:\n$phys")
+  }
+
+  test("q16 plan: NOT IN lowers to a broadcast left-anti join") {
+    val df = graft.queries.Relational3.defs("q16_supplier_variety")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$phys")
+  }
 }

