@@ -45,6 +45,29 @@ object TextOps {
         .orderBy(col("doc_id"))
     }),
 
+    // percentile-style quality-threshold selection: keep the global top
+    // 70% by quality, report the cutoff and per-language retention (how a
+    // curation pass picks a score threshold for a target keep-rate, and
+    // sees which languages it biases against). The cutoff is RANK-based —
+    // min of the top-k via TakeOrderedAndProject, an exact data value —
+    // not an interpolated percentile, so no float arithmetic exists for
+    // engines to disagree on at the >= boundary.
+    "quality_cutoff_retention" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"))
+      val k = (7L * docs.count() / 10L).toInt
+      val cut = docs.orderBy(col("quality").desc, col("doc_id")).limit(k)
+        .agg(min(col("quality")).as("cut"))
+      docs.crossJoin(broadcast(cut))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("quality") >= col("cut"), 1)).as("kept"),
+          first(col("cut")).as("cutoff"))
+        .withColumn("retention",
+          round(col("kept").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy(col("lang"))
+    }),
+
     // language ID (marker heuristic) vs the labeled lang column.
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -265,6 +288,25 @@ object TextOps {
         |    + greatest(0.0, 1.0 - abs(CAST(length(text) AS DOUBLE)/ntok - 5.0)/5.0)*0.4
         |    + least(stops/ntok*5.0, 1.0)*0.2, 6) AS quality
         |FROM t ORDER BY doc_id""".stripMargin,
+    "quality_cutoff_retention" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    round(least(CAST(len(string_split(text,' ')) AS DOUBLE)/200.0, 1.0)*0.4
+        |      + greatest(0.0, 1.0 - abs(CAST(length(text) AS DOUBLE)
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE) - 5.0)/5.0)*0.4
+        |      + least(CAST(len(list_filter(string_split(text,' '), w -> w IN ($stopList))) AS DOUBLE)
+        |          / CAST(len(string_split(text,' ')) AS DOUBLE)*5.0, 1.0)*0.2, 6) AS quality
+        |  FROM documents),
+        |r AS (SELECT lang, quality,
+        |  row_number() OVER (ORDER BY quality DESC, doc_id) AS rn,
+        |  count(*) OVER () AS cnt FROM t),
+        |c AS (SELECT min(quality) AS cut FROM r WHERE rn <= (7*cnt)//10)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) FILTER (quality >= c.cut) AS kept,
+        |  c.cut AS cutoff,
+        |  round(CAST(count(*) FILTER (quality >= c.cut) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS retention
+        |FROM t, c GROUP BY lang, c.cut ORDER BY lang""".stripMargin,
     "text_langid" ->
       s"""WITH h AS (
         |  SELECT lang,
