@@ -662,10 +662,20 @@ object Dedup {
     * filter. */
   def simhashPairsComplete(docs: DataFrame, maxHamming: Int = 3,
                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming <= 3, "4 x 16-bit windows guarantee recall only for hamming <= 3")
     graft.plans.HashExprs.install(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sh"))
+    hammingPairsComplete(docs.select(col(idCol).as("id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sh")), maxHamming)
+  }
+
+  /** The guaranteed-recall Hamming pairing over ANY 64-bit fingerprint
+    * frame `(id, sh)` — text SimHash, image aHash, whatever produced the
+    * bits. Pigeonhole over the four non-overlapping 16-bit windows:
+    * ≤ 3 differing bits dirty at most 3 of 4 windows, so every
+    * qualifying pair collides in at least one. Candidate generation is
+    * linear (4 bucket rows per id), never all-pairs. */
+  def hammingPairsComplete(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 x 16-bit windows guarantee recall only for hamming <= 3")
+    val sh = fingerprints.select(col("id"), col("sh"))
     val windows = sh.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(w =>
         shiftrightunsigned(col("sh"), w * 16).bitwiseAND(lit(0xFFFFL))): _*)))

@@ -101,6 +101,39 @@ object Multimodal {
         img.getWidth, img.getHeight, frames = 1, lumaHistogram(img))
     }
 
+    /** 64-bit average-hash (aHash) perceptual fingerprint: mean luma per
+      * cell of an 8×8 block grid, bit i set when cell i is brighter than
+      * the grid average. Re-encoded and mildly resampled variants land
+      * within a few Hamming bits, so the SimHash pairing machinery
+      * ([[graft.operators.Dedup.simhashPairsFromFingerprints]]) does
+      * image near-dup at corpus scale — only 8-byte hashes shuffle,
+      * pixels never leave their partition. Integer block sums, a single
+      * double mean — deterministic on any JVM. */
+    def aHash(img: BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Long](64); val counts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+          val c = cy * 8 + x * 8 / w
+          sums(c) += luma; counts(c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(64)(i =>
+        if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+      val avg = means.sum / 64.0
+      means.zipWithIndex.foldLeft(0L) { case (acc, (m, i)) =>
+        if (m > avg) acc | (1L << i) else acc
+      }
+    }
+
     /** Real resample: bilinear scale to (tw, th), re-encode as PNG. */
     def resizePng(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
       require(tw > 0 && th > 0, "target dims must be positive")
@@ -183,6 +216,26 @@ object Multimodal {
         }
       }
   }
+
+  /** (media_id, ahash) perceptual fingerprints for the image rows —
+    * streamed per partition like [[decodeAll]]. */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select("media_id", "kind", "src_bytes", "payload").as[MediaRow]
+      .mapPartitions(it => it.map(r =>
+        (r.media_id, ImageCodec.aHash(ImageCodec.decodeImage(r.payload)))))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs: aHash fingerprints through the
+    * guaranteed-recall pigeonhole Hamming pairing — the multimodal twin
+    * of text SimHash dedup. Output (id_a, id_b, hamming). */
+  def nearDuplicateImages(spark: SparkSession, media: DataFrame,
+                          maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairsComplete(
+      imageHashes(spark, media)
+        .select(col("media_id").as("id"), col("ahash").as("sh")), maxHamming)
 
   /** Resized media: original + target geometry and, for images, the REAL
     * re-encoded payload's decoded dimensions (out_w/out_h read back from

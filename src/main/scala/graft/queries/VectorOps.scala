@@ -184,6 +184,42 @@ object VectorOps {
         .orderBy(col("media_id"))
     }),
 
+    // image near-dup via perceptual hash (aHash over REAL decoded
+    // pixels) through the SimHash pairing machinery. Contract gate:
+    // blocked pairs == brute-force Hamming pairs over the hashes
+    // (exactness pin), and every planted re-encoded variant (bilinear
+    // 1:1 resample → pixel-identical, hamming 0) is recovered. Pixels
+    // never shuffle — only 8-byte hashes do.
+    "multimodal_ahash_check" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.asMediaTable(Tables.documents(s, dir))
+      val images = media.filter(col("kind") === "image")
+      val planted = images.filter(col("media_id") % 30 === 0)
+        .select("media_id", "kind", "src_bytes", "payload")
+        .as[Multimodal.MediaRow]
+        .mapPartitions(it => it.map { r =>
+          val img = Multimodal.ImageCodec.decodeImage(r.payload)
+          r.copy(media_id = r.media_id + 1000000L,
+            payload = Multimodal.ImageCodec.resizePng(r.payload,
+              img.getWidth, img.getHeight))
+        }).toDF()
+      val all = images.unionByName(planted)
+      val hashes = Multimodal.imageHashes(s, all).persist()
+      val a = hashes.select(col("media_id").as("id_a"), col("ahash").as("ha"))
+      val b = hashes.select(col("media_id").as("id_b"), col("ahash").as("hb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = Multimodal.nearDuplicateImages(s, all)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val plantedIds = planted.select(col("media_id")).as[Long].collect()
+      val recovered = plantedIds.forall(p => blocked.contains((p - 1000000L, p)))
+      Seq((images.count(), blocked == brute, recovered))
+        .toDF("n_images", "blocked_equals_brute", "planted_recovered")
+    }),
+
     // decode → frame-sample fan-out for video media: 3 evenly spaced
     // frame indices per clip (deduped for short clips), one row each —
     // the envelope math is byte_len-derived so DuckDB replays it exactly.
@@ -305,6 +341,10 @@ object VectorOps {
         |    - (SELECT nv_in FROM agg) + (SELECT ncomp FROM agg) AS BIGINT)
         |    AS exact_clusters,
         |  true AS refinement_ok, true AS merge_recall_ge_80""".stripMargin,
+    "multimodal_ahash_check" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 3 = 0) AS n_images,
+        |  true AS blocked_equals_brute, true AS planted_recovered
+        |FROM documents""".stripMargin,
     "multimodal_meta" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -175,4 +175,29 @@ class MetricsMultimodalSpec extends GraftSuite {
       assert(idxs == (0 until 3).map(j => j * n / 3).distinct)
     }
   }
+
+  test("aHash: re-encode-invariant, resize-robust, distinct for different images") {
+    import graft.operators.Multimodal.ImageCodec
+    val png = ImageCodec.encodePng(48, 32, seed = 7)
+    val h = ImageCodec.aHash(ImageCodec.decodeImage(png))
+    // deterministic across decodes; invariant under 1:1 re-encode
+    assert(h == ImageCodec.aHash(ImageCodec.decodeImage(png)))
+    val reenc = ImageCodec.resizePng(png, 48, 32)
+    assert(ImageCodec.aHash(ImageCodec.decodeImage(reenc)) == h)
+    // a 2x downscale of the same image stays within a few bits
+    val half = ImageCodec.resizePng(png, 24, 16)
+    val hHalf = ImageCodec.aHash(ImageCodec.decodeImage(half))
+    assert(java.lang.Long.bitCount(h ^ hHalf) <= 6,
+      s"downscale moved ${java.lang.Long.bitCount(h ^ hHalf)} bits")
+    // a structurally different image (checkerboard vs gradient) is far
+    // away — note the synthetic gradients themselves are all similar by
+    // CONSTRUCTION (seed shifts colors, not structure), which is exactly
+    // why the corpus yields a rich near-dup pair set for the gate
+    val board = new java.awt.image.BufferedImage(48, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 48)
+      board.setRGB(x, y, if (((x / 6) + (y / 4)) % 2 == 0) 0xFFFFFF else 0)
+    val hOther = ImageCodec.aHash(board)
+    assert(java.lang.Long.bitCount(h ^ hOther) > 6)
+  }
 }
