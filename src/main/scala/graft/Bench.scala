@@ -70,18 +70,31 @@ object Bench {
       dt
     }
 
-    val results = qs.map { name =>
-      try runOne(name) catch { case _: Throwable => () } // warmup (untimed)
-      val first = timedRun(name)
+    // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
+    // carries the full per-run list behind each reported number so a reader
+    // sees variance directly instead of inferring it from the median.
+    def benchOne(name: String, dir: String): (Double, Seq[Double]) = {
+      try runOne(name, dir) catch { case _: Throwable => () } // warmup (untimed)
+      val first = timedRun(name, dir)
       // multi-second queries carry multi-second GC/AQE/scheduling noise at
       // local[32]; report the MEDIAN of three cold runs (not the min —
       // median is the honest central tendency, and duck_bench.py applies
       // the same rule)
-      val dt =
-        if (first > 2.0) Seq(first, timedRun(name), timedRun(name)).sorted.apply(1)
-        else first
-      name -> dt
+      val runs =
+        if (first > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
+        else Seq(first)
+      (runs.sorted.apply(runs.size / 2), runs)
     }
+
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+
+    val wallT0 = System.nanoTime()
+    val loadBefore = loadavg()
+
+    val full = qs.map { name => name -> benchOne(name, sfDir) }
+    val results = full.map { case (n, (med, _)) => n -> med }
     // Scaling evidence (VERDICT r5 task #2): re-time the same queries at
     // the sibling sf0.01 dir so the per-query sf0.01→sf0.1 ratio — the
     // "sub-second queries sit on the local-mode scheduling floor" claim —
@@ -90,14 +103,12 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir)
       p.resolveSibling("sf0.01").toString
     }
-    val small: Seq[(String, Double)] =
+    val smallFull: Seq[(String, (Double, Seq[Double]))] =
       if (smallDir != sfDir && java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(smallDir)))
-        qs.map { name =>
-          try runOne(name, smallDir) catch { case _: Throwable => () }
-          name -> timedRun(name, smallDir)
-        }
+        qs.map { name => name -> benchOne(name, smallDir) }
       else Seq.empty
+    val small = smallFull.map { case (n, (med, _)) => n -> med }
 
     // Streaming sustained-load numbers ride in the same artifact (VERDICT
     // r5 task #9): two-phase StreamBench at 60k events — throughput, then
@@ -112,12 +123,32 @@ object Bench {
 
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def runsJson(rs: Seq[(String, (Double, Seq[Double]))]): String =
+      rs.map { case (k, (_, runs)) =>
+        "\"" + k + "\":" + runs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallPart =
-      if (small.nonEmpty) s""","queries_small":${toJson(small)},"sf_small":"$smallDir""""
+      if (small.nonEmpty)
+        s""","queries_small":${toJson(small)},"runs_small":${runsJson(smallFull)},"sf_small":"$smallDir""""
       else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"$smallPart$streamPart}""")
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
+    // Load context makes an externally-contended run self-diagnosing: a
+    // loadavg far above the 32 cores this JVM uses means something else was
+    // eating the machine while the clock ran.
+    val envPart =
+      f""","wall_sec":$wallSec%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
+    // Stdout can be tail-truncated by a harness (it ate BENCH_r06); the
+    // file copy is the durable artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }
