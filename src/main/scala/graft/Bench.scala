@@ -80,9 +80,16 @@ object Bench {
       // local[32]; report the MEDIAN of three cold runs (not the min —
       // median is the honest central tendency, and duck_bench.py applies
       // the same rule)
-      val runs =
+      var runs =
         if (first > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
         else Seq(first)
+      // This host steals CPU in bursts (measured: a 9 s query stalling to
+      // 134 s with zero other processes; /proc/stat shows episodic steal).
+      // A burst can poison two of three runs, so when the spread screams
+      // "contention" (max > 4x min) take two more passes — the raw list
+      // keeps every run, so widening the sample is visible, not hidden.
+      if (runs.size > 1 && runs.max > 4 * runs.min)
+        runs = runs ++ Seq(timedRun(name, dir), timedRun(name, dir))
       (runs.sorted.apply(runs.size / 2), runs)
     }
 
@@ -90,8 +97,20 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
 
+    // (steal, idle) seconds accumulated across all CPUs, from /proc/stat —
+    // the direct evidence separating "query got slower" from "host stole
+    // the CPU while the clock ran".
+    def cpuStat(): (Double, Double) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toDouble)
+        val hz = 100.0 // USER_HZ
+        (f(7) / hz, f(3) / hz)
+      } catch { case _: Throwable => (-1.0, -1.0) }
+
     val wallT0 = System.nanoTime()
     val loadBefore = loadavg()
+    val (stealT0, idleT0) = cpuStat()
 
     val full = qs.map { name => name -> benchOne(name, sfDir) }
     val results = full.map { case (n, (med, _)) => n -> med }
@@ -135,10 +154,12 @@ object Bench {
       else ""
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // Load context makes an externally-contended run self-diagnosing: a
-    // loadavg far above the 32 cores this JVM uses means something else was
-    // eating the machine while the clock ran.
+    // loadavg far above the 32 cores this JVM uses, or stolen CPU seconds
+    // accumulating, means something else was eating the machine while the
+    // clock ran.
+    val (stealT1, idleT1) = cpuStat()
     val envPart =
-      f""","wall_sec":$wallSec%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
+      f""","wall_sec":$wallSec%.1f,"cpu_steal_sec":${stealT1 - stealT0}%.1f,"cpu_idle_sec":${idleT1 - idleT0}%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
     // Stdout can be tail-truncated by a harness (it ate BENCH_r06); the

@@ -542,10 +542,19 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    // symmetric edge list
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .distinct().cache()
+    // Symmetric edge list in ONE pass over `pairs`: the obvious
+    // union(a→b, b→a) executes the upstream pair pipeline twice (for LSH
+    // pairs that is the whole banding+verification DAG — measured ~2× the
+    // construction cost at sf0.1); exploding a two-struct array keeps it
+    // to one execution. No distinct: callers hand verified pair lists
+    // that are unique by construction, and min-label propagation is
+    // idempotent under duplicate edges anyway — a distinct here was one
+    // full extra shuffle for zero semantic effect.
+    val edges = pairs.select(explode(array(
+        struct(col(idA).as("src"), col(idB).as("dst")),
+        struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var converged = false
@@ -572,6 +581,10 @@ object Dedup {
       labels = step.select("id", "component")
       iter += 1
     }
+    // labels is localCheckpoint-materialized, so the edge cache is dead
+    // weight from here on — release it instead of leaking it to the
+    // session cache manager (converged or not).
+    edges.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: labels still changing after $maxIter iterations " +

@@ -46,26 +46,29 @@ object DedupOps {
       }.reduce(_.unionByName(_)).orderBy("doc_id")
     }),
 
+    // NOTE on row order: the driver gate compares row MULTISETS (columns
+    // sorted by name, rows sorted by the harness — scripts/check.py is its
+    // replica), so gate queries do not orderBy. On expensive pipelines a
+    // trailing orderBy DOUBLES execution (range-partitioner sampling runs
+    // the child once before the real pass — DESIGN.md round 6); on the
+    // 2.9M-row sf0.1 pair dumps that was ~4 s of pure waste per query.
+
     // exact token-set Jaccard near-dup pairs, blocked by source.
     "dedup_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
 
     // MinHash+LSH candidates verified to the same threshold (rows-only).
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
 
     // SimHash near-dup pairs (rows-only).
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 3)),
 
     // SimHash with the 4x16-bit-window full-recall guarantee (rows-only;
     // exactness vs brute force pinned in DedupSimilaritySpec).
     "dedup_simhash_complete" -> ((s, dir) =>
-      Dedup.simhashPairsComplete(Tables.documents(s, dir), maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))),
+      Dedup.simhashPairsComplete(Tables.documents(s, dir), maxHamming = 3)),
 
     // 3-gram shingle Jaccard (order-sensitive near-dup — word-set dups with
     // different word order score low here).
@@ -84,15 +87,13 @@ object DedupOps {
           (col("sz_a") + col("sz_b") - col("common")).cast("double"))
         .filter(col("jaccard") >= 0.2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // near-dup pairs → dedup clusters: connected components by iterative
     // min-label propagation (oracle: DuckDB recursive CTE closure).
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-          Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))
-        .orderBy(col("id"))),
+          Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))),
 
     // THE 100 TB cluster contract: (id, keeper) per document via LSH over
     // representatives + connected components — never materializes
@@ -104,8 +105,7 @@ object DedupOps {
     // measured as a real singleton split at sf0.01.
     "dedup_clusters_lsh" -> ((s, dir) =>
       Dedup.clusters(Tables.documents(s, dir), threshold = 0.8,
-          numHashes = 120, bands = 30)
-        .orderBy(col("id"))),
+          numHashes = 120, bands = 30)),
 
     // Exact substring-level dedup census at word granularity (the Lee et
     // al. 2022 "Deduplicating Training Data" signal): a gram position is
@@ -116,14 +116,12 @@ object DedupOps {
     // with identical grouping semantics modulo 2^-64 collisions; the gate
     // keeps the string key so the DuckDB comparison is exact.
     "dedup_ngram_spans" -> ((s, dir) =>
-      Dedup.ngramSpanStats(Tables.documents(s, dir), n = 10)
-        .orderBy(col("doc_id"))),
+      Dedup.ngramSpanStats(Tables.documents(s, dir), n = 10)),
 
     // the span-removal ACTION for the census above: documents rewritten
     // with every cross-doc-duplicated 10-gram span cut out.
     "dedup_span_removal" -> ((s, dir) =>
-      Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 10)
-        .orderBy(col("doc_id"))),
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 10)),
 
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
