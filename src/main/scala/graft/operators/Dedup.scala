@@ -221,19 +221,39 @@ object Dedup {
     * the exact semi-join's — the contract `decontaminate_bloom_check`
     * pins (subset + FP bound) against the exact plan.
     *
+    * Both sides hash grams through the zero-allocation native
+    * [[graft.plans.TextExprs.gramHashes]] (8-byte keys, no gram string
+    * materialization) and the filter stores those longs; build and probe
+    * share one hash domain, so no-false-negatives is preserved exactly,
+    * while the 64-bit pre-hash adds a ≤2⁻⁶⁴-per-gram collision channel on
+    * the FALSE-POSITIVE side only — absorbed by the fpp budget. The probe
+    * itself is Spark's own native [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression its runtime bloom-join injects) under `exists` — a
+    * whole-column plan with no ScalaUDF anywhere (plan-asserted in
+    * PlanSpec), no per-row Seq[String] conversion, and the filter bytes
+    * ride the stage's broadcast task binary instead of a hand-rolled
+    * driver broadcast (VERDICT r6 #4).
+    *
     * @return (idCol, contaminated) one row per train doc
     */
   def bloomContaminated(train: DataFrame, evalSet: DataFrame, n: Int = 5,
                         expectedGrams: Long = 4000000L, fpp: Double = 1e-5,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val evalGrams = evalSet
-      .select(explode(TextFunctions.shingles(col(textCol), n)).as("g"))
-    val bf = evalGrams.stat.bloomFilter("g", expectedGrams, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bf)
-    val hit = udf((gs: scala.collection.Seq[String]) =>
-      gs != null && gs.exists(bc.value.mightContainString))
+    graft.plans.HashExprs.install(train.sparkSession)
+    graft.plans.TextExprs.install(train.sparkSession)
+    val evalHashes = evalSet
+      .select(explode(graft.plans.TextExprs.gramHashes(col(textCol), n)).as("h"))
+    val bf = evalHashes.stat.bloomFilter("h", expectedGrams, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
     train.select(col(idCol),
-      hit(TextFunctions.shingles(col(textCol), n)).as("contaminated"))
+      coalesce(
+        exists(graft.plans.TextExprs.gramHashes(col(textCol), n),
+          h => graft.plans.HashExprs.mightContain(lit(bytes), h)),
+        lit(false)).as("contaminated"))
   }
 
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,

@@ -356,6 +356,16 @@ object HashExprs {
       "graft_simhash",
       exprs => SimHash(exprs(0)),
       "built-in")
+    // Spark's own bloom-probe expression (the one its runtime bloom-filter
+    // join injects) — present in catalyst but not exposed through the
+    // public registry, so surface it under the graft prefix. The filter
+    // side must be a foldable binary (we pass a Literal of the serialized
+    // sketch); the value side a LongType hash.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Column form; requires [[install]] on the executing session. */
@@ -375,4 +385,11 @@ object HashExprs {
   /** Column form; requires [[install]] on the executing session. */
   def simhash(tokens: Column): Column =
     call_function("graft_simhash", tokens)
+
+  /** Column form of Spark's native bloom probe; `bf` must be a foldable
+    * binary column (serialized `org.apache.spark.util.sketch.BloomFilter`
+    * built over LONG values), `value` a LongType hash. Requires
+    * [[install]] on the executing session. */
+  def mightContain(bf: Column, value: Column): Column =
+    call_function("graft_might_contain", bf, value)
 }

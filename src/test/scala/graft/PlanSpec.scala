@@ -139,4 +139,21 @@ class PlanSpec extends GraftSuite {
     assert(phys.contains("BroadcastHashJoin") && phys.contains("LeftAnti"),
       s"expected broadcast anti join:\n$phys")
   }
+
+  test("bloom decontamination probe: native might_contain, no ScalaUDF, no shuffle on the train side") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val evalSet = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+    val trainSet = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 =!= 0)
+    val df = graft.operators.Dedup.bloomContaminated(trainSet, evalSet, n = 5,
+      expectedGrams = 100000L)
+    val phys = df.queryExecution.executedPlan
+    val physStr = phys.toString
+    assert(!physStr.contains("ScalaUDF") && !physStr.contains("BatchEvalPython"),
+      s"row-level UDF reappeared in the bloom probe plan:\n$physStr")
+    assert(physStr.contains("BloomFilterMightContain") || physStr.contains("might_contain"),
+      s"expected the native bloom probe expression:\n$physStr")
+    // the flagging pass is a pure map: no exchange anywhere in the plan
+    assert(!physStr.contains("Exchange"),
+      s"train-side flagging must not shuffle:\n$physStr")
+  }
 }
