@@ -146,7 +146,6 @@ object DedupOps {
       val toks = docs.select(col("doc_id").as("id"),
           graft.functions.TextFunctions.distinctTokens(col("text")).as("toks"))
         .withColumn("sz", size(col("toks")))
-        .persist()
       val a = toks.select(col("id").as("id_a"), col("toks").as("toks_a"), col("sz").as("sz_a"))
       val b = toks.select(col("id").as("id_b"), col("toks").as("toks_b"), col("sz").as("sz_b"))
       val common = size(array_intersect(col("toks_a"), col("toks_b")))
@@ -155,12 +154,11 @@ object DedupOps {
           common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
         .filter(col("j") >= 0.8)
         .select("id_a", "id_b")
-        .persist()
-      val lsh = Dedup.minhashLshPairs(docs, 0.8).select("id_a", "id_b").persist()
-      val nExact = exact.count()
-      val nLsh = lsh.count()
-      val nHit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-      exact.unpersist(); lsh.unpersist(); toks.unpersist()
+      val lsh = Dedup.minhashLshPairs(docs, 0.8).select("id_a", "id_b")
+      val (nExact, nLsh, nHit) = graft.core.Caching.withCached(toks, exact, lsh) {
+        (exact.count(), lsh.count(),
+          lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count())
+      }
       Seq((nExact, nLsh == nHit, nHit * 10L >= nExact * 9L))
         .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_90")
     }),
@@ -171,23 +169,22 @@ object DedupOps {
       val docs = Tables.documents(s, dir)
       val sh = docs.select(col("doc_id").as("id"),
         Dedup.simhash64(graft.functions.TextFunctions.tokens(col("text"))).as("sh"))
-        .persist()
       val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
       val brute = a.join(b, col("id_a") < col("id_b"))
         .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
         .select("id_a", "id_b")
-        .persist()
-      // persist both candidate sets: each feeds a count AND a join against
-      // brute, and re-deriving them re-tokenizes the whole corpus
-      val complete = Dedup.simhashPairsComplete(docs).select("id_a", "id_b").persist()
-      val prefix = Dedup.simhashPairs(docs).select("id_a", "id_b").persist()
-      val nBrute = brute.count()
-      val nComplete = complete.count()
-      val nCompleteHit = complete.join(brute, Seq("id_a", "id_b"), "left_semi").count()
-      val prefixMisses = prefix.join(brute, Seq("id_a", "id_b"), "left_anti").count()
-      val nDocs = sh.count()
-      brute.unpersist(); complete.unpersist(); prefix.unpersist(); sh.unpersist()
+      // cache both candidate sets too: each feeds a count AND a join
+      // against brute, and re-deriving them re-tokenizes the whole corpus
+      val complete = Dedup.simhashPairsComplete(docs).select("id_a", "id_b")
+      val prefix = Dedup.simhashPairs(docs).select("id_a", "id_b")
+      val (nBrute, nComplete, nCompleteHit, prefixMisses, nDocs) =
+        graft.core.Caching.withCached(sh, brute, complete, prefix) {
+          (brute.count(), complete.count(),
+            complete.join(brute, Seq("id_a", "id_b"), "left_semi").count(),
+            prefix.join(brute, Seq("id_a", "id_b"), "left_anti").count(),
+            sh.count())
+        }
       Seq((nDocs,
         nComplete == nBrute && nCompleteHit == nBrute, // pigeonhole: ==, not ⊆
         prefixMisses == 0L))

@@ -205,15 +205,16 @@ object TextOps {
       val exact = trainSet
         .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
         .join(evalGrams, Seq("g"), "left_semi")
-        .select("doc_id").distinct().persist()
+        .select("doc_id").distinct()
       val bloom = graft.operators.Dedup
         .bloomContaminated(trainSet, evalSet, n = 5)
-        .filter(col("contaminated")).select("doc_id").persist()
-      val nExact = exact.count()
-      val nBloom = bloom.count()
-      val nHit = exact.join(bloom, Seq("doc_id"), "left_semi").count()
-      val nTrain = trainSet.count()
-      exact.unpersist(); bloom.unpersist()
+        .filter(col("contaminated")).select("doc_id")
+      val (nExact, nBloom, nHit, nTrain) =
+        graft.core.Caching.withCached(exact, bloom) {
+          (exact.count(), bloom.count(),
+            exact.join(bloom, Seq("doc_id"), "left_semi").count(),
+            trainSet.count())
+        }
       Seq((nExact, nHit == nExact, (nBloom - nHit) * 100L <= nTrain))
         .toDF("exact_flagged", "no_false_negatives", "fp_rate_le_1pct")
     }),

@@ -83,13 +83,13 @@ object VectorOps {
       val b = v.select(col("id").as("id_b"), col("v").as("v_b"))
       val exact = a.join(b, col("id_a") < col("id_b"))
         .filter(round(Similarity.cosine(col("v_a"), col("v_b")), 6) >= 0.4)
-        .select("id_a", "id_b").persist()
+        .select("id_a", "id_b")
       val lsh = Similarity.cosinePairsLsh(vecs, 0.4, tables = 16, bits = 4)
-        .select("id_a", "id_b").persist()
-      val nExact = exact.count()
-      val nLsh = lsh.count()
-      val nHit = lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count()
-      exact.unpersist(); lsh.unpersist()
+        .select("id_a", "id_b")
+      val (nExact, nLsh, nHit) = graft.core.Caching.withCached(exact, lsh) {
+        (exact.count(), lsh.count(),
+          lsh.join(exact, Seq("id_a", "id_b"), "left_semi").count())
+      }
       Seq((nExact, nLsh == nHit, nHit * 10L >= nExact * 8L))
         .toDF("exact_pairs", "lsh_subset_ok", "lsh_recall_ge_80")
     }),
@@ -109,13 +109,13 @@ object VectorOps {
       val e = evalSet.select(col("vec_id").as("id_e"), col("embedding").as("v_e"))
       val exact = t.crossJoin(e)
         .filter(round(Similarity.cosine(col("v_t"), col("v_e")), 6) >= 0.4)
-        .select(col("id_t")).distinct().persist()
+        .select(col("id_t")).distinct()
       val lsh = Similarity.crossContaminated(train, evalSet, 0.4)
-        .withColumnRenamed("flagged_id", "id_t").persist()
-      val nExact = exact.count()
-      val nLsh = lsh.count()
-      val nHit = lsh.join(exact, Seq("id_t"), "left_semi").count()
-      exact.unpersist(); lsh.unpersist()
+        .withColumnRenamed("flagged_id", "id_t")
+      val (nExact, nLsh, nHit) = graft.core.Caching.withCached(exact, lsh) {
+        (exact.count(), lsh.count(),
+          lsh.join(exact, Seq("id_t"), "left_semi").count())
+      }
       Seq((nExact, nLsh == nHit, nExact == 0L || nHit * 10L >= nExact * 8L))
         .toDF("exact_flagged", "lsh_subset_ok", "lsh_recall_ge_80")
     }),
@@ -130,7 +130,7 @@ object VectorOps {
     "semantic_dedup_check" -> ((s, dir) => {
       import s.implicits._
       val vecs = Tables.embeddings(s, dir)
-      val clusters = Similarity.semanticClusters(vecs, threshold = 0.4).persist()
+      val clusters = Similarity.semanticClusters(vecs, threshold = 0.4)
       val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
       val exactPairs = v.select(col("id").as("id_a"), col("v").as("v_a"))
         .join(v.select(col("id").as("id_b"), col("v").as("v_b")),
@@ -139,22 +139,24 @@ object VectorOps {
         .select("id_a", "id_b")
       val exactComp = graft.operators.Dedup.connectedComponents(exactPairs)
         .select(col("id"), col("component"))
-      val n = clusters.count()
-      val nSparkClusters = clusters.select("keeper").distinct().count()
-      val nExactClusters = n - exactComp.count() +
-        exactComp.select("component").distinct().count()
-      // refinement: id and its keeper sit in the same EXACT component
-      val merged = clusters.filter(col("id") =!= col("keeper"))
-      val badMerges = merged
-        .join(exactComp.select(col("id"), col("component").as("c_id")), Seq("id"), "left")
-        .join(exactComp.select(col("id").as("keeper"), col("component").as("c_keep")),
-          Seq("keeper"), "left")
-        .filter(col("c_id").isNull || col("c_keep").isNull ||
-          col("c_id") =!= col("c_keep"))
-        .count()
-      val sparkMerges = merged.count()
+      val (n, nSparkClusters, nExactClusters, badMerges, sparkMerges) =
+        graft.core.Caching.withCached(clusters) {
+          val n = clusters.count()
+          val nSpark = clusters.select("keeper").distinct().count()
+          val nExact = n - exactComp.count() +
+            exactComp.select("component").distinct().count()
+          // refinement: id and its keeper sit in the same EXACT component
+          val merged = clusters.filter(col("id") =!= col("keeper"))
+          val bad = merged
+            .join(exactComp.select(col("id"), col("component").as("c_id")), Seq("id"), "left")
+            .join(exactComp.select(col("id").as("keeper"), col("component").as("c_keep")),
+              Seq("keeper"), "left")
+            .filter(col("c_id").isNull || col("c_keep").isNull ||
+              col("c_id") =!= col("c_keep"))
+            .count()
+          (n, nSpark, nExact, bad, merged.count())
+        }
       val exactMerges = n - nExactClusters
-      clusters.unpersist()
       Seq((n, nExactClusters, badMerges == 0L,
         exactMerges == 0L || sparkMerges * 10L >= exactMerges * 8L))
         .toDF("n_vecs", "exact_clusters", "refinement_ok", "merge_recall_ge_80")
@@ -204,16 +206,18 @@ object VectorOps {
               img.getWidth, img.getHeight))
         }).toDF()
       val all = images.unionByName(planted)
-      val hashes = Multimodal.imageHashes(s, all).persist()
+      val hashes = Multimodal.imageHashes(s, all)
       val a = hashes.select(col("media_id").as("id_a"), col("ahash").as("ha"))
       val b = hashes.select(col("media_id").as("id_b"), col("ahash").as("hb"))
-      val brute = a.join(b, col("id_a") < col("id_b"))
-        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
-        .select("id_a", "id_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val blocked = Multimodal.nearDuplicateImages(s, all)
-        .select("id_a", "id_b")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (brute, blocked) = graft.core.Caching.withCached(hashes) {
+        (a.join(b, col("id_a") < col("id_b"))
+          .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+          .select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+         Multimodal.nearDuplicateImages(s, all)
+          .select("id_a", "id_b")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+      }
       val plantedIds = planted.select(col("media_id")).as[Long].collect()
       val recovered = plantedIds.forall(p => blocked.contains((p - 1000000L, p)))
       Seq((images.count(), blocked == brute, recovered))
