@@ -127,6 +127,11 @@ object HttpApi {
     val q = parseQuery(ex.getRequestURI.getRawQuery)
     try {
       (method, path) match {
+        case ("GET", "/api/v1/openapi.json") =>
+          // self-describing surface: the compiled-in contract, rendered
+          // OpenAPI-shaped (reference ships docs/apis/openapi.yaml; the
+          // SDK contract tests pin against it)
+          sendJson(ex, 200, ApiContract.renderOpenApi)
         case ("POST", "/api/v1/publish") => publishEvent(cfg, seenIds, ex)
         case ("POST", "/api/v1/retry") => retryEvent(spark, cfg, ex)
         case ("GET", "/api/v1/topics") => listTopics(cfg, ex)
