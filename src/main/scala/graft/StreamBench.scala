@@ -38,6 +38,16 @@ object StreamBench {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+    // stolen-CPU seconds across the run (/proc/stat col 8): this host
+    // steals CPU in bursts and a stolen window triples every latency
+    // number — the artifact must let a reader tell a slow engine from a
+    // starved host (same policy as graft.Bench).
+    def stealSec(): Double =
+      try scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .trim.split("\\s+").drop(1).map(_.toDouble).apply(7) / 100.0
+      catch { case _: Throwable => -1.0 }
+    val steal0 = stealSec()
+
     val tmp = java.nio.file.Files.createTempDirectory("graft_streambench").toString
     // d_all matches everything; d_orders only order.* (2 of 3 topics are
     // order.*) → expected attempts = n + ceil(2n/3); d_big adds a JSON
@@ -76,8 +86,11 @@ object StreamBench {
       val nWarm = 2000
       mem.addData((0 until nWarm).map(eventJson("w")))
       val warmDeadline = System.currentTimeMillis() + 60000
+      // 250 ms poll, not 100: every logged() probe is a real Spark job
+      // (parquet listing + count) competing with the engine's own
+      // micro-batches for the 32 cores — the probe must not be the load
       while (logged() < expectedFor(nWarm) &&
-          System.currentTimeMillis() < warmDeadline) Thread.sleep(100)
+          System.currentTimeMillis() < warmDeadline) Thread.sleep(250)
       val base0 = logged()
 
       val expected = expectedFor(n)
@@ -92,46 +105,88 @@ object StreamBench {
       val deadline = System.currentTimeMillis() + 180000
       var done = logged() - base0
       while (done < expected && System.currentTimeMillis() < deadline) {
-        Thread.sleep(100); done = logged() - base0
+        Thread.sleep(250); done = logged() - base0
       }
       val sec = (System.nanoTime() - t0) / 1e9
 
-      // ---- phase 2: verification -----------------------------------
-      // exact per-destination accounting against the combinatorial model
-      val log = spark.read.parquet(s"$tmp/log")
-        .filter(col("event_id").startsWith("e"))
-      val perDest = log.groupBy("destination_id").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // ---- phase 2: paced operating point --------------------------
+      // The burst phase publishes ~100k/s into a ~13k/s engine, so its
+      // latency is BACKLOG, not the engine: an honest latency number
+      // needs arrivals at a sustainable rate. Publish at `pacedRate`
+      // (just under measured capacity) and read the percentiles from
+      // events that never queued — the second operating point the
+      // artifact reports (VERDICT r6 task #4).
+      val pacedRate = 9000
+      val nPaced = 27000
+      val base1 = logged()
+      val chunk = pacedRate / 10 // per 100 ms tick
+      val tPace0 = System.nanoTime()
+      (0 until nPaced).grouped(chunk).foreach { b =>
+        val tickEnd = System.nanoTime() + 100000000L
+        mem.addData(b.map(eventJson("p")))
+        val leftMs = (tickEnd - System.nanoTime()) / 1000000L
+        if (leftMs > 0) Thread.sleep(leftMs)
+      }
+      // arrival rate = events over the PUBLISH window; the drain tail is
+      // reported separately (a kept-up engine has a sub-second tail)
+      val pubWindowSec = (System.nanoTime() - tPace0) / 1e9
+      val pacedExpected = expectedFor(nPaced)
+      val pacedDeadline = System.currentTimeMillis() + 120000
+      while (logged() - base1 < pacedExpected &&
+          System.currentTimeMillis() < pacedDeadline) Thread.sleep(250)
+      val drainSec = (System.nanoTime() - tPace0) / 1e9 - pubWindowSec
+
+      // ---- phase 3: verification -----------------------------------
+      // exact per-destination accounting against the combinatorial model,
+      // burst and paced phases separately
+      val stages = Seq("publish_to_deliver", "deliver_to_log", "end_to_end")
+      def phaseStats(prefix: String, count: Int): (Boolean, Map[String, Long], String) = {
+        val log = spark.read.parquet(s"$tmp/log")
+          .filter(col("event_id").startsWith(prefix))
+        val perDest = log.groupBy("destination_id").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val expectedPerDest = Map(
+          "d_all" -> count.toLong,
+          "d_orders" -> (0 until count).count(i => i % 3 != 2).toLong,
+          "d_big" -> (0 until count).count(_ % 1000 >= 500).toLong)
+        val exp = expectedFor(count)
+        val exact = perDest == expectedPerDest &&
+          log.count() == exp &&
+          log.select("attempt_id").distinct().count() == exp
+        // per-stage latency percentiles from the three wall-clock stamps
+        val lat = log.select(
+          (unix_millis(col("attempt_time")) - unix_millis(col("event_time")))
+            .as("publish_to_deliver"),
+          (unix_millis(col("logged_at")) - unix_millis(col("attempt_time")))
+            .as("deliver_to_log"),
+          (unix_millis(col("logged_at")) - unix_millis(col("event_time")))
+            .as("end_to_end"))
+        val pcts = lat.select(stages.flatMap(s => Seq(
+          expr(s"percentile($s, 0.5)").as(s"${s}_p50"),
+          expr(s"percentile($s, 0.99)").as(s"${s}_p99"))): _*).head()
+        val stageJson = stages.zipWithIndex.map { case (s, i) =>
+          s""""$s":{"p50_ms":${pcts.getDouble(2 * i).round},"p99_ms":${pcts.getDouble(2 * i + 1).round}}"""
+        }.mkString("{", ",", "}")
+        (exact, perDest, stageJson)
+      }
+      val (burstExact, burstPerDest, burstStages) = phaseStats("e", n)
+      val (pacedExact, _, pacedStages) = phaseStats("p", nPaced)
       val expectedPerDest = Map(
         "d_all" -> n.toLong,
         "d_orders" -> (0 until n).count(i => i % 3 != 2).toLong,
         "d_big" -> (0 until n).count(_ % 1000 >= 500).toLong)
-      val accountingExact = perDest == expectedPerDest &&
-        log.count() == expected &&
-        log.select("attempt_id").distinct().count() == expected
-
-      // per-stage latency percentiles from the three wall-clock stamps
-      val lat = log.select(
-        (unix_millis(col("attempt_time")) - unix_millis(col("event_time")))
-          .as("publish_to_deliver"),
-        (unix_millis(col("logged_at")) - unix_millis(col("attempt_time")))
-          .as("deliver_to_log"),
-        (unix_millis(col("logged_at")) - unix_millis(col("event_time")))
-          .as("end_to_end"))
-      val stages = Seq("publish_to_deliver", "deliver_to_log", "end_to_end")
-      val pcts = lat.select(stages.flatMap(s => Seq(
-        expr(s"percentile($s, 0.5)").as(s"${s}_p50"),
-        expr(s"percentile($s, 0.99)").as(s"${s}_p99"))): _*).head()
-      val stageJson = stages.zipWithIndex.map { case (s, i) =>
-        s""""$s":{"p50_ms":${pcts.getDouble(2 * i).round},"p99_ms":${pcts.getDouble(2 * i + 1).round}}"""
-      }.mkString("{", ",", "}")
 
       s"""{"metric":"stream_throughput","unit":"events/sec",""" +
         s""""value":${(n / sec).round},"events":$n,"attempts_logged":$done,""" +
-        s""""attempts_expected":$expected,"accounting_exact":$accountingExact,""" +
+        s""""attempts_expected":$expected,"accounting_exact":${burstExact && pacedExact},""" +
         s""""per_destination":${expectedPerDest.keys.toSeq.sorted.map(d =>
-            s""""$d":${perDest.getOrElse(d, 0L)}""").mkString("{", ",", "}")},""" +
-        s""""stages":$stageJson,"wall_sec":${math.round(sec * 1000) / 1000.0}}"""
+            s""""$d":${burstPerDest.getOrElse(d, 0L)}""").mkString("{", ",", "}")},""" +
+        s""""stages":$burstStages,"wall_sec":${math.round(sec * 1000) / 1000.0},""" +
+        s""""paced":{"rate_target":$pacedRate,"events":$nPaced,""" +
+        s""""arrival_rate":${(nPaced / pubWindowSec).round},""" +
+        s""""drain_sec":${math.round(drainSec * 1000) / 1000.0},""" +
+        s""""accounting_exact":$pacedExact,"stages":$pacedStages},""" +
+        s""""cpu_steal_sec":${math.round((stealSec() - steal0) * 10) / 10.0}}"""
     } finally running.stopAll()
   }
 

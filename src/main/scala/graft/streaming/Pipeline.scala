@@ -159,9 +159,19 @@ object Pipeline {
       // probe StreamBench reads; projected away by every schema-driven
       // reader, so the log contract is unchanged
       .withColumn("logged_at", current_timestamp())
+      // ONE shuffle per micro-batch: repartition(8, attempt_id) hash-
+      // clusters by the dedup key, which SATISFIES dropDuplicates'
+      // distribution requirement — Catalyst inserts no second exchange
+      // (the old dedup-then-repartition(month) shape paid two full
+      // shuffles per micro-batch; the month pass's sole job was
+      // file-count hygiene). 8 partitions, not the session's 32: a
+      // micro-batch is ~10^4 rows and 32 shuffle tasks were pure
+      // scheduling overhead on the latency path; large replay batches
+      // still stream through 8 writers, and long-term layout belongs to
+      // the compaction operator (Layout.zorderCompact), not this sink.
+      .repartition(8, col("attempt_id"))
       .dropDuplicates("attempt_id")
-      .repartition(col("month"))
-      .sortWithinPartitions(col("attempt_time"), col("attempt_id"))
+      .sortWithinPartitions(col("month"), col("attempt_time"), col("attempt_id"))
       .write.mode("append").partitionBy("month").parquet(tablePath)
     if (batchId >= 0) {
       marker.getParentFile.mkdirs()

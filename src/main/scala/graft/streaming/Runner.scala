@@ -111,11 +111,16 @@ object Runner {
         // attempts, S4 — the reference's LogEntry shape): the log sink
         // consumes them directly, with no join back onto the batch.
         // No batch.isEmpty pre-check: it costs a job per micro-batch and
-        // deliver() already yields an empty frame the isEmpty below skips.
-        val outcomes = registry.deliver(batch)
-        if (!outcomes.isEmpty) {
-          // epoch id makes a post-failure micro-batch replay a no-op
-          Pipeline.logSinkBatch(outcomes, logPath, batchId)
+        // deliverWith already yields an empty frame the isEmpty below
+        // skips. Scoped deliverWith keeps the batch cached across the
+        // emptiness probe and the log write (one fanout execution), and
+        // for pure-projection sinks skips the per-batch localCheckpoint
+        // job entirely.
+        registry.deliverWith(batch) { outcomes =>
+          if (!outcomes.isEmpty) {
+            // epoch id makes a post-failure micro-batch replay a no-op
+            Pipeline.logSinkBatch(outcomes, logPath, batchId)
+          }
         }
       }
       .start()

@@ -26,6 +26,12 @@ object Sinks {
   trait Sink extends Serializable {
     def destType: String
     def publish(tasks: DataFrame): DataFrame
+    /** True when [[publish]] performs the delivery as a side effect (file
+      * writes, network calls): the registry must then materialize the
+      * outcome frame exactly once (localCheckpoint) so no downstream
+      * action can replay the side effect. Pure-projection sinks (mock)
+      * override to false and skip that whole job per micro-batch. */
+    def sideEffecting: Boolean = true
   }
 
   /** All-success attempt outcomes for a published task batch (spool-backed
@@ -643,6 +649,7 @@ object Sinks {
                             failUntilAttempt: Int = 1,
                             failEvents: Set[String] = Set.empty,
                             wallClockAttempts: Boolean = false) extends Sink {
+    override def sideEffecting: Boolean = false
     override def publish(tasks: DataFrame): DataFrame = {
       // failEvents scopes the attempt-based failure to specific events
       // (empty = all events), so tests can mix failing and healthy traffic
@@ -684,22 +691,44 @@ object Sinks {
       * no lineage back to the unpersisted batch. */
     def deliver(batch: DataFrame): DataFrame = {
       val b = batch.persist()
-      try {
-        // single registered type (the overwhelmingly common batch in a
-        // per-tenant deployment): the distinct-type probe job is pure
-        // overhead — route everything through the one sink directly
-        val types =
-          if (byType.size == 1) byType.keys.toSeq
-          else b.select("dest_type").distinct().collect().map(_.getString(0)).toSeq
-        types
-          .flatMap(t => byType.get(t).map(_.publish(b.filter(col("dest_type") === t))))
-          // allowMissingColumns: the HTTP sink's outcomes carry
-          // response_body (the reference's attempt ResponseData); file
-          // sinks don't — mixed registries union to null there
-          .reduceOption(_.unionByName(_, allowMissingColumns = true))
-          .map(_.localCheckpoint(true))
+      try deliverOn(b, forceCheckpoint = true)
+      finally b.unpersist()
+    }
+
+    /** Scoped delivery: persist the batch, build the outcome frame, run
+      * `use` over it, unpersist in finally. When every involved sink is a
+      * pure projection ([[Sink.sideEffecting]] false) the outcomes stay
+      * LAZY over the cached batch — the upstream fanout computes once
+      * into the cache and `use`'s actions share it — which removes the
+      * per-micro-batch localCheckpoint materialization job that the
+      * side-effecting path genuinely needs (exactly-once side effects).
+      * This is the streaming hot loop's version of
+      * [[graft.core.Caching.withCached]]. */
+    def deliverWith[A](batch: DataFrame)(use: DataFrame => A): A = {
+      val b = batch.persist()
+      try use(deliverOn(b, forceCheckpoint = false))
+      finally b.unpersist()
+    }
+
+    private def deliverOn(b: DataFrame, forceCheckpoint: Boolean): DataFrame = {
+      // single registered type (the overwhelmingly common batch in a
+      // per-tenant deployment): the distinct-type probe job is pure
+      // overhead — route everything through the one sink directly
+      val types =
+        if (byType.size == 1) byType.keys.toSeq
+        else b.select("dest_type").distinct().collect().map(_.getString(0)).toSeq
+      val sinks = types.flatMap(byType.get)
+      val outcomes = sinks
+        .map(s => s.publish(b.filter(col("dest_type") === s.destType)))
+        // allowMissingColumns: the HTTP sink's outcomes carry
+        // response_body (the reference's attempt ResponseData); file
+        // sinks don't — mixed registries union to null there
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      if (forceCheckpoint || sinks.exists(_.sideEffecting))
+        outcomes.map(_.localCheckpoint(true))
           .getOrElse(b.sparkSession.emptyDataFrame)
-      } finally b.unpersist()
+      else
+        outcomes.getOrElse(b.sparkSession.emptyDataFrame)
     }
   }
 
