@@ -407,8 +407,10 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, threshold: Double,
                       numHashes: Int = 60, bands: Int = 10,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (groups, repPairs) = lshRepPairs(docs, threshold, numHashes, bands, idCol, textCol)
+                      idCol: String = "doc_id", textCol: String = "text",
+                      portableBanding: Boolean = false): DataFrame = {
+    val (groups, repPairs) =
+      lshRepPairs(docs, threshold, numHashes, bands, idCol, textCol, portableBanding)
 
     // expand back to document pairs
     val gm = groups.select(col("rep"), col("members"))
@@ -434,7 +436,8 @@ object Dedup {
     * jaccard) over representatives only. */
   private def lshRepPairs(docs: DataFrame, threshold: Double,
                           numHashes: Int, bands: Int,
-                          idCol: String, textCol: String): (DataFrame, DataFrame) = {
+                          idCol: String, textCol: String,
+                          portableBanding: Boolean): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     graft.plans.HashExprs.install(docs.sparkSession)
@@ -464,13 +467,31 @@ object Dedup {
     // in the band join cuts candidates 2.77 M → 2.23 M at sf0.1 but makes
     // the warm pipeline 2× SLOWER — the wider build sides through the
     // twice-computed sigs outweigh the 20 % verification saving; rejected)
-    // Band keys via the portable md5+Kirsch–Mitzenmacher form
-    // ([[graft.plans.MinHashBands]]): the DuckDB gate replicates the
-    // candidate set exactly, so the full pair output hash-matches.
-    val sigs = toks
-      .select(col("id"),
-        posexplode(graft.plans.HashExprs.minhashBandKeys(
-          col("toks"), numHashes, bands)))
+    // Dual-path banding (VERDICT r6 task #2, the hashGrams pattern):
+    //   portableBanding=true  → md5+Kirsch–Mitzenmacher band keys
+    //     ([[graft.plans.MinHashBands]]) — every piece reproducible in
+    //     standard SQL, so the DuckDB gate replicates the candidate set
+    //     exactly and the full pair output hash-matches;
+    //   portableBanding=false (operator default) → the fused-loop XXH64
+    //     signature ([[graft.plans.MinHashSig]]) with one multi-arg
+    //     xxhash64 mix per band over its r lanes. Not engine-portable
+    //     (no cross-engine xxhash64), so its gate is the contract row
+    //     (`dedup_lsh_check`: subset-of-exact + recall bound), not a
+    //     pair-list hash. The sig materializes through a projection
+    //     barrier so the k-lane loop runs once per rep, not once per band.
+    val banded =
+      if (portableBanding)
+        toks.select(col("id"),
+          posexplode(graft.plans.HashExprs.minhashBandKeys(
+            col("toks"), numHashes, bands)))
+      else
+        toks.withColumn("sig",
+            graft.plans.HashExprs.minhashSig(col("toks"), numHashes))
+          .select(col("id"), posexplode(array((0 until bands).map { b =>
+            xxhash64((b * r until (b + 1) * r)
+              .map(i => element_at(col("sig"), i + 1)): _*)
+          }: _*)))
+    val sigs = banded
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
@@ -517,8 +538,9 @@ object Dedup {
   def clusters(docs: DataFrame, threshold: Double,
                numHashes: Int = 60, bands: Int = 10,
                idCol: String = "doc_id", textCol: String = "text",
-               maxIter: Int = 20): DataFrame = {
-    val (groups, repPairs) = lshRepPairs(docs, threshold, numHashes, bands, idCol, textCol)
+               maxIter: Int = 20, portableBanding: Boolean = false): DataFrame = {
+    val (groups, repPairs) =
+      lshRepPairs(docs, threshold, numHashes, bands, idCol, textCol, portableBanding)
     val repComp = connectedComponents(repPairs, maxIter = maxIter)
       .select(col("id").as("rep"), col("component"))
     groups.select(col("rep"), explode(col("members")).as("id"))

@@ -73,26 +73,104 @@ object Logstore {
     * bounds BOTH the time range and the dimension-hash range
     * (spec-asserted), and either predicate skips most files at planning
     * time. The hash is the same stable 16-bit bucket a reader derives
-    * from its literal IN-list values, so pruning needs no stats table. */
+    * from its literal IN-list values, so pruning needs no stats table.
+    *
+    * The bucket is PERSISTED as an `_dh` INT column: footer min/max
+    * statistics only exist for stored columns, so without it the reader's
+    * recomputed-hash predicate is an expression parquet cannot prune on —
+    * rows would be clustered but every file still read. With it,
+    * [[scanPruned]] turns a dim IN-list into `_dh IN (buckets)` — an
+    * ordinary pushed filter that skips whole sorted files from statistics
+    * alone (the Delta/Iceberg Z-order mechanic, minus the stats table). */
   def optimizeMonth(spark: SparkSession, path: String, month: String,
                     idCol: String, tsCol: String, dimCol: String,
                     targetFiles: Int = 8): Unit =
     rewriteMonth(spark, path, month, idCol, tsCol) { deduped =>
+      // normalize time over the CALENDAR month, not a data min/max scan:
+      // every row is inside its partition month by construction, the
+      // bounds are knowable without a job, and the layout stays stable
+      // under incremental rewrites (data-derived bounds shift per run).
+      val ym = java.time.YearMonth.parse(month)
+      val startMs = ym.atDay(1).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli
+      val endMs = ym.plusMonths(1).atDay(1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli - 1
       val tsLong = unix_millis(col(tsCol).cast("timestamp"))
-      val r = deduped.agg(min(tsLong), max(tsLong)).head()
+      val withDh = deduped.withColumn("_dh", dimHash16(col(dimCol)).cast("int"))
       val zkey = Layout.zvalue(
-        Layout.normalize(tsLong, r.getLong(0), r.getLong(1)),
-        dimHash16(col(dimCol)))
-      deduped.withColumn("_zkey", zkey)
+        Layout.normalize(tsLong, startMs, endMs),
+        col("_dh").cast("long"))
+      withDh.withColumn("_zkey", zkey)
         .repartitionByRange(targetFiles, col("_zkey"))
         .sortWithinPartitions(col("_zkey"), col(tsCol), col(idCol))
         .drop("_zkey")
     }
 
+  /** [[optimizeMonth]] over several months CONCURRENTLY. Months are
+    * independent rewrites, each staging into its own `.compact_month=` dir
+    * before the swap, so concurrent submission is safe — and on a cluster
+    * it is the difference between executors idling through N sequential
+    * commit barriers and a full maintenance window pipelined N-wide (the
+    * Delta OPTIMIZE concurrent-file-group pattern). */
+  def optimizeMonths(spark: SparkSession, path: String, months: Seq[String],
+                     idCol: String, tsCol: String, dimCol: String,
+                     targetFiles: Int = 8, parallelism: Int = 4): Unit = {
+    if (months.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      parallelism.min(months.size).max(1))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(months.map(m =>
+          scala.concurrent.Future(optimizeMonth(
+            spark, path, m, idCol, tsCol, dimCol, targetFiles)))),
+        scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
+
   /** Stable 16-bit bucket of a dimension value — what [[optimizeMonth]]
     * clusters on and what a reader recomputes from IN-list literals. */
   def dimHash16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     pmod(xxhash64(c), lit(65536L))
+
+  /** [[dimHash16]] of a driver-side literal — bit-identical (same
+    * `xxhash64`, seed 42) so a reader can translate IN-list values into
+    * `_dh` buckets without touching the cluster. The value's Scala type
+    * must match the stored column type (Long for a bigint dim, String for
+    * a string dim): xxhash64(42L) != xxhash64(42: Int). */
+  def dimHash16Value(v: Any): Int = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(v)), 42L).eval(InternalRow.empty)
+      .asInstanceOf[Long]
+    (((h % 65536L) + 65536L) % 65536L).toInt
+  }
+
+  /** The log's canonical pruned read: time range + dimension IN-list
+    * ([[ListQuery]]'s scan shape). Time bounds prune month directories;
+    * on months rewritten by [[optimizeMonth]] the IN-list additionally
+    * becomes an `_dh IN (buckets)` pushed filter over the persisted
+    * cluster column, so parquet footer stats skip the files whose hash
+    * range misses every requested value (plan- and file-count-asserted in
+    * `LayoutSpec`). Falls back to the plain filtered scan when the store
+    * has never been optimized (`_dh` absent). Requires a store state where
+    * either every retained file carries `_dh` or none does — a half-
+    * optimized store would drop pre-optimize rows from the `_dh` filter. */
+  def scanPruned(spark: SparkSession, path: String, tsCol: String,
+                 from: java.sql.Timestamp, to: java.sql.Timestamp,
+                 dimCol: String, values: Seq[Any]): DataFrame = {
+    val base = scan(spark, path)
+    val filtered = base
+      .filter(col(tsCol) >= lit(from) && col(tsCol) < lit(to))
+      .filter(col(dimCol).isin(values: _*))
+    val pruned =
+      if (base.columns.contains("_dh"))
+        filtered.filter(col("_dh").isin(values.map(dimHash16Value): _*))
+      else filtered
+    pruned.drop("_dh")
+  }
 
   /** Shared month-rewrite machinery: read → read-side dedup (repair) →
     * caller's layout → atomic directory swap. Swap: the old dir goes away

@@ -57,8 +57,23 @@ object DedupOps {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8)),
 
-    // MinHash+LSH candidates verified to the same threshold (rows-only).
+    // MinHash+LSH near-dup pairs in the portable md5 banding: the full
+    // pair list hash-matches DuckDB's replication of the candidate set.
+    // The operator DEFAULT is the faster xxhash64 banding, pinned by its
+    // own contract gate (`dedup_lsh_check`) and benched as
+    // `dedup_minhash_lsh_fast`.
     "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8,
+        portableBanding = true)),
+
+    // the operator-default XXH64 banding at the SAME parameters, for the
+    // bench pair (md5 portability cost measured, not guessed). No SQL
+    // oracle BY DESIGN: xxhash64 has no cross-engine replication, so the
+    // candidate set is engine-specific; the companion `dedup_lsh_check`
+    // (which runs this same default path) pins its contracts instead —
+    // every emitted pair is exact-verified >= threshold, pair set is a
+    // subset of the exact pairs, recall >= 0.9.
+    "dedup_minhash_lsh_fast" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), threshold = 0.8)),
 
     // SimHash near-dup pairs (rows-only).
@@ -105,7 +120,7 @@ object DedupOps {
     // measured as a real singleton split at sf0.01.
     "dedup_clusters_lsh" -> ((s, dir) =>
       Dedup.clusters(Tables.documents(s, dir), threshold = 0.8,
-          numHashes = 120, bands = 30)),
+          numHashes = 120, bands = 30, portableBanding = true)),
 
     // Exact substring-level dedup census at word granularity (the Lee et
     // al. 2022 "Deduplicating Training Data" signal): a gram position is

@@ -89,8 +89,97 @@ object EventOps2 {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // the reference's TTL + OPTIMIZE maintenance cycle at query scale
+    // (`internal/logretention/clickhouse_ttl.go:42-76` partition drops;
+    // ClickHouse background merges → explicit Z-order rewrite here): a
+    // 12-month store fragmented by micro-batch appends (8 interleaved
+    // slices, one replayed → cross-batch duplicates), partition-drop
+    // retention of the oldest 6 months, then optimizeMonth over every
+    // retained month. The per-month aggregate must equal the source under
+    // the same retention window exactly: duplicates repaired by the
+    // rewrite, nothing lost, dropped months gone.
+    "logstore_optimize" -> ((s, dir) => {
+      val path = fragmentedLog(s, dir)
+      Logstore.dropPartitionsBefore(path, keepFromMonth = "2024-07")
+      Logstore.optimizeMonths(s, path, retainedMonths,
+        idCol = "event_id", tsCol = "ts", dimCol = "event_type")
+      Logstore.scan(s, path)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          // integer-scaled sum (Relational.scala determinism note): a raw
+          // double sum is last-ulp shuffle-order-dependent
+          (sum(round(col("value") * 100.0, 0).cast("long")) / 100.0)
+            .as("sum_value"))
+        .orderBy(col("month"))
+    }),
+
+    // the file-skipping evidence for the cycle above, as checked booleans:
+    // retention dropped exactly the 6 old month keys; compaction shrank
+    // the file population (9 litter files per month → targetFiles); and
+    // the canonical probe (15-day range + type IN-list through
+    // [[Logstore.scanPruned]]) touches strictly fewer files after the
+    // Z-order rewrite than before. probe_rows is DuckDB-verified so the
+    // pruned read is pinned lossless, not just smaller.
+    "logstore_optimize_check" -> ((s, dir) => {
+      import s.implicits._
+      val path = fragmentedLog(s, dir)
+      val dropped = Logstore.dropPartitionsBefore(path, keepFromMonth = "2024-07")
+      def parquetFiles(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(path))
+      }
+      val probeT0 = java.sql.Timestamp.valueOf("2024-09-05 00:00:00")
+      val probeT1 = java.sql.Timestamp.valueOf("2024-09-20 00:00:00")
+      def probe() = Logstore.scanPruned(s, path, tsCol = "ts",
+        from = probeT0, to = probeT1, dimCol = "event_type",
+        values = Seq("purchase"))
+      def hitFiles(): Long =
+        probe().select(input_file_name()).distinct().count()
+      val (filesBefore, hitsBefore) = (parquetFiles(), hitFiles())
+      Logstore.optimizeMonths(s, path, retainedMonths,
+        idCol = "event_id", tsCol = "ts", dimCol = "event_type")
+      val (filesAfter, hitsAfter) = (parquetFiles(), hitFiles())
+      Seq((probe().count(),
+          dropped == (1 to 6).map(m => f"2024-$m%02d"),
+          filesAfter < filesBefore,
+          hitsAfter < hitsBefore))
+        .toDF("probe_rows", "retention_dropped_old6", "litter_merged",
+          "probe_files_shrunk")
     })
   )
+
+  /** Retained month keys after the gate's 6-month TTL window. */
+  private val retainedMonths: Seq[String] = (7 to 12).map(m => f"2024-$m%02d")
+
+  /** 12-month micro-batch-fragmented log store for the maintenance gates:
+    * the one-month synthetic event stream spread across 2024 by a
+    * deterministic day shift (`(event_id % 12) * 30` days — integer day
+    * arithmetic, so DuckDB reproduces every shifted timestamp exactly),
+    * appended as 8 interleaved slices with slice 0 replayed (at-least-once
+    * ingest litter: 9 files per month partition, cross-batch duplicates
+    * for the optimize rewrite's read-repair to fix). Slices cut on a HASH
+    * of the id, not `event_id % 8` — the raw residue correlates with the
+    * `% 12` month spread (shared factor 4), which would starve most months
+    * of most slices. The slicing never reaches the oracle: store content
+    * is the union of slices under any cut. */
+  private def fragmentedLog(s: SparkSession, dir: String): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_optlog").toString
+    val ev = Tables.events(s, dir).select(
+      col("event_id"),
+      expr("timestampadd(DAY, CAST((event_id % 12) * 30 AS INT), ts)").as("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    (0 to 8).foreach { k =>
+      Logstore.insertMany(
+        ev.filter(pmod(xxhash64(col("event_id")), lit(8)) === k % 8),
+        path, idCol = "event_id", tsCol = "ts")
+    }
+    path
+  }
 
   def oracles: Map[String, String] = Map(
     "json_filter_native" ->
@@ -124,6 +213,23 @@ object EventOps2 {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "logstore_commitlog" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "logstore_optimize" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 12) * 30 AS INT)) AS ts,
+        |    user_id, value
+        |  FROM events)
+        |SELECT strftime(ts, '%Y-%m') AS month, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value*100.0) AS BIGINT))/100.0 AS sum_value
+        |FROM ev WHERE strftime(ts, '%Y-%m') >= '2024-07'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "logstore_optimize_check" ->
+      """SELECT count(*) AS probe_rows, true AS retention_dropped_old6,
+        |  true AS litter_merged, true AS probe_files_shrunk
+        |FROM events
+        |WHERE ts + to_days(CAST((event_id % 12) * 30 AS INT)) >= TIMESTAMP '2024-09-05'
+        |  AND ts + to_days(CAST((event_id % 12) * 30 AS INT)) < TIMESTAMP '2024-09-20'
+        |  AND event_type IN ('purchase')""".stripMargin
   )
 }

@@ -103,4 +103,47 @@ class LayoutSpec extends GraftSuite {
     assert(spans.count(_._1 <= 0.6) >= spans.size * 3 / 4, s"time spans: $spans")
     assert(spans.count(_._2 <= 0.6) >= spans.size * 3 / 4, s"hash spans: $spans")
   }
+
+  test("scanPruned pushes the _dh bucket filter and actually skips row groups") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 20000).map { i =>
+      val ts = new java.sql.Timestamp(1704067200000L + rnd.nextInt(28 * 86400) * 1000L)
+      (s"att_$i", s"d${rnd.nextInt(40)}", ts, s"payload_$i")
+    }
+    graft.operators.Logstore.insertMany(
+      rows.toDF("attempt_id", "destination_id", "ts", "body"),
+      s"$tmp/log", "attempt_id", "ts")
+    graft.operators.Logstore.optimizeMonth(spark, s"$tmp/log", "2024-01",
+      "attempt_id", "ts", dimCol = "destination_id", targetFiles = 16)
+
+    val probe = graft.operators.Logstore.scanPruned(spark, s"$tmp/log",
+      tsCol = "ts",
+      from = java.sql.Timestamp.valueOf("2024-01-03 00:00:00"),
+      to = java.sql.Timestamp.valueOf("2024-01-17 00:00:00"),
+      dimCol = "destination_id", values = Seq("d7"))
+    // the bucket predicate must reach the parquet reader as an ordinary
+    // pushed IN filter over the stored cluster column
+    val phys = probe.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters") && phys.contains("_dh"),
+      s"_dh filter not pushed:\n$phys")
+    // the driver-side literal hash must agree with the column form
+    val expected = spark.range(1)
+      .select(graft.operators.Logstore.dimHash16(lit("d7")).cast("int"))
+      .head().getInt(0)
+    assert(graft.operators.Logstore.dimHash16Value("d7") == expected)
+
+    // and the skip must be REAL: the scan node may emit only the rows of
+    // the row groups whose footer ranges survive the pushed filters —
+    // far fewer than the whole store (16 z-files; one hash point + half
+    // the month bounds a couple of them)
+    val got = probe.collect()
+    assert(got.nonEmpty && got.forall(_.getAs[String]("destination_id") == "d7"))
+    val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    assert(scanRows < 20000 / 2,
+      s"expected row-group skipping, scan emitted $scanRows of 20000 rows")
+  }
 }
