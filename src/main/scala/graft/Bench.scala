@@ -33,7 +33,8 @@ object Bench {
     "rollup_order_stats", "pivot_event_counts", "top3_per_user",
     "salted_agg_by_type", "dedup_clusters", "q17_small_quantity",
     "moving_avg_revenue", "dedup_span_removal", "bm25_topk",
-    "weighted_sample_topn", "logstore_optimize", "dedup_minhash_lsh_fast")
+    "weighted_sample_topn", "logstore_optimize", "dedup_minhash_lsh_fast",
+    "pack_sequences")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
