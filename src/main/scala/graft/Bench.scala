@@ -164,8 +164,11 @@ object Bench {
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
     // Stdout can be tail-truncated by a harness (it ate BENCH_r06); the
-    // file copy is the durable artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // file copy is the durable artifact. Subset runs (fast iteration on
+    // named queries) write a sidecar instead, so they can never clobber
+    // the committed full-headline artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (args.nonEmpty) "BENCH_partial.json" else "BENCH.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
