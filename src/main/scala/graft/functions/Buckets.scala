@@ -133,21 +133,73 @@ object Buckets {
   private def monthsSinceEpoch(utcNtz: Column): Column =
     (year(utcNtz) - lit(1970)) * lit(12) + month(utcNtz) - lit(1)
 
+  /** Months since Jan 1970 of the instant's UTC calendar date, computed
+    * from epoch micros with pure integer arithmetic (Howard Hinnant's
+    * `civil_from_days` date algorithm) — same result as
+    * `(year(utc)-1970)*12 + month(utc)-1` over [[utcFields]]
+    * (property-pinned in BucketsSpec, 1000 instants over 1900–2100) but
+    * entirely codegen'd arithmetic. The declarative form routes every
+    * fact row through `convert_timezone` + calendar field extraction,
+    * measured ~1 s per 10M rows in MetricsBench's Monthly cases. UTC
+    * needs no zone rules: the instant's epoch micros ARE its UTC wall
+    * clock.
+    *
+    * Expression-tree discipline (Columns are trees, not DAGs): each
+    * intermediate is referenced as FEW times as possible — a first draft
+    * using an exact `(x-pmod(x,n))/n` floor-div per step duplicated
+    * every subtree twice per division and blew up to ~10⁴ nodes, turning
+    * a 2 s aggregate into 70 s of analysis/codegen. `floor(x/n)` keeps
+    * one reference per step; it is float-exact here because every
+    * quotient below the first is tiny (≤146096/1460) — a double division
+    * only mis-floors when the true non-integer quotient sits within
+    * ~ulp·q of an integer, impossible for rationals with denominators
+    * this small. The first division (micros, up to ~10¹⁶) IS in the
+    * danger zone, so it alone uses the exact subtract-remainder form. */
+  private def monthsSinceEpochFast(ts: Column): Column = {
+    def fl(x: Column, n: Long): Column = floor(x / lit(n.toDouble)).cast("long")
+    val us = unix_micros(ts)
+    val days = (((us - pmod(us, lit(86400000000L))) / lit(86400000000L))
+      .cast("long")) + lit(719468L)
+    val era = fl(days, 146097L)
+    val doe = days - era * lit(146097L)
+    val yoe = fl(doe - fl(doe, 1460L) + fl(doe, 36524L) - fl(doe, 146096L),
+      365L)
+    val doy = doe - (yoe * lit(365L) + fl(yoe, 4L) - fl(yoe, 100L))
+    val mp = fl(doy * lit(5L) + lit(2L), 153L)
+    val m = mp + when(mp < 10, lit(3L)).otherwise(lit(-9L))
+    val y = yoe + era * lit(400L) + when(m <= 2, lit(1L)).otherwise(lit(0L))
+    ((y - lit(1970L)) * lit(12L) + m - lit(1L)).cast("int")
+  }
+
   /** Bucket-truncation as a Catalyst Column (input must be TimestampType).
     * Timezone-independent by construction: sub-month units are pure epoch
     * arithmetic; month units go through [[utcFields]]/[[monthStartUtc]]. */
-  def bucketExpr(ts: Column, g: Granularity): Column = g.unit match {
+  def bucketExpr(ts: Column, g: Granularity): Column =
+    bucketFromKey(bucketKeyExpr(ts, g), g)
+
+  /** The CHEAP per-row half of [[bucketExpr]]: an integer grouping key
+    * (bucket-month index for Month units, bucket-start epoch seconds
+    * otherwise). Month materialization (`make_timestamp` — per-row
+    * calendar + zone construction, measured ~2 s of a 2.6 s monthly
+    * aggregate over 10M rows in MetricsBench) belongs AFTER aggregation:
+    * group by this key, then [[bucketFromKey]] on the ≤ slots×combos
+    * result rows. */
+  def bucketKeyExpr(ts: Column, g: Granularity): Column = g.unit match {
     case Month =>
-      val months = monthsSinceEpoch(utcFields(ts))
-      val bucketMonth = (floor(months.cast("double") / lit(g.value.toDouble)) * lit(g.value)).cast("int")
-      monthStartUtc(bucketMonth)
+      val months = monthsSinceEpochFast(ts)
+      (floor(months.cast("double") / lit(g.value.toDouble)) * lit(g.value)).cast("int")
     case u =>
       val anchor = if (u == Week) WeekAnchorSec else 0L
       val step = u.seconds * g.value
       // integer µs arithmetic: exact, codegen-friendly, no UDF
       val sec = floor(unix_micros(ts).cast("double") / lit(1e6)).cast("long")
-      val start = floor((sec - lit(anchor)).cast("double") / lit(step.toDouble)).cast("long") * lit(step) + lit(anchor)
-      timestamp_seconds(start)
+      floor((sec - lit(anchor)).cast("double") / lit(step.toDouble)).cast("long") * lit(step) + lit(anchor)
+  }
+
+  /** The bucket-start TIMESTAMP for a [[bucketKeyExpr]] key. */
+  def bucketFromKey(key: Column, g: Granularity): Column = g.unit match {
+    case Month => monthStartUtc(key)
+    case _ => timestamp_seconds(key)
   }
 
   /** Per-bucket duration in seconds as a Column over the bucket-start column

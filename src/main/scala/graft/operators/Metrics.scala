@@ -151,10 +151,16 @@ object Metrics {
     val aggMeasures = (baseMs ++ deps.filterNot(baseMs.contains)).distinct
     val aggCols = aggMeasures.map(m => catalog(m).agg.as(m))
 
-    val bucket = Buckets.bucketExpr(ts, g).as("bucket")
+    // group on the cheap integer bucket key; materialize the bucket
+    // TIMESTAMP on the aggregated rows only (for month units the
+    // materialization is per-row calendar construction — Buckets
+    // .bucketKeyExpr scaladoc has the measured cost)
+    val bucketKey = Buckets.bucketKeyExpr(ts, g).as("__bkey")
     val dimCols = req.dimensions.map(col)
-    val grouped = cur.groupBy(bucket +: dimCols: _*)
+    val grouped = cur.groupBy(bucketKey +: dimCols: _*)
       .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("bucket", Buckets.bucketFromKey(col("__bkey"), g))
+      .drop("__bkey")
 
     // dense fill: driver-generated slots (capped) × observed dim combos;
     // over-cap ranges surface the reference's resource-limit client error

@@ -81,6 +81,29 @@ class BucketsSpec extends GraftSuite {
     }
   }
 
+  test("column form agrees with pure form on 1000 random instants, " +
+      "1900-2100 (pins the integer civil-date month key)") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    // full span incl. pre-1970 (negative epoch), leap days, century years
+    val lo = Instant.parse("1900-01-01T00:00:00Z").toEpochMilli
+    val hi = Instant.parse("2100-01-01T00:00:00Z").toEpochMilli
+    val instants = Seq.fill(1000)(
+      Instant.ofEpochMilli(lo + (rnd.nextDouble() * (hi - lo)).toLong))
+    val df = instants.map(i => new java.sql.Timestamp(i.toEpochMilli)).toDF("ts")
+    for (g <- Seq(Granularity(1, Month), Granularity(3, Month),
+      Granularity(1, Week), Granularity(1, Day))) {
+      val got = df.select(unix_millis(Buckets.bucketExpr(col("ts"), g)).as("b"))
+        .collect().map(_.getLong(0)).toSeq
+      val want = instants.map(i => truncate(i, g).toEpochMilli)
+      assert(got == want, s"granularity $g: first diff at " +
+        got.zip(want).zipWithIndex.find(p => p._1._1 != p._1._2)
+          .map(p => s"${instants(p._2)}").getOrElse("?"))
+    }
+  }
+
   test("bucketSecondsExpr agrees with pure bucketSeconds") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
