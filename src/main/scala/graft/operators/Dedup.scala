@@ -197,6 +197,144 @@ object Dedup {
     accepted.drop("dup_hash")
   }
 
+  /** Incremental FUZZY dedup: near-duplicate (MinHash+LSH) filtering of a
+    * new batch against everything previously seen, without re-shuffling the
+    * accumulated corpus.
+    *
+    * [[incrementalDedupBatch]] is the exact-digest form; a growing crawl
+    * also needs its fuzzy sibling — a boilerplate VARIANT of a page seen
+    * months ago must not re-enter the corpus. The band LEDGER keeps that an
+    * O(batch) job:
+    *   - the ledger (a [[CommitLog]] table) holds (band, bandhash, id) for
+    *     every document EVER SEEN — ~bands rows of ~32 B per doc,
+    *     content-free and append-only. Dropped docs contribute bands too:
+    *     dedup is against the seen corpus, not the kept subset, so a
+    *     near-dup of an already-dropped variant is still caught and the
+    *     kept/dropped verdict never feeds back into the ledger (no
+    *     recursion — each doc's fate is a pure function of what arrived
+    *     before it);
+    *   - candidates come from two band joins: batch×batch (earlier id is
+    *     "seen first") and ledger×batch — the ledger side STREAMS through
+    *     the join while the batch's band rows broadcast, so history is
+    *     scanned (two pruned columns), never shuffled;
+    *   - candidates are verified at exact token-set Jaccard >= threshold
+    *     (no false positives, the [[minhashLshPairs]] contract). The old
+    *     side's tokens come from a semi-join-pruned read of the history
+    *     store restricted to candidate ids — a point-lookup-shaped scan,
+    *     not a corpus pass;
+    *   - all batch band rows append in one atomic, token-idempotent commit
+    *     (replays are no-ops — the effectively-once contract).
+    *
+    * Dual-path banding exactly as [[minhashLshPairs]]: portableBanding=true
+    * is the md5+Kirsch–Mitzenmacher gate form (DuckDB replicates the whole
+    * four-batch run in one SQL statement), default is the fused XXH64
+    * signature. A ledger is written in one mode for its lifetime.
+    *
+    * @param history all previously-ingested documents (the raw corpus
+    *                store; only candidate ids are ever read from it)
+    * @return the batch rows plus a `kept` boolean (false = verified
+    *         near-dup of an earlier-seen document)
+    */
+  def incrementalMinhashBatch(batch: DataFrame, history: DataFrame,
+                              ledgerTable: String,
+                              acceptedAt: java.sql.Timestamp,
+                              threshold: Double = 0.8,
+                              numHashes: Int = 60, bands: Int = 10,
+                              token: Option[String] = None,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              portableBanding: Boolean = false): DataFrame = {
+    val spark = batch.sparkSession
+    graft.plans.HashExprs.install(spark)
+    val toks = batch.select(col(idCol).as("id"),
+        TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .withColumn("sz", size(col("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = bandRows(toks, numHashes, bands, portableBanding)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val inBatch = newBands
+      .select(col("band"), col("bandhash"), col("id").as("new_id"))
+      .join(newBands.select(col("band"), col("bandhash"), col("id").as("old_id")),
+        Seq("band", "bandhash"))
+      .filter(col("old_id") < col("new_id"))
+      .select("new_id", "old_id")
+    // current-batch ids are excluded from the ledger side: a token REPLAY
+    // finds the batch's own band rows already committed, and without the
+    // exclusion docs would collide with themselves (and later same-batch
+    // docs would outrank earlier ones), flipping replay verdicts. In-batch
+    // relations are fully owned by the ordered in-batch join above, so the
+    // exclusion makes replays verdict-identical to the first run.
+    val crossBatch =
+      if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
+      else Some(CommitLog.scan(spark, ledgerTable)
+        .select(col("band"), col("bandhash"), col("id").as("old_id"))
+        .join(broadcast(toks.select(col("id").as("old_id"))),
+          Seq("old_id"), "left_anti")
+        .join(broadcast(newBands.select(col("band"), col("bandhash"),
+          col("id").as("new_id"))), Seq("band", "bandhash"))
+        .select("new_id", "old_id"))
+    val cands = (Seq(inBatch) ++ crossBatch).reduce(_.unionByName(_))
+      .dropDuplicates("new_id", "old_id")
+
+    // old-side tokens: in-batch ids resolve locally; historical ids via a
+    // candidate-pruned semi join against the corpus store (ids are unique
+    // across batch and history, so the union is disjoint)
+    val histToks = history
+      .select(col(idCol).as("id"), TextFunctions.distinctTokens(col(textCol)).as("toks"))
+      .join(cands.select(col("old_id").as("id")).distinct(), Seq("id"), "left_semi")
+      .withColumn("sz", size(col("toks")))
+    val oldToks = toks.unionByName(histToks)
+    val common = graft.plans.HashExprs.sortedIntersectSize(col("toks_a"), col("toks_b"))
+    val dups = cands
+      .join(toks.select(col("id").as("new_id"),
+        array_sort(col("toks")).as("toks_a"), col("sz").as("sz_a")), "new_id")
+      .join(oldToks.select(col("id").as("old_id"),
+        array_sort(col("toks")).as("toks_b"), col("sz").as("sz_b")), "old_id")
+      .withColumn("jaccard",
+        common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+      .withColumn("dropped", lit(true))
+
+    val out = batch.join(dups, Seq(idCol), "left")
+      .withColumn("kept", coalesce(!col("dropped"), lit(true)))
+      .drop("dropped")
+      .localCheckpoint()
+    // (doc, band) is the ledger row identity — append dedups by idCol, so
+    // a plain doc id would collapse the bands rows to one per doc
+    CommitLog.append(
+      newBands.select(col("band"), col("bandhash"), col("id"),
+        lit(acceptedAt).as("accepted_at"),
+        concat_ws("#", col("id"), col("band")).as("row_id")),
+      ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token)
+    toks.unpersist()
+    newBands.unpersist()
+    out
+  }
+
+  /** (id, band, bandhash) rows for LSH band joins — the shared banding of
+    * [[minhashLshPairs]] and [[incrementalMinhashBatch]] (dual-path: md5
+    * portable form vs fused XXH64; scaladoc at the call site in
+    * `lshRepPairs`). */
+  private def bandRows(toks: DataFrame, numHashes: Int, bands: Int,
+                       portable: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val banded =
+      if (portable)
+        toks.select(col("id"),
+          posexplode(graft.plans.HashExprs.minhashBandKeys(
+            col("toks"), numHashes, bands)))
+      else
+        toks.withColumn("sig",
+            graft.plans.HashExprs.minhashSig(col("toks"), numHashes))
+          .select(col("id"), posexplode(array((0 until bands).map { b =>
+            xxhash64((b * r until (b + 1) * r)
+              .map(i => element_at(col("sig"), i + 1)): _*)
+          }: _*)))
+    banded.withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+  }
+
   /** Bloom-filter benchmark decontamination — the broadcast-side variant
     * of the exact n-gram overlap check (GPT-3 appendix C / PaLM style;
     * the exact form is the `decontaminate_overlap` semi-join).
@@ -438,8 +576,6 @@ object Dedup {
                           numHashes: Int, bands: Int,
                           idCol: String, textCol: String,
                           portableBanding: Boolean): (DataFrame, DataFrame) = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     graft.plans.HashExprs.install(docs.sparkSession)
 
     // Representative collapse: on a duplicate-heavy corpus most of the LSH
@@ -479,20 +615,7 @@ object Dedup {
     //     (`dedup_lsh_check`: subset-of-exact + recall bound), not a
     //     pair-list hash. The sig materializes through a projection
     //     barrier so the k-lane loop runs once per rep, not once per band.
-    val banded =
-      if (portableBanding)
-        toks.select(col("id"),
-          posexplode(graft.plans.HashExprs.minhashBandKeys(
-            col("toks"), numHashes, bands)))
-      else
-        toks.withColumn("sig",
-            graft.plans.HashExprs.minhashSig(col("toks"), numHashes))
-          .select(col("id"), posexplode(array((0 until bands).map { b =>
-            xxhash64((b * r until (b + 1) * r)
-              .map(i => element_at(col("sig"), i + 1)): _*)
-          }: _*)))
-    val sigs = banded
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandhash")
+    val sigs = bandRows(toks, numHashes, bands, portableBanding)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(sigs.select(col("band"), col("bandhash"), col("id").as("id_b")),

@@ -46,6 +46,25 @@ object DedupOps {
       }.reduce(_.unionByName(_)).orderBy("doc_id")
     }),
 
+    // incremental FUZZY dedup: four batches through the MinHash band
+    // ledger (portable md5 banding → DuckDB replicates the whole run in
+    // one statement). Each call commits the batch's band rows with an
+    // idempotency token; history reads are candidate-pruned semi joins.
+    "incremental_minhash_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_inc_lsh").toString + "/ledger"
+      val batchOf = expr("CAST(substring(source, 4) AS INT) % 4")
+      val t0 = 1704067200000L // 2024-01-01T00:00Z
+      (0 until 4).map { b =>
+        Dedup.incrementalMinhashBatch(
+          docs.filter(batchOf === b), docs.filter(batchOf < b), ledger,
+          new java.sql.Timestamp(t0 + b * 3600000L), threshold = 0.8,
+          portableBanding = true, token = Some(s"batch-$b"))
+          .select(col("doc_id"), lit(b).as("batch"), col("kept"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // NOTE on row order: the driver gate compares row MULTISETS (columns
     // sorted by name, rows sorted by the harness — scripts/check.py is its
     // replica), so gate queries do not orderBy. On expensive pipelines a
@@ -268,6 +287,38 @@ object DedupOps {
         |      ORDER BY CAST(substr(source, 4) AS INT) % 4, doc_id) AS rn
         |  FROM documents)
         |SELECT doc_id, source FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // replicates the four-batch MinHash-ledger run: a doc is dropped iff it
+    // is exact-Jaccard >= 0.8 similar to ANY earlier-seen doc (earlier
+    // batch, or same batch with smaller id) that shares a band key — the
+    // same md5+Kirsch-Mitzenmacher banding as dedup_minhash_lsh
+    "incremental_minhash_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, CAST(substr(source, 4) AS INT) % 4 AS batch,
+        |         list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT id, ('0x'||substr(md5(tok),1,16))::UBIGINT::HUGEINT AS h1,
+        |         ('0x'||substr(md5(tok),17,16))::UBIGINT::HUGEINT AS h2
+        |  FROM (SELECT id, unnest(toks) AS tok FROM t)),
+        |lanes AS (
+        |  SELECT id, i, min((h1 + i*h2) % 18446744073709551616::HUGEINT) AS lane
+        |  FROM h, generate_series(0, 59) s(i) GROUP BY id, i),
+        |bands AS (
+        |  SELECT id, i // 6 AS band, string_agg(lane::VARCHAR, ',' ORDER BY i) AS bandkey
+        |  FROM lanes GROUP BY id, i // 6),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS new_id, b.id AS old_id
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
+        |  JOIN t ta ON ta.id = a.id JOIN t tb ON tb.id = b.id
+        |  WHERE tb.batch < ta.batch OR (tb.batch = ta.batch AND tb.id < ta.id)),
+        |dup AS (
+        |  SELECT DISTINCT c.new_id FROM cand c
+        |  JOIN t x ON x.id = c.new_id JOIN t y ON y.id = c.old_id
+        |  WHERE len(list_intersect(x.toks, y.toks))::DOUBLE
+        |      / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))::DOUBLE >= 0.8)
+        |SELECT t.id AS doc_id, t.batch, (d.new_id IS NULL) AS kept
+        |FROM t LEFT JOIN dup d ON d.new_id = t.id
+        |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks

@@ -35,4 +35,60 @@ object CurationStream {
       .filter(col("quality") >= minQuality &&
         TextFunctions.tokenCount(col(textCol)) >= minTokens)
       .withColumn(textCol, TextFunctions.piiScrub(col(textCol)))
+
+  /** Streaming FUZZY dedup intake: drives
+    * [[graft.operators.Dedup.incrementalMinhashBatch]] from foreachBatch so
+    * near-duplicate VARIANTS (not just exact repeats — [[curate]]'s digest
+    * window handles those) are filtered as they arrive, against everything
+    * the stream has ever seen.
+    *
+    * Two [[graft.operators.CommitLog]] tables per intake:
+    *   - `corpusTable` records EVERY document with its `kept` verdict —
+    *     it is both the verification history (band candidates resolve
+    *     their tokens here through a candidate-pruned semi join; dropped
+    *     docs must stay resolvable, hence verdict rows rather than a
+    *     kept-only table) and the auditable intake record. Consumers
+    *     filter `kept`;
+    *   - `ledgerTable` carries the content-free band keys.
+    *
+    * Both appends are token-idempotent on the micro-batch id. The two
+    * commits are not atomic TOGETHER, but the crash window between them is
+    * safe: a replay after "bands committed, corpus not" recomputes
+    * identical verdicts — the band join excludes the batch's own ids from
+    * the ledger side precisely so a half-committed replay cannot see
+    * itself — then the bands append no-ops on its token and the corpus
+    * append proceeds. Effectively-once, same contract as the attempt log.
+    */
+  def fuzzyIntake(docs: DataFrame, corpusTable: String, ledgerTable: String,
+                  checkpoint: String, tsCol: String = "event_time",
+                  idCol: String = "doc_id", textCol: String = "text",
+                  threshold: Double = 0.8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        fuzzyIntakeBatch(batch, batchId, corpusTable, ledgerTable,
+          tsCol, idCol, textCol, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[fuzzyIntake]] (separable for foreachBatch reuse
+    * and direct testing). */
+  def fuzzyIntakeBatch(batch: DataFrame, batchId: Long, corpusTable: String,
+                       ledgerTable: String, tsCol: String, idCol: String,
+                       textCol: String, threshold: Double): Unit = {
+    import graft.operators.{CommitLog, Dedup}
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val history =
+      if (CommitLog.snapshot(corpusTable).files.isEmpty)
+        batch.select(col(idCol), col(textCol)).limit(0)
+      else CommitLog.scan(spark, corpusTable).select(idCol, textCol)
+    val verdicts = Dedup.incrementalMinhashBatch(
+      batch, history, ledgerTable,
+      new java.sql.Timestamp(System.currentTimeMillis()), threshold,
+      token = Some(s"bands-$batchId"), idCol = idCol, textCol = textCol)
+    CommitLog.append(verdicts, corpusTable, idCol = idCol, tsCol = tsCol,
+      token = Some(s"corpus-$batchId"))
+  }
 }

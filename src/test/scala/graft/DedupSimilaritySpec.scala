@@ -412,4 +412,55 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(rows.length == 4) // alpha-beta, gamma, delta, eps — exactly once
     assert(rows.map(_.getLong(1)).toSet == Set(1L, 3L, 11L, 12L))
   }
+
+  test("incremental MinHash ledger: fuzzy cross-batch drops, dropped docs still block, idempotent replay (both banding paths)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // token-set chain: J(1,10)=19/21≈0.905 (drop 10 via 1);
+    // J(10,20)=19/22≈0.864 but J(1,20)=18/23≈0.783 < 0.8 — doc 20 is a
+    // near-dup ONLY of the already-DROPPED doc 10, so batch 3 proves the
+    // ledger carries dropped docs' bands (seen-corpus, not kept-subset).
+    val ts19 = (1 to 19).map(i => s"t$i")
+    val doc1 = (ts19 :+ "u").mkString(" ")
+    val doc10 = (ts19 :+ "v").mkString(" ")
+    val doc20 = ((ts19.take(18) :+ "v") ++ Seq("a", "b")).mkString(" ")
+    val fresh = "completely different content sharing nothing with anything else here"
+
+    for (portable <- Seq(true, false)) {
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_inc_lsh_spec").toString + "/ledger"
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 0$h:00:00")
+      def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.filter(col("kept")).select("doc_id").collect().map(_.getLong(0)).toSet
+
+      val b1 = Seq((1L, doc1), (2L, fresh)).toDF("doc_id", "text")
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val r1 = Dedup.incrementalMinhashBatch(b1, empty, ledger, ts(1),
+        token = Some("b1"), portableBanding = portable)
+      assert(keptSet(r1) == Set(1L, 2L))
+
+      // batch 2: 10 ≈ 1 (cross-batch, via ledger), 11 = exact dup of 10
+      // (in-batch, earlier id wins), 12 unseen
+      val b2 = Seq((10L, doc10), (11L, doc10), (12L, "wholly novel words never met before"))
+        .toDF("doc_id", "text")
+      val r2 = Dedup.incrementalMinhashBatch(b2, b1, ledger, ts(2),
+        token = Some("b2"), portableBanding = portable)
+      assert(keptSet(r2) == Set(12L))
+
+      // replay under the same token: same verdicts, ledger unchanged
+      val bandRows0 = graft.operators.CommitLog.scan(spark, ledger).count()
+      assert(bandRows0 == 50) // 5 docs x 10 bands
+      val r2b = Dedup.incrementalMinhashBatch(b2, b1, ledger, ts(2),
+        token = Some("b2"), portableBanding = portable)
+      assert(keptSet(r2b) == Set(12L))
+      assert(graft.operators.CommitLog.scan(spark, ledger).count() == 50)
+
+      // batch 3: doc 20 similar only to the DROPPED doc 10
+      val b3 = Seq((20L, doc20)).toDF("doc_id", "text")
+      val r3 = Dedup.incrementalMinhashBatch(b3, b1.unionByName(b2), ledger,
+        ts(3), token = Some("b3"), portableBanding = portable)
+      assert(keptSet(r3).isEmpty, s"portable=$portable: doc 20 must be " +
+        "blocked by the dropped doc 10's band rows")
+    }
+  }
 }

@@ -477,4 +477,47 @@ class StreamingSpec extends GraftSuite {
         s"re-sighting after watermark eviction should re-admit, got $again")
     } finally q.stop()
   }
+
+  test("streaming fuzzy intake: MinHash ledger drops cross-micro-batch variants; replayed batch is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_fuzzy_intake")
+    val (corpus, ledger, ckpt) = (s"$base/corpus", s"$base/ledger", s"$base/ckpt")
+    val ts19 = (1 to 19).map(i => s"t$i")
+    val doc = (ts19 :+ "u").mkString(" ")        // batch-1 original
+    val variant = (ts19 :+ "v").mkString(" ")    // J = 19/21 ≈ 0.905
+    val fresh = "completely different content with no shared vocabulary anywhere"
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.CurationStream.fuzzyIntake(
+      mem.toDF().toDF("doc_id", "event_time", "text"), corpus, ledger, ckpt)
+    try {
+      val t0 = 1704067200000L
+      mem.addData((1L, new Timestamp(t0), doc), (2L, new Timestamp(t0 + 1000), fresh))
+      q.processAllAvailable()
+      // second micro-batch: a near-dup VARIANT (not exact) and a new doc
+      mem.addData((10L, new Timestamp(t0 + 2000), variant),
+        (11L, new Timestamp(t0 + 3000), "wholly novel words never met before"))
+      q.processAllAvailable()
+      val verdicts = graft.operators.CommitLog.scan(spark, corpus)
+        .select("doc_id", "kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false, 11L -> true),
+        verdicts.toString)
+
+      // direct replay of micro-batch 1 (crash-recovery path): tokens make
+      // both commits no-ops — same verdict rows, same ledger size
+      val before = (graft.operators.CommitLog.scan(spark, corpus).count(),
+        graft.operators.CommitLog.scan(spark, ledger).count())
+      graft.streaming.CurationStream.fuzzyIntakeBatch(
+        Seq((10L, new Timestamp(t0 + 2000), variant),
+          (11L, new Timestamp(t0 + 3000), "wholly novel words never met before"))
+          .toDF("doc_id", "event_time", "text"),
+        batchId = 1L, corpus, ledger, "event_time", "doc_id", "text", 0.8)
+      val after = (graft.operators.CommitLog.scan(spark, corpus).count(),
+        graft.operators.CommitLog.scan(spark, ledger).count())
+      assert(before == after, s"$before -> $after")
+    } finally q.stop()
+  }
 }
