@@ -245,70 +245,112 @@ object Dedup {
                               portableBanding: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     graft.plans.HashExprs.install(spark)
-    val toks = batch.select(col(idCol).as("id"),
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Band keys are a pure function of the TOKEN SET, so all work runs at
+    // distinct-set granularity (the lshRepPairs representative collapse):
+    // a mega-duplicate batch — 10k copies of one boilerplate page — bands
+    // once and joins once, instead of 10k× banding and a 10·m² band
+    // self-join. Per-doc verdicts re-attach by setkey at the end.
+    val keyed = batch.select(col(idCol).as("id"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newBands = bandRows(toks, numHashes, bands, portableBanding)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val inBatch = newBands
-      .select(col("band"), col("bandhash"), col("id").as("new_id"))
-      .join(newBands.select(col("band"), col("bandhash"), col("id").as("old_id")),
-        Seq("band", "bandhash"))
-      .filter(col("old_id") < col("new_id"))
-      .select("new_id", "old_id")
-    // current-batch ids are excluded from the ledger side: a token REPLAY
-    // finds the batch's own band rows already committed, and without the
-    // exclusion docs would collide with themselves (and later same-batch
-    // docs would outrank earlier ones), flipping replay verdicts. In-batch
-    // relations are fully owned by the ordered in-batch join above, so the
-    // exclusion makes replays verdict-identical to the first run.
-    val crossBatch =
-      if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
-      else Some(CommitLog.scan(spark, ledgerTable)
-        .select(col("band"), col("bandhash"), col("id").as("old_id"))
-        .join(broadcast(toks.select(col("id").as("old_id"))),
-          Seq("old_id"), "left_anti")
-        .join(broadcast(newBands.select(col("band"), col("bandhash"),
-          col("id").as("new_id"))), Seq("band", "bandhash"))
-        .select("new_id", "old_id"))
-    val cands = (Seq(inBatch) ++ crossBatch).reduce(_.unionByName(_))
-      .dropDuplicates("new_id", "old_id")
-
-    // old-side tokens: in-batch ids resolve locally; historical ids via a
-    // candidate-pruned semi join against the corpus store (ids are unique
-    // across batch and history, so the union is disjoint)
-    val histToks = history
-      .select(col(idCol).as("id"), TextFunctions.distinctTokens(col(textCol)).as("toks"))
-      .join(cands.select(col("old_id").as("id")).distinct(), Seq("id"), "left_semi")
-      .withColumn("sz", size(col("toks")))
-    val oldToks = toks.unionByName(histToks)
+      .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+      .persist(mem)
+    val sets = keyed.groupBy("setkey")
+      .agg(min(col("id")).as("minid"),
+        first(array_sort(col("toks"))).as("stoks"), first(col("sz")).as("sz"))
+      .persist(mem)
+    val setBands = bandRows(
+        sets.select(col("setkey").as("id"), col("stoks").as("toks")),
+        numHashes, bands, portableBanding)
+      .withColumnRenamed("id", "setkey")
+      .persist(mem)
     val common = graft.plans.HashExprs.sortedIntersectSize(col("toks_a"), col("toks_b"))
-    val dups = cands
-      .join(toks.select(col("id").as("new_id"),
-        array_sort(col("toks")).as("toks_a"), col("sz").as("sz_a")), "new_id")
-      .join(oldToks.select(col("id").as("old_id"),
-        array_sort(col("toks")).as("toks_b"), col("sz").as("sz_b")), "old_id")
+
+    // in-batch, cross-set: band-colliding set pairs verified at exact
+    // Jaccard. Same-set needs no pair (J=1 by definition).
+    val setPairs = setBands
+      .select(col("band"), col("bandhash"), col("setkey").as("sk_a"))
+      .join(setBands.select(col("band"), col("bandhash"), col("setkey").as("sk_b")),
+        Seq("band", "bandhash"))
+      .filter(col("sk_a") < col("sk_b"))
+      .select("sk_a", "sk_b").dropDuplicates("sk_a", "sk_b")
+    val simPairs = setPairs
+      .join(sets.select(col("setkey").as("sk_a"),
+        col("stoks").as("toks_a"), col("sz").as("sz_a")), "sk_a")
+      .join(sets.select(col("setkey").as("sk_b"),
+        col("stoks").as("toks_b"), col("sz").as("sz_b")), "sk_b")
       .withColumn("jaccard",
         common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
-      .select(col("new_id").as(idCol)).distinct()
-      .withColumn("dropped", lit(true))
+      .select("sk_a", "sk_b")
+    // a doc is dropped by the batch iff an EARLIER batch doc sits in a
+    // similar-or-same set: effmin(S) = min id over S and its verified
+    // neighbours (one hop, symmetric — near-duplication is not closed
+    // transitively here, exactly as pair-level semantics weren't)
+    val effMin = simPairs
+      .select(col("sk_a").as("setkey"), col("sk_b").as("other"))
+      .unionByName(simPairs.select(col("sk_b").as("setkey"), col("sk_a").as("other")))
+      .unionByName(sets.select(col("setkey"), col("setkey").as("other")))
+      .join(sets.select(col("setkey").as("other"), col("minid")), "other")
+      .groupBy("setkey").agg(min(col("minid")).as("effmin"))
 
-    val out = batch.join(dups, Seq(idCol), "left")
-      .withColumn("kept", coalesce(!col("dropped"), lit(true)))
-      .drop("dropped")
-      .localCheckpoint()
-    // (doc, band) is the ledger row identity — append dedups by idCol, so
-    // a plain doc id would collapse the bands rows to one per doc
+    // cross-batch: the ledger's per-doc band rows probe the batch's SET
+    // bands. Current-batch ids are excluded from the ledger side: a token
+    // REPLAY finds the batch's own band rows already committed, and without
+    // the exclusion docs would collide with themselves (and later same-batch
+    // docs would outrank earlier ones), flipping replay verdicts. In-batch
+    // relations are fully owned by effMin above, so the exclusion makes
+    // replays verdict-identical to the first run. The ledger STREAMS through
+    // the join while the batch's band rows broadcast — history is scanned
+    // (two pruned columns), never shuffled.
+    val ledgerHit =
+      if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
+      else {
+        val cands = CommitLog.scan(spark, ledgerTable)
+          .select(col("band"), col("bandhash"), col("id").as("old_id"))
+          .join(broadcast(keyed.select(col("id").as("old_id"))),
+            Seq("old_id"), "left_anti")
+          .join(broadcast(setBands), Seq("band", "bandhash"))
+          .select("setkey", "old_id").dropDuplicates("setkey", "old_id")
+        // candidate-pruned read of the history store: a point-lookup-shaped
+        // scan over exactly the colliding old ids, not a corpus pass
+        val histToks = history
+          .select(col(idCol).as("old_id"),
+            TextFunctions.distinctTokens(col(textCol)).as("htoks"))
+          .join(cands.select("old_id").distinct(), Seq("old_id"), "left_semi")
+          .select(col("old_id"), array_sort(col("htoks")).as("toks_b"),
+            size(col("htoks")).as("sz_b"))
+        Some(cands
+          .join(sets.select(col("setkey"),
+            col("stoks").as("toks_a"), col("sz").as("sz_a")), "setkey")
+          .join(histToks, "old_id")
+          .withColumn("jaccard",
+            common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("setkey").distinct()
+          .withColumn("hit", lit(true)))
+      }
+
+    val verdicts = keyed.select(col("id"), col("setkey"))
+      .join(effMin, Seq("setkey"))
+      .join(ledgerHit.getOrElse(
+        sets.select(col("setkey")).limit(0).withColumn("hit", lit(true))),
+        Seq("setkey"), "left")
+      .withColumn("kept",
+        col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
+      .select(col("id").as(idCol), col("kept"))
+    val out = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    // the ledger stays per-DOC (setkey is a batch-local notion); (doc, band)
+    // is the row identity — append dedups by idCol, so a plain doc id would
+    // collapse the band rows to one per doc
     CommitLog.append(
-      newBands.select(col("band"), col("bandhash"), col("id"),
-        lit(acceptedAt).as("accepted_at"),
-        concat_ws("#", col("id"), col("band")).as("row_id")),
+      setBands.join(keyed.select(col("setkey"), col("id")), "setkey")
+        .select(col("band"), col("bandhash"), col("id"),
+          lit(acceptedAt).as("accepted_at"),
+          concat_ws("#", col("id"), col("band")).as("row_id")),
       ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token)
-    toks.unpersist()
-    newBands.unpersist()
+    keyed.unpersist(); sets.unpersist(); setBands.unpersist()
     out
   }
 

@@ -290,34 +290,50 @@ object DedupOps {
     // replicates the four-batch MinHash-ledger run: a doc is dropped iff it
     // is exact-Jaccard >= 0.8 similar to ANY earlier-seen doc (earlier
     // batch, or same batch with smaller id) that shares a band key — the
-    // same md5+Kirsch-Mitzenmacher banding as dedup_minhash_lsh
+    // same md5+Kirsch-Mitzenmacher banding as dedup_minhash_lsh. Band keys
+    // are a pure function of the token SET, so the replication runs at
+    // distinct-set granularity (as the operator does): kept iff the doc is
+    // the (batch, id)-earliest across its similar-or-same-set
+    // neighbourhood — the pairwise "exists earlier similar doc" predicate
+    // restated without the doc-level band self-join that is quadratic in
+    // mega-duplicate groups.
     "incremental_minhash_dedup" ->
-      """WITH t AS (
+      """WITH t0 AS (
         |  SELECT doc_id AS id, CAST(substr(source, 4) AS INT) % 4 AS batch,
         |         list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents),
+        |t AS (SELECT id, batch, toks,
+        |        md5(list_aggr(list_sort(toks), 'string_agg', ' ')) AS setkey FROM t0),
+        |sets AS (SELECT setkey, arg_min(toks, id) AS toks FROM t GROUP BY setkey),
         |h AS (
-        |  SELECT id, ('0x'||substr(md5(tok),1,16))::UBIGINT::HUGEINT AS h1,
+        |  SELECT setkey, ('0x'||substr(md5(tok),1,16))::UBIGINT::HUGEINT AS h1,
         |         ('0x'||substr(md5(tok),17,16))::UBIGINT::HUGEINT AS h2
-        |  FROM (SELECT id, unnest(toks) AS tok FROM t)),
+        |  FROM (SELECT setkey, unnest(toks) AS tok FROM sets)),
         |lanes AS (
-        |  SELECT id, i, min((h1 + i*h2) % 18446744073709551616::HUGEINT) AS lane
-        |  FROM h, generate_series(0, 59) s(i) GROUP BY id, i),
+        |  SELECT setkey, i, min((h1 + i*h2) % 18446744073709551616::HUGEINT) AS lane
+        |  FROM h, generate_series(0, 59) s(i) GROUP BY setkey, i),
         |bands AS (
-        |  SELECT id, i // 6 AS band, string_agg(lane::VARCHAR, ',' ORDER BY i) AS bandkey
-        |  FROM lanes GROUP BY id, i // 6),
+        |  SELECT setkey, i // 6 AS band, string_agg(lane::VARCHAR, ',' ORDER BY i) AS bandkey
+        |  FROM lanes GROUP BY setkey, i // 6),
         |cand AS (
-        |  SELECT DISTINCT a.id AS new_id, b.id AS old_id
+        |  SELECT DISTINCT a.setkey AS sa, b.setkey AS sb
         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandkey = b.bandkey
-        |  JOIN t ta ON ta.id = a.id JOIN t tb ON tb.id = b.id
-        |  WHERE tb.batch < ta.batch OR (tb.batch = ta.batch AND tb.id < ta.id)),
-        |dup AS (
-        |  SELECT DISTINCT c.new_id FROM cand c
-        |  JOIN t x ON x.id = c.new_id JOIN t y ON y.id = c.old_id
+        |   AND a.setkey < b.setkey),
+        |sim AS (
+        |  SELECT c.sa, c.sb FROM cand c
+        |  JOIN sets x ON x.setkey = c.sa JOIN sets y ON y.setkey = c.sb
         |  WHERE len(list_intersect(x.toks, y.toks))::DOUBLE
-        |      / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))::DOUBLE >= 0.8)
-        |SELECT t.id AS doc_id, t.batch, (d.new_id IS NULL) AS kept
-        |FROM t LEFT JOIN dup d ON d.new_id = t.id
+        |      / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks)))::DOUBLE >= 0.8),
+        |nbr AS (
+        |  SELECT sa AS setkey, sb AS other FROM sim
+        |  UNION SELECT sb, sa FROM sim
+        |  UNION SELECT setkey, setkey FROM sets),
+        |ord AS (SELECT id, batch, setkey, batch * 10000000 + id AS k FROM t),
+        |effmin AS (
+        |  SELECT n.setkey, min(o.k) AS mink
+        |  FROM nbr n JOIN ord o ON o.setkey = n.other GROUP BY n.setkey)
+        |SELECT o.id AS doc_id, o.batch, (o.k = e.mink) AS kept
+        |FROM ord o JOIN effmin e ON e.setkey = o.setkey
         |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" ->
       """WITH tok AS (
