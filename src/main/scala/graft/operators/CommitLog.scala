@@ -130,6 +130,64 @@ object CommitLog {
     spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
   }
 
+  private def parseOp(s: String): String = {
+    val m = java.util.regex.Pattern.compile("\"op\":\"(.*?)\"").matcher(s)
+    if (m.find()) m.group(1) else "append"
+  }
+
+  /** CHANGE FEED (the Delta CDF analog): the logical row changes committed
+    * in `(fromVersion, toVersion]`, as table rows plus `_change_type`
+    * ("insert" / "delete") and `_commit_version` columns.
+    *
+    *   - "append" entries contribute their added files as inserts;
+    *   - "compact" entries contribute NOTHING — a compaction rewrites the
+    *     same logical rows into fewer files, and this is exactly why the
+    *     log records op strings: a bare file diff cannot tell a rewrite
+    *     from new data;
+    *   - "retain" (retention partition drop) entries contribute the
+    *     removed files' rows as deletes — the files stay on disk and
+    *     readable until [[vacuum]] reclaims them, past which the feed
+    *     THROWS instead of silently under-reporting deletes.
+    *
+    * This is the incremental-consumer contract: a downstream metrics
+    * refresh or replica reads `(lastSeen, head]` and applies
+    * inserts/deletes instead of rescanning the table. Cost is file-pruned
+    * by construction — only the entries' own files are opened, never the
+    * table — so a day's catch-up on a 100 TB store reads a day's files. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    require(0 <= fromVersion && fromVersion <= toVersion,
+      s"bad change-feed range ($fromVersion, $toVersion]")
+    val base = dataDir(table).toString
+    def read(paths: Seq[Path], change: String, v: Long): DataFrame =
+      spark.read.option("basePath", base)
+        .parquet(paths.map(_.toString): _*)
+        .withColumn("_change_type", lit(change))
+        .withColumn("_commit_version", lit(v))
+    val frames = (fromVersion + 1 to toVersion).flatMap { v =>
+      val p = entryPath(table, v)
+      if (!Files.exists(p)) Nil
+      else {
+        val s = Files.readString(p)
+        val (adds, removes) = parseEntry(s)
+        parseOp(s) match {
+          case "append" if adds.nonEmpty =>
+            Seq(read(adds.map(a => Paths.get(table).resolve(a.path)), "insert", v))
+          case "retain" if removes.nonEmpty =>
+            val paths = removes.map(r => Paths.get(table).resolve(r))
+            val gone = paths.filterNot(Files.exists(_))
+            if (gone.nonEmpty) throw new IllegalStateException(
+              s"change feed for version $v needs vacuumed files (${gone.head})")
+            Seq(read(paths, "delete", v))
+          case _ => Nil // compact: physical reorganization, no logical change
+        }
+      }
+    }
+    if (frames.isEmpty) throw new IllegalStateException(
+      s"no change entries in ($fromVersion, $toVersion] of $table")
+    frames.reduce(_.unionByName(_))
+  }
+
   /** Physically delete data files no longer referenced by the CURRENT
     * snapshot (removed by compaction/retention, or left by a crashed
     * writer). After a vacuum, time travel reaches back only as far as the
@@ -366,14 +424,16 @@ object CommitLog {
   }
 
   /** Retention: drop all files of months strictly before `keepFromMonth` in
-    * ONE commit — readers atomically stop seeing them; physical deletion
-    * happens after the commit succeeds (crash between commit and unlink
-    * leaves only unreferenced garbage, never resurrected data). */
+    * ONE commit — readers atomically stop seeing them. Physical deletion is
+    * DEFERRED to [[vacuum]] (the Delta/Iceberg split: retention is a
+    * metadata operation, reclamation is maintenance) so that, until a
+    * vacuum runs, time travel still reaches pre-retention versions and
+    * [[changesBetween]] can emit the dropped rows as deletes to
+    * incremental consumers. */
   def dropMonthsBefore(table: String, keepFromMonth: String): Seq[String] = {
     val old = snapshot(table).files.filter(_.month < keepFromMonth)
     if (old.isEmpty) return Nil
     commit(table, "retain", Nil, removes = old.map(_.path))
-    old.foreach(f => Files.deleteIfExists(Paths.get(table).resolve(f.path)))
     old.map(_.month).distinct.sorted
   }
 }

@@ -91,6 +91,31 @@ object EventOps2 {
         .orderBy(col("event_type"))
     }),
 
+    // the commit-log CHANGE FEED (Delta CDF analog): four monthly batches
+    // appended (v1,v2,v3,v5), a compaction between them (v4 — physical
+    // reorganization, must contribute NOTHING), and a retention drop of
+    // the oldest month (v6 — emits deletes from the still-on-disk files).
+    // changesBetween(1, 6) must therefore see batches 1..3 as inserts at
+    // their exact commit versions and batch 0 as deletes at v6 — an
+    // incremental consumer's catch-up read, file-pruned by construction.
+    "logstore_changefeed" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+      val docs = Tables.documents(s, dir)
+        .withColumn("b", expr("CAST(substring(source, 4) AS INT) % 4"))
+        .withColumn("ts", expr("make_timestamp(2024, b + 1, 15, 0, 0, 0)"))
+        .select("doc_id", "b", "ts", "source")
+      (0 until 3).foreach { b =>
+        CommitLog.append(docs.filter(col("b") === b), table,
+          idCol = "doc_id", tsCol = "ts")
+      }
+      CommitLog.compactMonth(s, table, "2024-02", idCol = "doc_id", tsCol = "ts")
+      CommitLog.append(docs.filter(col("b") === 3), table,
+        idCol = "doc_id", tsCol = "ts")
+      CommitLog.dropMonthsBefore(table, keepFromMonth = "2024-02")
+      CommitLog.changesBetween(s, table, 1, 6)
+        .select(col("doc_id"), col("_change_type"), col("_commit_version"))
+    }),
+
     // the reference's TTL + OPTIMIZE maintenance cycle at query scale
     // (`internal/logretention/clickhouse_ttl.go:42-76` partition drops;
     // ClickHouse background merges → explicit Z-order rewrite here): a
@@ -214,6 +239,15 @@ object EventOps2 {
     "logstore_commitlog" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "logstore_changefeed" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INT) % 4 AS b FROM documents)
+        |SELECT doc_id, 'insert' AS _change_type,
+        |  CAST(CASE b WHEN 1 THEN 2 WHEN 2 THEN 3 ELSE 5 END AS BIGINT) AS _commit_version
+        |FROM t WHERE b >= 1
+        |UNION ALL
+        |SELECT doc_id, 'delete', CAST(6 AS BIGINT) FROM t WHERE b = 0
+        |ORDER BY doc_id, _change_type""".stripMargin,
     "logstore_optimize" ->
       """WITH ev AS (
         |  SELECT ts + to_days(CAST((event_id % 12) * 30 AS INT)) AS ts,

@@ -156,7 +156,31 @@ class CommitLogSpec extends GraftSuite {
     intercept[Exception] { CommitLog.scanAt(spark, t, v1).count() }
   }
 
-  test("retention deletes files only after the commit; readers never see a half state") {
+  test("change feed: appends as inserts, compaction silent, retention as deletes, vacuumed deletes throw") {
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 30, "2024-01"), t, "id", "ts")   // v1
+    CommitLog.append(sampleBatch(30 until 50, "2024-02"), t, "id", "ts")  // v2
+    CommitLog.compactMonth(spark, t, "2024-02", "id", "ts")               // v3
+    // catch-up from v1: only batch 2's inserts — the compaction rewrote
+    // the same logical rows and must contribute nothing
+    val feed = CommitLog.changesBetween(spark, t, 1, 3)
+    assert(feed.filter(col("_change_type") === "insert").count() == 20)
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0)
+    assert(feed.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+
+    CommitLog.dropMonthsBefore(t, keepFromMonth = "2024-02")              // v4
+    val drops = CommitLog.changesBetween(spark, t, 3, 4)
+    assert(drops.filter(col("_change_type") === "delete").count() == 30)
+    // after vacuum the dropped month's files are gone: the feed must
+    // refuse (throw) rather than silently under-report the deletes
+    CommitLog.vacuum(t, graceMillis = 0L)
+    intercept[IllegalStateException] {
+      CommitLog.changesBetween(spark, t, 3, 4).count()
+    }
+  }
+
+  test("retention is one atomic metadata commit; physical reclamation waits for vacuum") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
     CommitLog.append(sampleBatch(10 until 25, "2024-02"), t, "id", "ts")
