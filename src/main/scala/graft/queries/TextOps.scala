@@ -68,6 +68,14 @@ object TextOps {
         .orderBy(col("lang"))
     }),
 
+    // one BPE vocabulary-induction round at corpus scale: adjacent
+    // character-pair frequencies over all words, deterministic greedy
+    // order (count desc, pair asc). The iterative trainer
+    // (Vocab.bpeTrain) is spec-pinned against a naive in-JVM BPE; this
+    // gate pins the distributed counting shape it repeats each round.
+    "bpe_pair_counts" -> ((s, dir) =>
+      graft.operators.Vocab.pairCounts(Tables.documents(s, dir), topK = 50)),
+
     // language ID (marker heuristic) vs the labeled lang column.
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -308,6 +316,15 @@ object TextOps {
         |  round(CAST(count(*) FILTER (quality >= c.cut) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS retention
         |FROM t, c GROUP BY lang, c.cut ORDER BY lang""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |pr AS (
+        |  SELECT substr(w, i, 2) AS pair, count(*) AS n
+        |  FROM words, unnest(generate_series(1, len(w) - 1)) AS s(i)
+        |  WHERE len(w) >= 2
+        |  GROUP BY 1)
+        |SELECT pair, n FROM pr ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "text_langid" ->
       s"""WITH h AS (
         |  SELECT lang,

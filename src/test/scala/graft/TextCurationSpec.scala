@@ -165,4 +165,52 @@ class TextCurationSpec extends GraftSuite {
       .toSeq.sortBy(t => (t._1, t._2))
     assert(viaPostings == want, s"postings path diverged: $viaPostings")
   }
+
+  test("BPE training matches a naive single-machine reference, merge for merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      "low lower lowest low low",
+      "new newer newest new newly",
+      "wide wider widest new low",
+      "slow slower slowest slowly slow")
+    // naive reference: the textbook greedy loop over in-memory word lists
+    def naiveBpe(texts: Seq[String], merges: Int): Seq[(String, String)] = {
+      var words: Seq[Vector[String]] =
+        texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+          .map(w => w.map(_.toString).toVector)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var r = 0
+      while (r < merges) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach(w => w.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+          case _ => ()
+        })
+        if (counts.isEmpty) return out.toSeq
+        val (a, b) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }._1
+        out += ((a, b))
+        words = words.map { w =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          w.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b)
+              acc(acc.size - 1) = a + b
+            else acc += s
+          }
+          acc.toVector
+        }
+        r += 1
+      }
+      out.toSeq
+    }
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.operators.Vocab.bpeTrain(docs, merges = 8)
+    val want = naiveBpe(corpus, 8)
+    assert(got == want, s"\nspark: $got\nnaive: $want")
+    // the overlapping-run scan semantics: "aaaa" + (a,a) -> [aa, aa]
+    val runs = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val m = graft.operators.Vocab.bpeTrain(runs, merges = 2)
+    assert(m == naiveBpe(Seq("aaaa aaa"), 2) && m.head == (("a", "a")), m.toString)
+  }
 }
