@@ -53,6 +53,60 @@ object Vocab {
     * pattern) — without it round r carries r nested `aggregate` lambdas
     * through analysis and codegen.
     */
+  /** ENCODE — apply a trained merge table to the corpus: per word, start
+    * from characters and repeatedly merge the lowest-RANK adjacent pair
+    * present (one left-to-right scan per selection) until none remains.
+    * This per-word rank loop is provably identical to replaying the whole
+    * merge table in training order (a merge never creates a pair of lower
+    * rank than anything already processed — ranks are assigned in
+    * creation order), which the spec pins empirically.
+    *
+    * Why a UDF and not a Column fold: replaying k merges as k nested
+    * `aggregate` lambdas builds an O(k)-deep expression tree — fine for
+    * the spec's 8 merges, catastrophic for a real 32k-merge vocabulary
+    * (Columns are trees; see the MetricsBench floor-div cautionary note).
+    * The rank loop is a tight per-row string loop with a per-executor
+    * immutable rank map riding the closure — embarrassingly parallel,
+    * ZERO shuffle, and the one projection it de-fuses from codegen is
+    * inherently loop-heavy anyway.
+    */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             textCol: String = "text"): DataFrame = {
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else text.split(" ").filter(_.nonEmpty).flatMap { w =>
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        w.foreach(c => syms += c.toString)
+        var done = syms.length < 2
+        while (!done) {
+          var best = Int.MaxValue
+          var i = 0
+          while (i < syms.length - 1) {
+            val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+            if (r < best) best = r
+            i += 1
+          }
+          if (best == Int.MaxValue) done = true
+          else {
+            val (a, b) = merges(best)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { s =>
+              if (merged.nonEmpty && merged.last == a && s == b)
+                merged(merged.length - 1) = a + b
+              else merged += s
+            }
+            syms.clear(); syms ++= merged
+            done = syms.length < 2
+          }
+        }
+        syms
+      }
+    }
+    docs.withColumn("tokens", enc(col(textCol)))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
   def bpeTrain(docs: DataFrame, merges: Int = 10, textCol: String = "text",
                sampleFraction: Double = 1.0): Seq[(String, String)] = {
     val base = (if (sampleFraction < 1.0)

@@ -76,6 +76,25 @@ object TextOps {
     "bpe_pair_counts" -> ((s, dir) =>
       graft.operators.Vocab.pairCounts(Tables.documents(s, dir), topK = 50)),
 
+    // the encode side as checked invariants: train 10 merges on the
+    // corpus, tokenize every document with the rank loop, and pin (1)
+    // losslessness — tokens concatenate back to the exact spaceless text,
+    // char for char (DuckDB recomputes the expected total) — and (2)
+    // strict compression — the merge table actually shortened the corpus.
+    "bpe_encode_check" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Vocab.bpeTrain(docs, merges = 10)
+      graft.operators.Vocab.encode(docs, merges)
+        .select(col("tokens"), col("n_tokens"),
+          regexp_replace(col("text"), " ", "").as("flat"))
+        .agg(
+          sum(length(concat_ws("", col("tokens")))).cast("long")
+            .as("total_token_chars"),
+          min(concat_ws("", col("tokens")) === col("flat")).as("lossless"),
+          (sum(col("n_tokens")) < sum(length(col("flat"))))
+            .as("tokens_strictly_fewer"))
+    }),
+
     // language ID (marker heuristic) vs the labeled lang column.
     "text_langid" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -325,6 +344,10 @@ object TextOps {
         |  WHERE len(w) >= 2
         |  GROUP BY 1)
         |SELECT pair, n FROM pr ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "bpe_encode_check" ->
+      """SELECT CAST(sum(len(replace(text, ' ', ''))) AS BIGINT) AS total_token_chars,
+        |  true AS lossless, true AS tokens_strictly_fewer
+        |FROM documents""".stripMargin,
     "text_langid" ->
       s"""WITH h AS (
         |  SELECT lang,

@@ -213,4 +213,34 @@ class TextCurationSpec extends GraftSuite {
     val m = graft.operators.Vocab.bpeTrain(runs, merges = 2)
     assert(m == naiveBpe(Seq("aaaa aaa"), 2) && m.head == (("a", "a")), m.toString)
   }
+
+  test("BPE encode (rank loop) equals replaying the merge table in training order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = graft.core.Tables.documents(spark, sf).limit(50)
+    val merges = graft.operators.Vocab.bpeTrain(docs, merges = 8)
+    assert(merges.size == 8)
+    // sequential replay: merge table applied in order, one fold pass each,
+    // per word — the definitional semantics the rank loop must reproduce
+    def replay(text: String): Seq[String] =
+      text.split(" ").filter(_.nonEmpty).toSeq.flatMap { w =>
+        merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { s =>
+            if (acc.nonEmpty && acc.last == a && s == b)
+              acc(acc.size - 1) = a + b
+            else acc += s
+          }
+          acc.toVector
+        }
+      }
+    val got = graft.operators.Vocab.encode(docs, merges)
+      .select("text", "tokens").collect()
+    got.foreach { r =>
+      val (text, toks) = (r.getString(0), r.getSeq[String](1))
+      assert(toks == replay(text),
+        s"rank-loop and sequential replay diverged on: $text")
+      assert(toks.mkString("") == text.replace(" ", ""), "lossless")
+    }
+  }
 }
