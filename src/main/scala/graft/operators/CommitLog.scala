@@ -43,7 +43,16 @@ import org.apache.spark.sql.functions._
   */
 object CommitLog {
 
-  final case class AddFile(path: String, month: String)
+  /** One live data file. `tsMin`/`tsMax` are the file's event-time bounds
+    * in epoch MICROS (inclusive), carried in the log so time-range reads
+    * prune files at PLAN time from the manifest alone — the
+    * Delta/Iceberg stats-in-manifest pattern; at 100 TB this replaces
+    * opening thousands of parquet footers with one small log read. The
+    * unbounded defaults keep pre-stats entries (and any writer that skips
+    * stats) correctness-safe: an unknown range is never pruned. */
+  final case class AddFile(path: String, month: String,
+                           tsMin: Long = Long.MinValue,
+                           tsMax: Long = Long.MaxValue)
   final case class Snapshot(version: Long, files: Seq[AddFile])
 
   /** Write a checkpoint every this-many commits. */
@@ -85,14 +94,21 @@ object CommitLog {
     }
     val adds = strings("adds")
     val months = strings("months")
-    (adds.zip(months).map { case (p, mo) => AddFile(p, mo) }, strings("removes"))
+    val mins = strings("tsmins")
+    val maxs = strings("tsmaxs")
+    val files = adds.zipWithIndex.map { case (p, i) =>
+      val lo = if (i < mins.length) mins(i).toLong else Long.MinValue
+      val hi = if (i < maxs.length) maxs(i).toLong else Long.MaxValue
+      AddFile(p, months(i), lo, hi)
+    }
+    (files, strings("removes"))
   }
 
   private def renderEntry(op: String, adds: Seq[AddFile], removes: Seq[String],
                           token: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val tok = token.map(t => s""","token":"$t"""").getOrElse("")
-    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"removes":${arr(removes)}$tok}"""
+    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"tsmins":${arr(adds.map(_.tsMin.toString))},"tsmaxs":${arr(adds.map(_.tsMax.toString))},"removes":${arr(removes)}$tok}"""
   }
 
   /** Thrown inside [[commit]] when the idempotency token is already in the
@@ -338,14 +354,29 @@ object CommitLog {
     ()
     val staging = Files.createTempDirectory(Paths.get(
       { Files.createDirectories(Paths.get(table)); table }), ".stage-")
-    batch
+    val deduped = batch
       .dropDuplicates(idCol)
       .withColumn("month", date_format(
         graft.functions.Buckets.utcFields(col(tsCol)), "yyyy-MM"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deduped
       .repartition(col("month"))
       .sortWithinPartitions(col(tsCol), col(idCol))
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
-    val adds = moveStaged(staging, table)
+    // per-month event-time bounds for the manifest (one batch-sized agg;
+    // the batch is the small side by design). Attached per FILE: with
+    // multiple files per month the month-level bounds are loose but valid
+    // — pruning may keep an extra file, never drop a needed one.
+    val stats: Map[String, (Long, Long)] = deduped
+      .groupBy(col("month"))
+      .agg(min(unix_micros(col(tsCol))).as("lo"), max(unix_micros(col(tsCol))).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    deduped.unpersist()
+    val adds = moveStaged(staging, table).map { a =>
+      stats.get(a.month)
+        .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
+        .getOrElse(a)
+    }
     try commit(table, "append", adds, token = token)
     catch {
       case _: AlreadyApplied => // replay raced us: discard, table unchanged
@@ -393,6 +424,33 @@ object CommitLog {
     spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
   }
 
+  /** PLAN-TIME file pruning for a `[fromMicros, toMicros)` event-time
+    * range, from the manifest stats alone — zero file IO, no footer
+    * reads. Files whose entries predate stats (unbounded defaults) are
+    * kept: pruning is never allowed to be wrong, only incomplete. */
+  def planFiles(table: String, fromMicros: Long, toMicros: Long): Seq[AddFile] =
+    snapshot(table).files
+      .filter(f => f.tsMax >= fromMicros && f.tsMin < toMicros)
+
+  /** Time-range scan planned from manifest stats ([[planFiles]]); the
+    * row-level range filter is applied on top, so the result is exact
+    * regardless of how loose a file's bounds are. */
+  def scanRange(spark: SparkSession, table: String, tsCol: String,
+                fromMicros: Long, toMicros: Long): DataFrame = {
+    val files = planFiles(table, fromMicros, toMicros)
+      .map(f => Paths.get(table).resolve(f.path).toString)
+    if (files.isEmpty) {
+      // valid empty result: reuse the table schema via one live file
+      val any = snapshot(table).files.headOption.getOrElse(
+        throw new IllegalStateException(s"empty commit-log table at $table"))
+      return spark.read.option("basePath", dataDir(table).toString)
+        .parquet(Paths.get(table).resolve(any.path).toString).limit(0)
+    }
+    spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
+      .filter(unix_micros(col(tsCol)) >= fromMicros &&
+        unix_micros(col(tsCol)) < toMicros)
+  }
+
   /** Concurrent-safe compaction of one month: read that month's files from
     * a snapshot, rewrite them as `targetFiles` sorted+deduped runs, commit
     * (adds, removes=old files). An append landing between snapshot and
@@ -412,7 +470,12 @@ object CommitLog {
       .repartition(targetFiles)
       .sortWithinPartitions(col(tsCol), col(idCol))
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+    // manifest stats: the union of the replaced files' bounds is valid
+    // for free (compaction only dedups rows, so true bounds can only
+    // shrink — a loose-but-valid range never mis-prunes)
+    val (lo, hi) = (old.map(_.tsMin).min, old.map(_.tsMax).max)
     val adds = moveStaged(staging, table)
+      .map(_.copy(tsMin = lo, tsMax = hi))
     try commit(table, "compact", adds, removes = old.map(_.path))
     catch {
       case e: ConcurrentDelete =>

@@ -180,6 +180,31 @@ class CommitLogSpec extends GraftSuite {
     }
   }
 
+  test("manifest stats prune time-range plans with zero file IO; loose bounds never mis-prune") {
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 20, "2024-01"), t, "id", "ts")
+    CommitLog.append(sampleBatch(20 until 50, "2024-02"), t, "id", "ts")
+    CommitLog.append(sampleBatch(50 until 70, "2024-03"), t, "id", "ts")
+    def micros(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000L
+    val (lo, hi) = (micros("2024-02-01 00:00:00"), micros("2024-03-01 00:00:00"))
+    // plan: pure metadata — only February's file survives the stats filter
+    assert(CommitLog.planFiles(t, lo, hi).map(_.month).distinct == Seq("2024-02"))
+    assert(CommitLog.scanRange(spark, t, "ts", lo, hi).count() == 30)
+    // compaction carries the union of the replaced files' bounds: pruning
+    // behavior is unchanged after the rewrite
+    CommitLog.compactMonth(spark, t, "2024-02", "id", "ts")
+    assert(CommitLog.planFiles(t, lo, hi).map(_.month).distinct == Seq("2024-02"))
+    assert(CommitLog.scanRange(spark, t, "ts", lo, hi).count() == 30)
+    // empty plan still returns a schema'd (0-row) frame
+    assert(CommitLog.scanRange(spark, t, "ts",
+      micros("2030-01-01 00:00:00"), micros("2031-01-01 00:00:00")).count() == 0)
+    // a stats-less entry (pre-stats writer) is unbounded: planned for ANY
+    // range — pruning may be incomplete, never wrong
+    CommitLog.commit(t, "append", Seq(AddFile("data/month=2024-04/ghost.parquet", "2024-04")))
+    assert(CommitLog.planFiles(t, micros("2030-01-01 00:00:00"),
+      micros("2031-01-01 00:00:00")).map(_.month) == Seq("2024-04"))
+  }
+
   test("retention is one atomic metadata commit; physical reclamation waits for vacuum") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
