@@ -347,7 +347,8 @@ object CommitLog {
     * so two racing appends of the same token serialize through the version
     * claim: the loser re-reads the log, sees the token, and skips. */
   def append(batch: DataFrame, table: String, idCol: String, tsCol: String,
-             token: Option[String] = None): Long = {
+             token: Option[String] = None,
+             statsHint: Option[(Long, Long)] = None): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
@@ -366,14 +367,19 @@ object CommitLog {
     // per-month event-time bounds for the manifest (one batch-sized agg;
     // the batch is the small side by design). Attached per FILE: with
     // multiple files per month the month-level bounds are loose but valid
-    // — pruning may keep an extra file, never drop a needed one.
-    val stats: Map[String, (Long, Long)] = deduped
-      .groupBy(col("month"))
-      .agg(min(unix_micros(col(tsCol))).as("lo"), max(unix_micros(col(tsCol))).as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // — pruning may keep an extra file, never drop a needed one. Callers
+    // whose tsCol is a KNOWN constant (the dedup ledgers stamp a literal
+    // accepted_at) pass statsHint and skip the agg — a full pass for a
+    // compile-time-known answer is pure waste.
+    val stats: Map[String, (Long, Long)] =
+      if (statsHint.isDefined) Map.empty
+      else deduped
+        .groupBy(col("month"))
+        .agg(min(unix_micros(col(tsCol))).as("lo"), max(unix_micros(col(tsCol))).as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     deduped.unpersist()
     val adds = moveStaged(staging, table).map { a =>
-      stats.get(a.month)
+      statsHint.orElse(stats.get(a.month))
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }

@@ -190,10 +190,12 @@ object Dedup {
         CommitLog.scan(spark, ledgerTable).select("dup_hash"),
         Seq("dup_hash"), "left_anti")
     val accepted = fresh.localCheckpoint()
+    val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
       accepted.select(col("dup_hash"), col(idCol).as("keeper_id"),
         lit(acceptedAt).as("accepted_at")),
-      ledgerTable, idCol = "dup_hash", tsCol = "accepted_at", token = token)
+      ledgerTable, idCol = "dup_hash", tsCol = "accepted_at", token = token,
+      statsHint = Some((atMicros, atMicros)))
     accepted.drop("dup_hash")
   }
 
@@ -344,12 +346,14 @@ object Dedup {
     // the ledger stays per-DOC (setkey is a batch-local notion); (doc, band)
     // is the row identity — append dedups by idCol, so a plain doc id would
     // collapse the band rows to one per doc
+    val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
       setBands.join(keyed.select(col("setkey"), col("id")), "setkey")
         .select(col("band"), col("bandhash"), col("id"),
           lit(acceptedAt).as("accepted_at"),
           concat_ws("#", col("id"), col("band")).as("row_id")),
-      ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token)
+      ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
+      statsHint = Some((atMicros, atMicros)))
     keyed.unpersist(); sets.unpersist(); setBands.unpersist()
     out
   }
