@@ -112,8 +112,10 @@ object CommitLog {
   }
 
   /** Thrown inside [[commit]] when the idempotency token is already in the
-    * log; [[append]] catches it, discards its staged files, and no-ops. */
-  private final class AlreadyApplied extends RuntimeException
+    * log; [[append]] (and table-shaped operators staging their own replace
+    * commits, e.g. the incremental-agg refresh) catch it, discard their
+    * staged files, and no-op. */
+  private[operators] final class AlreadyApplied extends RuntimeException
 
   private def checkpointPath(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%020d.checkpoint.json")
@@ -171,7 +173,15 @@ object CommitLog {
     * by construction — only the entries' own files are opened, never the
     * table — so a day's catch-up on a 100 TB store reads a day's files. */
   def changesBetween(spark: SparkSession, table: String,
-                     fromVersion: Long, toVersion: Long): DataFrame = {
+                     fromVersion: Long, toVersion: Long): DataFrame =
+    changesBetweenIfAny(spark, table, fromVersion, toVersion).getOrElse(
+      throw new IllegalStateException(
+        s"no change entries in ($fromVersion, $toVersion] of $table"))
+
+  /** [[changesBetween]], but None when the range holds no logical changes
+    * (empty, or compactions only) — the incremental consumer's probe. */
+  def changesBetweenIfAny(spark: SparkSession, table: String,
+                          fromVersion: Long, toVersion: Long): Option[DataFrame] = {
     require(0 <= fromVersion && fromVersion <= toVersion,
       s"bad change-feed range ($fromVersion, $toVersion]")
     val base = dataDir(table).toString
@@ -199,9 +209,27 @@ object CommitLog {
         }
       }
     }
-    if (frames.isEmpty) throw new IllegalStateException(
-      s"no change entries in ($fromVersion, $toVersion] of $table")
-    frames.reduce(_.unionByName(_))
+    frames.reduceOption(_.unionByName(_))
+  }
+
+  /** Newest committed token matching `prefix`, scanning entries
+    * newest-first (bounded at `lastK`). Consumers store their progress
+    * cursor this way — state lives IN the log, atomic with the commit it
+    * describes: no side file, no crash window between "applied" and
+    * "recorded". */
+  def latestToken(table: String, prefix: String, lastK: Int = 500): Option[String] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val versions = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.contains("checkpoint") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).toSeq.sorted.takeRight(lastK).reverse
+    val pat = java.util.regex.Pattern.compile(
+      "\"token\":\"(" + java.util.regex.Pattern.quote(prefix) + "[^\"]*)\"")
+    versions.iterator.flatMap { v =>
+      val m = pat.matcher(Files.readString(entryPath(table, v)))
+      if (m.find()) Some(m.group(1)) else None
+    }.take(1).toSeq.headOption
   }
 
   /** Physically delete data files no longer referenced by the CURRENT

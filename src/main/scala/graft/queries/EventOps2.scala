@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{CommitLog, Logstore, TemporalJoins}
+import graft.operators.{CommitLog, IncrementalAgg, Logstore, TemporalJoins}
 import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -114,6 +114,34 @@ object EventOps2 {
       CommitLog.dropMonthsBefore(table, keepFromMonth = "2024-02")
       CommitLog.changesBetween(s, table, 1, 6)
         .select(col("doc_id"), col("_change_type"), col("_commit_version"))
+    }),
+
+    // incremental VIEW MAINTENANCE on the change feed: a daily
+    // count+sum aggregate kept in sync across three fact appends and a
+    // retention drop — inserts increment, retention deletes DECREMENT
+    // (the agg "forgets" the dropped month), and each refresh rewrites
+    // only months containing changed buckets. The final maintained table
+    // must equal DuckDB's from-scratch recompute under the same
+    // retention window.
+    "incremental_agg_refresh" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_iagg").toString
+      val (fact, agg) = (s"$base/fact", s"$base/agg")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+        col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+      val spec = IncrementalAgg.Spec("ts", "cents", Seq("event_type"), "1d")
+      (0 until 3).foreach { b =>
+        CommitLog.append(ev.filter(pmod(col("event_id"), lit(3)) === b), fact,
+          idCol = "event_id", tsCol = "ts", token = Some(s"b$b"))
+        IncrementalAgg.refresh(s, fact, agg, spec)
+      }
+      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
+      IncrementalAgg.refresh(s, fact, agg, spec)
+      IncrementalAgg.readAgg(s, agg)
+        .select(unix_millis(col("bucket_ts")).as("bucket_ms"), col("event_type"),
+          col("count"), (col("sum_value").cast("double") / 100.0).as("sum_value"))
     }),
 
     // the reference's TTL + OPTIMIZE maintenance cycle at query scale
@@ -248,6 +276,16 @@ object EventOps2 {
         |UNION ALL
         |SELECT doc_id, 'delete', CAST(6 AS BIGINT) FROM t WHERE b = 0
         |ORDER BY doc_id, _change_type""".stripMargin,
+    "incremental_agg_refresh" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT epoch_ms(time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP)) AS bucket_ms,
+        |  event_type, count(*) AS count,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+        |FROM ev WHERE strftime(ts::TIMESTAMP, '%Y-%m') >= '2024-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "logstore_optimize" ->
       """WITH ev AS (
         |  SELECT ts + to_days(CAST((event_id % 12) * 30 AS INT)) AS ts,
