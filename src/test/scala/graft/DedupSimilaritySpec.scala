@@ -463,4 +463,71 @@ class DedupSimilaritySpec extends GraftSuite {
         "blocked by the dropped doc 10's band rows")
     }
   }
+
+  test("incremental MinHash ledger: randomized cross-check vs an in-JVM reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Third implementation of the semantics, independent of Spark AND
+    // DuckDB: md5 Kirsch-Mitzenmacher banding in plain JVM code (unsigned
+    // 64-bit wraparound = Java long arithmetic; unsigned min/rendering),
+    // then "dropped iff an earlier (batch, id) doc shares a band key and
+    // exact Jaccard >= t".
+    def bandKeys(toks: Set[String]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hs = toks.toSeq.map { t =>
+        val d = md.digest(t.getBytes("UTF-8"))
+        def lng(off: Int): Long =
+          (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(off + i) & 0xffL))
+        (lng(0), lng(8))
+      }
+      (0 until 10).map { band =>
+        (band * 6 until (band + 1) * 6).map { i =>
+          val lane = hs.map { case (h1, h2) => h1 + i * h2 }
+            .reduce((a, b) => if (java.lang.Long.compareUnsigned(a, b) <= 0) a else b)
+          java.lang.Long.toUnsignedString(lane)
+        }.mkString(",")
+      }
+    }
+    def jacc(a: Set[String], b: Set[String]): Double =
+      a.intersect(b).size.toDouble / a.union(b).size.toDouble
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 30).map(i => s"w$i")
+    for (trial <- 1 to 3) {
+      val docs = (1 to 60).map { id =>
+        // half the docs are noisy variants of a few templates -> real
+        // cross-batch near-dups at assorted similarity levels
+        val toks =
+          if (id % 2 == 0) {
+            val tmpl = (1 to 20).map(j => vocab((j * (1 + id % 5)) % vocab.size))
+            tmpl.map(t => if (rnd.nextDouble() < 0.08) vocab(rnd.nextInt(vocab.size)) else t)
+          } else (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (id.toLong, id % 3, toks.mkString(" "))
+      }
+      val expect = {
+        val withSets = docs.map { case (id, b, text) =>
+          (id, b, text.split(" ").toSet) }
+        withSets.map { case (id, b, toks) =>
+          val bands = bandKeys(toks).toSet
+          val dropped = withSets.exists { case (id2, b2, toks2) =>
+            ((b2 < b) || (b2 == b && id2 < id)) &&
+              bandKeys(toks2).exists(bands.contains) && jacc(toks, toks2) >= 0.8
+          }
+          id -> !dropped
+        }.toMap
+      }
+      val ledger = java.nio.file.Files
+        .createTempDirectory(s"graft_inc_rand$trial").toString + "/ledger"
+      val df = docs.toDF("doc_id", "batch", "text")
+      val got = (0 until 3).flatMap { b =>
+        Dedup.incrementalMinhashBatch(
+          df.filter(col("batch") === b), df.filter(col("batch") < b), ledger,
+          java.sql.Timestamp.valueOf(f"2024-05-01 0$b%02d:00:00"),
+          token = Some(s"t$trial-b$b"), portableBanding = true)
+          .select("doc_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1))
+      }.toMap
+      assert(got == expect,
+        s"trial $trial diverged: ${got.toSet.diff(expect.toSet)}")
+    }
+  }
 }
