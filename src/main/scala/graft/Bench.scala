@@ -137,9 +137,15 @@ object Bench {
     // SPARK_GRAFT_NO_STREAM is set.
     val streamPart =
       if (args.nonEmpty || sys.env.contains("SPARK_GRAFT_NO_STREAM")) ""
-      else
-        try s""","stream":${StreamBench.run(spark, 60000)}"""
-        catch { case e: Throwable => s""","stream_error":"${e.getClass.getSimpleName}""""}
+      else {
+        val s1 =
+          try s""","stream":${StreamBench.run(spark, 60000)}"""
+          catch { case e: Throwable => s""","stream_error":"${e.getClass.getSimpleName}""""}
+        val s2 =
+          try s""","curation":${StreamBench.curationRun(spark, 20000)}"""
+          catch { case e: Throwable => s""","curation_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2
+      }
 
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
