@@ -165,11 +165,24 @@ object ApiContract {
       errors = Seq(ErrorCase(404, "unknown tenant", "GET", "/api/v1/tenants/ghost")),
       examplePathQuery = "/api/v1/tenants/tc1"),
 
+    Route("GET", "/api/v1/tenants",
+      "List tenants ({models, count}; optional id[] filter, clamped limit, dir)",
+      queryParams = Seq(Param("id[]"), Param("limit"), Param("dir")),
+      responseFields = Seq(Field("models", "array"), Field("count", "integer")),
+      examplePathQuery = "/api/v1/tenants"),
+
     Route("GET", "/api/v1/tenants/{tenant_id}/token",
       "Mint a tenant-scoped HS256 JWT",
       responseFields = Seq(Field("token", "string")),
       errors = Seq(ErrorCase(404, "unknown tenant", "GET", "/api/v1/tenants/ghost/token")),
       examplePathQuery = "/api/v1/tenants/tc1/token"),
+
+    Route("GET", "/api/v1/tenants/{tenant_id}/portal",
+      "Portal redirect URL embedding a fresh tenant JWT (theme passthrough when valid)",
+      queryParams = Seq(Param("theme")),
+      responseFields = Seq(Field("redirect_url", "string"), Field("tenant_id", "string")),
+      errors = Seq(ErrorCase(404, "unknown tenant", "GET", "/api/v1/tenants/ghost/portal")),
+      examplePathQuery = "/api/v1/tenants/tc1/portal?theme=dark"),
 
     Route("DELETE", "/api/v1/tenants/{tenant_id}",
       "Cascade delete: tombstone destinations then the tenant",

@@ -116,6 +116,7 @@ object HttpApi {
   private val DestAttemptGet = "/api/v1/([^/]+)/destinations/([^/]+)/attempts/([^/]+)".r
   private val TenantOne = "/api/v1/tenants/([^/]+)".r
   private val TenantToken = "/api/v1/tenants/([^/]+)/token".r
+  private val TenantPortal = "/api/v1/tenants/([^/]+)/portal".r
   private val DestTypeOne = "/api/v1/destination-types/([^/]+)".r
 
   private def handle(spark: SparkSession, cfg: Config,
@@ -137,7 +138,9 @@ object HttpApi {
         case ("GET", "/api/v1/topics") => listTopics(cfg, ex)
         case ("GET", "/api/v1/destination-types") => listDestTypes(cfg, ex)
         case ("GET", DestTypeOne(t)) => getDestType(cfg, t, ex)
+        case ("GET", "/api/v1/tenants") => listTenantsRoute(spark, cfg, q, ex)
         case ("GET", TenantToken(id)) => tenantToken(spark, cfg, id, ex)
+        case ("GET", TenantPortal(id)) => tenantPortal(spark, cfg, q, id, ex)
         case ("PUT", TenantOne(id)) => putTenant(spark, cfg, opSeq, id, ex)
         case ("GET", TenantOne(id)) => getTenant(spark, cfg, id, ex)
         case ("DELETE", TenantOne(id)) => deleteTenantRoute(spark, cfg, opSeq, id, ex)
@@ -505,12 +508,7 @@ object HttpApi {
     * tenant-scoped JWT signed with the configured secret): a compact
     * HS256 JWT over the store secret — enough for a caller to verify
     * integrity and read the tenant claim. */
-  private def tenantToken(spark: SparkSession, cfg: Config, id: String,
-                          ex: HttpExchange): Unit = {
-    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
-    if (DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id).isEmpty) {
-      sendError(ex, 404, s"tenant not found: $id"); return
-    }
+  private def makeJwt(cfg: Config, id: String): String = {
     val b64 = java.util.Base64.getUrlEncoder.withoutPadding
     def enc(s: String) = b64.encodeToString(s.getBytes("UTF-8"))
     val nowSec = System.currentTimeMillis() / 1000
@@ -519,7 +517,56 @@ object HttpApi {
       s"""{"sub":"${esc(id)}","iat":$nowSec,"exp":${nowSec + 86400}}""")
     val sig = b64.encodeToString(graft.functions.Crypto.hmac("HmacSHA256",
       cfg.storeSecret.getBytes("UTF-8"), s"$header.$payload".getBytes("UTF-8")))
-    sendJson(ex, 200, nf.objectNode().put("token", s"$header.$payload.$sig"))
+    s"$header.$payload.$sig"
+  }
+
+  private def tenantToken(spark: SparkSession, cfg: Config, id: String,
+                          ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    if (DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id).isEmpty) {
+      sendError(ex, 404, s"tenant not found: $id"); return
+    }
+    sendJson(ex, 200, nf.objectNode().put("token", makeJwt(cfg, id)))
+  }
+
+  /** `GET /api/v1/tenants` (reference `tenant_handlers.go:103-160`):
+    * `{models: [...], count}` with optional `id[]` filter and clamped
+    * `limit` over the id-ascending (or `dir=desc`) order. */
+  private def listTenantsRoute(spark: SparkSession, cfg: Config,
+                               q: Map[String, Seq[String]],
+                               ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    val ids = q.getOrElse("id[]", q.getOrElse("id", Nil))
+    val dirDesc = q.get("dir").flatMap(_.headOption).contains("desc")
+    val limit = parseLimit(q.get("limit").flatMap(_.headOption),
+      dflt = 100, max = 1000)
+    val all = DestinationStore.listTenants(spark, tt, cfg.destTable, ids)
+    val ordered = if (dirDesc) all.reverse else all
+    val page = ordered.take(limit)
+    val o = nf.objectNode()
+    val arr = o.putArray("models")
+    page.foreach(v => arr.add(tenantToJson(v)))
+    o.put("count", page.size)
+    sendJson(ex, 200, o)
+  }
+
+  /** `GET /api/v1/tenants/:id/portal?theme=` (reference RetrievePortal,
+    * `tenant_handlers.go:214-245`): a portal redirect URL embedding a
+    * fresh tenant-scoped JWT; theme passes through only when valid. */
+  private def tenantPortal(spark: SparkSession, cfg: Config,
+                           q: Map[String, Seq[String]], id: String,
+                           ex: HttpExchange): Unit = {
+    val tt = tenantTableOr404(cfg, ex).getOrElse(return)
+    if (DestinationStore.retrieveTenant(spark, tt, cfg.destTable, id).isEmpty) {
+      sendError(ex, 404, s"tenant not found: $id"); return
+    }
+    val theme = q.get("theme").flatMap(_.headOption)
+      .filter(t => t == "dark" || t == "light")
+    val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost")
+    val url = s"http://$host?token=${makeJwt(cfg, id)}" +
+      theme.map(t => s"&theme=$t").getOrElse("")
+    sendJson(ex, 200, nf.objectNode()
+      .put("redirect_url", url).put("tenant_id", id))
   }
 
   private def esc(s: String): String =

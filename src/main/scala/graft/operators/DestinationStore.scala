@@ -382,6 +382,30 @@ object DestinationStore {
     if (destTopics.exists(_.contains("*"))) Seq("*")
     else destTopics.flatten.distinct.sorted
 
+  /** List all live tenants (optionally id-filtered) with their derived
+    * destination summaries, id-ascending — the `GET /tenants` surface
+    * (`tenant_handlers.go:103-160`). One pass over each changelog
+    * (tenant rows + a grouped topics read), not a per-tenant loop;
+    * control-plane-sized collects like the point reads. */
+  def listTenants(spark: SparkSession, tenantTable: String,
+                  destTable: String, ids: Seq[String] = Nil): Seq[TenantView] = {
+    import spark.implicits._
+    val base = latestTenantRows(spark, tenantTable)
+    val filtered =
+      if (ids.nonEmpty) base.filter(col("tenant_id").isin(ids: _*)) else base
+    val tenants = filtered.as[StoredTenant].collect().sortBy(_.tenant_id).toSeq
+    if (tenants.isEmpty) return Nil
+    val topicSets: Map[String, Seq[Seq[String]]] = latestRows(spark, destTable)
+      .filter(col("tenant_id").isin(tenants.map(_.tenant_id): _*))
+      .select(col("tenant_id"), col("topics")).as[(String, Seq[String])]
+      .collect().toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    tenants.map { t =>
+      val ts = topicSets.getOrElse(t.tenant_id, Nil)
+      TenantView(t.tenant_id, ts.size.toLong, tenantTopics(ts),
+        t.metadata, t.created_at, t.updated_at)
+    }
+  }
+
   /** Point read with the DERIVED destination summary. */
   def retrieveTenant(spark: SparkSession, tenantTable: String,
                      destTable: String, tenantId: String): Option[TenantView] = {
