@@ -285,6 +285,32 @@ object ApiContract {
       exampleBody =
         """{"type":"webhook","topics":["order.*"],"credentials":{"secret":"s"},"config":{"url":"https://x.test/h"}}"""),
 
+    Route("POST", "/api/v1/{tenant_id}/destinations",
+      "Create a destination; id generated (des_ prefix) when absent",
+      bodyFields = Seq(Param("id"), Param("type", required = true),
+        Param("topics", "array", required = true), Param("filter", "object"),
+        Param("config", "object"), Param("credentials", "object"),
+        Param("delivery_metadata", "object"), Param("metadata", "object")),
+      successStatus = 201,
+      responseFields = destinationFields,
+      examplePathQuery = "/api/v1/t1/destinations",
+      exampleBody =
+        """{"type":"webhook","topics":["order.*"],"config":{"url":"https://x.test/p"}}"""),
+
+    Route("PATCH", "/api/v1/{tenant_id}/destinations/{destination_id}",
+      "Partial update: type immutable (400), topics replace, config/credentials/metadata merge-patch (null deletes a key)",
+      bodyFields = Seq(Param("topics", "array"), Param("filter", "object"),
+        Param("config", "object"), Param("credentials", "object"),
+        Param("delivery_metadata", "object"), Param("metadata", "object")),
+      responseFields = destinationFields,
+      errors = Seq(
+        ErrorCase(404, "unknown destination", "PATCH",
+          "/api/v1/t1/destinations/ghost", """{"metadata":{"a":"b"}}"""),
+        ErrorCase(400, "type change rejected", "PATCH",
+          "/api/v1/t1/destinations/dres", """{"type":"kafka"}""")),
+      examplePathQuery = "/api/v1/t1/destinations/dres",
+      exampleBody = """{"metadata":{"note":"patched"}}"""),
+
     Route("DELETE", "/api/v1/{tenant_id}/destinations/{destination_id}",
       "Tombstone a destination",
       responseFields = Seq(Field("deleted", "string")),

@@ -154,9 +154,12 @@ object HttpApi {
           listAttempts(cfg, q, tenant, ex, destScope = Some(dest))
         case ("GET", DestAttemptGet(tenant, _, id)) => getAttempt(cfg, tenant, id, ex)
         case ("GET", DestList(tenant)) => listDestinations(spark, cfg, q, tenant, ex)
+        case ("POST", DestList(tenant)) => postDestination(spark, cfg, opSeq, tenant, ex)
         case ("GET", DestOne(tenant, id)) => getDestination(spark, cfg, tenant, id, ex)
         case ("PUT", DestOne(tenant, id)) =>
           putDestination(spark, cfg, opSeq, tenant, id, ex)
+        case ("PATCH", DestOne(tenant, id)) =>
+          patchDestination(spark, cfg, opSeq, tenant, id, ex)
         case ("DELETE", DestOne(tenant, id)) =>
           deleteDestination(spark, cfg, opSeq, tenant, id, ex)
         case ("PUT", DestEnable(tenant, id)) =>
@@ -362,22 +365,24 @@ object HttpApi {
       case None => sendError(ex, 404, s"destination not found: $id")
     }
 
-  private def putDestination(spark: SparkSession, cfg: Config,
-                             opSeq: java.util.concurrent.atomic.AtomicLong,
-                             tenant: String, id: String, ex: HttpExchange): Unit = {
-    val body = mapper.readTree(ex.getRequestBody)
-    require(body != null && body.isObject, "body must be a JSON object")
-    def strMap(field: String): Map[String, String] = {
-      val n = body.get(field)
-      if (n == null || n.isNull) Map.empty
-      else {
-        require(n.isObject, s"$field must be an object")
-        val it = n.properties.iterator()
-        val b = Map.newBuilder[String, String]
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
-        b.result()
-      }
+  private def strMapOf(body: com.fasterxml.jackson.databind.JsonNode,
+                       field: String): Map[String, String] = {
+    val n = body.get(field)
+    if (n == null || n.isNull) Map.empty
+    else {
+      require(n.isObject, s"$field must be an object")
+      val it = n.properties.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText }
+      b.result()
     }
+  }
+
+  private def createDestinationFromBody(
+      spark: SparkSession, cfg: Config,
+      opSeq: java.util.concurrent.atomic.AtomicLong, tenant: String,
+      id: String, body: com.fasterxml.jackson.databind.JsonNode,
+      ex: HttpExchange): Unit = {
     val typ = Option(body.get("type")).map(_.asText).getOrElse(
       throw new IllegalArgumentException("type is required"))
     val topicsNode = body.get("topics")
@@ -388,11 +393,93 @@ object HttpApi {
     val rec = DestinationStore.DestinationRecord(
       tenant, id, typ, topics,
       Option(body.get("filter")).filterNot(_.isNull).map(_.toString),
-      strMap("config"), strMap("credentials"), strMap("delivery_metadata"),
-      strMap("metadata"), now, now, None, None)
+      strMapOf(body, "config"), strMapOf(body, "credentials"),
+      strMapOf(body, "delivery_metadata"),
+      strMapOf(body, "metadata"), now, now, None, None)
     DestinationStore.create(spark, cfg.destTable, rec, cfg.storeSecret,
       opSeq.incrementAndGet())
     sendJson(ex, 201, destToJson(rec))
+  }
+
+  private def putDestination(spark: SparkSession, cfg: Config,
+                             opSeq: java.util.concurrent.atomic.AtomicLong,
+                             tenant: String, id: String, ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    require(body != null && body.isObject, "body must be a JSON object")
+    createDestinationFromBody(spark, cfg, opSeq, tenant, id, body, ex)
+  }
+
+  /** `POST /api/v1/{tenant}/destinations` (reference Create,
+    * `destination_handlers.go:77-160`): create with an OPTIONAL id —
+    * generated as a `des_`-prefixed uuid when absent (`idgen.go` shape). */
+  private def postDestination(spark: SparkSession, cfg: Config,
+                              opSeq: java.util.concurrent.atomic.AtomicLong,
+                              tenant: String, ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    require(body != null && body.isObject, "body must be a JSON object")
+    val id = Option(body.get("id")).filterNot(_.isNull).map(_.asText)
+      .filter(_.nonEmpty)
+      .getOrElse("des_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    createDestinationFromBody(spark, cfg, opSeq, tenant, id, body, ex)
+  }
+
+  /** `PATCH /api/v1/{tenant}/destinations/{id}` (reference Update,
+    * `destination_handlers.go:162-250`): partial update — `type` is
+    * immutable (400 on change), `topics` replaces-and-validates when
+    * present, `config`/`credentials`/`metadata`/`delivery_metadata` apply
+    * JSON merge-patch semantics (null value deletes the key), `filter`
+    * replaces (explicit null clears). created_at/disabled state are
+    * preserved. */
+  private def patchDestination(spark: SparkSession, cfg: Config,
+                               opSeq: java.util.concurrent.atomic.AtomicLong,
+                               tenant: String, id: String, ex: HttpExchange): Unit = {
+    val body = mapper.readTree(ex.getRequestBody)
+    require(body != null && body.isObject, "body must be a JSON object")
+    val orig = DestinationStore.retrieve(spark, cfg.destTable, tenant, id,
+      cfg.storeSecret) match {
+      case Some(r) => r
+      case None => sendError(ex, 404, s"destination not found: $id"); return
+    }
+    Option(body.get("type")).filterNot(_.isNull).map(_.asText).foreach { t =>
+      if (t != orig.dest_type)
+        { sendError(ex, 400, "type cannot be updated"); return }
+    }
+    val topics = body.get("topics") match {
+      case null => orig.topics
+      case n =>
+        require(n.isArray && n.size > 0, "topics must be a non-empty array")
+        (0 until n.size).map(n.get(_).asText)
+    }
+    def mergePatch(cur: Map[String, String], field: String): Map[String, String] = {
+      val n = body.get(field)
+      if (n == null || n.isNull) cur
+      else {
+        require(n.isObject, s"$field must be an object")
+        val it = n.properties.iterator()
+        var out = cur
+        while (it.hasNext) {
+          val e = it.next()
+          out = if (e.getValue.isNull) out - e.getKey
+            else out + (e.getKey -> e.getValue.asText)
+        }
+        out
+      }
+    }
+    val filter =
+      if (!body.has("filter")) orig.filter_json
+      else Option(body.get("filter")).filterNot(_.isNull).map(_.toString)
+    val now = new Timestamp(System.currentTimeMillis())
+    val rec = orig.copy(
+      topics = topics,
+      filter_json = filter,
+      config = mergePatch(orig.config, "config"),
+      credentials = mergePatch(orig.credentials, "credentials"),
+      delivery_metadata = mergePatch(orig.delivery_metadata, "delivery_metadata"),
+      metadata = mergePatch(orig.metadata, "metadata"),
+      updated_at = now)
+    DestinationStore.upsert(spark, cfg.destTable, rec, cfg.storeSecret,
+      opSeq.incrementAndGet())
+    sendJson(ex, 200, destToJson(rec))
   }
 
   private def deleteDestination(spark: SparkSession, cfg: Config,

@@ -33,6 +33,8 @@ class ApiContractSpec extends GraftSuite {
       case "DELETE" => b.DELETE().build()
       case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofString(body)).build()
       case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      case "PATCH" =>
+        b.method("PATCH", HttpRequest.BodyPublishers.ofString(body)).build()
     }
     val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
     (resp.statusCode(),
@@ -183,7 +185,7 @@ class ApiContractSpec extends GraftSuite {
     val src = java.nio.file.Paths.get("src/main/scala/graft/api/HttpApi.scala")
     assume(java.nio.file.Files.isReadable(src), "source tree not available")
     val text = new String(java.nio.file.Files.readAllBytes(src), "UTF-8")
-    val arms = "case \\(\"(GET|PUT|POST|DELETE)\"".r.findAllIn(text).size
+    val arms = "case \\(\"(GET|PUT|POST|DELETE|PATCH)\"".r.findAllIn(text).size
     assert(arms == ApiContract.routes.size,
       s"HttpApi.handle has $arms route arms but ApiContract carries " +
         s"${ApiContract.routes.size} routes — update the catalog (and this pin)")
