@@ -53,7 +53,16 @@ object CommitLog {
   final case class AddFile(path: String, month: String,
                            tsMin: Long = Long.MinValue,
                            tsMax: Long = Long.MaxValue)
-  final case class Snapshot(version: Long, files: Seq[AddFile])
+
+  /** `schemaJson`: the table's CURRENT logical schema (Spark StructType
+    * JSON), carried in the log — the Delta approach to ADDITIVE schema
+    * evolution. Readers apply it to every scan, so files written before a
+    * column existed read as nulls, and nothing ever opens parquet footers
+    * to discover the schema (mergeSchema at 100 TB reads every footer at
+    * planning). None on pre-evolution tables → readers fall back to
+    * parquet inference, exactly the old behavior. */
+  final case class Snapshot(version: Long, files: Seq[AddFile],
+                            schemaJson: Option[String] = None)
 
   /** Write a checkpoint every this-many commits. */
   val CheckpointInterval: Long = 10L
@@ -105,10 +114,21 @@ object CommitLog {
   }
 
   private def renderEntry(op: String, adds: Seq[AddFile], removes: Seq[String],
-                          token: Option[String] = None): String = {
+                          token: Option[String] = None,
+                          schemaJson: Option[String] = None): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
     val tok = token.map(t => s""","token":"$t"""").getOrElse("")
-    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"tsmins":${arr(adds.map(_.tsMin.toString))},"tsmaxs":${arr(adds.map(_.tsMax.toString))},"removes":${arr(removes)}$tok}"""
+    // schema rides base64'd: the tiny hand-rolled parser stays regex-safe
+    val sch = schemaJson.map(s => s""","schema":"${java.util.Base64.getEncoder
+      .encodeToString(s.getBytes("UTF-8"))}"""").getOrElse("")
+    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"tsmins":${arr(adds.map(_.tsMin.toString))},"tsmaxs":${arr(adds.map(_.tsMax.toString))},"removes":${arr(removes)}$tok$sch}"""
+  }
+
+  private def parseSchema(s: String): Option[String] = {
+    val m = java.util.regex.Pattern.compile("\"schema\":\"([^\"]*)\"").matcher(s)
+    if (m.find())
+      Some(new String(java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+    else None
   }
 
   /** Thrown inside [[commit]] when the idempotency token is already in the
@@ -128,24 +148,41 @@ object CommitLog {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return Snapshot(0L, Nil)
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    var schema: Option[String] = None
     (1L to version).foreach { v =>
       val p = entryPath(table, v)
       if (Files.exists(p)) {
-        val (adds, removes) = parseEntry(Files.readString(p))
+        val s = Files.readString(p)
+        val (adds, removes) = parseEntry(s)
         adds.foreach(a => live(a.path) = a)
         removes.foreach(live.remove)
+        parseSchema(s).foreach(sc => schema = Some(sc))
       }
     }
-    Snapshot(version, live.values.toSeq)
+    Snapshot(version, live.values.toSeq, schema)
   }
 
-  /** Read the table as of an historical version. */
+  /** Reader with the snapshot's logical schema applied (when recorded):
+    * additive evolution without footer reads; pre-evolution tables fall
+    * back to parquet inference. */
+  private def readFiles(spark: SparkSession, table: String,
+                        snap: Snapshot, files: Seq[String]): DataFrame = {
+    val rd = spark.read.option("basePath", dataDir(table).toString)
+    snap.schemaJson
+      .map(j => rd.schema(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .getOrElse(rd)
+      .parquet(files: _*)
+  }
+
+  /** Read the table as of an historical version (the schema time-travels
+    * with it). */
   def scanAt(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val files = snapshotAt(table, version).files
-      .map(f => Paths.get(table).resolve(f.path).toString)
+    val snap = snapshotAt(table, version)
+    val files = snap.files.map(f => Paths.get(table).resolve(f.path).toString)
     if (files.isEmpty)
       throw new IllegalStateException(s"no files at version $version of $table")
-    spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
+    readFiles(spark, table, snap, files)
   }
 
   private def parseOp(s: String): String = {
@@ -209,7 +246,9 @@ object CommitLog {
         }
       }
     }
-    frames.reduceOption(_.unionByName(_))
+    // allowMissingColumns: entries may straddle a schema evolution — the
+    // union surfaces nulls for columns a version's files predate
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Newest committed token matching `prefix`, scanning entries
@@ -274,6 +313,7 @@ object CommitLog {
     val checkpoints = names.filter(_.endsWith(".checkpoint.json"))
       .map(_.stripSuffix(".checkpoint.json").toLong).sorted.reverse
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
+    var schema: Option[String] = None
     // newest checkpoint that parses wins; a bad one falls back to older/none
     val base = checkpoints.iterator.flatMap { c =>
       try {
@@ -281,17 +321,21 @@ object CommitLog {
         // strict shape check: the lenient regex parser would read garbage
         // as an empty (valid-looking) checkpoint and silently drop files
         if (!s.startsWith("{\"op\":\"checkpoint\"") || !s.endsWith("}")) None
-        else Some((c, parseEntry(s)._1))
+        else Some((c, parseEntry(s)._1, parseSchema(s)))
       } catch { case _: Exception => None }
     }.take(1).toSeq.headOption
-    base.foreach { case (_, adds) => adds.foreach(a => live(a.path) = a) }
+    base.foreach { case (_, adds, sc) =>
+      adds.foreach(a => live(a.path) = a); schema = sc
+    }
     val from = base.map(_._1).getOrElse(0L)
     versions.filter(_ > from).foreach { v =>
-      val (adds, removes) = parseEntry(Files.readString(entryPath(table, v)))
+      val s = Files.readString(entryPath(table, v))
+      val (adds, removes) = parseEntry(s)
       adds.foreach(a => live(a.path) = a)
       removes.foreach(live.remove)
+      parseSchema(s).foreach(sc => schema = Some(sc))
     }
-    Snapshot(versions.lastOption.getOrElse(0L), live.values.toSeq)
+    Snapshot(versions.lastOption.getOrElse(0L), live.values.toSeq, schema)
   }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
@@ -306,10 +350,11 @@ object CommitLog {
     * removes are still live; a concurrent delete aborts the commit. */
   def commit(table: String, op: String, adds: Seq[AddFile],
              removes: Seq[String] = Nil, maxRetries: Int = 50,
-             token: Option[String] = None): Long = {
+             token: Option[String] = None,
+             schemaJson: Option[String] = None): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(tmp, renderEntry(op, adds, removes, token))
+    Files.writeString(tmp, renderEntry(op, adds, removes, token, schemaJson))
     try {
       var attempt = 0
       while (true) {
@@ -327,13 +372,15 @@ object CommitLog {
           val v = snap.version + 1
           if (v % CheckpointInterval == 0) {
             // we are v's unique claimant → no checkpoint write race; the
-            // live set at v = snapshot at v-1 plus this entry
+            // live set at v = snapshot at v-1 plus this entry (and the
+            // latest schema, so a checkpoint-based replay keeps it)
             val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
             snap.files.foreach(a => live(a.path) = a)
             adds.foreach(a => live(a.path) = a)
             removes.foreach(live.remove)
             Files.writeString(checkpointPath(table, v),
-              renderEntry("checkpoint", live.values.toSeq, Nil))
+              renderEntry("checkpoint", live.values.toSeq, Nil,
+                schemaJson = schemaJson.orElse(snap.schemaJson)))
           }
           return v
         } else {
@@ -411,7 +458,25 @@ object CommitLog {
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }
-    try commit(table, "append", adds, token = token)
+    // ADDITIVE schema evolution: the recorded schema is the UNION of the
+    // table's current columns and the batch's (existing definitions win,
+    // everything nullable — files predating a column must read as null,
+    // and a late NARROW batch must not regress the schema). Readers apply
+    // it to every file with zero footer reads at plan time.
+    val batchSchema = org.apache.spark.sql.types.StructType(
+      deduped.schema.fields.map(_.copy(nullable = true)))
+    val curSchema = snapshot(table).schemaJson
+    val mergedSchema = curSchema match {
+      case Some(curJson) =>
+        val cur = org.apache.spark.sql.types.DataType.fromJson(curJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        org.apache.spark.sql.types.StructType(cur.fields ++
+          batchSchema.fields.filterNot(f => cur.fieldNames.contains(f.name))).json
+      case None => batchSchema.json
+    }
+    val schemaDelta =
+      if (curSchema.contains(mergedSchema)) None else Some(mergedSchema)
+    try commit(table, "append", adds, token = token, schemaJson = schemaDelta)
     catch {
       case _: AlreadyApplied => // replay raced us: discard, table unchanged
         adds.foreach(a => Files.deleteIfExists(Paths.get(table).resolve(a.path)))
@@ -455,7 +520,7 @@ object CommitLog {
       .map(f => Paths.get(table).resolve(f.path).toString)
     if (files.isEmpty)
       throw new IllegalStateException(s"empty commit-log table at $table")
-    spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
+    readFiles(spark, table, snap, files)
   }
 
   /** PLAN-TIME file pruning for a `[fromMicros, toMicros)` event-time
@@ -471,16 +536,18 @@ object CommitLog {
     * regardless of how loose a file's bounds are. */
   def scanRange(spark: SparkSession, table: String, tsCol: String,
                 fromMicros: Long, toMicros: Long): DataFrame = {
-    val files = planFiles(table, fromMicros, toMicros)
+    val snap = snapshot(table)
+    val files = snap.files
+      .filter(f => f.tsMax >= fromMicros && f.tsMin < toMicros)
       .map(f => Paths.get(table).resolve(f.path).toString)
     if (files.isEmpty) {
       // valid empty result: reuse the table schema via one live file
-      val any = snapshot(table).files.headOption.getOrElse(
+      val any = snap.files.headOption.getOrElse(
         throw new IllegalStateException(s"empty commit-log table at $table"))
-      return spark.read.option("basePath", dataDir(table).toString)
-        .parquet(Paths.get(table).resolve(any.path).toString).limit(0)
+      return readFiles(spark, table, snap,
+        Seq(Paths.get(table).resolve(any.path).toString)).limit(0)
     }
-    spark.read.option("basePath", dataDir(table).toString).parquet(files: _*)
+    readFiles(spark, table, snap, files)
       .filter(unix_micros(col(tsCol)) >= fromMicros &&
         unix_micros(col(tsCol)) < toMicros)
   }
@@ -493,13 +560,17 @@ object CommitLog {
     * [[ConcurrentDelete]] instead of resurrecting data. */
   def compactMonth(spark: SparkSession, table: String, month: String,
                    idCol: String, tsCol: String, targetFiles: Int = 1): Unit = {
-    val old = snapshot(table).files.filter(_.month == month)
+    val snap = snapshot(table)
+    val old = snap.files.filter(_.month == month)
     if (old.isEmpty) return
     val paths = old.map(f => Paths.get(table).resolve(f.path).toString)
     val staging = Files.createTempDirectory(Paths.get(table), ".stage-")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col(tsCol).desc, col(idCol))
-    spark.read.option("basePath", dataDir(table).toString).parquet(paths: _*)
+    // readFiles applies the table's CURRENT schema, so a month mixing
+    // pre- and post-evolution files compacts losslessly (nulls for the
+    // new columns in old rows) instead of taking the first file's schema
+    readFiles(spark, table, snap, paths)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       .repartition(targetFiles)
       .sortWithinPartitions(col(tsCol), col(idCol))

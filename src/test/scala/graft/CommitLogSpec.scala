@@ -205,6 +205,36 @@ class CommitLogSpec extends GraftSuite {
       micros("2031-01-01 00:00:00")).map(_.month) == Seq("2024-04"))
   }
 
+  test("additive schema evolution: schema rides the log, old rows read null, narrow late batches don't regress") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 20, "2024-01"), t, "id", "ts")   // narrow
+    val wide = (20 until 30).map(i =>
+        (s"id$i", java.sql.Timestamp.valueOf("2024-02-15 10:00:00"), i, s"tag$i"))
+      .toDF("id", "ts", "v", "tag")
+    CommitLog.append(wide, t, "id", "ts")                                  // +tag
+    val cur = CommitLog.scan(spark, t)
+    assert(cur.columns.contains("tag"))
+    assert(cur.filter(col("tag").isNull).count() == 20,
+      "pre-evolution rows must surface null for the new column")
+    assert(cur.filter(col("tag").isNotNull).count() == 10)
+    assert(CommitLog.snapshot(t).schemaJson.isDefined,
+      "the schema must come from the log, not footer inference")
+    // time travel: version 1 predates the column
+    assert(!CommitLog.scanAt(spark, t, 1).columns.contains("tag"))
+    // a late NARROW batch must not regress the table schema
+    CommitLog.append(sampleBatch(30 until 35, "2024-02"), t, "id", "ts")
+    val after = CommitLog.scan(spark, t)
+    assert(after.columns.contains("tag"))
+    assert(after.filter(col("tag").isNull).count() == 25)
+    // compacting the mixed-schema month keeps the wide schema losslessly
+    CommitLog.compactMonth(spark, t, "2024-02", "id", "ts")
+    val compacted = CommitLog.scan(spark, t)
+    assert(compacted.filter(col("tag").isNotNull).count() == 10)
+    assert(compacted.count() == 35)
+  }
+
   test("retention is one atomic metadata commit; physical reclamation waits for vacuum") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
