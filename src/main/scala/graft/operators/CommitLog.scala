@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A minimal commit-log table format for the log store: the piece that lets
@@ -233,15 +233,24 @@ object CommitLog {
       else {
         val s = Files.readString(p)
         val (adds, removes) = parseEntry(s)
+        def removedAsDeletes(): Seq[DataFrame] = {
+          val paths = removes.map(r => Paths.get(table).resolve(r))
+          val gone = paths.filterNot(Files.exists(_))
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"change feed for version $v needs vacuumed files (${gone.head})")
+          Seq(read(paths, "delete", v))
+        }
         parseOp(s) match {
           case "append" if adds.nonEmpty =>
             Seq(read(adds.map(a => Paths.get(table).resolve(a.path)), "insert", v))
-          case "retain" if removes.nonEmpty =>
-            val paths = removes.map(r => Paths.get(table).resolve(r))
-            val gone = paths.filterNot(Files.exists(_))
-            if (gone.nonEmpty) throw new IllegalStateException(
-              s"change feed for version $v needs vacuumed files (${gone.head})")
-            Seq(read(paths, "delete", v))
+          case "retain" if removes.nonEmpty => removedAsDeletes()
+          case "delete" =>
+            // row-level rewrite: removed rows as deletes + surviving rows
+            // re-inserted — delete-then-insert nets out to the erased rows
+            (if (removes.nonEmpty) removedAsDeletes() else Nil) ++
+              (if (adds.nonEmpty)
+                Seq(read(adds.map(a => Paths.get(table).resolve(a.path)), "insert", v))
+              else Nil)
           case _ => Nil // compact: physical reorganization, no logical change
         }
       }
@@ -550,6 +559,57 @@ object CommitLog {
     readFiles(spark, table, snap, files)
       .filter(unix_micros(col(tsCol)) >= fromMicros &&
         unix_micros(col(tsCol)) < toMicros)
+  }
+
+  /** ROW-LEVEL DELETE (the lakehouse `DELETE WHERE` — GDPR / erasure
+    * requests at 100 TB): rewrite ONLY the files that contain matching
+    * rows, without the rows; untouched files stay byte-identical and are
+    * never read twice.
+    *
+    * Two passes, both file-pruned:
+    *   1. PROBE — one scan tagging `input_file_name` finds the files with
+    *      ≥1 match (predicate pushdown applies, so parquet stats skip
+    *      clean row groups);
+    *   2. REWRITE — only those files re-read, surviving rows re-written
+    *      per month, committed as one atomic replace (op "delete").
+    *
+    * Change-feed representation needs NO extra metadata: a "delete" entry
+    * emits its removed files' rows as deletes AND its added files' rows
+    * as re-inserts — consumers applying delete-then-insert (the
+    * incremental agg does) net out to exactly the erased rows.
+    *
+    * Returns the number of files rewritten (0 = no matches anywhere). */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column,
+                  idCol: String, tsCol: String): Int = {
+    val snap = snapshot(table)
+    if (snap.files.isEmpty) return 0
+    val all = snap.files.map(f => Paths.get(table).resolve(f.path).toString)
+    val hitUris = readFiles(spark, table, snap, all)
+      .filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (hitUris.isEmpty) return 0
+    // input_file_name returns URIs; match AddFiles by path suffix
+    val hit = snap.files.filter(f => hitUris.exists(_.endsWith(f.path)))
+    val hitPaths = hit.map(f => Paths.get(table).resolve(f.path).toString)
+    val staging = Files.createTempDirectory(Paths.get(table), ".stage-")
+    // null-predicate rows SURVIVE (SQL DELETE semantics: WHERE null does
+    // not delete) — a bare !predicate would silently drop them
+    readFiles(spark, table, snap, hitPaths)
+      .filter(coalesce(!predicate, lit(true)))
+      .sortWithinPartitions(col(tsCol), col(idCol))
+      .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+    // stats: per-month union of the replaced files' bounds (deletion can
+    // only shrink true bounds — loose is valid)
+    val bounds: Map[String, (Long, Long)] = hit.groupBy(_.month)
+      .map { case (m, fs) => m -> (fs.map(_.tsMin).min, fs.map(_.tsMax).max) }
+    val adds = moveStaged(staging, table).map { a =>
+      bounds.get(a.month)
+        .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
+        .getOrElse(a)
+    }
+    commit(table, "delete", adds, removes = hit.map(_.path))
+    hit.size
   }
 
   /** Concurrent-safe compaction of one month: read that month's files from

@@ -144,6 +144,28 @@ object EventOps2 {
           col("count"), (col("sum_value").cast("double") / 100.0).as("sum_value"))
     }),
 
+    // row-level DELETE WHERE (the lakehouse erasure-request shape): only
+    // files containing matches rewrite; the post-delete table must equal
+    // DuckDB's filtered recompute exactly.
+    "logstore_delete_where" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_delw").toString
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach { b =>
+        CommitLog.append(ev.filter(pmod(col("event_id"), lit(3)) === b), table,
+          idCol = "event_id", tsCol = "ts")
+      }
+      CommitLog.deleteWhere(s, table,
+        col("event_type") === "click" && col("value") < 50.0, "event_id", "ts")
+      CommitLog.scan(s, table)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100.0, 0).cast("long")) / 100.0)
+            .as("sum_value"))
+    }),
+
     // the reference's TTL + OPTIMIZE maintenance cycle at query scale
     // (`internal/logretention/clickhouse_ttl.go:42-76` partition drops;
     // ClickHouse background merges → explicit Z-order rewrite here): a
@@ -286,6 +308,16 @@ object EventOps2 {
         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
         |FROM ev WHERE strftime(ts::TIMESTAMP, '%Y-%m') >= '2024-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "logstore_delete_where" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts,
+        |    user_id, event_type, value
+        |  FROM events)
+        |SELECT strftime(ts::TIMESTAMP, '%Y-%m') AS month, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value*100.0) AS BIGINT))/100.0 AS sum_value
+        |FROM ev WHERE NOT (event_type = 'click' AND value < 50)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "logstore_optimize" ->
       """WITH ev AS (
         |  SELECT ts + to_days(CAST((event_id % 12) * 30 AS INT)) AS ts,

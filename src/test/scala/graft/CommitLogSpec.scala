@@ -235,6 +235,30 @@ class CommitLogSpec extends GraftSuite {
     assert(compacted.count() == 35)
   }
 
+  test("deleteWhere rewrites only matching files; the feed nets out to the erased rows") {
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 30, "2024-01"), t, "id", "ts")  // v1: v 0..29
+    CommitLog.append(sampleBatch(30 until 50, "2024-02"), t, "id", "ts") // v2: v 30..49
+    val janBefore = CommitLog.snapshot(t).files
+      .filter(_.month == "2024-01").map(_.path).toSet
+    // matches live ONLY in the February file
+    val rewritten = CommitLog.deleteWhere(spark, t, col("v") >= 45, "id", "ts")
+    assert(rewritten == 1, s"expected exactly the Feb file rewritten, got $rewritten")
+    assert(CommitLog.scan(spark, t).count() == 45)
+    assert(CommitLog.snapshot(t).files.filter(_.month == "2024-01")
+      .map(_.path).toSet == janBefore,
+      "a file without matches must stay byte-identical (same path)")
+    // feed for the delete version: old file's 20 rows out, 15 survivors
+    // back in — net erased = the 5 matching rows
+    val feed = CommitLog.changesBetween(spark, t, 2, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 20)
+    assert(feed.filter(col("_change_type") === "insert").count() == 15)
+    // no matches anywhere -> zero rewrites, no commit
+    val vBefore = CommitLog.snapshot(t).version
+    assert(CommitLog.deleteWhere(spark, t, col("v") >= 1000, "id", "ts") == 0)
+    assert(CommitLog.snapshot(t).version == vBefore)
+  }
+
   test("retention is one atomic metadata commit; physical reclamation waits for vacuum") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")

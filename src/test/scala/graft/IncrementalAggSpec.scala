@@ -72,5 +72,12 @@ class IncrementalAggSpec extends GraftSuite {
     val before = aggRows(agg)
     IncrementalAgg.refresh(spark, fact, agg, spec)
     assert(aggRows(agg) == before)
+
+    // row-level erasure (deleteWhere) reaches the aggregate through the
+    // feed's delete+reinsert representation
+    assert(CommitLog.deleteWhere(spark, fact, col("cents") >= 5,
+      "event_id", "ts") > 0)
+    IncrementalAgg.refresh(spark, fact, agg, spec)
+    assert(aggRows(agg) == recompute(fact))
   }
 }
