@@ -162,6 +162,24 @@ object CommitLog {
     Snapshot(version, live.values.toSeq, schema)
   }
 
+  /** The schema to RECORD for a write: union of the table's current
+    * columns and the written frame's (existing definitions win, all
+    * nullable). None when nothing changes — schema entries stay rare. */
+  private def mergedSchemaDelta(curSchema: Option[String],
+                                written: org.apache.spark.sql.types.StructType): Option[String] = {
+    val w = org.apache.spark.sql.types.StructType(
+      written.fields.map(_.copy(nullable = true)))
+    val merged = curSchema match {
+      case Some(curJson) =>
+        val cur = org.apache.spark.sql.types.DataType.fromJson(curJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        org.apache.spark.sql.types.StructType(cur.fields ++
+          w.fields.filterNot(f => cur.fieldNames.contains(f.name))).json
+      case None => w.json
+    }
+    if (curSchema.contains(merged)) None else Some(merged)
+  }
+
   /** Reader with the snapshot's logical schema applied (when recorded):
     * additive evolution without footer reads; pre-evolution tables fall
     * back to parquet inference. */
@@ -244,9 +262,10 @@ object CommitLog {
           case "append" if adds.nonEmpty =>
             Seq(read(adds.map(a => Paths.get(table).resolve(a.path)), "insert", v))
           case "retain" if removes.nonEmpty => removedAsDeletes()
-          case "delete" =>
-            // row-level rewrite: removed rows as deletes + surviving rows
-            // re-inserted — delete-then-insert nets out to the erased rows
+          case "delete" | "merge" =>
+            // row-level rewrite: removed rows as deletes + the rewrite's
+            // rows as inserts — delete-then-insert nets out to the erased
+            // (delete) or replaced+new (merge) rows
             (if (removes.nonEmpty) removedAsDeletes() else Nil) ++
               (if (adds.nonEmpty)
                 Seq(read(adds.map(a => Paths.get(table).resolve(a.path)), "insert", v))
@@ -472,19 +491,8 @@ object CommitLog {
     // everything nullable — files predating a column must read as null,
     // and a late NARROW batch must not regress the schema). Readers apply
     // it to every file with zero footer reads at plan time.
-    val batchSchema = org.apache.spark.sql.types.StructType(
-      deduped.schema.fields.map(_.copy(nullable = true)))
-    val curSchema = snapshot(table).schemaJson
-    val mergedSchema = curSchema match {
-      case Some(curJson) =>
-        val cur = org.apache.spark.sql.types.DataType.fromJson(curJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        org.apache.spark.sql.types.StructType(cur.fields ++
-          batchSchema.fields.filterNot(f => cur.fieldNames.contains(f.name))).json
-      case None => batchSchema.json
-    }
     val schemaDelta =
-      if (curSchema.contains(mergedSchema)) None else Some(mergedSchema)
+      mergedSchemaDelta(snapshot(table).schemaJson, deduped.schema)
     try commit(table, "append", adds, token = token, schemaJson = schemaDelta)
     catch {
       case _: AlreadyApplied => // replay raced us: discard, table unchanged
@@ -610,6 +618,79 @@ object CommitLog {
     }
     commit(table, "delete", adds, removes = hit.map(_.path))
     hit.size
+  }
+
+  /** KEYED MERGE (upsert): replace any existing rows sharing the batch's
+    * ids and insert the batch — the CDC-apply primitive, in ONE atomic
+    * commit. Same file discipline as [[deleteWhere]]: an id-probe finds
+    * the files holding colliding rows (broadcast semi join against the
+    * batch's ids — the batch is the small side by design), only those
+    * files rewrite (minus the colliding rows), and the staged output =
+    * survivors ∪ batch. Files without collisions never rewrite; a batch
+    * of all-new ids degenerates to a plain append-shaped commit. The
+    * change feed reads a "merge" like a "delete": removed rows out,
+    * added rows in — net effect is exactly the upsert.
+    *
+    * @return the committed version */
+  def upsertBatch(batch: DataFrame, table: String,
+                  idCol: String, tsCol: String,
+                  token: Option[String] = None): Long = {
+    token.foreach { t =>
+      if (tokenApplied(table, t)) return snapshot(table).version
+    }
+    ()
+    val spark = batch.sparkSession
+    val snap = snapshot(table)
+    val deduped = batch.dropDuplicates(idCol)
+      .withColumn("month", date_format(
+        graft.functions.Buckets.utcFields(col(tsCol)), "yyyy-MM"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (hit, survivors) =
+      if (snap.files.isEmpty) (Nil, None)
+      else {
+        val all = snap.files.map(f => Paths.get(table).resolve(f.path).toString)
+        val ids = deduped.select(col(idCol))
+        // input_file_name binds in a scan-side projection BEFORE the join:
+        // the expression rejects plans whose subtree has several sources
+        val hitUris = readFiles(spark, table, snap, all)
+          .select(col(idCol), input_file_name().as("_f"))
+          .join(broadcast(ids), Seq(idCol), "left_semi")
+          .select("_f").distinct()
+          .collect().map(_.getString(0)).toSet
+        val hitFiles = snap.files.filter(f => hitUris.exists(_.endsWith(f.path)))
+        if (hitFiles.isEmpty) (Nil, None)
+        else (hitFiles, Some(
+          readFiles(spark, table, snap,
+            hitFiles.map(f => Paths.get(table).resolve(f.path).toString))
+            .join(broadcast(ids), Seq(idCol), "left_anti")))
+      }
+    val staged = survivors
+      .map(_.unionByName(deduped, allowMissingColumns = true))
+      .getOrElse(deduped)
+    val staging = Files.createTempDirectory(Paths.get(table), ".stage-")
+    staged
+      .repartition(col("month"))
+      .sortWithinPartitions(col(tsCol), col(idCol))
+      .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+    // per-month bounds over the staged union: one staged-sized agg
+    val stats: Map[String, (Long, Long)] = staged
+      .groupBy(col("month"))
+      .agg(min(unix_micros(col(tsCol))).as("lo"),
+        max(unix_micros(col(tsCol))).as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    deduped.unpersist()
+    val adds = moveStaged(staging, table).map { a =>
+      stats.get(a.month)
+        .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
+        .getOrElse(a)
+    }
+    try commit(table, "merge", adds, removes = hit.map(_.path), token = token,
+      schemaJson = mergedSchemaDelta(snap.schemaJson, staged.schema))
+    catch {
+      case _: AlreadyApplied =>
+        adds.foreach(a => Files.deleteIfExists(Paths.get(table).resolve(a.path)))
+        snapshot(table).version
+    }
   }
 
   /** Concurrent-safe compaction of one month: read that month's files from

@@ -144,6 +144,30 @@ object EventOps2 {
           col("count"), (col("sum_value").cast("double") / 100.0).as("sum_value"))
     }),
 
+    // keyed MERGE (upsert — the CDC-apply primitive): a correction batch
+    // re-delivers every 5th event with a fixed value; colliding files
+    // rewrite, the replay of the same batch no-ops on its token, and the
+    // final table equals DuckDB's last-writer-wins recompute.
+    "logstore_upsert" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_ups").toString
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(ev, table, idCol = "event_id", tsCol = "ts")
+      val fix = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .withColumn("value", col("value") + lit(1000.0))
+      CommitLog.upsertBatch(fix, table, idCol = "event_id", tsCol = "ts",
+        token = Some("fix-1"))
+      CommitLog.upsertBatch(fix, table, idCol = "event_id", tsCol = "ts",
+        token = Some("fix-1")) // replayed correction: no-op
+      CommitLog.scan(s, table)
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          (sum(round(col("value") * 100.0, 0).cast("long")) / 100.0)
+            .as("sum_value"))
+    }),
+
     // row-level DELETE WHERE (the lakehouse erasure-request shape): only
     // files containing matches rewrite; the post-delete table must equal
     // DuckDB's filtered recompute exactly.
@@ -308,6 +332,15 @@ object EventOps2 {
         |  CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
         |FROM ev WHERE strftime(ts::TIMESTAMP, '%Y-%m') >= '2024-02'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "logstore_upsert" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts, user_id,
+        |    CASE WHEN event_id % 5 = 0 THEN value + 1000 ELSE value END AS value
+        |  FROM events)
+        |SELECT strftime(ts::TIMESTAMP, '%Y-%m') AS month, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value*100.0) AS BIGINT))/100.0 AS sum_value
+        |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "logstore_delete_where" ->
       """WITH ev AS (
         |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts,

@@ -259,6 +259,35 @@ class CommitLogSpec extends GraftSuite {
     assert(CommitLog.snapshot(t).version == vBefore)
   }
 
+  test("upsertBatch: colliding files rewrite, new ids land, replay no-ops, feed nets to the replacement") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = freshTable()
+    CommitLog.append(sampleBatch(0 until 30, "2024-01"), t, "id", "ts")  // v1
+    CommitLog.append(sampleBatch(30 until 50, "2024-02"), t, "id", "ts") // v2
+    // CDC batch: corrections for ids straddling both files + brand-new ids
+    val fix = ((25 until 30).map(i => (s"id$i", java.sql.Timestamp.valueOf(s"2024-01-15 10:00:${i % 60}"), i + 100)) ++
+        (30 until 35).map(i => (s"id$i", java.sql.Timestamp.valueOf(s"2024-02-15 10:00:${i % 60}"), i + 100)) ++
+        (50 until 55).map(i => (s"id$i", java.sql.Timestamp.valueOf(s"2024-03-15 10:00:${i % 60}"), i)))
+      .toDF("id", "ts", "v")
+    CommitLog.upsertBatch(fix, t, "id", "ts", token = Some("cdc-1"))
+    val cur = CommitLog.scan(spark, t)
+    assert(cur.count() == 55)
+    assert(cur.filter(col("id") === "id27").head().getAs[Int]("v") == 127,
+      "corrected row must carry the new value")
+    assert(cur.filter(col("id") === "id3").head().getAs[Int]("v") == 3,
+      "untouched row keeps its value")
+    // feed: both collided files out (50 rows), survivors + batch in (55)
+    val feed = CommitLog.changesBetween(spark, t, 2, 3)
+    assert(feed.filter(col("_change_type") === "delete").count() == 50)
+    assert(feed.filter(col("_change_type") === "insert").count() == 55)
+    // replayed CDC batch: token makes it a no-op
+    val v = CommitLog.snapshot(t).version
+    CommitLog.upsertBatch(fix, t, "id", "ts", token = Some("cdc-1"))
+    assert(CommitLog.snapshot(t).version == v)
+    assert(CommitLog.scan(spark, t).count() == 55)
+  }
+
   test("retention is one atomic metadata commit; physical reclamation waits for vacuum") {
     val t = freshTable()
     CommitLog.append(sampleBatch(0 until 10, "2023-10"), t, "id", "ts")
