@@ -162,6 +162,15 @@ object VectorOps {
         .toDF("n_vecs", "exact_clusters", "refinement_ok", "merge_recall_ge_80")
     }),
 
+    // deterministic Lloyd's k-means (k=10 — the latent label count — 3
+    // iterations from a lowest-k-ids init): the learned-quantizer stage of
+    // SemDeDup/D4-style curation. FULLY oracled: 6-decimal centroid
+    // rounding each iteration makes the run a cross-engine fixed point, so
+    // DuckDB replays all three iterations and the final assignment.
+    "kmeans_clusters" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansAssign(
+        Tables.embeddings(s, dir), k = 10, iters = 3)),
+
     // multimodal decode: image rows are REAL synthesized PNGs decoded by
     // javax.imageio (width/height read from actual headers; the oracle
     // predicts them from the synthesis contract, so the gate verifies the
@@ -282,6 +291,7 @@ object VectorOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
     "ann_ivf" -> annIvfOracle,
     "ann_hyperplane" -> annHyperplaneOracle,
     "vector_norms" ->

@@ -1,0 +1,56 @@
+package graft
+
+import graft.core.Tables
+import graft.operators.Clustering
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means ([[Clustering.kmeansAssign]]). */
+class ClusteringSpec extends GraftSuite {
+
+  private lazy val vecs = Tables.embeddings(spark, sf)
+
+  test("every vector gets exactly one cluster in [0, k)") {
+    val n = vecs.count()
+    val out = Clustering.kmeansAssign(vecs, k = 10, iters = 3)
+    assert(out.count() === n)
+    assert(out.select("vec_id").distinct().count() === n)
+    assert(out.filter(col("cluster") < 0 || col("cluster") >= 10).count() === 0L)
+    assert(out.filter(col("dist") < 0).count() === 0L)
+  }
+
+  test("iterating improves (never worsens) the mean distance-to-centroid") {
+    // Lloyd's objective is non-increasing; 6-decimal centroid rounding can
+    // perturb at the 1e-6 scale, so allow that much slack.
+    def objective(iters: Int): Double =
+      Clustering.kmeansAssign(vecs, k = 10, iters = iters)
+        .agg(avg(col("dist"))).head().getDouble(0)
+    val o0 = objective(0)
+    val o3 = objective(3)
+    assert(o3 <= o0 + 1e-5, s"objective rose: iters=0 -> $o0, iters=3 -> $o3")
+  }
+
+  test("k-means is deterministic run-to-run") {
+    val a = Clustering.kmeansAssign(vecs, k = 10, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val b = Clustering.kmeansAssign(vecs, k = 10, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("clusters recover latent label structure better than the init") {
+    // Purity against the generator's latent label: the trained assignment
+    // should beat the iteration-0 (init-centroid) assignment.
+    def purity(iters: Int): Double = {
+      val joined = Clustering.kmeansAssign(vecs, k = 10, iters = iters)
+        .join(vecs.select(col("vec_id"), col("label")), "vec_id")
+      val n = joined.count().toDouble
+      val top = joined.groupBy("cluster", "label").count()
+        .groupBy("cluster").agg(max("count").as("m"))
+        .agg(sum("m")).head().getLong(0).toDouble
+      top / n
+    }
+    val p0 = purity(0)
+    val p3 = purity(3)
+    assert(p3 >= p0, s"purity fell with training: $p0 -> $p3")
+  }
+}
