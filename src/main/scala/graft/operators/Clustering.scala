@@ -78,10 +78,40 @@ object Clustering {
     }
   }
 
-  /** DuckDB replication of [[kmeansAssign]] — the same unrolled run as one
-    * statement (generated here so gate and operator share k/iters). */
-  def kmeansOracleSql(k: Int, iters: Int, table: String = "embeddings",
-                      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+  /** The D4 pipeline composition (Tirumala et al. 2023): k-means-cluster
+    * the embeddings, then semantic-dedup WITHIN each learned cluster —
+    * exact cosine pairs per cell, connected components, one (id, keeper)
+    * row per vector with keeper = the component's minimum id.
+    *
+    * This is the paper's actual scale argument re-expressed in Spark: the
+    * O(n²) cosine self-join runs per k-means cell (n/k rows each), never
+    * globally; [[kmeansAssign]] contributes one scan per iteration; and
+    * the component loop is the shared constant-depth label propagation
+    * ([[Dedup.connectedComponents]]). Every merge is exact-cosine-verified
+    * at the gate's threshold, so — unlike the hyperplane-LSH variant
+    * ([[Similarity.semanticClusters]]) — within-cell recall is exactly 1;
+    * what the cell partition may miss is only cross-cluster near-dups,
+    * the trade the D4 recipe explicitly makes. */
+  def semdedupKmeans(vectors: DataFrame, k: Int, iters: Int, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     dim: Int = 64): DataFrame = {
+    val cells = kmeansAssign(vectors, k, iters, dim, idCol, vecCol)
+      .select(col(idCol), col("cluster"))
+    val pairs = Similarity.cosinePairs(
+      vectors.join(cells, idCol), threshold, blockCol = "cluster",
+      idCol = idCol, vecCol = vecCol).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+    vectors.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("keeper"))
+  }
+
+  /** The unrolled-run CTE list and the final-assignment subquery of the
+    * DuckDB replication — exposed separately so composition gates
+    * (`semdedup_kmeans`) can build on the same replayed clustering. */
+  def kmeansOracleCtes(k: Int, iters: Int, table: String = "embeddings",
+                       idCol: String = "vec_id", vecCol: String = "embedding"): (String, String) = {
     val init =
       s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS c
          |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $k))""".stripMargin
@@ -97,10 +127,46 @@ object Clustering {
          |      SELECT a$i.cluster AS cluster, generate_subscripts(v.v, 1) AS j, unnest(v.v) AS x
          |      FROM a$i JOIN v USING (id)) GROUP BY cluster, j) GROUP BY cluster)""".stripMargin
     }
-    s"""WITH v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       |${(init +: steps).mkString(",\n")}
+    val ctes =
+      s"""v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+         |${(init +: steps).mkString(",\n")}""".stripMargin
+    (ctes, assign(iters))
+  }
+
+  /** DuckDB replication of [[semdedupKmeans]]: the replayed k-means run,
+    * within-cluster exact-cosine pairs, and a recursive-CTE component
+    * closure (the `dedup_clusters_lsh` oracle pattern). */
+  def semdedupOracleSql(k: Int, iters: Int, threshold: Double,
+                        table: String = "embeddings", idCol: String = "vec_id",
+                        vecCol: String = "embedding"): String = {
+    val (ctes, fin) = kmeansOracleCtes(k, iters, table, idCol, vecCol)
+    s"""WITH RECURSIVE $ctes,
+       |asgn AS (SELECT id, cluster FROM $fin),
+       |p AS (
+       |  SELECT ax.id AS id_a, ay.id AS id_b
+       |  FROM asgn ax JOIN asgn ay ON ax.cluster = ay.cluster AND ax.id < ay.id
+       |  JOIN v x ON x.id = ax.id JOIN v y ON y.id = ay.id
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (
+       |  SELECT r.a AS id, least(r.a, min(r.b)) AS keeper FROM reach r GROUP BY r.a)
+       |SELECT v.id AS $idCol, coalesce(c.keeper, v.id) AS keeper
+       |FROM v LEFT JOIN comp c ON c.id = v.id
+       |ORDER BY $idCol""".stripMargin
+  }
+
+  /** DuckDB replication of [[kmeansAssign]] — the same unrolled run as one
+    * statement (generated here so gate and operator share k/iters). */
+  def kmeansOracleSql(k: Int, iters: Int, table: String = "embeddings",
+                      idCol: String = "vec_id", vecCol: String = "embedding"): String = {
+    val (ctes, fin) = kmeansOracleCtes(k, iters, table, idCol, vecCol)
+    s"""WITH $ctes
        |SELECT id AS $idCol, cluster, round(d, 6) AS dist
-       |FROM ${assign(iters)}
+       |FROM $fin
        |ORDER BY $idCol""".stripMargin
   }
 }

@@ -171,6 +171,15 @@ object VectorOps {
       graft.operators.Clustering.kmeansAssign(
         Tables.embeddings(s, dir), k = 10, iters = 3)),
 
+    // the D4 composition (k-means cells -> exact-cosine semantic dedup
+    // within each cell -> component keepers). FULLY oracled: DuckDB replays
+    // the clustering, the per-cell pair join, and a recursive component
+    // closure. Within-cell recall is exactly 1 (every pair exact-verified);
+    // the cell partition only ever misses cross-cluster near-dups.
+    "semdedup_kmeans" -> ((s, dir) =>
+      graft.operators.Clustering.semdedupKmeans(
+        Tables.embeddings(s, dir), k = 10, iters = 3, threshold = 0.4)),
+
     // multimodal decode: image rows are REAL synthesized PNGs decoded by
     // javax.imageio (width/height read from actual headers; the oracle
     // predicts them from the synthesis contract, so the gate verifies the
@@ -292,6 +301,7 @@ object VectorOps {
 
   def oracles: Map[String, String] = Map(
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
+    "semdedup_kmeans" -> graft.operators.Clustering.semdedupOracleSql(k = 10, iters = 3, threshold = 0.4),
     "ann_ivf" -> annIvfOracle,
     "ann_hyperplane" -> annHyperplaneOracle,
     "vector_norms" ->

@@ -37,6 +37,17 @@ class ClusteringSpec extends GraftSuite {
     assert(a.sameElements(b))
   }
 
+  test("semdedupKmeans keepers form a fixpoint and never point upward") {
+    val out = Clustering.semdedupKmeans(vecs, k = 10, iters = 2, threshold = 0.4)
+    assert(out.count() === vecs.count())
+    // keeper = component minimum, so keeper <= id everywhere...
+    assert(out.filter(col("keeper") > col("vec_id")).count() === 0L)
+    // ...and a keeper must keep itself (no chains: a -> b -> c).
+    val chained = out.select(col("keeper").as("vec_id")).distinct()
+      .join(out, "vec_id").filter(col("keeper") =!= col("vec_id"))
+    assert(chained.count() === 0L)
+  }
+
   test("clusters recover latent label structure better than the init") {
     // Purity against the generator's latent label: the trained assignment
     // should beat the iteration-0 (init-centroid) assignment.
