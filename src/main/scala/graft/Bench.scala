@@ -34,7 +34,7 @@ object Bench {
     "salted_agg_by_type", "dedup_clusters", "q17_small_quantity",
     "moving_avg_revenue", "dedup_span_removal", "bm25_topk",
     "weighted_sample_topn", "logstore_optimize", "dedup_minhash_lsh_fast",
-    "pack_sequences", "incremental_minhash_dedup")
+    "pack_sequences", "incremental_minhash_dedup", "semdedup_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

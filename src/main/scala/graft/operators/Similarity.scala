@@ -255,6 +255,113 @@ object Similarity {
       .select(col("id_t").as("flagged_id")).distinct()
   }
 
+  /** Incremental EMBEDDING near-dup: semantic filtering of a new batch
+    * against everything previously seen — the vector-space sibling of
+    * [[graft.operators.Dedup.incrementalMinhashBatch]]'s MinHash band
+    * ledger, for a growing corpus whose arrivals carry embeddings.
+    *
+    * The bucket LEDGER (a [[CommitLog]] table) holds (tbl, bucket, id) for
+    * every vector EVER SEEN — `tables` rows of ~16 B per vector,
+    * content-free and append-only; dropped vectors contribute buckets too
+    * (dedup is against the seen corpus, not the kept subset, and verdicts
+    * never feed back — each vector's fate is a pure function of what
+    * arrived before it). Candidates come from two hyperplane-bucket joins
+    * (batch×batch; ledger×batch with the ledger STREAMING through a
+    * broadcast of the batch's buckets — history is scanned two-columns-
+    * pruned, never shuffled), every candidate is verified at exact cosine
+    * ≥ threshold (no false positives; recall follows the sign-LSH curve —
+    * see [[cosinePairsLsh]]'s regime note), and old-side vectors come from
+    * a semi-join-pruned point-lookup-shaped read of the history store.
+    * All batch bucket rows append in one atomic, token-idempotent commit;
+    * current-batch ids are excluded from the ledger probe so a token
+    * REPLAY is verdict-identical to the first run.
+    *
+    * @return the batch rows plus a `kept` boolean (false = verified
+    *         semantic near-dup of an earlier-seen vector) */
+  def incrementalEmbeddingBatch(batch: DataFrame, history: DataFrame,
+                                ledgerTable: String,
+                                acceptedAt: java.sql.Timestamp,
+                                threshold: Double,
+                                tables: Int = 8, bits: Int = 6, dim: Int = 64,
+                                token: Option[String] = None,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    install(batch)
+    val spark = batch.sparkSession
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nnorm(col(vecCol)).as("nrm")).persist(mem)
+    val bk = v.select(col("id"), posexplode(array((0 until tables).map(t =>
+        hyperplaneSig(col("v"), t, bits, dim)): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+      .persist(mem)
+    def cosAB = round(ndot(col("v_a"), col("v_b")) /
+      nullif(col("n_a") * col("n_b"), lit(0.0)), 6)
+
+    // in-batch: bucket-colliding pairs verified at exact cosine; a vector
+    // is dropped by the batch iff a SMALLER id sits among its verified
+    // neighbours (one hop — near-duplication is not closed transitively,
+    // exactly the pair-level semantics of the MinHash ledger)
+    val simPairs = bk.select(col("tbl"), col("bucket"), col("id").as("id_a"))
+      .join(bk.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .filter(cosAB >= threshold)
+      .select("id_a", "id_b")
+    val effMin = simPairs
+      .select(col("id_a").as("id"), col("id_b").as("other"))
+      .unionByName(simPairs.select(col("id_b").as("id"), col("id_a").as("other")))
+      .unionByName(v.select(col("id"), col("id").as("other")))
+      .groupBy("id").agg(min(col("other")).as("effmin"))
+
+    // cross-batch: ledger rows (minus this batch's own ids — replay
+    // safety) probe a broadcast of the batch's buckets; colliding old ids
+    // pull their vectors through a column-pruned semi join on the history
+    // store, then verify exactly.
+    val ledgerHit =
+      if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
+      else {
+        val cands = CommitLog.scan(spark, ledgerTable)
+          .select(col("tbl"), col("bucket"), col("id").as("old_id"))
+          .join(broadcast(v.select(col("id").as("old_id"))),
+            Seq("old_id"), "left_anti")
+          .join(broadcast(bk), Seq("tbl", "bucket"))
+          .select("id", "old_id").dropDuplicates("id", "old_id")
+        val histVecs = history
+          .select(col(idCol).as("old_id"), col(vecCol).as("hv"))
+          .join(cands.select("old_id").distinct(), Seq("old_id"), "left_semi")
+          .select(col("old_id"), col("hv").as("v_b"), nnorm(col("hv")).as("n_b"))
+        Some(cands
+          .join(v.select(col("id"), col("v").as("v_a"), col("nrm").as("n_a")), "id")
+          .join(histVecs, "old_id")
+          .filter(cosAB >= threshold)
+          .select("id").distinct()
+          .withColumn("hit", lit(true)))
+      }
+
+    val verdicts = v.select(col("id"))
+      .join(effMin, Seq("id"))
+      .join(ledgerHit.getOrElse(
+        v.select(col("id")).limit(0).withColumn("hit", lit(true))),
+        Seq("id"), "left")
+      .withColumn("kept",
+        col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
+      .select(col("id").as(idCol), col("kept"))
+    val out = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val atMicros = acceptedAt.getTime * 1000L
+    CommitLog.append(
+      bk.select(col("tbl"), col("bucket"), col("id"),
+          lit(acceptedAt).as("accepted_at"),
+          concat_ws("#", col("id"), col("tbl")).as("row_id")),
+      ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
+      statsHint = Some((atMicros, atMicros)))
+    v.unpersist(); bk.unpersist()
+    out
+  }
+
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking
     * key (e.g. label or IVF cell). Precomputes norms once per side. */
   def cosinePairs(vectors: DataFrame, threshold: Double, blockCol: String,

@@ -171,6 +171,26 @@ object VectorOps {
       graft.operators.Clustering.kmeansAssign(
         Tables.embeddings(s, dir), k = 10, iters = 3)),
 
+    // incremental EMBEDDING near-dup: four batches through the hyperplane-
+    // bucket ledger (the vector sibling of incremental_minhash_dedup).
+    // FULLY oracled: plane components are deterministic literals, so DuckDB
+    // replays the whole four-batch run — bucket candidates, exact-cosine
+    // verification, earlier-(batch,id) keeper semantics — in one statement.
+    "incremental_embedding_dedup" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val ledger = java.nio.file.Files
+        .createTempDirectory("graft_inc_emb").toString + "/ledger"
+      val batchOf = expr("CAST(vec_id % 4 AS INT)")
+      val t0 = 1704067200000L // 2024-01-01T00:00Z
+      (0 until 4).map { b =>
+        Similarity.incrementalEmbeddingBatch(
+          vecs.filter(batchOf === b), vecs.filter(batchOf < b), ledger,
+          new java.sql.Timestamp(t0 + b * 3600000L), threshold = 0.4,
+          token = Some(s"batch-$b"))
+          .select(col("vec_id"), lit(b).as("batch"), col("kept"))
+      }.reduce(_.unionByName(_))
+    }),
+
     // the D4 composition (k-means cells -> exact-cosine semantic dedup
     // within each cell -> component keepers). FULLY oracled: DuckDB replays
     // the clustering, the per-cell pair join, and a recursive component
@@ -299,8 +319,38 @@ object VectorOps {
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 20""".stripMargin
   }
 
+  /** DuckDB replication of the four-batch embedding-ledger run: per-vector
+    * hyperplane signatures from the SAME deterministic plane-component
+    * literals, bucket-colliding candidate pairs ordered by (batch, id),
+    * exact-cosine verification — dropped iff an earlier-seen verified
+    * near-dup exists. */
+  private def incrementalEmbeddingOracle: String = {
+    val (tables, bits, threshold) = (8, 6, 0.4)
+    def planeArr(t: Int, p: Int): String =
+      (0 until 64).map(j => Similarity.planeComponent(t * 64 + p, j).toString)
+        .mkString("[", ", ", "]")
+    def sig(t: Int): String = (0 until bits).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeArr(t, p)}) >= 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    val sigs = (0 until tables).map(sig).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(vec_id % 4 AS INT) AS batch,
+       |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sg AS (SELECT id, batch, $sigs AS sigs FROM v),
+       |bk AS (SELECT id, batch, generate_subscripts(sigs, 1) AS tbl, unnest(sigs) AS bucket FROM sg),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |   AND (a.batch * 10000000 + a.id) < (b.batch * 10000000 + b.id)),
+       |drp AS (SELECT DISTINCT c.id_b AS id FROM cand c
+       |  JOIN v x ON x.id = c.id_a JOIN v y ON y.id = c.id_b
+       |  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $threshold)
+       |SELECT v.id AS vec_id, v.batch AS batch, (d.id IS NULL) AS kept
+       |FROM v LEFT JOIN drp d ON d.id = v.id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
+    "incremental_embedding_dedup" -> incrementalEmbeddingOracle,
     "semdedup_kmeans" -> graft.operators.Clustering.semdedupOracleSql(k = 10, iters = 3, threshold = 0.4),
     "ann_ivf" -> annIvfOracle,
     "ann_hyperplane" -> annHyperplaneOracle,

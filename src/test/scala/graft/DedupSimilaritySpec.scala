@@ -464,6 +464,57 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("incremental embedding ledger: cross-batch drops, dropped vectors still block, idempotent replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    // direction chain in the first two coordinates (rest zero):
+    // cos(v1,v10)=cos18°≈0.951 ≥ 0.9 (drop 10 via 1); cos(v10,v20)=cos18°
+    // ≥ 0.9 but cos(v1,v20)=cos36°≈0.809 < 0.9 — vector 20 is a near-dup
+    // ONLY of the already-DROPPED vector 10, so batch 3 proves the ledger
+    // carries dropped vectors' buckets (seen-corpus, not kept-subset).
+    def dir(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(j =>
+        if (j == 0) math.cos(r).toFloat else if (j == 1) math.sin(r).toFloat else 0f)
+    }
+    val ortho = Array.tabulate(64)(j => if (j == 2) 1f else 0f)
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_inc_emb_spec").toString + "/ledger"
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 0$h:00:00")
+    def keptSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+
+    val b1 = Seq((1L, dir(0)), (2L, ortho)).toDF("vec_id", "embedding")
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val r1 = Similarity.incrementalEmbeddingBatch(b1, empty, ledger, ts(1),
+      threshold = 0.9, token = Some("b1"))
+    assert(keptSet(r1) == Set(1L, 2L))
+
+    // batch 2: 10 ≈ 1 (cross-batch, via ledger), 11 = same direction as 10
+    // (in-batch, earlier id wins), 12 unseen
+    val b2 = Seq((10L, dir(18)), (11L, dir(18)),
+      (12L, Array.tabulate(64)(j => if (j == 3) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.incrementalEmbeddingBatch(b2, b1, ledger, ts(2),
+      threshold = 0.9, token = Some("b2"))
+    assert(keptSet(r2) == Set(12L))
+
+    // replay under the same token: same verdicts, ledger unchanged
+    val rows0 = graft.operators.CommitLog.scan(spark, ledger).count()
+    assert(rows0 == 40) // 5 vectors x 8 tables
+    val r2b = Similarity.incrementalEmbeddingBatch(b2, b1, ledger, ts(2),
+      threshold = 0.9, token = Some("b2"))
+    assert(keptSet(r2b) == Set(12L))
+    assert(graft.operators.CommitLog.scan(spark, ledger).count() == 40)
+
+    // batch 3: vector 20 similar only to the DROPPED vector 10
+    val b3 = Seq((20L, dir(36))).toDF("vec_id", "embedding")
+    val r3 = Similarity.incrementalEmbeddingBatch(b3, b1.unionByName(b2),
+      ledger, ts(3), threshold = 0.9, token = Some("b3"))
+    assert(keptSet(r3).isEmpty,
+      "vector 20 must be blocked by the dropped vector 10's bucket rows")
+  }
+
   test("incremental MinHash ledger: randomized cross-check vs an in-JVM reference") {
     val spark2 = spark
     import spark2.implicits._
