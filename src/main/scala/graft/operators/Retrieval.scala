@@ -63,7 +63,7 @@ object Retrieval {
         length(translate(col(textCol), " ", "")) + lit(1)).as("avgdl"))
 
   /** Salted two-phase per-query top-k over `(qid, doc_id, score)`. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val partial = Window.partitionBy(col("qid"), col("salt"))
       .orderBy(col("score").desc, col("doc_id"))
     val fin = Window.partitionBy(col("qid"))
@@ -118,6 +118,31 @@ object Retrieval {
       .groupBy(col("qid"), col("doc_id"))
       .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
     rankTopK(scored, k)
+  }
+
+  /** HYBRID retrieval fusion: Reciprocal Rank Fusion (Cormack et al.
+    * 2009) over per-query rank lists from heterogeneous retrievers —
+    * the standard way to combine BM25 with dense-embedding top-k without
+    * calibrating their incomparable score scales.
+    *
+    * `rrf(d) = Σ_lists 1 / (rrfK + rank_list(d))`; documents missing from
+    * a list contribute nothing for it. Input frames need `(qid, rank,
+    * doc_id)`; ranks are 1-based as [[rankTopK]] emits them.
+    *
+    * Scale: each input list is already ≤ k rows per query (the retrievers
+    * did the heavy lifting), so fusion is a union of tiny frames + one
+    * (qid, doc_id) aggregate + the same salted two-phase top-k. The sum
+    * has ≤ `lists.size` terms, so double addition is exact under
+    * reordering for the common 2-retriever case and rounded to 9 dp
+    * before ranking regardless. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "at least one rank list")
+    val contrib = lists.map(_.select(col("qid"), col("doc_id"),
+      (lit(1.0) / (lit(rrfK) + col("rank"))).as("c")))
+      .reduce(_.unionByName(_))
+    rankTopK(
+      contrib.groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(col("c")), 9).as("score")), k)
   }
 
   /** BM25 over a pre-built postings table — the amortized path when many

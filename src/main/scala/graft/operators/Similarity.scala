@@ -76,6 +76,28 @@ object Similarity {
   /** IVF-style ANN: probe the `nProbe` cells whose centroid is nearest the
     * query, exact re-rank within them. Approximate (recall < 1 when the
     * true neighbor lives in an unprobed cell). */
+  /** Multi-query exact cosine top-k: the query BATCH broadcasts (it is
+    * the small side by construction), every vector scores against every
+    * query in one scan, and per-query ranking is the salted two-phase
+    * top-k — no per-query scan, no window over the whole corpus.
+    * Output: (qid, rank, vec_id, cos_sim), rank 1-based. */
+  def knnBruteMulti(vectors: DataFrame, queries: Seq[(String, Seq[Float])],
+                    k: Int, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(queries.nonEmpty, "at least one query vector")
+    install(vectors)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qdf = queries.toDF("qid", "qv")
+    val scored = vectors
+      .crossJoin(broadcast(qdf))
+      .select(col("qid"), col(idCol).as("doc_id"),
+        round(ncosine(col(vecCol), col("qv")), 6).as("score"))
+    Retrieval.rankTopK(scored, k)
+      .select(col("qid"), col("rank"), col("doc_id").as(idCol),
+        col("score").as("cos_sim"))
+  }
+
   def annIvf(vectors: DataFrame, queryVec: Seq[Float], k: Int, nProbe: Int,
              cellCol: String, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {

@@ -54,6 +54,28 @@ object SamplingOps {
           round(col("es_key"), 9).as("es_key"))
     }),
 
+    // LEAKAGE-SAFE split: train/val/test assigned at the near-dup-CLUSTER
+    // level (exact blocked Jaccard >= 0.8 -> connected components), so
+    // paraphrase pairs never straddle train and test. Oracled end-to-end:
+    // DuckDB replays the closure AND the md5 split assignment.
+    "split_by_cluster" -> ((s, dir) =>
+      graft.operators.Splits.splitByCluster(
+        Tables.documents(s, dir), threshold = 0.8,
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "r7s")),
+
+    // domain-mixture sample to per-language char budgets (the static-
+    // mixture step of a pretraining recipe). Exact cutoff semantics via
+    // the skew-free bucket-histogram plan; 'de' absent from the budget
+    // map -> dropped entirely, and budgets exceed no domain's corpus at
+    // sf0.01 except fr/es/zh which cut mid-domain.
+    "mixture_sample_budget" -> ((s, dir) =>
+      graft.operators.Splits.mixtureSample(Tables.documents(s, dir),
+        budgets = Map("en" -> 30000L, "zh" -> 10000L, "es" -> 8000L,
+          "fr" -> 5000L),
+        sizeCol = col("n_chars"), salt = "r7m")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_u"))),
+
     // per-group cap: at most 10 docs per source, chosen by hash order (a
     // deterministic "random" subset, stable across engines and runs).
     "capped_per_source" -> ((s, dir) => {
@@ -92,6 +114,44 @@ object SamplingOps {
         |  FROM k)
         |SELECT lang, doc_id, n_chars, round(raw_key, 9) AS es_key
         |FROM r WHERE rk <= 5""".stripMargin,
+    "split_by_cluster" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        |asg AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |uu AS (SELECT doc_id, component,
+        |  (('0x' || substr(md5(CAST(component AS VARCHAR) || 'r7s'), 1, 12))::UBIGINT + 0.5)
+        |    / 281474976710656.0 AS u FROM asg)
+        |SELECT doc_id, component,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM uu""".stripMargin,
+    "mixture_sample_budget" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r7m'), 1, 12))::UBIGINT + 0.5)
+        |      / 281474976710656.0 AS uu,
+        |    CASE lang WHEN 'en' THEN 30000 WHEN 'zh' THEN 10000
+        |              WHEN 'es' THEN 8000 WHEN 'fr' THEN 5000 END AS budget
+        |  FROM documents),
+        |k AS (
+        |  SELECT *, coalesce(sum(greatest(n_chars, 1)) OVER (
+        |    PARTITION BY lang ORDER BY uu, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM u WHERE budget IS NOT NULL)
+        |SELECT doc_id, lang, n_chars, round(uu, 9) AS sample_u
+        |FROM k WHERE pre < budget""".stripMargin,
     "capped_per_source" ->
       """SELECT source, rk, doc_id FROM (
         |  SELECT source, doc_id,

@@ -14,6 +14,10 @@ object VectorOps {
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
 
+  /** Hybrid-retrieval query ids — present in BOTH documents and
+    * embeddings at every SF (ids 0..499 exist even at sf0.001-scale). */
+  private val HybridQueryIds: Seq[Long] = Seq(0L, 7L, 13L)
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // per-vector L2 norm (the shared primitive; exact-oracled; codegen'd).
     "vector_norms" -> ((s, dir) => {
@@ -25,6 +29,31 @@ object VectorOps {
     // brute-force exact cosine top-k (the always-correct baseline).
     "knn_brute_force" -> ((s, dir) =>
       Similarity.knnBrute(Tables.embeddings(s, dir), queryVec(s, dir), k = 20)),
+
+    // HYBRID retrieval: BM25 top-20 (the doc's own text as the query) and
+    // dense cosine top-20 (its embedding), fused by Reciprocal Rank
+    // Fusion to a top-10. Both retriever lists and the fusion arithmetic
+    // are exact, so DuckDB replays the whole thing. Query ids exist in
+    // both tables at every SF; the point lookups are driver-bounded.
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val qids = HybridQueryIds
+      val docs = Tables.documents(s, dir)
+      val qtexts = docs.filter(col("doc_id").isin(qids: _*))
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0).toString, r.getString(1))).toSeq.sortBy(_._1)
+      val qvecs = Tables.embeddings(s, dir).filter(col("vec_id").isin(qids: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toString, r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      val lex = graft.operators.Retrieval
+        .bm25TopK(s, docs, "doc_id", "text", qtexts, k = 20)
+        .select("qid", "rank", "doc_id")
+      val dense = Similarity
+        .knnBruteMulti(Tables.embeddings(s, dir), qvecs, k = 20)
+        .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
+      graft.operators.Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+        .select(col("qid"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("score"))
+    }),
 
     // IVF-style ANN: label cells, probe 3 nearest centroids. FULLY oracled
     // (round 5): the probe→re-rank pipeline is deterministic given the
@@ -348,7 +377,55 @@ object VectorOps {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** DuckDB replication of hybrid RRF: the bm25_topk oracle's scoring
+    * pipeline with the query batch drawn from the documents table itself,
+    * the knn oracle's dense scoring for the same ids, and the fusion
+    * arithmetic (≤2 exact double terms per doc, rounded at 9) replayed. */
+  private def hybridRrfOracle: String = {
+    val ids = HybridQueryIds.mkString(", ")
+    s"""WITH q AS (SELECT CAST(doc_id AS VARCHAR) AS qid, text AS qtext
+       |  FROM documents WHERE doc_id IN ($ids)),
+       |qt AS (SELECT DISTINCT qid, term FROM (
+       |  SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)
+       |  WHERE term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       |stats AS (SELECT count(*) AS n_docs,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+       |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |lsc AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+       |      (tf.tf * 2.2) /
+       |      (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6) AS score
+       |  FROM tf JOIN qt USING (term) JOIN dfreq d USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY qt.qid, tf.doc_id),
+       |lex AS (SELECT qid, doc_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM lsc),
+       |qv AS (SELECT CAST(vec_id AS VARCHAR) AS qid,
+       |  CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id IN ($ids)),
+       |dsc AS (SELECT qv.qid, e.vec_id AS doc_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qv), 6) AS score
+       |  FROM embeddings e CROSS JOIN qv),
+       |den AS (SELECT qid, doc_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM dsc),
+       |u AS (SELECT qid, doc_id, rank FROM lex WHERE rank <= 20
+       |  UNION ALL SELECT qid, doc_id, rank FROM den WHERE rank <= 20),
+       |sc AS (SELECT qid, doc_id,
+       |  round(sum(1.0 / (60 + rank)), 9) AS score FROM u GROUP BY qid, doc_id),
+       |fin AS (SELECT qid, doc_id, score, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rank FROM sc)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, score
+       |FROM fin WHERE rank <= 10""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "hybrid_rrf_topk" -> hybridRrfOracle,
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
     "incremental_embedding_dedup" -> incrementalEmbeddingOracle,
     "semdedup_kmeans" -> graft.operators.Clustering.semdedupOracleSql(k = 10, iters = 3, threshold = 0.4),

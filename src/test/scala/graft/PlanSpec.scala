@@ -133,6 +133,40 @@ class PlanSpec extends GraftSuite {
       s"term-partitioned exchange reappeared:\n$phys")
   }
 
+  test("mixture-to-budget plan: one Window, and only the boundary bucket feeds it") {
+    val df = graft.operators.Splits.mixtureSample(
+      graft.core.Tables.documents(spark, sf),
+      budgets = Map("en" -> 30000L, "zh" -> 10000L),
+      sizeCol = col("n_chars"), salt = "p")
+    // full buckets below the boundary bypass ordering entirely; the exact
+    // running-sum window exists once, on the ~1/1024 boundary slice — a
+    // naive per-domain window would sort the whole corpus in ≤|domains|
+    // partitions. String-match: AQE wraps the tree, so node collect()
+    // can't see through AdaptiveSparkPlan.
+    val phys = df.queryExecution.executedPlan.toString
+    val windowLines = phys.linesIterator.count(_.contains("- Window ["))
+    assert(windowLines == 1, s"expected exactly one Window node:\n$phys")
+    // the window's input filter pins _bkt to the folded boundary literal
+    // (an equality, vs the below-path's strict less-than)
+    assert(phys.contains("= CASE WHEN"),
+      s"window input is not boundary-bucket-filtered:\n$phys")
+  }
+
+  test("hybrid rrf plan: query batch broadcasts on both retrievers, no sort-merge join") {
+    val lex = graft.operators.Retrieval.bm25TopK(spark,
+      graft.core.Tables.documents(spark, sf), "doc_id", "text",
+      Seq("7" -> "hash join"), k = 5).select("qid", "rank", "doc_id")
+    val den = graft.operators.Similarity.knnBruteMulti(
+        graft.core.Tables.embeddings(spark, sf),
+        Seq("7" -> Seq.fill(64)(0.1f)), k = 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("doc_id"))
+    val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 3)
+    val phys = fused.queryExecution.executedPlan.toString
+    assert(!phys.contains("SortMergeJoin"),
+      s"hybrid fusion shuffles a join that should broadcast:\n$phys")
+    assert(phys.contains("BroadcastNestedLoopJoin") || phys.contains("BroadcastHashJoin"), phys)
+  }
+
   test("q16 plan: NOT IN lowers to a broadcast left-anti join") {
     val df = graft.queries.Relational3.defs("q16_supplier_variety")(spark, sf)
     val phys = df.queryExecution.executedPlan.toString

@@ -48,6 +48,73 @@ class SamplingSpec extends GraftSuite {
     assert(a != b, "independent salts produced identical samples")
   }
 
+  private def uniformOf(id: Long, salt: String): Double = {
+    val h = java.lang.Long.parseLong(md5Hex(id.toString + salt).take(12), 16)
+    (h + 0.5) / 281474976710656.0
+  }
+
+  test("mixtureSample matches the brute-force cutoff for every bucket count") {
+    val spark2 = spark
+    import spark2.implicits._
+    // three domains: 'a' cuts mid-domain, 'b' fits entirely under budget,
+    // 'c' has no budget entry and must vanish
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i % 50 + 1))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+    val budgets = Map("a" -> 700L, "b" -> 1000000L)
+    def brute(salt: String): Set[Long] = budgets.keys.flatMap { dom =>
+      val inDom = rows.filter(_._2 == dom)
+        .map { case (i, _, s) => (i, uniformOf(i, salt), s.toLong.max(1L)) }
+        .sortBy { case (i, u, _) => (u, i) }
+      val pre = inDom.scanLeft(0L)(_ + _._3)
+      inDom.zip(pre).collect { case ((i, _, _), p) if p < budgets(dom) => i }
+    }.toSet
+    for (buckets <- Seq(1, 2, 7, 1024)) {
+      val got = graft.operators.Splits.mixtureSample(df, budgets,
+          sizeCol = col("n_chars"), salt = "mx", buckets = buckets)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == brute("mx"), s"buckets=$buckets")
+    }
+    // membership is a pure function of (id, salt, budget): re-salting redraws
+    val resalted = graft.operators.Splits.mixtureSample(df, budgets,
+        sizeCol = col("n_chars"), salt = "mx2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(resalted == brute("mx2"))
+    assert(resalted != brute("mx"))
+  }
+
+  test("splitByCluster: near-dup pairs never straddle splits; all docs assigned") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 30 clusters of 3 identical docs (J=1.0 pairs) + 40 singletons
+    val dupes = (0L until 30L).flatMap { c =>
+      (0L until 3L).map(m => (c * 10 + m, "s", s"alpha beta gamma delta c$c"))
+    }
+    val singles = (1000L until 1040L).map(i => (i, "s", s"unique text body $i only"))
+    val df = (dupes ++ singles).toDF("doc_id", "source", "text")
+    val out = graft.operators.Splits.splitByCluster(df, threshold = 0.8,
+      fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "sp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(out.size == dupes.size + singles.size, "every doc gets a row")
+    // leakage safety: one split per component, dup triples share it
+    val byComp = out.groupBy(_._2)
+    assert(byComp.values.forall(_.map(_._3).distinct.size == 1))
+    (0L until 30L).foreach { c =>
+      val triple = out.filter(t => t._1 / 10 == c && t._1 < 1000)
+      assert(triple.map(_._3).distinct.size == 1, s"cluster $c straddles splits")
+      assert(triple.map(_._2).distinct == Seq(c * 10), s"cluster $c component")
+    }
+    // singleton assignment = the md5 rule on its own id
+    val splits = out.filter(_._1 >= 1000L).map { case (id, comp, split) =>
+      assert(comp == id)
+      val u = uniformOf(id, "sp")
+      val want = if (u < 0.8) "train" else if (u < 0.9) "val" else "test"
+      assert(split == want, s"doc $id: $split != $want")
+      split
+    }
+    assert(splits.toSet.size > 1, "40 singletons should hit multiple splits")
+  }
+
   test("plan: top-n compiles to TakeOrderedAndProject, not a global sort") {
     val df = Sampling.weightedSample(
       graft.core.Tables.documents(spark, sf), "doc_id",

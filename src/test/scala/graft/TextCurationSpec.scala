@@ -166,6 +166,35 @@ class TextCurationSpec extends GraftSuite {
     assert(viaPostings == want, s"postings path diverged: $viaPostings")
   }
 
+  test("rrf fusion: hand-computed reciprocal ranks, missing-list docs, top-k cut") {
+    val spark2 = spark
+    import spark2.implicits._
+    // lex list: docs 1,2,3 at ranks 1..3; dense list: 3,4 at ranks 1..2.
+    // rrf(3) = 1/63 + 1/61 (both lists), rrf(1) = 1/61 (lex only), etc.
+    val lex = Seq(("q", 1, 1L), ("q", 2, 2L), ("q", 3, 3L)).toDF("qid", "rank", "doc_id")
+    val den = Seq(("q", 1, 3L), ("q", 2, 4L)).toDF("qid", "rank", "doc_id")
+    val got = graft.operators.Retrieval.rrfFuse(Seq(lex, den), k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      .sortBy(_._1)
+    def rr(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 3 fuses both lists and must rank first despite rank 3 in lex
+    assert(got == Seq((1, 3L, rr(3, 1)), (2, 1L, rr(1)), (3, 2L, rr(2))), got)
+
+    // multi-query dense retrieval matches per-query single-vector knn
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)))
+    val vdf = vecs.toDF("vec_id", "embedding")
+    val queries = Seq("a" -> vecs(3)._2.toSeq, "b" -> vecs(17)._2.toSeq)
+    val multi = graft.operators.Similarity.knnBruteMulti(vdf, queries, k = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val single = queries.flatMap { case (qid, qv) =>
+      graft.operators.Similarity.knnBrute(vdf, qv, k = 5)
+        .collect().zipWithIndex.map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.toSet
+    assert(multi == single, s"multi $multi != single $single")
+  }
+
   test("BPE training matches a naive single-machine reference, merge for merge") {
     val spark2 = spark
     import spark2.implicits._
