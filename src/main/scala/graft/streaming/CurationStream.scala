@@ -91,4 +91,47 @@ object CurationStream {
     CommitLog.append(verdicts, corpusTable, idCol = idCol, tsCol = tsCol,
       token = Some(s"corpus-$batchId"))
   }
+
+  /** Streaming SEMANTIC dedup intake: the embedding-space sibling of
+    * [[fuzzyIntake]], driving
+    * [[graft.operators.Similarity.incrementalEmbeddingBatch]] from
+    * foreachBatch — vectors arriving on a stream are filtered against
+    * every vector the stream has ever seen via the hyperplane-bucket
+    * ledger. Same two-table design and the same crash-window argument:
+    * the ledger probe excludes the batch's own ids, so a replay after
+    * "buckets committed, corpus not" recomputes identical verdicts and
+    * both appends no-op on their tokens. */
+  def embeddingIntake(vecs: DataFrame, corpusTable: String,
+                      ledgerTable: String, checkpoint: String,
+                      tsCol: String = "event_time", idCol: String = "vec_id",
+                      vecCol: String = "embedding", threshold: Double = 0.9)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        embeddingIntakeBatch(batch, batchId, corpusTable, ledgerTable,
+          tsCol, idCol, vecCol, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[embeddingIntake]]. */
+  def embeddingIntakeBatch(batch: DataFrame, batchId: Long,
+                           corpusTable: String, ledgerTable: String,
+                           tsCol: String, idCol: String, vecCol: String,
+                           threshold: Double): Unit = {
+    import graft.operators.{CommitLog, Similarity}
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val history =
+      if (CommitLog.snapshot(corpusTable).files.isEmpty)
+        batch.select(col(idCol), col(vecCol)).limit(0)
+      else CommitLog.scan(spark, corpusTable).select(idCol, vecCol)
+    val verdicts = Similarity.incrementalEmbeddingBatch(
+      batch, history, ledgerTable,
+      new java.sql.Timestamp(System.currentTimeMillis()), threshold,
+      token = Some(s"buckets-$batchId"), idCol = idCol, vecCol = vecCol)
+    CommitLog.append(verdicts, corpusTable, idCol = idCol, tsCol = tsCol,
+      token = Some(s"corpus-$batchId"))
+  }
 }

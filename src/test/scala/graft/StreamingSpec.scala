@@ -520,4 +520,55 @@ class StreamingSpec extends GraftSuite {
       assert(before == after, s"$before -> $after")
     } finally q.stop()
   }
+
+  test("streaming embedding intake: bucket ledger drops cross-micro-batch near-dups; replay is a no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_emb_intake")
+    val (corpus, ledger, ckpt) = (s"$base/corpus", s"$base/ledger", s"$base/ckpt")
+    def dir(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(j =>
+        if (j == 0) math.cos(r).toFloat else if (j == 1) math.sin(r).toFloat else 0f)
+    }
+    val ortho = Array.tabulate(64)(j => if (j == 5) 1f else 0f)
+
+    val mem = MemoryStream[(Long, Timestamp)]
+    // MemoryStream can't encode float arrays in a tuple column cleanly
+    // everywhere, so attach the vector by id inside the stream transform
+    val vecOf = Map(1L -> dir(0), 2L -> ortho, 10L -> dir(18),
+      11L -> Array.tabulate(64)(j => if (j == 7) 1f else 0f))
+    val toVec = udf((id: Long) => vecOf(id))
+    val q = graft.streaming.CurationStream.embeddingIntake(
+      mem.toDF().toDF("vec_id", "event_time")
+        .withColumn("embedding", toVec(col("vec_id"))),
+      corpus, ledger, ckpt, threshold = 0.9)
+    try {
+      val t0 = 1704067200000L
+      mem.addData((1L, new Timestamp(t0)), (2L, new Timestamp(t0 + 1000)))
+      q.processAllAvailable()
+      // batch 2: vec 10 is cos 18 deg off vec 1 (0.951 >= 0.9 -> dropped
+      // via the ledger); vec 11 is orthogonal to everything -> kept
+      mem.addData((10L, new Timestamp(t0 + 2000)), (11L, new Timestamp(t0 + 3000)))
+      q.processAllAvailable()
+      val verdicts = graft.operators.CommitLog.scan(spark, corpus)
+        .select("vec_id", "kept").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(verdicts == Map(1L -> true, 2L -> true, 10L -> false, 11L -> true),
+        verdicts.toString)
+
+      // crash-recovery replay of micro-batch 1: both tokens no-op
+      val before = (graft.operators.CommitLog.scan(spark, corpus).count(),
+        graft.operators.CommitLog.scan(spark, ledger).count())
+      graft.streaming.CurationStream.embeddingIntakeBatch(
+        Seq((10L, new Timestamp(t0 + 2000), vecOf(10L)),
+          (11L, new Timestamp(t0 + 3000), vecOf(11L)))
+          .toDF("vec_id", "event_time", "embedding"),
+        batchId = 1L, corpus, ledger, "event_time", "vec_id", "embedding", 0.9)
+      val after = (graft.operators.CommitLog.scan(spark, corpus).count(),
+        graft.operators.CommitLog.scan(spark, ledger).count())
+      assert(before == after, s"$before -> $after")
+    } finally q.stop()
+  }
 }
