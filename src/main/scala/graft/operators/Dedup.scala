@@ -732,6 +732,31 @@ object Dedup {
   def simhash64(tokensCol: Column): Column =
     graft.plans.HashExprs.simhash(tokensCol)
 
+  /** CANONICAL SELECTION: instead of min-id-wins, keep the BEST-scoring
+    * document of each near-dup cluster (longest / highest-quality — the
+    * curation policy most pipelines actually want; min-id is an accident
+    * of arrival order). Keeper = max score, ties to the smaller id —
+    * computed as ONE hash aggregate over a (score, -id) struct whose
+    * lexicographic max encodes exactly that rule. Map-side partial
+    * aggregation makes a mega-cluster a non-event (each partition
+    * contributes one candidate row), where a per-component row_number
+    * window would sort the whole cluster inside one partition.
+    *
+    * @param labeled (id, component, score) rows — component labels from
+    *                [[connectedComponents]] / [[clusters]], any orderable
+    *                score column
+    * @return (id, component, keeper, kept) for every input row */
+  def keepBest(labeled: DataFrame, idCol: String = "id",
+               componentCol: String = "component",
+               scoreCol: String = "score"): DataFrame = {
+    val best = labeled.groupBy(col(componentCol))
+      .agg(max(struct(col(scoreCol), (-col(idCol)).as("negid"))).as("m"))
+      .select(col(componentCol), (-col("m.negid")).as("keeper"))
+    labeled.join(best, Seq(componentCol))
+      .withColumn("kept", col(idCol) === col("keeper"))
+      .select(col(idCol), col(componentCol), col("keeper"), col("kept"))
+  }
+
   /** Connected components over an undirected pair list — the step that
     * turns near-duplicate PAIRS into dedup CLUSTERS (keep one doc per
     * component). Iterative min-label propagation: every node adopts the

@@ -129,6 +129,20 @@ object DedupOps {
       Dedup.connectedComponents(
           Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))),
 
+    // canonical selection: keep the LONGEST doc of each near-dup cluster
+    // (score = n_chars), not the min-id one — one hash aggregate over a
+    // (score, -id) struct, skew-proof via map-side partials.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val comp = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, threshold = 0.8))
+      val labeled = docs.select(col("doc_id").as("id"), col("n_chars").as("score"))
+        .join(comp, Seq("id"), "left")
+        .withColumn("component", coalesce(col("component"), col("id")))
+      Dedup.keepBest(labeled)
+        .select(col("id").as("doc_id"), col("component"), col("keeper"), col("kept"))
+    }),
+
     // THE 100 TB cluster contract: (id, keeper) per document via LSH over
     // representatives + connected components — never materializes
     // member-level pairs (Dedup.clusters scaladoc). Oracled: verified LSH
@@ -159,6 +173,15 @@ object DedupOps {
 
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
+    // table profile: the trust-anchor scan before using a new data drop —
+    // one wide aggregate row: counts, per-column nulls + EXACT ndv,
+    // numeric ranges (operators/Profile.scala; approx form for routine
+    // 100 TB monitoring documented there).
+    "profile_table" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        Tables.events(s, dir), Seq("user_id", "event_type", "value"),
+        minMaxCols = Seq("value"))),
+
     "approx_stats" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
@@ -380,6 +403,32 @@ object DedupOps {
         |SELECT n.id, least(n.id, min(r.b)) AS component
         |FROM nodes n JOIN reach r ON r.a = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+    // canonical selection: keeper = longest doc (ties to smaller id),
+    // replicated as max-score-then-min-id two-level aggregation
+    "dedup_keep_best" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        |a AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |    d.n_chars AS score
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |mx AS (SELECT component, max(score) AS ms FROM a GROUP BY component),
+        |k AS (SELECT a.component, min(a.doc_id) AS keeper
+        |  FROM a JOIN mx USING (component) WHERE a.score = mx.ms
+        |  GROUP BY a.component)
+        |SELECT a.doc_id, a.component, k.keeper, (a.doc_id = k.keeper) AS kept
+        |FROM a JOIN k USING (component)""".stripMargin,
     // cluster-form contract: closure over UNBLOCKED exact pairs at J>=0.8,
     // every document present, singletons keep their own id as keeper
     "dedup_clusters_lsh" ->
@@ -458,6 +507,16 @@ object DedupOps {
     "dedup_simhash_check" ->
       """SELECT count(*) AS n_docs, true AS complete_equals_brute,
         |  true AS prefix_subset_of_brute FROM documents""".stripMargin,
+    "profile_table" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS user_id_ndv,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_ndv,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS value_ndv,
+        |  min(value) AS value_min, max(value) AS value_max
+        |FROM events""".stripMargin,
     "approx_stats_check" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  true AS hll_within_5pct, true AS p95_within_band

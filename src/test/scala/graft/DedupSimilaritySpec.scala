@@ -515,6 +515,27 @@ class DedupSimilaritySpec extends GraftSuite {
       "vector 20 must be blocked by the dropped vector 10's bucket rows")
   }
 
+  test("keepBest: max score wins, ties break to smaller id, one keeper per component") {
+    val spark2 = spark
+    import spark2.implicits._
+    val labeled = Seq(
+      (1L, 100L, 10L), (2L, 100L, 30L), (3L, 100L, 30L), // tie at 30 -> id 2
+      (7L, 200L, 5L),                                    // singleton
+      (8L, 300L, 1L), (9L, 300L, 2L)                     // plain max -> id 9
+    ).toDF("id", "component", "score")
+    val out = graft.operators.Dedup.keepBest(labeled)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 6)
+    val keepers = out.filter(_._4).map(t => t._2 -> t._1).toMap
+    assert(keepers == Map(100L -> 2L, 200L -> 7L, 300L -> 9L), keepers.toString)
+    assert(out.forall { case (_, comp, keeper, _) => keeper == keepers(comp) })
+    // no window in the plan: the keeper comes from a hash aggregate, so a
+    // mega-cluster is bounded by map-side partials, not a single partition
+    val phys = graft.operators.Dedup.keepBest(labeled)
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("Window"), s"keepBest regressed to a window:\n$phys")
+  }
+
   test("incremental MinHash ledger: randomized cross-check vs an in-JVM reference") {
     val spark2 = spark
     import spark2.implicits._
