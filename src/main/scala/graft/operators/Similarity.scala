@@ -324,13 +324,23 @@ object Similarity {
     // is dropped by the batch iff a SMALLER id sits among its verified
     // neighbours (one hop — near-duplication is not closed transitively,
     // exactly the pair-level semantics of the MinHash ledger)
+    // every join in the in-batch path broadcasts the batch-sized side:
+    // the whole candidate pipeline runs shuffle-free (a batch in an
+    // incremental intake is the small relation by construction; the only
+    // big thing anywhere is the ledger, and it only ever streams)
+    // duplicate candidate pairs (multi-table collisions) are NOT deduped
+    // before verification: a dim-64 cosine re-check is cheaper than the
+    // shuffle a dropDuplicates would add, and the min-aggregate downstream
+    // is duplicate-tolerant (contrast incrementalMinhashBatch, where
+    // re-verifying means re-intersecting token arrays — there the dedup
+    // pays for itself)
     val simPairs = bk.select(col("tbl"), col("bucket"), col("id").as("id_a"))
-      .join(bk.select(col("tbl"), col("bucket"), col("id").as("id_b")),
+      .join(broadcast(bk.select(col("tbl"), col("bucket"), col("id").as("id_b"))),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      .join(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+      .select("id_a", "id_b")
+      .join(broadcast(v.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))), "id_a")
+      .join(broadcast(v.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))), "id_b")
       .filter(cosAB >= threshold)
       .select("id_a", "id_b")
     val effMin = simPairs
@@ -351,28 +361,31 @@ object Similarity {
           .join(broadcast(v.select(col("id").as("old_id"))),
             Seq("old_id"), "left_anti")
           .join(broadcast(bk), Seq("tbl", "bucket"))
-          .select("id", "old_id").dropDuplicates("id", "old_id")
+          .select("id", "old_id")
+        // the probe side of the history semi join BROADCASTS so the
+        // history store only ever streams (a shuffled semi join here
+        // would re-shuffle the accumulated corpus every batch)
         val histVecs = history
           .select(col(idCol).as("old_id"), col(vecCol).as("hv"))
-          .join(cands.select("old_id").distinct(), Seq("old_id"), "left_semi")
+          .join(broadcast(cands.select("old_id")), Seq("old_id"), "left_semi")
           .select(col("old_id"), col("hv").as("v_b"), nnorm(col("hv")).as("n_b"))
         Some(cands
-          .join(v.select(col("id"), col("v").as("v_a"), col("nrm").as("n_a")), "id")
-          .join(histVecs, "old_id")
+          .join(broadcast(v.select(col("id"), col("v").as("v_a"), col("nrm").as("n_a"))), "id")
+          .join(broadcast(histVecs), "old_id")
           .filter(cosAB >= threshold)
           .select("id").distinct()
           .withColumn("hit", lit(true)))
       }
 
     val verdicts = v.select(col("id"))
-      .join(effMin, Seq("id"))
-      .join(ledgerHit.getOrElse(
-        v.select(col("id")).limit(0).withColumn("hit", lit(true))),
+      .join(broadcast(effMin), Seq("id"))
+      .join(broadcast(ledgerHit.getOrElse(
+        v.select(col("id")).limit(0).withColumn("hit", lit(true)))),
         Seq("id"), "left")
       .withColumn("kept",
         col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
       .select(col("id").as(idCol), col("kept"))
-    val out = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val out = batch.join(broadcast(verdicts), Seq(idCol)).localCheckpoint()
     val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
       bk.select(col("tbl"), col("bucket"), col("id"),
