@@ -38,12 +38,20 @@ object VectorOps {
     "hybrid_rrf_topk" -> ((s, dir) => {
       val qids = HybridQueryIds
       val docs = Tables.documents(s, dir)
-      val qtexts = docs.filter(col("doc_id").isin(qids: _*))
-        .select("doc_id", "text").collect()
-        .map(r => (r.getLong(0).toString, r.getString(1))).toSeq.sortBy(_._1)
-      val qvecs = Tables.embeddings(s, dir).filter(col("vec_id").isin(qids: _*))
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0).toString, r.getSeq[Float](1))).toSeq.sortBy(_._1)
+      // queries are the first 8 tokens of each query doc — retrieval
+      // queries are short; a whole document as the lexical query would
+      // drag ~300 distinct terms through the df scan for no fidelity.
+      // ONE driver job fetches text and vector together (point lookups).
+      val qrows = docs.filter(col("doc_id").isin(qids: _*))
+        .select(col("doc_id"), col("text"))
+        .join(Tables.embeddings(s, dir).filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .collect()
+        .map(r => (r.getLong(0).toString,
+          r.getString(1).split(" ").take(8).mkString(" "),
+          r.getSeq[Float](2))).toSeq.sortBy(_._1)
+      val qtexts = qrows.map(t => (t._1, t._2))
+      val qvecs = qrows.map(t => (t._1, t._3))
       val lex = graft.operators.Retrieval
         .bm25TopK(s, docs, "doc_id", "text", qtexts, k = 20)
         .select("qid", "rank", "doc_id")
@@ -383,7 +391,8 @@ object VectorOps {
     * arithmetic (≤2 exact double terms per doc, rounded at 9) replayed. */
   private def hybridRrfOracle: String = {
     val ids = HybridQueryIds.mkString(", ")
-    s"""WITH q AS (SELECT CAST(doc_id AS VARCHAR) AS qid, text AS qtext
+    s"""WITH q AS (SELECT CAST(doc_id AS VARCHAR) AS qid,
+       |    array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
        |  FROM documents WHERE doc_id IN ($ids)),
        |qt AS (SELECT DISTINCT qid, term FROM (
        |  SELECT qid, unnest(string_split(qtext, ' ')) AS term FROM q)
