@@ -515,6 +515,47 @@ class DedupSimilaritySpec extends GraftSuite {
       "vector 20 must be blocked by the dropped vector 10's bucket rows")
   }
 
+  test("embedding ledger compaction: per-batch files merge to one, verdicts unchanged") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the incremental family's operational loop: every batch appends one
+    // small ledger file; compactMonth folds them without touching verdicts
+    // (row_id is unique, so the dedup-by-latest rewrite is a pure merge)
+    def dir(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array.tabulate(64)(j =>
+        if (j == 0) math.cos(r).toFloat else if (j == 1) math.sin(r).toFloat else 0f)
+    }
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 0$h:00:00")
+    val batches = Seq(
+      Seq((1L, dir(0))), Seq((2L, dir(90))), Seq((3L, dir(45))))
+      .map(_.toDF("vec_id", "embedding"))
+    def runChain(ledger: String, compactAfter: Option[Int]): Set[Long] = {
+      var history = batches.head.limit(0)
+      var kept = Set.empty[Long]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val r = Similarity.incrementalEmbeddingBatch(b, history, ledger, ts(i + 1),
+          threshold = 0.9, token = Some(s"b$i"))
+        kept ++= r.filter(col("kept")).select("vec_id").collect().map(_.getLong(0))
+        history = history.unionByName(b)
+        if (compactAfter.contains(i))
+          graft.operators.CommitLog.compactMonth(spark, ledger, "2024-02",
+            idCol = "row_id", tsCol = "accepted_at")
+      }
+      kept
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ledger_compact")
+    val keptA = runChain(s"$base/a", compactAfter = Some(1))
+    val keptB = runChain(s"$base/b", compactAfter = None)
+    assert(keptA == keptB, s"compaction changed verdicts: $keptA vs $keptB")
+    // vec 3 is 45 deg from both others (cos ~= 0.707 < 0.9): all kept
+    assert(keptA == Set(1L, 2L, 3L))
+    val filesA = graft.operators.CommitLog.snapshot(s"$base/a").files.size
+    val filesB = graft.operators.CommitLog.snapshot(s"$base/b").files.size
+    assert(filesB == 3, s"expected one ledger file per batch, got $filesB")
+    assert(filesA < filesB, s"compaction did not shrink the ledger: $filesA")
+  }
+
   test("keepBest: max score wins, ties break to smaller id, one keeper per component") {
     val spark2 = spark
     import spark2.implicits._
