@@ -150,7 +150,10 @@ object Bench {
         val s2 =
           try s""","curation":${StreamBench.curationRun(spark, 20000)}"""
           catch { case e: Throwable => s""","curation_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2
+        val s3 =
+          try s""","vector_intake":${StreamBench.vectorIntakeRun(spark, 10000)}"""
+          catch { case e: Throwable => s""","vector_intake_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3
       }
 
     def toJson(rs: Seq[(String, Double)]): String =
