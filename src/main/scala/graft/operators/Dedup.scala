@@ -271,15 +271,20 @@ object Dedup {
 
     // in-batch, cross-set: band-colliding set pairs verified at exact
     // Jaccard. Same-set needs no pair (J=1 by definition).
+    // batch-sized sides BROADCAST (same contract as the ledger probe
+    // below, which already broadcasts the batch's bands): only id/band
+    // projections and pair lists ever broadcast — token arrays always
+    // stay on the streamed side
     val setPairs = setBands
       .select(col("band"), col("bandhash"), col("setkey").as("sk_a"))
-      .join(setBands.select(col("band"), col("bandhash"), col("setkey").as("sk_b")),
+      .join(broadcast(setBands.select(col("band"), col("bandhash"), col("setkey").as("sk_b"))),
         Seq("band", "bandhash"))
       .filter(col("sk_a") < col("sk_b"))
       .select("sk_a", "sk_b").dropDuplicates("sk_a", "sk_b")
-    val simPairs = setPairs
-      .join(sets.select(col("setkey").as("sk_a"),
-        col("stoks").as("toks_a"), col("sz").as("sz_a")), "sk_a")
+    val simPairs = sets
+      .select(col("setkey").as("sk_a"),
+        col("stoks").as("toks_a"), col("sz").as("sz_a"))
+      .join(broadcast(setPairs), "sk_a")
       .join(sets.select(col("setkey").as("sk_b"),
         col("stoks").as("toks_b"), col("sz").as("sz_b")), "sk_b")
       .withColumn("jaccard",
@@ -294,7 +299,7 @@ object Dedup {
       .select(col("sk_a").as("setkey"), col("sk_b").as("other"))
       .unionByName(simPairs.select(col("sk_b").as("setkey"), col("sk_a").as("other")))
       .unionByName(sets.select(col("setkey"), col("setkey").as("other")))
-      .join(sets.select(col("setkey").as("other"), col("minid")), "other")
+      .join(broadcast(sets.select(col("setkey").as("other"), col("minid"))), "other")
       .groupBy("setkey").agg(min(col("minid")).as("effmin"))
 
     // cross-batch: the ledger's per-doc band rows probe the batch's SET
@@ -326,7 +331,7 @@ object Dedup {
         val histToks = history
           .select(col(idCol).as("old_id"),
             TextFunctions.distinctTokens(col(textCol)).as("htoks"))
-          .join(cands.select("old_id").distinct(), Seq("old_id"), "left_semi")
+          .join(broadcast(cands.select("old_id").distinct()), Seq("old_id"), "left_semi")
           .select(col("old_id"), array_sort(col("htoks")).as("toks_b"),
             size(col("htoks")).as("sz_b"))
         Some(cands
@@ -341,20 +346,20 @@ object Dedup {
       }
 
     val verdicts = keyed.select(col("id"), col("setkey"))
-      .join(effMin, Seq("setkey"))
-      .join(ledgerHit.getOrElse(
-        sets.select(col("setkey")).limit(0).withColumn("hit", lit(true))),
+      .join(broadcast(effMin), Seq("setkey"))
+      .join(broadcast(ledgerHit.getOrElse(
+        sets.select(col("setkey")).limit(0).withColumn("hit", lit(true)))),
         Seq("setkey"), "left")
       .withColumn("kept",
         col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
       .select(col("id").as(idCol), col("kept"))
-    val out = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val out = batch.join(broadcast(verdicts), Seq(idCol)).localCheckpoint()
     // the ledger stays per-DOC (setkey is a batch-local notion); (doc, band)
     // is the row identity — append dedups by idCol, so a plain doc id would
     // collapse the band rows to one per doc
     val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
-      setBands.join(keyed.select(col("setkey"), col("id")), "setkey")
+      setBands.join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
         .select(col("band"), col("bandhash"), col("id"),
           lit(acceptedAt).as("accepted_at"),
           concat_ws("#", col("id"), col("band")).as("row_id")),
