@@ -83,6 +83,23 @@ class SamplingSpec extends GraftSuite {
     assert(resalted != brute("mx"))
   }
 
+  test("mixtureSample edge budgets: zero drops the domain, oversized keeps all of it") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 90L).map(i =>
+      (i, if (i % 3 == 0) "z" else if (i % 3 == 1) "all" else "cut", 10L))
+      .toDF("doc_id", "lang", "n_chars")
+    val out = graft.operators.Splits.mixtureSample(df,
+        Map("z" -> 0L, "all" -> 100000L, "cut" -> 95L),
+        sizeCol = col("n_chars"), salt = "e")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!out.exists(_._2 == "z"), "budget 0 must drop the whole domain")
+    assert(out.count(_._2 == "all") == 30, "oversized budget keeps the full domain")
+    // 95 chars at 10/doc: 9 docs have before-sum < 95 (the 10th sits at 90
+    // < 95, so it also passes -> exactly 10 kept: overshoot-by-at-most-one)
+    assert(out.count(_._2 == "cut") == 10, out.filter(_._2 == "cut").mkString(","))
+  }
+
   test("splitByCluster: near-dup pairs never straddle splits; all docs assigned") {
     val spark2 = spark
     import spark2.implicits._
