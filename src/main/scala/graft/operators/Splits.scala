@@ -49,11 +49,19 @@ object Splits {
                      useLsh: Boolean = false,
                      blockCol: String = "source",
                      idCol: String = "doc_id",
-                     textCol: String = "text"): DataFrame = {
+                     textCol: String = "text",
+                     numHashes: Int = 120, bands: Int = 30,
+                     portableBanding: Boolean = false): DataFrame = {
     require(fractions.nonEmpty && fractions.map(_._2).forall(_ >= 0))
     val comp =
       if (useLsh)
-        Dedup.clusters(docs, threshold, idCol = idCol, textCol = textCol)
+        // r=4, b=30 default: P(miss | J=0.8) ≈ 1.4e-7, the completeness
+        // margin the dedup_clusters_lsh gate measured (a missed bridge
+        // pair here would not just split a cluster — it could put two
+        // near-dups in different SPLITS, the exact leak this op prevents)
+        Dedup.clusters(docs, threshold, numHashes, bands,
+            idCol = idCol, textCol = textCol,
+            portableBanding = portableBanding)
           .select(col("id"), col("keeper").as("component"))
       else
         Dedup.connectedComponents(

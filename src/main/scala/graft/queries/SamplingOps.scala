@@ -64,6 +64,17 @@ object SamplingOps {
         fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
         salt = "r7s")),
 
+    // the split's 100 TB path: components from MinHash-LSH clusters
+    // (no member-level pair list) at the high-completeness banding
+    // (r=4, b=30 — a missed bridge pair could put near-dups in different
+    // splits). Oracled against the UNBLOCKED exact closure + the same
+    // md5 assignment.
+    "split_by_cluster_lsh" -> ((s, dir) =>
+      graft.operators.Splits.splitByCluster(
+        Tables.documents(s, dir), threshold = 0.8,
+        fractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        salt = "r7s", useLsh = true, portableBanding = true)),
+
     // domain-mixture sample to per-language char budgets (the static-
     // mixture step of a pretraining recipe). Exact cutoff semantics via
     // the skew-free bucket-histogram plan; 'de' absent from the budget
@@ -121,6 +132,29 @@ object SamplingOps {
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM tok a JOIN tok b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+        |asg AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |uu AS (SELECT doc_id, component,
+        |  (('0x' || substr(md5(CAST(component AS VARCHAR) || 'r7s'), 1, 12))::UBIGINT + 0.5)
+        |    / 281474976710656.0 AS u FROM asg)
+        |SELECT doc_id, component,
+        |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM uu""".stripMargin,
+    "split_by_cluster_lsh" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
         |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8),
         |edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
