@@ -64,42 +64,6 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    def timedRun(name: String, dir: String = sfDir): Double = {
-      spark.catalog.clearCache() // timed pass re-executes everything
-      // settle async unpersist/broadcast cleanup + prior query's garbage
-      // BEFORE the clock starts, so it isn't charged to this query
-      System.gc()
-      Thread.sleep(200)
-      val t0 = System.nanoTime()
-      val ok = try { runOne(name, dir); true } catch { case _: Throwable => false }
-      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      spark.catalog.clearCache() // no cross-query storage-pool churn
-      dt
-    }
-
-    // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
-    // carries the full per-run list behind each reported number so a reader
-    // sees variance directly instead of inferring it from the median.
-    def benchOne(name: String, dir: String): (Double, Seq[Double]) = {
-      try runOne(name, dir) catch { case _: Throwable => () } // warmup (untimed)
-      val first = timedRun(name, dir)
-      // multi-second queries carry multi-second GC/AQE/scheduling noise at
-      // local[32]; report the MEDIAN of three cold runs (not the min —
-      // median is the honest central tendency, and duck_bench.py applies
-      // the same rule)
-      var runs =
-        if (first > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
-        else Seq(first)
-      // This host steals CPU in bursts (measured: a 9 s query stalling to
-      // 134 s with zero other processes; /proc/stat shows episodic steal).
-      // A burst can poison two of three runs, so when the spread screams
-      // "contention" (max > 4x min) take two more passes — the raw list
-      // keeps every run, so widening the sample is visible, not hidden.
-      if (runs.size > 1 && runs.max > 4 * runs.min)
-        runs = runs ++ Seq(timedRun(name, dir), timedRun(name, dir))
-      (runs.sorted.apply(runs.size / 2), runs)
-    }
-
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
@@ -115,6 +79,55 @@ object Bench {
         (f(7) / hz, f(3) / hz)
       } catch { case _: Throwable => (-1.0, -1.0) }
 
+    /** One cold timed pass → (seconds, cpu-steal seconds DURING the pass).
+      * The steal delta is the per-run poison detector: a 2026-08-14 full
+      * run recorded 873 stolen CPU-seconds — without per-run attribution
+      * every number in such an artifact is unusable; with it, each run is
+      * individually trustworthy or individually discountable. */
+    def timedRun(name: String, dir: String = sfDir): (Double, Double) = {
+      spark.catalog.clearCache() // timed pass re-executes everything
+      // settle async unpersist/broadcast cleanup + prior query's garbage
+      // BEFORE the clock starts, so it isn't charged to this query
+      System.gc()
+      Thread.sleep(200)
+      val (s0, _) = cpuStat()
+      val t0 = System.nanoTime()
+      val ok = try { runOne(name, dir); true } catch { case _: Throwable => false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val (s1, _) = cpuStat()
+      spark.catalog.clearCache() // no cross-query storage-pool churn
+      (dt, if (s0 < 0 || s1 < 0) 0.0 else s1 - s0)
+    }
+
+    // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
+    // carries the full per-run list behind each reported number so a reader
+    // sees variance directly instead of inferring it from the median.
+    def benchOne(name: String, dir: String): (Double, Seq[(Double, Double)]) = {
+      try runOne(name, dir) catch { case _: Throwable => () } // warmup (untimed)
+      val first = timedRun(name, dir)
+      // multi-second queries carry multi-second GC/AQE/scheduling noise at
+      // local[32]; report the MEDIAN of three cold runs (not the min —
+      // median is the honest central tendency, and duck_bench.py applies
+      // the same rule)
+      var runs =
+        if (first._1 > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
+        else Seq(first)
+      // This host steals CPU in bursts (measured: a 9 s query stalling to
+      // 134 s with zero other processes; /proc/stat shows episodic steal).
+      // A burst can poison two of three runs, so when the spread screams
+      // "contention" (max > 4x min) take two more passes — the raw list
+      // keeps every run, so widening the sample is visible, not hidden.
+      if (runs.size > 1 && runs.map(_._1).max > 4 * runs.map(_._1).min)
+        runs = runs ++ Seq(timedRun(name, dir), timedRun(name, dir))
+      // steal-aware median: a run that lost > max(0.5 s, 25% of its wall)
+      // to the hypervisor is contention-poisoned — median over the clean
+      // runs when any exist. Every raw (time, steal) pair stays in the
+      // artifact, so the exclusion is auditable, not hidden.
+      val clean = runs.filter { case (t, s) => t >= 0 && s <= math.max(0.5, 0.25 * t) }
+      val basis = (if (clean.nonEmpty) clean else runs).map(_._1)
+      (basis.sorted.apply(basis.size / 2), runs)
+    }
+
     val wallT0 = System.nanoTime()
     val loadBefore = loadavg()
     val (stealT0, idleT0) = cpuStat()
@@ -129,7 +142,7 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir)
       p.resolveSibling("sf0.01").toString
     }
-    val smallFull: Seq[(String, (Double, Seq[Double]))] =
+    val smallFull: Seq[(String, (Double, Seq[(Double, Double)]))] =
       if (smallDir != sfDir && java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(smallDir)))
         qs.map { name => name -> benchOne(name, smallDir) }
@@ -158,15 +171,17 @@ object Bench {
 
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    def runsJson(rs: Seq[(String, (Double, Seq[Double]))]): String =
+    def runsJson(rs: Seq[(String, (Double, Seq[(Double, Double)]))],
+                 pick: ((Double, Double)) => Double): String =
       rs.map { case (k, (_, runs)) =>
-        "\"" + k + "\":" + runs.map(v => f"$v%.3f").mkString("[", ",", "]")
+        "\"" + k + "\":" + runs.map(v => f"${pick(v)}%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallPart =
       if (small.nonEmpty)
-        s""","queries_small":${toJson(small)},"runs_small":${runsJson(smallFull)},"sf_small":"$smallDir""""
+        s""","queries_small":${toJson(small)},"runs_small":${runsJson(smallFull, _._1)}""" +
+        s""","runs_small_steal":${runsJson(smallFull, _._2)},"sf_small":"$smallDir""""
       else ""
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // Load context makes an externally-contended run self-diagnosing: a
@@ -177,7 +192,7 @@ object Bench {
     val envPart =
       f""","wall_sec":$wallSec%.1f,"cpu_steal_sec":${stealT1 - stealT0}%.1f,"cpu_idle_sec":${idleT1 - idleT0}%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full, _._1)},"runs_steal":${runsJson(full, _._2)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
     // Stdout can be tail-truncated by a harness (it ate BENCH_r06); the
     // file copy is the durable artifact. Subset runs (fast iteration on
     // named queries) write a sidecar instead, so they can never clobber
