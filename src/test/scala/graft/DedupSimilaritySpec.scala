@@ -577,6 +577,72 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(!phys.contains("Window"), s"keepBest regressed to a window:\n$phys")
   }
 
+  test("incremental embedding ledger: randomized cross-check vs an in-JVM reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Third implementation of the semantics, independent of Spark AND
+    // DuckDB: hyperplane sign signatures from the same planeComponent
+    // stream and the rule "dropped iff an earlier (batch, id) vector
+    // shares a (table, bucket) AND exact cosine (rounded 6, HALF_UP)
+    // >= t". Dot products replay graft_dot's left-to-right double
+    // accumulation, so the reference is bit-exact, not approximately so.
+    val (tables, bits, dim, thr) = (8, 6, 64, 0.9)
+    def dotD(a: Array[Float], p: Int): Double =
+      (0 until dim).foldLeft(0.0)((s, j) =>
+        s + a(j).toDouble * Similarity.planeComponent(p, j))
+    def dotV(a: Array[Float], b: Array[Float]): Double =
+      (0 until dim).foldLeft(0.0)((s, j) => s + a(j).toDouble * b(j).toDouble)
+    def sigs(v: Array[Float]): Set[(Int, Int)] =
+      (0 until tables).map { t =>
+        t -> (0 until bits).map(p =>
+          if (dotD(v, t * 64 + p) >= 0.0) 1 << p else 0).sum
+      }.toSet
+    def cos6(a: Array[Float], b: Array[Float]): Double = {
+      val d = dotV(a, b) / (math.sqrt(dotV(a, a)) * math.sqrt(dotV(b, b)))
+      BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rnd = new scala.util.Random(97)
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    for (trial <- 1 to 3) {
+      val templates = Array.fill(5)(randVec())
+      val vecs = (1 to 60).map { id =>
+        // half the vectors are small perturbations of a few templates ->
+        // real cross-batch near-dups; the rest are independent draws
+        val v =
+          if (id % 2 == 0) {
+            val t = templates(id % 5)
+            Array.tabulate(dim)(j => t(j) + (rnd.nextDouble() * 0.06 - 0.03).toFloat)
+          } else randVec()
+        (id.toLong, id % 3, v)
+      }
+      val expect = vecs.map { case (id, b, v) =>
+        val s = sigs(v)
+        val dropped = vecs.exists { case (id2, b2, v2) =>
+          ((b2 < b) || (b2 == b && id2 < id)) &&
+            sigs(v2).exists(s.contains) && cos6(v, v2) >= thr
+        }
+        id -> !dropped
+      }.toMap
+      val ledger = java.nio.file.Files
+        .createTempDirectory(s"graft_inc_emb_rand$trial").toString + "/ledger"
+      val df = vecs.toDF("vec_id", "batch", "embedding")
+      val got = (0 until 3).flatMap { b =>
+        Similarity.incrementalEmbeddingBatch(
+          df.filter(col("batch") === b).select("vec_id", "embedding"),
+          df.filter(col("batch") < b).select("vec_id", "embedding"),
+          ledger, java.sql.Timestamp.valueOf(f"2024-06-01 0$b%02d:00:00"),
+          threshold = thr, token = Some(s"t$trial-b$b"))
+          .select("vec_id", "kept").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1))
+      }.toMap
+      assert(got == expect,
+        s"trial $trial diverged: ${got.toSet.diff(expect.toSet)} vs ${expect.toSet.diff(got.toSet)}")
+      // the mix must exercise both verdicts or the trial proves nothing
+      assert(expect.values.exists(identity) && expect.values.exists(!_), expect.toString)
+    }
+  }
+
   test("incremental MinHash ledger: randomized cross-check vs an in-JVM reference") {
     val spark2 = spark
     import spark2.implicits._
