@@ -88,6 +88,57 @@ object Packing {
       .withColumn("fill_ratio",
         round(col("n_tokens") / capacityTokens.toDouble, 6))
 
+  /** Sliding-window document chunking: every document becomes overlapping
+    * token windows of `window` tokens advancing by `stride` — the
+    * context-window chunking step in front of embedding models and
+    * long-document training (RAG chunkers, FiD passage splitters). Chunk
+    * starts are `0, stride, 2·stride, …` and the LAST start is the
+    * smallest multiple of `stride` covering the tail, so every token lands
+    * in at least one chunk and (for `stride < window`) every boundary is
+    * straddled by an overlapping chunk. A document with ≤ `window` tokens
+    * yields exactly one chunk (itself).
+    *
+    * Pure narrow plan — tokenize, `transform` over a `sequence` of starts,
+    * `explode` — no shuffle, no UDF, whole-stage codegen throughout; at
+    * 100 TB it is a map-only pass whose output partitioning inherits the
+    * scan's. By default each chunk is emitted as its md5 + token count
+    * (16 B/chunk crossing the pipe, the shape the dedup/decontamination
+    * ledgers downstream want); `emitText=true` adds the chunk text itself
+    * for feature-extraction consumers.
+    *
+    * Output: (doc_id, chunk_idx, n_chunk_tok, chunk_md5 [, chunk_text]).
+    */
+  def chunkDocuments(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                     emitText: Boolean = false,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val base = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+    // starts 0..S with S = ceil(max(n-window,0)/stride): the unique start
+    // count under "cover every token, never start past the tail".
+    val nChunks = lit(1L) +
+      ceil(greatest(col("n_tok") - window, lit(0L)).cast("double") / stride)
+        .cast("long")
+    val chunks = transform(sequence(lit(0L), nChunks - 1), s => {
+      val chunkToks = slice(col("toks"), (s * stride + 1).cast("int"),
+        lit(window))
+      val fields = Seq(
+        s.cast("long").as("chunk_idx"),
+        size(chunkToks).cast("long").as("n_chunk_tok"),
+        md5(concat_ws(" ", chunkToks)).as("chunk_md5")) ++
+        (if (emitText) Seq(concat_ws(" ", chunkToks).as("chunk_text"))
+         else Seq.empty)
+      struct(fields: _*)
+    })
+    base.select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id") +: (Seq("chunk_idx", "n_chunk_tok", "chunk_md5") ++
+        (if (emitText) Seq("chunk_text") else Seq.empty))
+        .map(f => col(s"c.$f")): _*)
+  }
+
   /** 2^31-1, the Mersenne prime the manifest checksum folds into: per-doc
     * 60-bit md5 prefixes reduced mod p, summed (max shard size before
     * long overflow ≈ 2^32 docs), reduced again — order-independent,

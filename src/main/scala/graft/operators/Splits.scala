@@ -160,4 +160,46 @@ object Splits {
       .withColumn("sample_u", round(col("_u"), 9))
       .drop("_u", "_sz", "_bkt")
   }
+
+  /** TEMPERATURE-smoothed domain mixture: per-domain budgets are DERIVED
+    * from the corpus itself as `budget_d = ⌊T · w_d / Σw⌋` with
+    * `w_d = ⌊1000 · n_d^α⌋`, then selection runs through [[mixtureSample]]
+    * unchanged. α < 1 upsamples small domains relative to their natural
+    * share — the α-sampling recipe of multilingual pretraining (XLM-R
+    * α=0.3, mT5 α=0.3; α=1 reproduces natural proportions, α=0 uniform
+    * across domains).
+    *
+    * Budget arithmetic is engineered for cross-engine replay: weights are
+    * QUANTIZED (`⌊1000·n^α⌋`) so Σw and the budget splits are exact
+    * integer arithmetic with no float-summation order anywhere, and for
+    * α = 0.5 the weight itself is reproducible bit-for-bit in any IEEE
+    * engine (sqrt is correctly rounded; pow is not — other α values stay
+    * JVM-deterministic but are not oracle-portable, and `math.sqrt` is
+    * used explicitly on the α=0.5 path for that reason). The per-domain
+    * size aggregate is domains-sized — safe to collect at any SF — and
+    * budget products go through BigInt so a petabyte-scale `T · w` cannot
+    * overflow.
+    *
+    * @return sampled rows + `sample_u`, exactly as [[mixtureSample]] */
+  def temperatureMixtureSample(df: DataFrame, totalBudget: Long,
+                               alpha: Double, sizeCol: Column,
+                               domainCol: String = "lang",
+                               idCol: String = "doc_id",
+                               salt: String = "",
+                               buckets: Int = 1024): DataFrame = {
+    require(totalBudget >= 0 && alpha >= 0, "need totalBudget, alpha >= 0")
+    val sizes = df.groupBy(domainCol)
+      .agg(sum(greatest(sizeCol.cast("long"), lit(1L))).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w = sizes.map { case (d, n) =>
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+              else math.pow(n.toDouble, alpha)
+      d -> math.floor(1000.0 * p).toLong
+    }
+    val z = w.map(_._2).sum
+    val budgets = w.map { case (d, wi) =>
+      d -> (if (z == 0L) 0L else (BigInt(totalBudget) * wi / z).toLong)
+    }.toMap
+    mixtureSample(df, budgets, sizeCol, domainCol, idCol, salt, buckets)
+  }
 }

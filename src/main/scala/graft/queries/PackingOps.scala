@@ -26,6 +26,14 @@ object PackingOps {
     // files. DuckDB recomputes n_docs/n_tokens/checksum per shard from
     // the source corpus — a lost, duplicated, or corrupted document in
     // any shard flips its checksum row.
+    // sliding-window chunking at window=64/stride=48: the full per-chunk
+    // table (index, token count, content md5) hash-matches DuckDB's
+    // replication — any start drift, tail mishandling, or off-by-one in
+    // the overlap changes some chunk's md5.
+    "chunk_documents" -> ((s, dir) =>
+      Packing.chunkDocuments(Tables.documents(s, dir),
+        window = 64, stride = 48)),
+
     "shard_export_manifest" -> ((s, dir) => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_shards").toString
@@ -52,6 +60,23 @@ object PackingOps {
         |    ORDER BY id) - 1 AS BIGINT) AS seq_pos,
         |  n_tok
         |FROM c""".stripMargin,
+    "chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS s
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(s AS BIGINT) AS chunk_idx,
+        |  CAST(len(toks[s*48+1 : least(s*48+64, n)]) AS BIGINT)
+        |    AS n_chunk_tok,
+        |  md5(array_to_string(toks[s*48+1 : least(s*48+64, n)], ' '))
+        |    AS chunk_md5
+        |FROM e""".stripMargin,
     "shard_export_manifest" ->
       """WITH d AS (
         |  SELECT text,

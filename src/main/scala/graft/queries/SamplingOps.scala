@@ -87,6 +87,17 @@ object SamplingOps {
         sizeCol = col("n_chars"), salt = "r7m")
         .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_u"))),
 
+    // temperature (α=0.5) mixture: budgets DERIVED from per-lang corpus
+    // sizes as floor(T·√n_d·1000)/Σ — quantized-integer budget arithmetic
+    // so DuckDB rebuilds the exact budgets, then replays the exact cutoff
+    // window. Upsamples small langs vs natural share (the XLM-R α-sampling
+    // recipe); every lang participates (no hand-written budget map).
+    "mixture_temperature" -> ((s, dir) =>
+      graft.operators.Splits.temperatureMixtureSample(
+        Tables.documents(s, dir), totalBudget = 40000L, alpha = 0.5,
+        sizeCol = col("n_chars"), salt = "r7t")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_u"))),
+
     // per-group cap: at most 10 docs per source, chosen by hash order (a
     // deterministic "random" subset, stable across engines and runs).
     "capped_per_source" -> ((s, dir) => {
@@ -184,6 +195,28 @@ object SamplingOps {
         |    PARTITION BY lang ORDER BY uu, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
         |  FROM u WHERE budget IS NOT NULL)
+        |SELECT doc_id, lang, n_chars, round(uu, 9) AS sample_u
+        |FROM k WHERE pre < budget""".stripMargin,
+    "mixture_temperature" ->
+      """WITH sz AS (
+        |  SELECT lang, CAST(sum(greatest(n_chars, 1)) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang,
+        |    CAST(floor(1000 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+        |  FROM sz),
+        |z AS (SELECT CAST(sum(w) AS BIGINT) AS z FROM w),
+        |b AS (SELECT lang, CAST((40000 * w) // z AS BIGINT) AS budget
+        |  FROM w, z),
+        |u AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'r7t'), 1, 12))::UBIGINT + 0.5)
+        |      / 281474976710656.0 AS uu
+        |  FROM documents),
+        |k AS (
+        |  SELECT u.*, b.budget, coalesce(sum(greatest(n_chars, 1)) OVER (
+        |    PARTITION BY u.lang ORDER BY uu, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        |  FROM u JOIN b USING (lang))
         |SELECT doc_id, lang, n_chars, round(uu, 9) AS sample_u
         |FROM k WHERE pre < budget""".stripMargin,
     "capped_per_source" ->

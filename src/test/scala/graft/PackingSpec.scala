@@ -56,6 +56,66 @@ class PackingSpec extends GraftSuite {
     } finally { packed.unpersist(); () }
   }
 
+  test("chunkDocuments: start arithmetic, tail handling, overlap coverage, " +
+      "and content vs an in-JVM reference") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val (win, st) = (64, 48)
+    val chunks = Packing.chunkDocuments(docs, window = win, stride = st,
+      emitText = true).cache()
+    try {
+      // per-doc chunk count and index contiguity: 1 + ceil(max(n-w,0)/s)
+      val perDoc = chunks.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nc"), max(col("chunk_idx")).as("maxi"))
+        .join(docs.select(col("doc_id"),
+          Packing.tokenCount(col("text")).as("n")), "doc_id")
+      assert(perDoc.filter(col("maxi") =!= col("nc") - 1).count() == 0)
+      assert(perDoc.filter(col("nc") =!=
+        lit(1L) + ceil(greatest(col("n") - win, lit(0L)).cast("double") / st)
+          .cast("long")).count() == 0)
+      // every non-final chunk is exactly `window` tokens; the tail chunk
+      // is n - S*stride (<= window, >= 1)
+      val sized = chunks.join(perDoc.select(col("doc_id"), col("nc"), col("n")),
+        "doc_id")
+      assert(sized.filter(col("chunk_idx") < col("nc") - 1 &&
+        col("n_chunk_tok") =!= win).count() == 0)
+      assert(sized.filter(col("chunk_idx") === col("nc") - 1 &&
+        col("n_chunk_tok") =!=
+          least(col("n") - (col("nc") - 1) * st, lit(win.toLong))).count() == 0)
+
+      // in-JVM reference on a sample: chunk text and md5 reproduce exactly
+      val sample = docs.filter(col("doc_id") < 7)
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("text")).collect()
+      val got = chunks.filter(col("doc_id") < 7)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+        .select(col("doc_id"), col("chunk_text"), col("chunk_md5")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      val want = sample.flatMap { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val nStarts = 1 + math.ceil(math.max(toks.length - win, 0) / st.toDouble).toInt
+        (0 until nStarts).map { i =>
+          val t = toks.slice(i * st, math.min(i * st + win, toks.length))
+            .mkString(" ")
+          val m = java.security.MessageDigest.getInstance("MD5")
+            .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (r.getLong(0), t, m)
+        }
+      }
+      assert(got.toSeq == want.toSeq)
+
+      // stride == window degenerates to a partition: concatenating chunks
+      // in order reconstructs each document byte-for-byte
+      val flat = Packing.chunkDocuments(docs, window = win, stride = win,
+        emitText = true)
+        .groupBy(col("doc_id"))
+        .agg(concat_ws(" ", array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"))
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      assert(flat.filter(col("rebuilt") =!= col("text")).count() == 0)
+    } finally { chunks.unpersist(); () }
+  }
+
   test("shardExport: manifest matches written files; round-trip lossless") {
     val docs = graft.core.Tables.documents(spark, sf)
     val path = java.nio.file.Files.createTempDirectory("graft_shardspec")

@@ -100,6 +100,49 @@ class SamplingSpec extends GraftSuite {
     assert(out.count(_._2 == "cut") == 10, out.filter(_._2 == "cut").mkString(","))
   }
 
+  test("temperatureMixtureSample: derived budgets match hand arithmetic; " +
+      "alpha<1 upsamples the small domain; alpha=1 tracks natural share") {
+    val spark2 = spark
+    import spark2.implicits._
+    // big: 240 docs x 10 chars = 2400; small: 60 docs x 10 chars = 600
+    val rows = (1L to 300L).map(i =>
+      (i, if (i % 5 == 0) "small" else "big", 10L))
+    val df = rows.toDF("doc_id", "lang", "n_chars")
+
+    def selectedSize(alpha: Double, t: Long): Map[String, Long] =
+      graft.operators.Splits.temperatureMixtureSample(df, t, alpha,
+          sizeCol = col("n_chars"), salt = "tp")
+        .groupBy("lang").agg(sum("n_chars").as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // budgets replicate the documented integer arithmetic exactly:
+    // w = floor(1000*sqrt(n)), budget = floor(T*w/sum)
+    val wBig = math.floor(1000 * math.sqrt(2400.0)).toLong
+    val wSmall = math.floor(1000 * math.sqrt(600.0)).toLong
+    val t = 1000L
+    val expBig = t * wBig / (wBig + wSmall)
+    val expSmall = t * wSmall / (wBig + wSmall)
+    val got = selectedSize(0.5, t)
+    // exact-cutoff semantics: selected size reaches the budget, overshoot
+    // strictly less than one doc (10 chars)
+    assert(got("big") >= expBig && got("big") < expBig + 10)
+    assert(got("small") >= expSmall && got("small") < expSmall + 10)
+    // sqrt temperature gives the small domain (natural share 20%) a 1/3
+    // share: sqrt(600)/(sqrt(2400)+sqrt(600)) = 1/3
+    assert(math.abs(got("small").toDouble / (got("big") + got("small")) -
+      1.0 / 3.0) < 0.02)
+
+    // alpha=1: natural proportions (80/20)
+    val nat = selectedSize(1.0, 1000L)
+    assert(math.abs(nat("small").toDouble / (nat("big") + nat("small")) -
+      0.2) < 0.02)
+
+    // alpha=0: uniform across domains regardless of size
+    val uni = selectedSize(0.0, 1000L)
+    assert(math.abs(uni("small").toDouble / (uni("big") + uni("small")) -
+      0.5) < 0.02)
+  }
+
   test("splitByCluster: near-dup pairs never straddle splits; all docs assigned") {
     val spark2 = spark
     import spark2.implicits._
