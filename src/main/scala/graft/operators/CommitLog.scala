@@ -451,20 +451,40 @@ object CommitLog {
     * claim: the loser re-reads the log, sees the token, and skips. */
   def append(batch: DataFrame, table: String, idCol: String, tsCol: String,
              token: Option[String] = None,
-             statsHint: Option[(Long, Long)] = None): Long = {
+             statsHint: Option[(Long, Long)] = None,
+             filesPerMonth: Int = 1,
+             assumeUnique: Boolean = false): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
     ()
     val staging = Files.createTempDirectory(Paths.get(
       { Files.createDirectories(Paths.get(table)); table }), ".stage-")
-    val deduped = batch
-      .dropDuplicates(idCol)
+    // assumeUnique: callers whose rows are unique by CONSTRUCTION (the
+    // dedup ledgers emit one row per (doc, band) from a distinct-set
+    // expansion) skip the safety dropDuplicates — a full shuffle per
+    // append for an invariant already guaranteed upstream.
+    val unique = if (assumeUnique) batch else batch.dropDuplicates(idCol)
+    val deduped = unique
       .withColumn("month", date_format(
         graft.functions.Buckets.utcFields(col(tsCol)), "yyyy-MM"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    deduped
-      .repartition(col("month"))
+    // stats agg is the second consumer; with statsHint there is exactly
+    // one action (the write), and a persist would be pure overhead
+    val cached =
+      if (statsHint.isDefined) deduped
+      else deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // filesPerMonth > 1 splits each month across that many write tasks
+    // (salted by id hash). A single-month append — every ledger commit
+    // stamps one literal accepted_at — otherwise funnels the whole batch
+    // through ONE task (profiled: 0.5–1.5 s per ledger append at sf0.1),
+    // and the resulting one-file month later caps the ledger SCAN's
+    // parallelism at files-per-commit. Multiple files per month are
+    // already valid for the manifest (bounds stay per-file).
+    val writePartitioned =
+      if (filesPerMonth <= 1) cached.repartition(col("month"))
+      else cached.repartition(col("month"),
+        pmod(xxhash64(col(idCol)), lit(filesPerMonth)))
+    writePartitioned
       .sortWithinPartitions(col(tsCol), col(idCol))
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
     // per-month event-time bounds for the manifest (one batch-sized agg;
@@ -476,11 +496,11 @@ object CommitLog {
     // compile-time-known answer is pure waste.
     val stats: Map[String, (Long, Long)] =
       if (statsHint.isDefined) Map.empty
-      else deduped
+      else cached
         .groupBy(col("month"))
         .agg(min(unix_micros(col(tsCol))).as("lo"), max(unix_micros(col(tsCol))).as("hi"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    deduped.unpersist()
+    if (statsHint.isEmpty) cached.unpersist()
     val adds = moveStaged(staging, table).map { a =>
       statsHint.orElse(stats.get(a.month))
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }

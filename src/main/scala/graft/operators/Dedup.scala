@@ -171,8 +171,9 @@ object Dedup {
     *   3. the survivors' digests append to the ledger in one atomic
     *      commit; a batch token makes replays no-ops (the same
     *      effectively-once contract as the attempt log).
-    * The returned frame is checkpointed: the ledger append and the
-    * caller's consumption see the same accepted set exactly once.
+    * The accepted (digest, id) keys are checkpointed: the ledger append
+    * and the caller's consumption see the same accepted set exactly once,
+    * without pinning document text in the block manager.
     *
     * @return the accepted (first-occurrence) batch rows
     */
@@ -189,14 +190,22 @@ object Dedup {
       else winners.join(
         CommitLog.scan(spark, ledgerTable).select("dup_hash"),
         Seq("dup_hash"), "left_anti")
-    val accepted = fresh.localCheckpoint()
+    // checkpoint only (dup_hash, id) — the full-row form pinned every
+    // accepted document's text in the block manager until JVM GC (see the
+    // narrow-checkpoint note in incrementalMinhashBatch). Accepted rows
+    // re-attach by a broadcast semi join on id (ids are unique per batch —
+    // the ledger's keeper_id contract already requires that).
+    val acceptedKeys = fresh.select(col("dup_hash"), col(idCol))
+      .localCheckpoint()
     val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
-      accepted.select(col("dup_hash"), col(idCol).as("keeper_id"),
+      acceptedKeys.select(col("dup_hash"), col(idCol).as("keeper_id"),
         lit(acceptedAt).as("accepted_at")),
       ledgerTable, idCol = "dup_hash", tsCol = "accepted_at", token = token,
-      statsHint = Some((atMicros, atMicros)))
-    accepted.drop("dup_hash")
+      statsHint = Some((atMicros, atMicros)),
+      // one row per digest by construction (in-batch winners ∩ anti-join)
+      filesPerMonth = 8, assumeUnique = true)
+    batch.join(broadcast(acceptedKeys.select(idCol)), Seq(idCol), "left_semi")
   }
 
   /** Incremental FUZZY dedup: near-duplicate (MinHash+LSH) filtering of a
@@ -244,26 +253,53 @@ object Dedup {
                               numHashes: Int = 60, bands: Int = 10,
                               token: Option[String] = None,
                               idCol: String = "doc_id", textCol: String = "text",
-                              portableBanding: Boolean = false): DataFrame = {
+                              portableBanding: Boolean = false,
+                              lazyVerdicts: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     graft.plans.HashExprs.install(spark)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // AQE OFF for the scope of this call: every join in here carries an
+    // explicit broadcast() hint (the batch side is small by contract), so
+    // adaptive re-planning has nothing to improve — but it splits each of
+    // the ~20 stages per batch into its own job with a driver round trip,
+    // and across a four-batch replay that overhead (200+ micro-jobs
+    // profiled) dominates the data work. A cluster session that wants AQE
+    // for OTHER concurrent queries is unaffected long-term: the prior
+    // value is restored in `finally`.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
     // Band keys are a pure function of the TOKEN SET, so all work runs at
     // distinct-set granularity (the lshRepPairs representative collapse):
     // a mega-duplicate batch — 10k copies of one boilerplate page — bands
     // once and joins once, instead of 10k× banding and a 10·m² band
     // self-join. Per-doc verdicts re-attach by setkey at the end.
+    //
+    // TOKEN ARRAYS NEVER SHUFFLE. The original shape here collapsed sets
+    // with a groupBy(setkey) that carried the sorted token arrays through
+    // the exchange, and later joins dragged them through two more — at
+    // sf0.1 that was two full corpus-bytes shuffles per batch (profiled as
+    // the 2–3.5 s jobs dominating the four-batch gate). Instead: the only
+    // batch-wide shuffle is over (setkey, id) — 16 B digests — and every
+    // consumer that needs tokens re-reads them from the CACHED batch scan
+    // pruned by a broadcast semi join (representatives for banding,
+    // candidate setkeys for pair verification).
     val keyed = batch.select(col(idCol).as("id"),
-        TextFunctions.distinctTokens(col(textCol)).as("toks"))
-      .withColumn("sz", size(col("toks")))
-      .withColumn("setkey", md5(concat_ws(" ", array_sort(col("toks")))))
+        array_sort(TextFunctions.distinctTokens(col(textCol))).as("stoks"))
+      .withColumn("sz", size(col("stoks")))
+      .withColumn("setkey", md5(concat_ws(" ", col("stoks"))))
       .persist(mem)
-    val sets = keyed.groupBy("setkey")
-      .agg(min(col("id")).as("minid"),
-        first(array_sort(col("toks"))).as("stoks"), first(col("sz")).as("sz"))
+    // representative (min) id per distinct token set — narrow columns only
+    val reps = keyed.select(col("setkey"), col("id"))
+      .groupBy("setkey").agg(min(col("id")).as("minid"))
       .persist(mem)
+    // distinct-set token rows, shuffle-free: cached batch scan filtered to
+    // the representative rows
+    def repToks = keyed
+      .join(broadcast(reps.select(col("minid").as("id"))), Seq("id"), "left_semi")
+      .select(col("setkey"), col("stoks"), col("sz"))
     val setBands = bandRows(
-        sets.select(col("setkey").as("id"), col("stoks").as("toks")),
+        repToks.select(col("setkey").as("id"), col("stoks").as("toks")),
         numHashes, bands, portableBanding)
       .withColumnRenamed("id", "setkey")
       .persist(mem)
@@ -281,12 +317,18 @@ object Dedup {
         Seq("band", "bandhash"))
       .filter(col("sk_a") < col("sk_b"))
       .select("sk_a", "sk_b").dropDuplicates("sk_a", "sk_b")
-    val simPairs = sets
-      .select(col("setkey").as("sk_a"),
-        col("stoks").as("toks_a"), col("sz").as("sz_a"))
+      .persist(mem)
+    // token attachment is CANDIDATE-pruned on both sides before any join:
+    // the verification join moves candidate token arrays only, never the
+    // batch's
+    def candToks(pairKey: String, as: String) = repToks
+      .join(broadcast(setPairs.select(col(pairKey).as("setkey"))),
+        Seq("setkey"), "left_semi")
+      .select(col("setkey").as(pairKey),
+        col("stoks").as(s"toks_$as"), col("sz").as(s"sz_$as"))
+    val simPairs = candToks("sk_a", "a")
       .join(broadcast(setPairs), "sk_a")
-      .join(sets.select(col("setkey").as("sk_b"),
-        col("stoks").as("toks_b"), col("sz").as("sz_b")), "sk_b")
+      .join(candToks("sk_b", "b"), "sk_b")
       .withColumn("jaccard",
         common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -298,8 +340,8 @@ object Dedup {
     val effMin = simPairs
       .select(col("sk_a").as("setkey"), col("sk_b").as("other"))
       .unionByName(simPairs.select(col("sk_b").as("setkey"), col("sk_a").as("other")))
-      .unionByName(sets.select(col("setkey"), col("setkey").as("other")))
-      .join(broadcast(sets.select(col("setkey").as("other"), col("minid"))), "other")
+      .unionByName(reps.select(col("setkey"), col("setkey").as("other")))
+      .join(broadcast(reps.select(col("setkey").as("other"), col("minid"))), "other")
       .groupBy("setkey").agg(min(col("minid")).as("effmin"))
 
     // cross-batch: the ledger's per-doc band rows probe the batch's SET
@@ -334,9 +376,15 @@ object Dedup {
           .join(broadcast(cands.select("old_id").distinct()), Seq("old_id"), "left_semi")
           .select(col("old_id"), array_sort(col("htoks")).as("toks_b"),
             size(col("htoks")).as("sz_b"))
+        // batch-side tokens for colliding setkeys only — pruned from the
+        // cached batch scan, so this join too moves candidate arrays, not
+        // the batch's
+        val candSetToks = repToks
+          .join(broadcast(cands.select("setkey").distinct()),
+            Seq("setkey"), "left_semi")
+          .select(col("setkey"), col("stoks").as("toks_a"), col("sz").as("sz_a"))
         Some(cands
-          .join(sets.select(col("setkey"),
-            col("stoks").as("toks_a"), col("sz").as("sz_a")), "setkey")
+          .join(candSetToks, "setkey")
           .join(histToks, "old_id")
           .withColumn("jaccard",
             common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
@@ -348,15 +396,17 @@ object Dedup {
     val verdicts = keyed.select(col("id"), col("setkey"))
       .join(broadcast(effMin), Seq("setkey"))
       .join(broadcast(ledgerHit.getOrElse(
-        sets.select(col("setkey")).limit(0).withColumn("hit", lit(true)))),
+        reps.select(col("setkey")).limit(0).withColumn("hit", lit(true)))),
         Seq("setkey"), "left")
       .withColumn("kept",
         col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
       .select(col("id").as(idCol), col("kept"))
-    val out = batch.join(broadcast(verdicts), Seq(idCol)).localCheckpoint()
     // the ledger stays per-DOC (setkey is a batch-local notion); (doc, band)
     // is the row identity — append dedups by idCol, so a plain doc id would
-    // collapse the band rows to one per doc
+    // collapse the band rows to one per doc. The append is deliberately
+    // FIRST: it is the only thing the NEXT batch depends on (its scan pins
+    // the ledger file list at call time), and its write job doubles as the
+    // materialization pass for the keyed/reps/setBands persists.
     val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
       setBands.join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
@@ -364,9 +414,37 @@ object Dedup {
           lit(acceptedAt).as("accepted_at"),
           concat_ws("#", col("id"), col("band")).as("row_id")),
       ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
-      statsHint = Some((atMicros, atMicros)))
-    keyed.unpersist(); sets.unpersist(); setBands.unpersist()
-    out
+      statsHint = Some((atMicros, atMicros)),
+      // 8 files per commit: parallel ledger writes now, parallel ledger
+      // SCANS later (a one-file commit caps every future probe's scan
+      // parallelism); rows unique per (doc, band) by construction
+      filesPerMonth = 8, assumeUnique = true)
+    if (lazyVerdicts) {
+      // DEFERRED verification: return the verdict plan unmaterialized and
+      // leave the persists alive (caller-owned, the Dedup/Similarity cache
+      // contract). A multi-batch replay that consumes all outputs in one
+      // action then runs every batch's verification DAG CONCURRENTLY in
+      // that action — the per-batch serial chain collapses to appends —
+      // and nothing is computed for verdicts the caller never reads.
+      // Correctness is unchanged: the ledger scan above pinned its file
+      // list eagerly, so later batches' appends are invisible to it.
+      batch.join(broadcast(verdicts), Seq(idCol))
+    } else {
+      // checkpoint the NARROW verdict frame (id, kept — ~17 B/row), not
+      // the joined batch: a full-row checkpoint pins every document's text
+      // in the block manager until JVM GC (clearCache() can't free
+      // RDD-level checkpoint blocks), which measured as monotonic
+      // run-over-run growth (17→43 s across three bench passes at sf0.1).
+      // The returned join is lazy over the source scan + this pinned
+      // 2-column frame, so lineage stays severed from the frames
+      // unpersisted below.
+      val verdictsCk = verdicts.localCheckpoint()
+      val out = batch.join(broadcast(verdictsCk), Seq(idCol))
+      keyed.unpersist(); reps.unpersist(); setBands.unpersist()
+      setPairs.unpersist()
+      out
+    }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   /** (id, band, bandhash) rows for LSH band joins — the shared banding of

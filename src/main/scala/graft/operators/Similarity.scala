@@ -385,14 +385,20 @@ object Similarity {
       .withColumn("kept",
         col("id") === col("effmin") && !coalesce(col("hit"), lit(false)))
       .select(col("id").as(idCol), col("kept"))
-    val out = batch.join(broadcast(verdicts), Seq(idCol)).localCheckpoint()
+    // narrow checkpoint (id, kept), lazy re-join: a full-row checkpoint
+    // would pin every batch embedding in the block manager until JVM GC
+    // (same pathology as incrementalMinhashBatch — see its note)
+    val verdictsCk = verdicts.localCheckpoint()
+    val out = batch.join(broadcast(verdictsCk), Seq(idCol))
     val atMicros = acceptedAt.getTime * 1000L
     CommitLog.append(
       bk.select(col("tbl"), col("bucket"), col("id"),
           lit(acceptedAt).as("accepted_at"),
           concat_ws("#", col("id"), col("tbl")).as("row_id")),
       ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
-      statsHint = Some((atMicros, atMicros)))
+      statsHint = Some((atMicros, atMicros)),
+      // one row per (id, tbl) by construction; parallel ledger write/scan
+      filesPerMonth = 8, assumeUnique = true)
     v.unpersist(); bk.unpersist()
     out
   }
