@@ -26,4 +26,38 @@ object Caching {
     try f
     finally dfs.foreach(_.unpersist(false))
   }
+
+  /** Execution scope for BATCH-grain incremental operators (the dedup /
+    * embedding ledgers): AQE off and narrow batch-local exchanges, both
+    * restored in `finally`.
+    *
+    * AQE off — every join in a ledger-batch path carries an explicit
+    * broadcast() hint (the batch side is small by contract; the ledger
+    * and history sides only ever stream), so adaptive re-planning has
+    * nothing to improve, but it splits each of the ~20 stages per batch
+    * into its own job with a driver round trip; across a four-batch
+    * replay that overhead (200+ micro-jobs profiled) dominated the data
+    * work.
+    *
+    * shuffle.partitions=8 — every shuffle in a batch path moves
+    * batch-sized NARROW rows (16 B digests, id pairs), so the session's
+    * shuffle width is pure task overhead for them. 8 is what AQE
+    * coalescing would pick for a broadcastable side (profiled: session
+    * width 32 made a four-batch replay ~4500 tiny tasks); a batch too
+    * large for 8 narrow partitions would already violate the operator's
+    * broadcast contract.
+    *
+    * Must wrap the MATERIALIZING action, not just plan construction:
+    * physical planning (where exchange width is read) happens at action
+    * time, so the scope sits at the operator's public entry points. */
+  def narrowBatchScope[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val sufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try f finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", sufWas)
+    }
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines, at four fidelities:
@@ -183,13 +183,23 @@ object Dedup {
                             idCol: String = "doc_id",
                             textCol: String = "text"): DataFrame = {
     val spark = batch.sparkSession
+    ledgerBatchScope(spark) {
     val winners = dropExactDups(batch, idCol, textCol)
       .withColumn("dup_hash", md5(col(textCol)))
+    // cross-batch filter with the ledger STREAMING, never shuffling: the
+    // direct `winners ANTI JOIN ledger` form would sort-merge — i.e.
+    // re-shuffle the accumulated history every batch, exactly what the
+    // ledger design forbids. Instead the ledger probes a broadcast of the
+    // batch's digests (left_semi → `seen`, a batch-bounded set), and the
+    // anti join then broadcasts `seen`. Duplicate rows on an anti join's
+    // build side are harmless, so `seen` needs no dedup.
     val fresh =
       if (CommitLog.snapshot(ledgerTable).files.isEmpty) winners
-      else winners.join(
-        CommitLog.scan(spark, ledgerTable).select("dup_hash"),
-        Seq("dup_hash"), "left_anti")
+      else {
+        val seen = CommitLog.scan(spark, ledgerTable).select("dup_hash")
+          .join(broadcast(winners.select("dup_hash")), Seq("dup_hash"), "left_semi")
+        winners.join(broadcast(seen), Seq("dup_hash"), "left_anti")
+      }
     // checkpoint only (dup_hash, id) — the full-row form pinned every
     // accepted document's text in the block manager until JVM GC (see the
     // narrow-checkpoint note in incrementalMinhashBatch). Accepted rows
@@ -206,6 +216,7 @@ object Dedup {
       // one row per digest by construction (in-batch winners ∩ anti-join)
       filesPerMonth = 8, assumeUnique = true)
     batch.join(broadcast(acceptedKeys.select(idCol)), Seq(idCol), "left_semi")
+    }
   }
 
   /** Incremental FUZZY dedup: near-duplicate (MinHash+LSH) filtering of a
@@ -253,8 +264,93 @@ object Dedup {
                               numHashes: Int = 60, bands: Int = 10,
                               token: Option[String] = None,
                               idCol: String = "doc_id", textCol: String = "text",
-                              portableBanding: Boolean = false,
-                              lazyVerdicts: Boolean = false): DataFrame = {
+                              portableBanding: Boolean = false): DataFrame = {
+    ledgerBatchScope(batch.sparkSession) {
+      val (verdicts, cleanup) = minhashBatchCore(batch, history, ledgerTable,
+        acceptedAt, threshold, numHashes, bands, token, idCol, textCol,
+        portableBanding)
+      // checkpoint the NARROW verdict frame (idCol, kept — ~17 B/row), not
+      // the joined batch: a full-row checkpoint pins every document's text
+      // in the block manager until JVM GC (clearCache() can't free
+      // RDD-level checkpoint blocks), which measured as monotonic
+      // run-over-run growth (17→43 s across three bench passes at sf0.1).
+      // The returned join is lazy over the source scan + this pinned
+      // 2-column frame, so lineage stays severed from the frames `cleanup`
+      // unpersists.
+      val verdictsCk = verdicts.localCheckpoint()
+      val out = batch.join(broadcast(verdictsCk), Seq(idCol))
+      cleanup()
+      out
+    }
+  }
+
+  /** Multi-batch REPLAY of [[incrementalMinhashBatch]] — the backfill /
+    * catch-up driver: feed N accumulated batches through the band ledger
+    * in arrival order, one atomic token-idempotent commit per batch, and
+    * get every batch's verdicts back in ONE frame.
+    *
+    * The latency win over N separate calls: each batch only eagerly
+    * commits its band append — all the NEXT batch depends on (the ledger
+    * scan pins its file list at call time) — while verification stays a
+    * lazy plan, so all N verification DAGs execute CONCURRENTLY inside
+    * this method's single materializing action instead of N serial
+    * per-batch materializations (measured 2–4 s of serial tail per batch
+    * at sf0.1). The whole replay runs under one AQE-off scope (every join
+    * is broadcast-hinted; adaptive re-planning only adds driver round
+    * trips), and every cache the batches pin is released before return —
+    * the result is a checkpointed narrow (id, batch, kept) frame with no
+    * live lineage into the replay's internals.
+    *
+    * Batch b's history is batches 0..b-1 — a replay re-ingests an ordered
+    * corpus, so the "previously seen documents" ARE the earlier batches.
+    *
+    * @param tokenPrefix idempotency-token prefix; batch i commits with
+    *                    token "prefix-i", making re-runs append no-ops
+    * @return (idCol, batch, kept) for every document in every batch */
+  def incrementalMinhashReplay(batches: Seq[DataFrame], ledgerTable: String,
+                               startAt: java.sql.Timestamp,
+                               stepMs: Long = 3600000L,
+                               threshold: Double = 0.8,
+                               numHashes: Int = 60, bands: Int = 10,
+                               tokenPrefix: Option[String] = None,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               portableBanding: Boolean = false): DataFrame = {
+    require(batches.nonEmpty, "need at least one batch")
+    ledgerBatchScope(batches.head.sparkSession) {
+      val parts = batches.zipWithIndex.map { case (b, i) =>
+        val hist =
+          if (i == 0) batches.head.limit(0)
+          else batches.take(i).reduce(_.unionByName(_))
+        minhashBatchCore(b, hist, ledgerTable,
+          new java.sql.Timestamp(startAt.getTime + i * stepMs),
+          threshold, numHashes, bands, tokenPrefix.map(p => s"$p-$i"),
+          idCol, textCol, portableBanding)
+      }
+      val out = parts.map(_._1)
+        .zipWithIndex
+        .map { case (df, i) =>
+          df.select(col(idCol), lit(i).as("batch"), col("kept")) }
+        .reduce(_.unionByName(_))
+        .localCheckpoint() // one action runs all N verification DAGs
+      parts.foreach(_._2())
+      out
+    }
+  }
+
+  /** Shared core of the single-batch call and the replay: eagerly commits
+    * the batch's band append, returns the LAZY per-doc verdict frame
+    * (idCol, kept) plus a cleanup thunk releasing the caches it pinned.
+    * Callers MUST materialize the frame (or a checkpoint of it) before
+    * invoking cleanup. */
+  private def minhashBatchCore(batch: DataFrame, history: DataFrame,
+                              ledgerTable: String,
+                              acceptedAt: java.sql.Timestamp,
+                              threshold: Double,
+                              numHashes: Int, bands: Int,
+                              token: Option[String],
+                              idCol: String, textCol: String,
+                              portableBanding: Boolean): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     graft.plans.HashExprs.install(spark)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -266,9 +362,6 @@ object Dedup {
     // profiled) dominates the data work. A cluster session that wants AQE
     // for OTHER concurrent queries is unaffected long-term: the prior
     // value is restored in `finally`.
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
     // Band keys are a pure function of the TOKEN SET, so all work runs at
     // distinct-set granularity (the lshRepPairs representative collapse):
     // a mega-duplicate batch — 10k copies of one boilerplate page — bands
@@ -284,7 +377,16 @@ object Dedup {
     // consumer that needs tokens re-reads them from the CACHED batch scan
     // pruned by a broadcast semi join (representatives for banding,
     // candidate setkeys for pair verification).
-    val keyed = batch.select(col(idCol).as("id"),
+    // ONE deliberate shuffle of the raw batch before tokenization: a
+    // batch arriving as few scan splits (one small parquet file → one
+    // partition) would otherwise run the ENTIRE cached expression chain —
+    // tokenize, md5 banding, every verification scan — single-threaded
+    // (profiled: four concurrent 1-task ~7 s stages were the whole replay
+    // tail). Width follows the scoped shuffle conf; at scale a batch
+    // already arrives wide and this is a cheap batch-sized rebalance.
+    val width = spark.sessionState.conf.numShufflePartitions
+    val keyed = batch.repartition(width)
+      .select(col(idCol).as("id"),
         array_sort(TextFunctions.distinctTokens(col(textCol))).as("stoks"))
       .withColumn("sz", size(col("stoks")))
       .withColumn("setkey", md5(concat_ws(" ", col("stoks"))))
@@ -370,10 +472,18 @@ object Dedup {
         // at sf0.01 — the extra materialization pass and the
         // thousand-literal In cost more in scheduling and
         // analysis/translation than the second streamed pass they avoid.)
+        // prune FIRST (raw columns through the broadcast semi join, so the
+        // history scan's partitioning carries only survivors), then
+        // REBALANCE the candidate rows before tokenizing: a single-split
+        // history scan would otherwise tokenize every candidate in one
+        // task (the same 1-task serialization the batch repartition above
+        // fixes). The repartition moves candidate texts only.
         val histToks = history
-          .select(col(idCol).as("old_id"),
-            TextFunctions.distinctTokens(col(textCol)).as("htoks"))
+          .select(col(idCol).as("old_id"), col(textCol))
           .join(broadcast(cands.select("old_id").distinct()), Seq("old_id"), "left_semi")
+          .repartition(width)
+          .select(col("old_id"),
+            TextFunctions.distinctTokens(col(textCol)).as("htoks"))
           .select(col("old_id"), array_sort(col("htoks")).as("toks_b"),
             size(col("htoks")).as("sz_b"))
         // batch-side tokens for colliding setkeys only — pruned from the
@@ -419,33 +529,21 @@ object Dedup {
       // SCANS later (a one-file commit caps every future probe's scan
       // parallelism); rows unique per (doc, band) by construction
       filesPerMonth = 8, assumeUnique = true)
-    if (lazyVerdicts) {
-      // DEFERRED verification: return the verdict plan unmaterialized and
-      // leave the persists alive (caller-owned, the Dedup/Similarity cache
-      // contract). A multi-batch replay that consumes all outputs in one
-      // action then runs every batch's verification DAG CONCURRENTLY in
-      // that action — the per-batch serial chain collapses to appends —
-      // and nothing is computed for verdicts the caller never reads.
-      // Correctness is unchanged: the ledger scan above pinned its file
-      // list eagerly, so later batches' appends are invisible to it.
-      batch.join(broadcast(verdicts), Seq(idCol))
-    } else {
-      // checkpoint the NARROW verdict frame (id, kept — ~17 B/row), not
-      // the joined batch: a full-row checkpoint pins every document's text
-      // in the block manager until JVM GC (clearCache() can't free
-      // RDD-level checkpoint blocks), which measured as monotonic
-      // run-over-run growth (17→43 s across three bench passes at sf0.1).
-      // The returned join is lazy over the source scan + this pinned
-      // 2-column frame, so lineage stays severed from the frames
-      // unpersisted below.
-      val verdictsCk = verdicts.localCheckpoint()
-      val out = batch.join(broadcast(verdictsCk), Seq(idCol))
-      keyed.unpersist(); reps.unpersist(); setBands.unpersist()
-      setPairs.unpersist()
-      out
-    }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    // verification stays a LAZY plan over the pinned caches: nothing is
+    // computed until the caller materializes, so a replay consuming many
+    // batches in one action runs their verification DAGs concurrently.
+    // Correctness is unaffected by the deferral: the ledger scan above
+    // pinned its file list eagerly, so later appends are invisible to it.
+    (verdicts,
+      () => { keyed.unpersist(); reps.unpersist(); setBands.unpersist()
+              setPairs.unpersist(); () })
   }
+
+  /** Execution scope for the ledger-batch operators — see
+    * [[graft.core.Caching.narrowBatchScope]] (AQE off + narrow
+    * batch-local exchanges, restored in `finally`). */
+  private def ledgerBatchScope[T](spark: SparkSession)(f: => T): T =
+    graft.core.Caching.narrowBatchScope(spark)(f)
 
   /** (id, band, bandhash) rows for LSH band joins — the shared banding of
     * [[minhashLshPairs]] and [[incrementalMinhashBatch]] (dual-path: md5

@@ -310,8 +310,16 @@ object Similarity {
                                 vecCol: String = "embedding"): DataFrame = {
     install(batch)
     val spark = batch.sparkSession
+    // AQE off + narrow batch-local exchanges for the whole call — same
+    // rationale as the MinHash ledger (every join broadcasts the batch
+    // side; the ledger only streams): graft.core.Caching.narrowBatchScope
+    graft.core.Caching.narrowBatchScope(spark) {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val v = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // one deliberate batch-sized rebalance before the cached expression
+    // chain — a single-split scan would run signatures and verification
+    // single-task (see the batch repartition note in minhashBatchCore)
+    val v = batch.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       nnorm(col(vecCol)).as("nrm")).persist(mem)
     val bk = v.select(col("id"), posexplode(array((0 until tables).map(t =>
         hyperplaneSig(col("v"), t, bits, dim)): _*)))
@@ -401,6 +409,7 @@ object Similarity {
       filesPerMonth = 8, assumeUnique = true)
     v.unpersist(); bk.unpersist()
     out
+    }
   }
 
   /** Near-duplicate embedding pairs (cosine ≥ threshold) within a blocking

@@ -56,18 +56,14 @@ object DedupOps {
         .createTempDirectory("graft_inc_lsh").toString + "/ledger"
       val batchOf = expr("CAST(substring(source, 4) AS INT) % 4")
       val t0 = 1704067200000L // 2024-01-01T00:00Z
-      // lazyVerdicts: each call eagerly commits only its band append (what
-      // the next batch depends on); all four verification DAGs then run
-      // CONCURRENTLY in the consumer's single action instead of four
-      // serial materializations (measured ~2-4 s/batch of serial tail)
-      (0 until 4).map { b =>
-        Dedup.incrementalMinhashBatch(
-          docs.filter(batchOf === b), docs.filter(batchOf < b), ledger,
-          new java.sql.Timestamp(t0 + b * 3600000L), threshold = 0.8,
-          portableBanding = true, token = Some(s"batch-$b"),
-          lazyVerdicts = true)
-          .select(col("doc_id"), lit(b).as("batch"), col("kept"))
-      }.reduce(_.unionByName(_))
+      // the replay driver: one eager append per batch, all four
+      // verification DAGs materialized concurrently in one AQE-off action
+      // (vs four serial per-batch materializations — measured ~2-4 s of
+      // serial tail per batch)
+      Dedup.incrementalMinhashReplay(
+        (0 until 4).map(b => docs.filter(batchOf === b)), ledger,
+        new java.sql.Timestamp(t0), threshold = 0.8,
+        tokenPrefix = Some("batch"), portableBanding = true)
     }),
 
     // NOTE on row order: the driver gate compares row MULTISETS (columns

@@ -15,6 +15,8 @@ object ProfInc {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("PROF_WSCG", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,20 +51,15 @@ object ProfInc {
         .createTempDirectory("graft_prof_lsh").toString + "/ledger"
       val batchOf = expr("CAST(substring(source, 4) AS INT) % 4")
       val t0 = 1704067200000L
-      val out = (0 until 4).map { b =>
-        val bt0 = System.nanoTime()
-        val r = graft.operators.Dedup.incrementalMinhashBatch(
-          docs.filter(batchOf === b), docs.filter(batchOf < b), ledger,
-          new java.sql.Timestamp(t0 + b * 3600000L), threshold = 0.8,
-          portableBanding = true, token = Some(s"batch-$b"),
-          lazyVerdicts = true)
-          .select(col("doc_id"), lit(b).as("batch"), col("kept"))
-        println(f"[prof] batch $b operator call: ${(System.nanoTime() - bt0) / 1e9}%.2f s")
-        r
-      }.reduce(_.unionByName(_))
+      val rt0 = System.nanoTime()
+      val out = graft.operators.Dedup.incrementalMinhashReplay(
+        (0 until 4).map(b => docs.filter(batchOf === b)), ledger,
+        new java.sql.Timestamp(t0), threshold = 0.8,
+        tokenPrefix = Some("batch"), portableBanding = true)
+      println(f"[prof] replay call: ${(System.nanoTime() - rt0) / 1e9}%.2f s")
       val ft0 = System.nanoTime()
       out.write.format("noop").mode("overwrite").save()
-      println(f"[prof] final union noop write: ${(System.nanoTime() - ft0) / 1e9}%.2f s")
+      println(f"[prof] final noop write: ${(System.nanoTime() - ft0) / 1e9}%.2f s")
     }
 
     // warmup

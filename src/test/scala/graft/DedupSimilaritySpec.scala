@@ -552,7 +552,10 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(keptA == Set(1L, 2L, 3L))
     val filesA = graft.operators.CommitLog.snapshot(s"$base/a").files.size
     val filesB = graft.operators.CommitLog.snapshot(s"$base/b").files.size
-    assert(filesB == 3, s"expected one ledger file per batch, got $filesB")
+    // each append writes 1..filesPerMonth(=8) salted files per commit
+    // (parallel ledger writes/scans); 3 commits land in [3, 24] files
+    assert(filesB >= 3 && filesB <= 24,
+      s"expected 1..8 ledger files per batch commit, got $filesB")
     assert(filesA < filesB, s"compaction did not shrink the ledger: $filesA")
   }
 
