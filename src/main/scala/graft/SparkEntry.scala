@@ -22,12 +22,13 @@ object SparkEntry {
       EventOps.defs ++ EventOps2.defs ++ MetricsQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
-      StoreOps.defs ++ PackingOps.defs
+      StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
       EventOps.oracles ++ EventOps2.oracles ++ MetricsQueries.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++
-      CurationOps.oracles ++ StoreOps.oracles ++ PackingOps.oracles
+      CurationOps.oracles ++ StoreOps.oracles ++ PackingOps.oracles ++
+      SketchOps.oracles
 }

@@ -687,6 +687,9 @@ object CommitLog {
     val staged = survivors
       .map(_.unionByName(deduped, allowMissingColumns = true))
       .getOrElse(deduped)
+    // an upsert may be a fresh table's FIRST commit (a rollup state table
+    // starts with an upsert, not an append)
+    Files.createDirectories(Paths.get(table))
     val staging = Files.createTempDirectory(Paths.get(table), ".stage-")
     staged
       .repartition(col("month"))

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{CommitLog, Sketches}
+import org.apache.spark.sql.functions._
+
+/** HLL sketch rollup: incremental == one-shot, replay idempotent, coarser
+  * grains re-aggregate from state alone, untouched groups never rewrite. */
+class SketchSpec extends GraftSuite {
+
+  private def mkTable(): String = java.nio.file.Files
+    .createTempDirectory("graft_sketchspec").toString + "/rollup"
+  private val ts0 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+  private def at(i: Int) =
+    new java.sql.Timestamp(ts0.getTime + i * 3600000L)
+
+  test("incremental rollup equals one-shot build; replay is a no-op; " +
+      "estimates within the HLL bound of exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 groups x overlapping member sets; values repeat across batches so
+    // the sketch union (not concatenation) is what keeps estimates sane
+    val rows = (1L to 3000L).map(i => (s"g${i % 3}", i % 700))
+    val df = rows.toDF("grp", "uid")
+    val inc = mkTable()
+    (0 until 3).foreach { b =>
+      Sketches.updateDistinctRollup(
+        df.filter(pmod(col("uid"), lit(3)) === b), inc,
+        Seq("grp"), "uid", at(b), token = Some(s"t$b"))
+    }
+    // replay batch 0 under its token: state must not move
+    val verBefore = CommitLog.snapshot(inc).version
+    Sketches.updateDistinctRollup(
+      df.filter(pmod(col("uid"), lit(3)) === 0), inc,
+      Seq("grp"), "uid", at(0), token = Some("t0"))
+    assert(CommitLog.snapshot(inc).version == verBefore)
+
+    val once = mkTable()
+    Sketches.updateDistinctRollup(df, once, Seq("grp"), "uid", at(9))
+
+    def state(t: String): Map[String, (Long, Double)] =
+      Sketches.estimates(spark, t, Seq("grp")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2).toDouble)).toMap
+    val (si, so) = (state(inc), state(once))
+    assert(si.keySet == Set("g0", "g1", "g2"))
+    assert(si.view.mapValues(_._1).toMap == so.view.mapValues(_._1).toMap,
+      s"row accounting diverged: $si vs $so")
+    val exact = df.groupBy("grp").agg(countDistinct(col("uid")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    si.foreach { case (g, (n, est)) =>
+      assert(n == df.filter(col("grp") === g).count(), s"n_rows wrong for $g")
+      assert(math.abs(est - exact(g)) <= math.max(1.0, 0.05 * exact(g)),
+        s"estimate for $g drifted: $est vs exact ${exact(g)}")
+      // incremental and one-shot need not be BIT-identical (union order),
+      // but both sit inside the same bound
+      assert(math.abs(so(g)._2 - exact(g)) <= math.max(1.0, 0.05 * exact(g)))
+    }
+  }
+
+  test("estimateAcross: coarser grain from sketches matches exact distinct " +
+      "across the union (overlapping member sets)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // g0 and g1 overlap heavily: sum-of-groups would be ~2x the union
+    val df = ((1L to 800L).map(i => ("g0", i)) ++
+      (400L to 1200L).map(i => ("g1", i))).toDF("grp", "uid")
+    val t = mkTable()
+    Sketches.updateDistinctRollup(df, t, Seq("grp"), "uid", at(0))
+    val global = Sketches.estimateAcross(spark, t, Seq.empty).head()
+    val est = global.getLong(0).toDouble
+    assert(global.getLong(1) == df.count())
+    assert(math.abs(est - 1200.0) <= 0.05 * 1200.0,
+      s"global union estimate $est not near 1200 (sum of groups would be 1601)")
+  }
+
+  test("only touched groups rewrite: an update to one group leaves the " +
+      "other groups' stored sketch bytes untouched") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = mkTable()
+    val base = (1L to 900L).map(i => (s"g${i % 3}", i)).toDF("grp", "uid")
+    Sketches.updateDistinctRollup(base, t, Seq("grp"), "uid", at(0))
+    def sketchOf(g: String): Seq[Byte] =
+      CommitLog.scan(spark, t).filter(col("grp") === g)
+        .select("sketch").head().getAs[Array[Byte]](0).toSeq
+    val (g1Before, g2Before) = (sketchOf("g1"), sketchOf("g2"))
+    Sketches.updateDistinctRollup(
+      Seq(("g0", 5000L), ("g0", 5001L)).toDF("grp", "uid"),
+      t, Seq("grp"), "uid", at(1))
+    assert(sketchOf("g1") == g1Before && sketchOf("g2") == g2Before,
+      "untouched groups' sketches changed")
+    val g0 = Sketches.estimates(spark, t, Seq("grp"))
+      .filter(col("grp") === "g0").head()
+    assert(g0.getLong(1) == 300 + 2)
+  }
+}
