@@ -40,7 +40,10 @@ object Bench {
     // mostly fixed job/IO overhead (the minhash ledger above already
     // represents the incremental family here, against a DuckDB oracle
     // that replays comparable work)
-    "hybrid_rrf_topk", "mixture_sample_budget")
+    "hybrid_rrf_topk", "mixture_sample_budget",
+    // HLL sketch-rollup family: 3 incremental state commits + a replay +
+    // the estimate readout — the distinct-count maintenance cycle
+    "sketch_distinct_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
