@@ -40,37 +40,99 @@ object Sketches {
   def updateDistinctRollup(batch: DataFrame, table: String,
                            groupCols: Seq[String], valueCol: String,
                            at: java.sql.Timestamp, lgK: Int = 14,
+                           token: Option[String] = None): Unit =
+    updateRollup(batch, table, groupCols,
+      batchAggs = Seq(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"),
+        count(col(valueCol)).as("n_rows")),
+      mergeAggs = Seq(expr("hll_union_agg(sketch, true)").as("sketch"),
+        sum(col("n_rows")).as("n_rows")),
+      stateCols = Seq("sketch", "n_rows"), at = at, token = token)
+
+  /** QUANTILE rollup -- the same incremental state algebra with the
+    * project's native Greenwald-Khanna aggregate
+    * ([[graft.plans.GkSketchAgg]]) in place of HLL: one mergeable GK
+    * summary per group, DETERMINISTIC eps rank error (a gate can pin the
+    * bound as a hard boolean -- GK's guarantee is worst-case, not
+    * with-high-probability), quantiles at any stored or coarser grain
+    * without re-reading facts. */
+  def updateQuantileRollup(batch: DataFrame, table: String,
+                           groupCols: Seq[String], valueCol: String,
+                           at: java.sql.Timestamp, eps: Double = 0.01,
                            token: Option[String] = None): Unit = {
+    graft.plans.QuantileRegistry.install(batch.sparkSession)
+    updateRollup(batch, table, groupCols,
+      batchAggs = Seq(
+        graft.plans.QuantileRegistry.gkAgg(col(valueCol).cast("double"), eps)
+          .as("qsketch"),
+        count(col(valueCol)).as("n_rows")),
+      mergeAggs = Seq(
+        graft.plans.QuantileRegistry.gkMerge(col("qsketch")).as("qsketch"),
+        sum(col("n_rows")).as("n_rows")),
+      stateCols = Seq("qsketch", "n_rows"), at = at, token = token)
+  }
+
+  /** Shared state-update algebra of the rollups: sketch the batch per
+    * group, union with the stored state of the TOUCHED groups only
+    * (broadcast semi join -- untouched groups are never read twice, let
+    * alone rewritten), merge, upsert in one token-idempotent commit. */
+  private def updateRollup(batch: DataFrame, table: String,
+                           groupCols: Seq[String],
+                           batchAggs: Seq[org.apache.spark.sql.Column],
+                           mergeAggs: Seq[org.apache.spark.sql.Column],
+                           stateCols: Seq[String],
+                           at: java.sql.Timestamp,
+                           token: Option[String]): Unit = {
     // `month` is the commit log's partition column (derived from
-    // updated_at) and resurfaces on every scan — a group column with a
+    // updated_at) and resurfaces on every scan -- a group column with a
     // reserved name would be silently shadowed by it
-    val reserved = Set("month", "rollup_id", "updated_at", "sketch", "n_rows")
+    val reserved = Set("month", "rollup_id", "updated_at") ++ stateCols
     require(groupCols.forall(c => !reserved.contains(c)),
-      s"group columns may not use reserved names ${reserved.mkString(", ")}")
+      s"group columns may not use reserved names " + reserved.mkString(", "))
     val spark = batch.sparkSession
     graft.core.Caching.narrowBatchScope(spark) {
       val gcols = groupCols.map(col)
-      val bs = batch.groupBy(gcols: _*)
-        .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sketch"),
-          count(col(valueCol)).as("n_rows"))
+      val bs = batch.groupBy(gcols: _*).agg(batchAggs.head, batchAggs.tail: _*)
       val snap = CommitLog.snapshot(table)
       val all =
         if (snap.files.isEmpty) bs
         else CommitLog.scan(spark, table)
-          .select(gcols :+ col("sketch") :+ col("n_rows"): _*)
+          .select(gcols ++ stateCols.map(col): _*)
           // touched groups only: the rollup table streams through a
           // broadcast semi join on the batch's (small) group set
           .join(broadcast(bs.select(gcols: _*)), groupCols, "left_semi")
           .unionByName(bs)
-      val merged = all.groupBy(gcols: _*)
-        .agg(expr("hll_union_agg(sketch, true)").as("sketch"),
-          sum(col("n_rows")).as("n_rows"))
-        .withColumn("rollup_id", concat_ws("", gcols: _*))
+      val merged = all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+        .withColumn("rollup_id", concat_ws("\u0001", gcols: _*))
         .withColumn("updated_at", lit(at))
       CommitLog.upsertBatch(merged, table,
         idCol = "rollup_id", tsCol = "updated_at", token = token)
       ()
     }
+  }
+
+  /** Quantile-rollup state at its stored grain: group columns + exact
+    * `n_rows` + `quantiles` (array aligned with `ps`). */
+  def quantiles(spark: SparkSession, table: String, groupCols: Seq[String],
+                ps: Seq[Double]): DataFrame = {
+    graft.plans.QuantileRegistry.install(spark)
+    CommitLog.scan(spark, table).select(
+      groupCols.map(col) :+ col("n_rows") :+
+        graft.plans.QuantileRegistry.gkQuantiles(col("qsketch"), ps)
+          .as("quantiles"): _*)
+  }
+
+  /** Quantiles at a COARSER grain by GK merge over state rows -- no pass
+    * over facts. `overCols` empty -> one global row. */
+  def quantilesAcross(spark: SparkSession, table: String,
+                      overCols: Seq[String], ps: Seq[Double]): DataFrame = {
+    graft.plans.QuantileRegistry.install(spark)
+    val base = CommitLog.scan(spark, table)
+    val agg = Seq(
+      graft.plans.QuantileRegistry.gkQuantiles(
+        graft.plans.QuantileRegistry.gkMerge(col("qsketch")), ps).as("quantiles"),
+      sum(col("n_rows")).as("n_rows"))
+    if (overCols.isEmpty) base.agg(agg.head, agg.tail: _*)
+    else base.groupBy(overCols.map(col): _*).agg(agg.head, agg.tail: _*)
   }
 
   /** Rollup state at its stored grain: group columns + exact `n_rows` +

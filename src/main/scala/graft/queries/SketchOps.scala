@@ -5,42 +5,50 @@ import graft.operators.Sketches
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Gates for the HLL sketch-rollup operator ([[graft.operators.Sketches]]).
+/** Gates for the sketch-rollup operators ([[graft.operators.Sketches]]):
+  * HLL distinct counts and GK quantiles as mergeable commit-log state.
   *
   * Gate design (the `approx_stats_check` pattern for approximate
   * operators): the rollup's EXACT side — group coverage and the
   * incrementally-maintained per-group row counts — hash-matches DuckDB's
-  * recompute, while the HLL estimate is pinned as a BOOLEAN tolerance
-  * contract (|est − exact| ≤ max(5 %, 1)) that the oracle expects TRUE.
-  * A drifted estimate, a lost batch, a non-idempotent replay, or a
-  * mis-merged group all flip a hashed cell.
+  * recompute, while the sketch readout is pinned as a BOOLEAN contract
+  * the oracle expects TRUE (HLL: |est − exact| ≤ max(5 %, 1); GK: the
+  * two-sided rank bound). A drifted estimate, a lost batch, a
+  * non-idempotent replay, or a mis-merged group all flip a hashed cell.
   */
 object SketchOps {
 
-  /** Shifted 3-month event stream + the rollup build shared by both
+  /** Shifted 3-month event stream + the rollup build shared by the
     * gates: three incremental batches (split by event_id % 3) through the
     * sketch table, with the middle batch REPLAYED under its original
-    * token — the no-op must leave counts exact. */
-  private def buildRollup(s: SparkSession, dir: String): (DataFrame, String) = {
+    * token — the no-op must leave counts exact. `update` is the rollup
+    * family member under test (HLL distinct / GK quantile). */
+  private def buildRollup(s: SparkSession, dir: String,
+      update: (DataFrame, String, java.sql.Timestamp, Option[String]) => Unit)
+      : (DataFrame, String) = {
     val ev = Tables.events(s, dir).select(
-        col("event_id"), col("user_id"), col("event_type"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"),
         expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"))
       .withColumn("ev_month", date_format(col("ts"), "yyyy-MM"))
     val table = java.nio.file.Files
       .createTempDirectory("graft_sketch").toString + "/rollup"
     val t0 = 1704067200000L // 2024-01-01T00:00Z
     (0 until 3).foreach { b =>
-      Sketches.updateDistinctRollup(
-        ev.filter(pmod(col("event_id"), lit(3)) === b), table,
-        Seq("ev_month", "event_type"), "user_id",
-        new java.sql.Timestamp(t0 + b * 3600000L), token = Some(s"sk-$b"))
+      update(ev.filter(pmod(col("event_id"), lit(3)) === b), table,
+        new java.sql.Timestamp(t0 + b * 3600000L), Some(s"sk-$b"))
     }
-    Sketches.updateDistinctRollup( // replayed batch 1: token → no-op
-      ev.filter(pmod(col("event_id"), lit(3)) === 1), table,
-      Seq("ev_month", "event_type"), "user_id",
-      new java.sql.Timestamp(t0 + 3600000L), token = Some("sk-1"))
+    update(ev.filter(pmod(col("event_id"), lit(3)) === 1), table, // replay:
+      new java.sql.Timestamp(t0 + 3600000L), Some("sk-1"))        // no-op
     (ev, table)
   }
+
+  private def buildDistinct(s: SparkSession, dir: String): (DataFrame, String) =
+    buildRollup(s, dir, (b, t, at, tok) => Sketches.updateDistinctRollup(
+      b, t, Seq("ev_month", "event_type"), "user_id", at, token = tok))
+
+  private def buildQuantile(s: SparkSession, dir: String): (DataFrame, String) =
+    buildRollup(s, dir, (b, t, at, tok) => Sketches.updateQuantileRollup(
+      b, t, Seq("ev_month", "event_type"), "value", at, token = tok))
 
   private def estOk(est: org.apache.spark.sql.Column,
                     exact: org.apache.spark.sql.Column) =
@@ -50,7 +58,7 @@ object SketchOps {
     // stored-grain readout: (month, type) rows with the table's exact
     // n_rows and the estimate-tolerance boolean
     "sketch_distinct_rollup" -> ((s, dir) => {
-      val (ev, table) = buildRollup(s, dir)
+      val (ev, table) = buildDistinct(s, dir)
       val exact = ev.groupBy("ev_month", "event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       Sketches.estimates(s, table, Seq("ev_month", "event_type"))
@@ -63,15 +71,65 @@ object SketchOps {
     // query exact distinct cannot answer without re-reading facts: per
     // event_type across all months, straight off the state table
     "sketch_union_across" -> ((s, dir) => {
-      val (ev, table) = buildRollup(s, dir)
+      val (ev, table) = buildDistinct(s, dir)
       val exact = ev.groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("n_exact"))
       Sketches.estimateAcross(s, table, Seq("event_type"))
         .join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_rows"),
           estOk(col("distinct_est"), col("n_exact")))
+    }),
+
+    // GK quantile rollup at the stored grain: n_rows hash-matches; the
+    // p50/p95 readouts are pinned by a TWO-SIDED RANK check against the
+    // raw values (strictly-below count can't exceed (p+tol)·n, at-or-
+    // below count must reach (p−tol)·n) — the exact shape of the GK
+    // guarantee, so a drifted sketch or a bad merge flips a boolean
+    "sketch_quantile_rollup" -> ((s, dir) => {
+      val (ev, table) = buildQuantile(s, dir)
+      val est = Sketches.quantiles(s, table,
+          Seq("ev_month", "event_type"), Seq(0.5, 0.95))
+        .select(col("ev_month"), col("event_type"), col("n_rows"),
+          col("quantiles")(0).as("p50"), col("quantiles")(1).as("p95"))
+      quantileRankCheck(ev, est, Seq("ev_month", "event_type"))
+    }),
+
+    // coarser grain by GK merge over state rows — per type across all
+    // months, no pass over facts; same rank contract vs the raw values
+    "sketch_quantile_union" -> ((s, dir) => {
+      val (ev, table) = buildQuantile(s, dir)
+      val est = Sketches.quantilesAcross(s, table,
+          Seq("event_type"), Seq(0.5, 0.95))
+        .select(col("event_type"), col("n_rows"),
+          col("quantiles")(0).as("p50"), col("quantiles")(1).as("p95"))
+      quantileRankCheck(ev, est, Seq("event_type"))
     })
   )
+
+  /** Two-sided rank contract for a (p50, p95) readout joined back onto
+    * the raw values. tol = 5·ε: the single-sketch GK bound is ε, merges
+    * can widen it (Spark's QuantileSummaries merge takes the max and the
+    * literature bound for GK merging is ~2ε), and the partial-combine
+    * order inside an aggregate is nondeterministic — the contract must
+    * hold for EVERY merge tree, so it carries headroom while still
+    * pinning a real bound. */
+  private def quantileRankCheck(ev: DataFrame, est: DataFrame,
+                                keys: Seq[String]): DataFrame = {
+    val tol = 0.05
+    def rankOk(p: Double, lt: String, le: String) =
+      (col(lt) <= (lit(p) + tol) * col("n")) &&
+        (col(le) >= (lit(p) - tol) * col("n"))
+    ev.join(broadcast(est), keys)
+      .groupBy(keys.map(col): _*)
+      .agg(first(col("n_rows")).as("n_rows"), count(col("value")).as("n"),
+        sum(when(col("value") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("p95"), 1L).otherwise(0L)).as("lt95"),
+        sum(when(col("value") <= col("p95"), 1L).otherwise(0L)).as("le95"))
+      .select(keys.map(col) :+ col("n_rows") :+
+        rankOk(0.5, "lt50", "le50").as("p50_ok") :+
+        rankOk(0.95, "lt95", "le95").as("p95_ok"): _*)
+  }
 
   def oracles: Map[String, String] = Map(
     "sketch_distinct_rollup" ->
@@ -85,6 +143,19 @@ object SketchOps {
     "sketch_union_across" ->
       """SELECT event_type,
         |  CAST(count(user_id) AS BIGINT) AS n_rows, TRUE AS est_ok
+        |FROM events GROUP BY 1""".stripMargin,
+    "sketch_quantile_rollup" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts,
+        |    value, event_type
+        |  FROM events)
+        |SELECT strftime(ts, '%Y-%m') AS ev_month, event_type,
+        |  CAST(count(value) AS BIGINT) AS n_rows,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM ev GROUP BY 1, 2""".stripMargin,
+    "sketch_quantile_union" ->
+      """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+        |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1""".stripMargin
   )
 }

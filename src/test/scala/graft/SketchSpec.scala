@@ -72,6 +72,56 @@ class SketchSpec extends GraftSuite {
       s"global union estimate $est not near 1200 (sum of groups would be 1601)")
   }
 
+  test("quantile rollup: incremental build honours the GK rank bound at " +
+      "stored and merged grains; replay is a no-op; empty sketch reads null") {
+    val spark2 = spark
+    import spark2.implicits._
+    // skewed values (power-ish) so p50 and p95 are far apart and a
+    // mis-merge shows up immediately
+    val rows = (1L to 6000L).map(i => (s"g${i % 3}", (i % 77).toDouble * (i % 13)))
+    val df = rows.toDF("grp", "v")
+    val t = mkTable()
+    (0 until 3).foreach { b =>
+      Sketches.updateQuantileRollup(
+        df.filter(pmod(col("v").cast("long"), lit(3)) === b), t,
+        Seq("grp"), "v", at(b), token = Some(s"q$b"))
+    }
+    val verBefore = CommitLog.snapshot(t).version
+    Sketches.updateQuantileRollup(
+      df.filter(pmod(col("v").cast("long"), lit(3)) === 0), t,
+      Seq("grp"), "v", at(0), token = Some("q0"))
+    assert(CommitLog.snapshot(t).version == verBefore, "replay moved state")
+
+    def rankOk(vals: Seq[Double], est: Double, p: Double): Boolean = {
+      val n = vals.size
+      val lt = vals.count(_ < est); val le = vals.count(_ <= est)
+      lt <= (p + 0.05) * n && le >= (p - 0.05) * n
+    }
+    val byGrp = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = Sketches.quantiles(spark, t, Seq("grp"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    got.foreach { case (g, (n, qs)) =>
+      assert(n == byGrp(g).size, s"n_rows wrong for $g")
+      assert(rankOk(byGrp(g), qs(0), 0.5), s"$g p50=${qs(0)} violates rank bound")
+      assert(rankOk(byGrp(g), qs(1), 0.95), s"$g p95=${qs(1)} violates rank bound")
+    }
+    // merged grain: global quantiles from state only
+    val all = rows.map(_._2)
+    val g = Sketches.quantilesAcross(spark, t, Seq.empty, Seq(0.5, 0.95)).head()
+    val gq = g.getSeq[Double](0)
+    assert(g.getLong(1) == all.size)
+    assert(rankOk(all, gq(0), 0.5) && rankOk(all, gq(1), 0.95))
+
+    // an all-null group still merges as identity and reads null quantiles
+    val tn = mkTable()
+    Sketches.updateQuantileRollup(
+      Seq(("gx", Option.empty[java.lang.Double])).toDF("grp", "v"),
+      tn, Seq("grp"), "v", at(0))
+    val nullRow = Sketches.quantiles(spark, tn, Seq("grp"), Seq(0.5)).head()
+    assert(nullRow.getLong(1) == 0 && nullRow.isNullAt(2))
+  }
+
   test("only touched groups rewrite: an update to one group leaves the " +
       "other groups' stored sketch bytes untouched") {
     val spark2 = spark
