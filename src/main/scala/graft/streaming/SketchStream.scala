@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.operators.Sketches
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming sketch-rollup maintenance: the [[graft.operators.Sketches]]
+  * state tables fed per micro-batch from `foreachBatch` — live
+  * distinct-count and latency/value-quantile observability over an event
+  * stream, with state that stays O(groups) no matter how long the stream
+  * runs (the stateful-aggregation alternative — a streaming
+  * `approx_count_distinct`/percentile over unbounded keys — keeps raw
+  * state in the state store and cannot be queried mid-stream by other
+  * sessions; a commit-log rollup table can).
+  *
+  * Each micro-batch is one token-idempotent upsert (`rollup-<batchId>`),
+  * so a replayed epoch after crash recovery is a no-op — the same
+  * effectively-once contract as the curation intakes and the attempt
+  * log. Readouts are the batch-side [[Sketches.estimates]] /
+  * [[Sketches.quantiles]] / the `...Across` merges, against the SAME
+  * table the stream maintains.
+  */
+object SketchStream {
+
+  /** Maintain an HLL distinct-count rollup from a stream. */
+  def distinctRollupIntake(facts: DataFrame, table: String,
+                           groupCols: Seq[String], valueCol: String,
+                           checkpoint: String): StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        distinctRollupBatch(batch, batchId, table, groupCols, valueCol)
+      }
+      .start()
+
+  /** One micro-batch of [[distinctRollupIntake]] (separable for direct
+    * testing and foreachBatch reuse). */
+  def distinctRollupBatch(batch: DataFrame, batchId: Long, table: String,
+                          groupCols: Seq[String], valueCol: String): Unit = {
+    if (batch.isEmpty) return
+    Sketches.updateDistinctRollup(batch, table, groupCols, valueCol,
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      token = Some(s"rollup-$batchId"))
+  }
+
+  /** Maintain a GK quantile rollup from a stream. */
+  def quantileRollupIntake(facts: DataFrame, table: String,
+                           groupCols: Seq[String], valueCol: String,
+                           checkpoint: String): StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        quantileRollupBatch(batch, batchId, table, groupCols, valueCol)
+      }
+      .start()
+
+  /** One micro-batch of [[quantileRollupIntake]]. */
+  def quantileRollupBatch(batch: DataFrame, batchId: Long, table: String,
+                          groupCols: Seq[String], valueCol: String): Unit = {
+    if (batch.isEmpty) return
+    Sketches.updateQuantileRollup(batch, table, groupCols, valueCol,
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      token = Some(s"rollup-$batchId"))
+  }
+}

@@ -122,6 +122,42 @@ class SketchSpec extends GraftSuite {
     assert(nullRow.getLong(1) == 0 && nullRow.isNullAt(2))
   }
 
+  test("streaming rollup intake: a MemoryStream drains into the state " +
+      "table, a replayed epoch is a no-op, and the readout matches a " +
+      "one-shot batch build") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val t = mkTable()
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_sketchstream").toString
+    val q = graft.streaming.SketchStream.distinctRollupIntake(
+      mem.toDF().toDF("grp", "uid"), t, Seq("grp"), "uid", chk)
+    try {
+      mem.addData((1L to 400L).map(i => (s"g${i % 2}", i % 90)))
+      q.processAllAvailable()
+      mem.addData((1L to 400L).map(i => (s"g${i % 2}", i % 150)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // epoch replay straight at the batch helper: token must no-op
+    val verBefore = CommitLog.snapshot(t).version
+    graft.streaming.SketchStream.distinctRollupBatch(
+      Seq(("g0", 1L)).toDF("grp", "uid"), 1L, t, Seq("grp"), "uid")
+    assert(CommitLog.snapshot(t).version == verBefore, "replayed epoch moved state")
+
+    val once = mkTable()
+    val all = ((1L to 400L).map(i => (s"g${i % 2}", i % 90)) ++
+      (1L to 400L).map(i => (s"g${i % 2}", i % 150))).toDF("grp", "uid")
+    Sketches.updateDistinctRollup(all, once, Seq("grp"), "uid", at(0))
+    def state(tbl: String) =
+      Sketches.estimates(spark, tbl, Seq("grp")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state(t) == state(once),
+      s"streamed state diverged from one-shot: ${state(t)} vs ${state(once)}")
+  }
+
   test("only touched groups rewrite: an update to one group leaves the " +
       "other groups' stored sketch bytes untouched") {
     val spark2 = spark
