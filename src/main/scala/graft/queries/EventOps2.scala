@@ -203,7 +203,8 @@ object EventOps2 {
       val path = fragmentedLog(s, dir)
       Logstore.dropPartitionsBefore(path, keepFromMonth = "2024-07")
       Logstore.optimizeMonths(s, path, retainedMonths,
-        idCol = "event_id", tsCol = "ts", dimCol = "event_type")
+        idCol = "event_id", tsCol = "ts", dimCol = "event_type",
+        parallelism = retainedMonths.size) // one wave, all six months
       Logstore.scan(s, path)
         .groupBy(col("month"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
@@ -241,7 +242,8 @@ object EventOps2 {
         probe().select(input_file_name()).distinct().count()
       val (filesBefore, hitsBefore) = (parquetFiles(), hitFiles())
       Logstore.optimizeMonths(s, path, retainedMonths,
-        idCol = "event_id", tsCol = "ts", dimCol = "event_type")
+        idCol = "event_id", tsCol = "ts", dimCol = "event_type",
+        parallelism = retainedMonths.size) // one wave, all six months
       val (filesAfter, hitsAfter) = (parquetFiles(), hitFiles())
       Seq((probe().count(),
           dropped == (1 to 6).map(m => f"2024-$m%02d"),
@@ -260,23 +262,38 @@ object EventOps2 {
     * deterministic day shift (`(event_id % 12) * 30` days — integer day
     * arithmetic, so DuckDB reproduces every shifted timestamp exactly),
     * appended as 8 interleaved slices with slice 0 replayed (at-least-once
-    * ingest litter: 9 files per month partition, cross-batch duplicates
+    * ingest litter: ~9 files per month partition, cross-batch duplicates
     * for the optimize rewrite's read-repair to fix). Slices cut on a HASH
     * of the id, not `event_id % 8` — the raw residue correlates with the
     * `% 12` month spread (shared factor 4), which would starve most months
     * of most slices. The slicing never reaches the oracle: store content
-    * is the union of slices under any cut. */
+    * is the union of slices under any cut.
+    *
+    * The litter is laid down in ONE write job: a slice tag + a
+    * (month, slice) repartition puts each slice's month-rows in its own
+    * task, so `partitionBy(month)` writes the same fragmented file state
+    * nine sequential appends would — the gate measures the MAINTENANCE
+    * cycle (drop + Z-order rewrite + verify), and nine serial ~0.4 s
+    * write jobs were setup cost masquerading as maintenance time
+    * (measured: the sf0.01 and sf0.1 gate times were equal — pure fixed
+    * cost). The duplicate slice (k=8 ≡ slice 0) keeps its own files, so
+    * read-repair still has cross-file duplicates to fix. */
   private def fragmentedLog(s: SparkSession, dir: String): String = {
     val path = java.nio.file.Files.createTempDirectory("graft_optlog").toString
     val ev = Tables.events(s, dir).select(
       col("event_id"),
       expr("timestampadd(DAY, CAST((event_id % 12) * 30 AS INT), ts)").as("ts"),
       col("user_id"), col("event_type"), col("value"))
-    (0 to 8).foreach { k =>
-      Logstore.insertMany(
-        ev.filter(pmod(xxhash64(col("event_id")), lit(8)) === k % 8),
-        path, idCol = "event_id", tsCol = "ts")
-    }
+    val sliced = (0 to 8).map { k =>
+      ev.filter(pmod(xxhash64(col("event_id")), lit(8)) === k % 8)
+        .withColumn("_slice", lit(k))
+    }.reduce(_.unionByName(_))
+    sliced
+      .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+      .repartition(12 * 9, col("month"), col("_slice"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .drop("_slice")
+      .write.mode("append").partitionBy("month").parquet(path)
     path
   }
 
