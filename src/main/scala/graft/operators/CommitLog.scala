@@ -654,7 +654,8 @@ object CommitLog {
     * @return the committed version */
   def upsertBatch(batch: DataFrame, table: String,
                   idCol: String, tsCol: String,
-                  token: Option[String] = None): Long = {
+                  token: Option[String] = None,
+                  statsHint: Option[(Long, Long)] = None): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
@@ -695,15 +696,23 @@ object CommitLog {
       .repartition(col("month"))
       .sortWithinPartitions(col(tsCol), col(idCol))
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
-    // per-month bounds over the staged union: one staged-sized agg
-    val stats: Map[String, (Long, Long)] = staged
-      .groupBy(col("month"))
-      .agg(min(unix_micros(col(tsCol))).as("lo"),
-        max(unix_micros(col(tsCol))).as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // per-month bounds over the staged union: one staged-sized agg.
+    // statsHint skips the job when the caller knows a bound at compile
+    // time. CAVEAT vs append's hint: the staged union includes SURVIVOR
+    // rows that keep their original (earlier) timestamps, so the hint
+    // must cover those too -- a loose-but-valid bound (e.g. (0, now) for
+    // a state table) may keep an extra file at prune time but never
+    // drops a needed one.
+    val stats: Map[String, (Long, Long)] =
+      if (statsHint.isDefined) Map.empty
+      else staged
+        .groupBy(col("month"))
+        .agg(min(unix_micros(col(tsCol))).as("lo"),
+          max(unix_micros(col(tsCol))).as("hi"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     deduped.unpersist()
     val adds = moveStaged(staging, table).map { a =>
-      stats.get(a.month)
+      statsHint.orElse(stats.get(a.month))
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }

@@ -105,7 +105,10 @@ object Sketches {
         .withColumn("rollup_id", concat_ws("\u0001", gcols: _*))
         .withColumn("updated_at", lit(at))
       CommitLog.upsertBatch(merged, table,
-        idCol = "rollup_id", tsCol = "updated_at", token = token)
+        idCol = "rollup_id", tsCol = "updated_at", token = token,
+        // (0, at): surviving rows carry earlier updated_at stamps, so the
+        // bound must reach below `at`; loose-but-valid (upsertBatch note)
+        statsHint = Some((0L, at.getTime * 1000L)))
       ()
     }
   }
