@@ -71,6 +71,64 @@ object Sketches {
       stateCols = Seq("qsketch", "n_rows"), at = at, token = token)
   }
 
+  /** HEAVY-HITTER rollup — frequent items per group at fixed memory via
+    * the project's native Misra–Gries aggregate
+    * ([[graft.plans.MgSketchAgg]]): the boilerplate/dominant-token
+    * detector for a growing corpus, without a count-every-token shuffle.
+    * Deterministic contract (any merge tree): every item with true count
+    * > (n − m)/(k+1) survives in the summary, and the surviving counter
+    * undercounts by at most that bound. */
+  def updateTopKRollup(batch: DataFrame, table: String,
+                       groupCols: Seq[String], itemCol: String,
+                       at: java.sql.Timestamp, k: Int = 64,
+                       token: Option[String] = None): Unit = {
+    graft.plans.FrequencyRegistry.install(batch.sparkSession)
+    updateRollup(batch, table, groupCols,
+      batchAggs = Seq(
+        graft.plans.FrequencyRegistry.mgAgg(col(itemCol), k).as("fsketch"),
+        count(col(itemCol)).as("n_rows")),
+      mergeAggs = Seq(
+        graft.plans.FrequencyRegistry.mgMerge(col("fsketch")).as("fsketch"),
+        sum(col("n_rows")).as("n_rows")),
+      stateCols = Seq("fsketch", "n_rows"), at = at, token = token)
+  }
+
+  /** Heavy-hitter candidates at the stored grain: one row per surviving
+    * item — (group cols..., item, est, n, bound), where
+    * `est ≤ true ≤ est + bound` deterministically. */
+  def topK(spark: SparkSession, table: String,
+           groupCols: Seq[String]): DataFrame = {
+    graft.plans.FrequencyRegistry.install(spark)
+    CommitLog.scan(spark, table)
+      .select(groupCols.map(col) :+ col("n_rows") :+
+        explode(graft.plans.FrequencyRegistry.mgTopK(col("fsketch")))
+          .as("hh"): _*)
+      .select(groupCols.map(col) :+ col("n_rows") :+
+        col("hh.item").as("item") :+ col("hh.est").as("est") :+
+        col("hh.n").as("n") :+ col("hh.bound").as("bound"): _*)
+  }
+
+  /** Heavy hitters at a COARSER grain by MG merge over state rows. */
+  def topKAcross(spark: SparkSession, table: String,
+                 overCols: Seq[String]): DataFrame = {
+    graft.plans.FrequencyRegistry.install(spark)
+    val base = CommitLog.scan(spark, table)
+    val merged =
+      if (overCols.isEmpty)
+        base.agg(graft.plans.FrequencyRegistry.mgMerge(col("fsketch")).as("fsketch"),
+          sum(col("n_rows")).as("n_rows"))
+      else base.groupBy(overCols.map(col): _*)
+        .agg(graft.plans.FrequencyRegistry.mgMerge(col("fsketch")).as("fsketch"),
+          sum(col("n_rows")).as("n_rows"))
+    merged
+      .select(overCols.map(col) :+ col("n_rows") :+
+        explode(graft.plans.FrequencyRegistry.mgTopK(col("fsketch")))
+          .as("hh"): _*)
+      .select(overCols.map(col) :+ col("n_rows") :+
+        col("hh.item").as("item") :+ col("hh.est").as("est") :+
+        col("hh.n").as("n") :+ col("hh.bound").as("bound"): _*)
+  }
+
   /** Shared state-update algebra of the rollups: sketch the batch per
     * group, union with the stored state of the TOUCHED groups only
     * (broadcast semi join -- untouched groups are never read twice, let

@@ -80,6 +80,44 @@ object SketchOps {
           estOk(col("distinct_est"), col("n_exact")))
     }),
 
+    // Misra–Gries heavy-hitter rollup: per-lang frequent tokens through
+    // three incremental batches + a replay. Contract rows are the EXACT
+    // heavy set (share ≥ 1/64 of the lang's tokens — integer-arithmetic
+    // threshold both engines compute identically); for each, the sketch
+    // must CONTAIN the token (guaranteed: the worst-case undercount
+    // bound is n/257 < n/64) with est ≤ true ≤ est + bound. Booleans
+    // are deterministic under any merge tree — the MG bound is
+    // worst-case, not probabilistic.
+    "sketch_topk_rollup" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_sketch_mg").toString + "/rollup"
+      val t0 = 1704067200000L
+      (0 until 3).foreach { b =>
+        Sketches.updateTopKRollup(
+          toks.filter(pmod(col("doc_id"), lit(3)) === b), table,
+          Seq("lang"), "token", new java.sql.Timestamp(t0 + b * 3600000L),
+          k = 256, token = Some(s"mg-$b"))
+      }
+      Sketches.updateTopKRollup( // replayed batch: token → no-op
+        toks.filter(pmod(col("doc_id"), lit(3)) === 1), table,
+        Seq("lang"), "token", new java.sql.Timestamp(t0 + 3600000L),
+        k = 256, token = Some("mg-1"))
+      val est = Sketches.topK(s, table, Seq("lang"))
+        .select(col("lang"), col("item").as("token"), col("est"), col("bound"))
+      val exact = toks.groupBy("lang", "token")
+        .agg(count(lit(1)).as("true_count"))
+      val nLang = toks.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      exact.join(broadcast(nLang), "lang")
+        .filter(col("true_count") * 64 >= col("n_lang"))
+        .join(est, Seq("lang", "token"), "left")
+        .select(col("lang"), col("token"), col("true_count"),
+          col("est").isNotNull.as("present_ok"),
+          (col("est").isNotNull && col("est") <= col("true_count") &&
+            col("true_count") <= col("est") + col("bound")).as("err_ok"))
+    }),
+
     // GK quantile rollup at the stored grain: n_rows hash-matches; the
     // p50/p95 readouts are pinned by a TWO-SIDED RANK check against the
     // raw values (strictly-below count can't exceed (p+tol)·n, at-or-
@@ -156,6 +194,15 @@ object SketchOps {
     "sketch_quantile_union" ->
       """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
         |  TRUE AS p50_ok, TRUE AS p95_ok
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    "sketch_topk_rollup" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |n AS (SELECT lang, count(*) AS nl FROM t GROUP BY 1),
+        |c AS (SELECT lang, token, count(*) AS tc FROM t GROUP BY 1, 2)
+        |SELECT c.lang, token, CAST(tc AS BIGINT) AS true_count,
+        |  TRUE AS present_ok, TRUE AS err_ok
+        |FROM c JOIN n USING (lang) WHERE tc * 64 >= nl""".stripMargin
   )
 }

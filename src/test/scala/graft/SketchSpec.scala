@@ -122,6 +122,59 @@ class SketchSpec extends GraftSuite {
     assert(nullRow.getLong(1) == 0 && nullRow.isNullAt(2))
   }
 
+  test("MG heavy hitters: the deterministic bound holds incrementally and " +
+      "across merged grains; a light tail never evicts a guaranteed-heavy item") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3 heavy items (~10% each) over a 2000-item uniform tail, two groups
+    val heavyRows = for (g <- Seq("a", "b"); h <- 1 to 3; _ <- 1 to 400)
+      yield (g, s"HH$h")
+    val tailRows = for (g <- Seq("a", "b"); i <- 1 to 2800)
+      yield (g, s"t${i % 1400}")
+    val df = scala.util.Random.shuffle(heavyRows ++ tailRows)
+      .zipWithIndex.map { case ((g, it), i) => (g, it, i.toLong) }
+      .toDF("grp", "item", "rid")
+    val t = mkTable()
+    (0 until 3).foreach { b =>
+      Sketches.updateTopKRollup(
+        df.filter(pmod(col("rid"), lit(3)) === b), t,
+        Seq("grp"), "item", at(b), k = 32, token = Some(s"m$b"))
+    }
+    val verBefore = CommitLog.snapshot(t).version
+    Sketches.updateTopKRollup(df.filter(pmod(col("rid"), lit(3)) === 0), t,
+      Seq("grp"), "item", at(0), k = 32, token = Some("m0"))
+    assert(CommitLog.snapshot(t).version == verBefore, "replay moved state")
+
+    val trueCounts = df.groupBy("grp", "item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Sketches.topK(spark, t, Seq("grp")).collect()
+      .map(r => ((r.getString(0), r.getString(2)),
+        (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    Seq("a", "b").foreach { g =>
+      val n = trueCounts.collect { case ((`g`, _), c) => c }.sum
+      (1 to 3).foreach { h =>
+        val key = (g, s"HH$h")
+        assert(got.contains(key), s"guaranteed-heavy $key missing from sketch")
+        val (est, nSk, bound) = got(key)
+        assert(nSk == n, s"sketch n wrong for $g")
+        assert(est <= trueCounts(key) && trueCounts(key) <= est + bound,
+          s"$key: est=$est true=${trueCounts(key)} bound=$bound")
+      }
+    }
+    // merged grain: global heavy hitters from state only (HH items are
+    // ~10% globally too)
+    val global = Sketches.topKAcross(spark, t, Seq.empty).collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(4))).toMap
+    (1 to 3).foreach { h =>
+      val item = s"HH$h"
+      val trueC = trueCounts(("a", item)) + trueCounts(("b", item))
+      assert(global.contains(item), s"global heavy $item missing")
+      val (est, bound) = global(item)
+      assert(est <= trueC && trueC <= est + bound,
+        s"global $item: est=$est true=$trueC bound=$bound")
+    }
+  }
+
   test("streaming rollup intake: a MemoryStream drains into the state " +
       "table, a replayed epoch is a no-op, and the readout matches a " +
       "one-shot batch build") {
