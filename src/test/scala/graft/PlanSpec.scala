@@ -234,4 +234,52 @@ class PlanSpec extends GraftSuite {
       s"change feed opened a file outside the requested range:\n$scanned")
     assert(feed.count() == 10)
   }
+
+  test("sketch rollup plans: the readout prunes to state columns; the " +
+      "touched-group filter is a broadcast semi join; the batch side " +
+      "carries a partial MG aggregate (map-side combine)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft_plan_sketch").toString + "/rollup"
+    val df = (1L to 600L).map(i => (s"g${i % 3}", s"tok${i % 40}"))
+      .toDF("grp", "item")
+    graft.operators.Sketches.updateTopKRollup(df, t, Seq("grp"), "item",
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), k = 16)
+
+    // readout: the state scan must not drag rollup_id/updated_at along —
+    // sketch tables are meant to be point-read cheaply by dashboards
+    val est = graft.operators.Sketches.topK(spark, t, Seq("grp"))
+    val phys = est.queryExecution.executedPlan.toString
+    val readSchema = phys.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("fsketch") && readSchema.contains("n_rows"),
+      s"readout must read the state columns:\n$readSchema")
+    assert(!readSchema.contains("updated_at") && !readSchema.contains("rollup_id"),
+      s"readout scan failed to prune bookkeeping columns:\n$readSchema")
+
+    // update path: state rows prune to touched groups via a BROADCAST
+    // LeftSemi (the state table streams; a shuffled semi would re-shuffle
+    // all groups every batch). Re-derive the probe plan shape the way the
+    // operator builds it.
+    val bs = Seq(("g0", "x")).toDF("grp", "item").groupBy("grp")
+      .agg(graft.plans.FrequencyRegistry.mgAgg(col("item"), 16).as("fsketch"),
+        count(col("item")).as("n_rows"))
+    val probe = graft.operators.CommitLog.scan(spark, t)
+      .select(col("grp"), col("fsketch"), col("n_rows"))
+      .join(broadcast(bs.select(col("grp"))), Seq("grp"), "left_semi")
+    val probePhys = probe.queryExecution.executedPlan.toString
+    assert(probePhys.contains("BroadcastHashJoin") &&
+      probePhys.contains("LeftSemi"),
+      s"touched-group filter must be a broadcast semi join:\n$probePhys")
+
+    // the sketch aggregate itself must run as partial + final (map-side
+    // combine): ObjectHashAggregate with a partial_graft_mg_agg stage, so
+    // at scale item rows combine per partition before any exchange
+    val aggPhys = df.groupBy("grp")
+      .agg(graft.plans.FrequencyRegistry.mgAgg(col("item"), 16).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(aggPhys.contains("partial_graft_mg_agg"),
+      s"MG aggregate lost its partial (map-side) stage:\n$aggPhys")
+  }
 }
