@@ -50,14 +50,37 @@ object Caching {
     * Must wrap the MATERIALIZING action, not just plan construction:
     * physical planning (where exchange width is read) happens at action
     * time, so the scope sits at the operator's public entry points. */
+  // REFERENCE-COUNTED per session: session confs are process-global, so
+  // with concurrent batch operators (racing rollup writers, parallel
+  // intakes) a naive save/set/restore interleaves — writer B "saves" the
+  // value A already scoped and restores it after A's exit, leaking the
+  // narrow settings into the session permanently. First entry saves and
+  // sets; last exit restores; the scoped values themselves are constants,
+  // so overlapping scopes are idempotent in between.
+  private val scopeLock = new Object
+  private val scopes = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.SparkSession, (Int, String, String)]
+
   def narrowBatchScope[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val sufWas = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try f finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", sufWas)
+    scopeLock.synchronized {
+      scopes.get(spark) match {
+        case Some((depth, aqe, suf)) => scopes(spark) = (depth + 1, aqe, suf)
+        case None =>
+          scopes(spark) = (1,
+            spark.conf.get("spark.sql.adaptive.enabled", "true"),
+            spark.conf.get("spark.sql.shuffle.partitions", "200"))
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+      }
+    }
+    try f finally scopeLock.synchronized {
+      scopes(spark) match {
+        case (1, aqe, suf) =>
+          scopes.remove(spark)
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          spark.conf.set("spark.sql.shuffle.partitions", suf)
+        case (depth, aqe, suf) => scopes(spark) = (depth - 1, aqe, suf)
+      }
     }
   }
 }

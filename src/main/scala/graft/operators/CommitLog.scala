@@ -69,6 +69,12 @@ object CommitLog {
 
   final class ConcurrentDelete(msg: String) extends RuntimeException(msg)
 
+  /** Thrown by [[commit]] when `expectVersion` no longer matches: the
+    * caller's read-modify-write raced another writer and must re-derive
+    * its output from the NEW state (retrying the same files would
+    * silently drop the other writer's update). */
+  final class ConcurrentWrite(msg: String) extends RuntimeException(msg)
+
   /** THE one atomicity primitive the whole protocol needs from storage:
     * publish `src`'s bytes at `target` iff nothing exists there, atomically,
     * returning whether this caller won. Everything else (staging, retries,
@@ -379,7 +385,8 @@ object CommitLog {
   def commit(table: String, op: String, adds: Seq[AddFile],
              removes: Seq[String] = Nil, maxRetries: Int = 50,
              token: Option[String] = None,
-             schemaJson: Option[String] = None): Long = {
+             schemaJson: Option[String] = None,
+             expectVersion: Option[Long] = None): Long = {
     Files.createDirectories(logDir(table))
     val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(tmp, renderEntry(op, adds, removes, token, schemaJson))
@@ -388,6 +395,14 @@ object CommitLog {
       while (true) {
         token.foreach(t => if (tokenApplied(table, t)) throw new AlreadyApplied)
         val snap = snapshot(table)
+        // compare-and-swap for read-modify-write commits: the adds were
+        // DERIVED from `expectVersion`'s state, so any other committed
+        // version means they embed a stale read -- blind-retrying would
+        // lose the concurrent writer's update without tripping the
+        // removes check (disjoint removes, e.g. two first-commits)
+        expectVersion.foreach(v => if (snap.version != v)
+          throw new ConcurrentWrite(
+            s"$op derived from version $v but table is at ${snap.version}"))
         if (removes.nonEmpty) {
           val live = snap.files.map(_.path).toSet
           val gone = removes.filterNot(live.contains)
@@ -655,7 +670,8 @@ object CommitLog {
   def upsertBatch(batch: DataFrame, table: String,
                   idCol: String, tsCol: String,
                   token: Option[String] = None,
-                  statsHint: Option[(Long, Long)] = None): Long = {
+                  statsHint: Option[(Long, Long)] = None,
+                  expectVersion: Option[Long] = None): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
@@ -717,11 +733,17 @@ object CommitLog {
         .getOrElse(a)
     }
     try commit(table, "merge", adds, removes = hit.map(_.path), token = token,
-      schemaJson = mergedSchemaDelta(snap.schemaJson, staged.schema))
+      schemaJson = mergedSchemaDelta(snap.schemaJson, staged.schema),
+      expectVersion = expectVersion)
     catch {
       case _: AlreadyApplied =>
         adds.foreach(a => Files.deleteIfExists(Paths.get(table).resolve(a.path)))
         snapshot(table).version
+      case e @ (_: ConcurrentWrite | _: ConcurrentDelete) =>
+        // staged adds were never visible; roll them back and surface the
+        // conflict so the caller re-derives from the new state
+        adds.foreach(a => Files.deleteIfExists(Paths.get(table).resolve(a.path)))
+        throw e
     }
   }
 

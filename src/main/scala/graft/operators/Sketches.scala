@@ -132,7 +132,18 @@ object Sketches {
   /** Shared state-update algebra of the rollups: sketch the batch per
     * group, union with the stored state of the TOUCHED groups only
     * (broadcast semi join -- untouched groups are never read twice, let
-    * alone rewritten), merge, upsert in one token-idempotent commit. */
+    * alone rewritten), merge, upsert in one token-idempotent commit.
+    *
+    * SERIALIZABLE under concurrent writers via optimistic
+    * read-modify-write: the merge reads the state AT a pinned version
+    * (`scanAt`) and the upsert commits with `expectVersion` -- a racing
+    * writer whose commit landed first makes this one fail with
+    * [[CommitLog.ConcurrentWrite]] (or [[CommitLog.ConcurrentDelete]] on
+    * a same-file collision) and the WHOLE read-merge-write re-runs
+    * against the new state. Without the CAS, two racing updates with
+    * disjoint file sets -- e.g. both first-commits on a fresh table --
+    * would both blind-append, leaving duplicate rollup_id rows and each
+    * missing the other's sketch mass. */
   private def updateRollup(batch: DataFrame, table: String,
                            groupCols: Seq[String],
                            batchAggs: Seq[org.apache.spark.sql.Column],
@@ -150,24 +161,35 @@ object Sketches {
     graft.core.Caching.narrowBatchScope(spark) {
       val gcols = groupCols.map(col)
       val bs = batch.groupBy(gcols: _*).agg(batchAggs.head, batchAggs.tail: _*)
-      val snap = CommitLog.snapshot(table)
-      val all =
-        if (snap.files.isEmpty) bs
-        else CommitLog.scan(spark, table)
-          .select(gcols ++ stateCols.map(col): _*)
-          // touched groups only: the rollup table streams through a
-          // broadcast semi join on the batch's (small) group set
-          .join(broadcast(bs.select(gcols: _*)), groupCols, "left_semi")
-          .unionByName(bs)
-      val merged = all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
-        .withColumn("rollup_id", concat_ws("\u0001", gcols: _*))
-        .withColumn("updated_at", lit(at))
-      CommitLog.upsertBatch(merged, table,
-        idCol = "rollup_id", tsCol = "updated_at", token = token,
-        // (0, at): surviving rows carry earlier updated_at stamps, so the
-        // bound must reach below `at`; loose-but-valid (upsertBatch note)
-        statsHint = Some((0L, at.getTime * 1000L)))
-      ()
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val snap = CommitLog.snapshot(table)
+        val all =
+          if (snap.files.isEmpty) bs
+          else CommitLog.scanAt(spark, table, snap.version)
+            .select(gcols ++ stateCols.map(col): _*)
+            // touched groups only: the rollup table streams through a
+            // broadcast semi join on the batch's (small) group set
+            .join(broadcast(bs.select(gcols: _*)), groupCols, "left_semi")
+            .unionByName(bs)
+        val merged = all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
+          .withColumn("rollup_id", concat_ws("", gcols: _*))
+          .withColumn("updated_at", lit(at))
+        try {
+          CommitLog.upsertBatch(merged, table,
+            idCol = "rollup_id", tsCol = "updated_at", token = token,
+            // (0, at): surviving rows carry earlier updated_at stamps, so
+            // the bound must reach below `at` (upsertBatch note)
+            statsHint = Some((0L, at.getTime * 1000L)),
+            expectVersion = Some(snap.version))
+          done = true
+        } catch {
+          case e @ (_: CommitLog.ConcurrentWrite | _: CommitLog.ConcurrentDelete) =>
+            attempts += 1
+            if (attempts > 20) throw e // livelock guard; state is clean
+        }
+      }
     }
   }
 

@@ -211,6 +211,40 @@ class SketchSpec extends GraftSuite {
       s"streamed state diverged from one-shot: ${state(t)} vs ${state(once)}")
   }
 
+  test("concurrent writers: racing rollup updates serialize through the " +
+      "version CAS -- no lost sketch mass, no duplicate state rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = mkTable()
+    // 4 writers race from a FRESH table (the blind-append hazard: with no
+    // CAS, first-commits have disjoint file sets and all would land)
+    val batches = (0 until 4).map { w =>
+      ((w * 500 + 1) to (w * 500 + 500)).map(i => (s"g${i % 2}", i.toLong))
+        .toDF("grp", "uid")
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(batches.zipWithIndex.map { case (b, w) =>
+        scala.concurrent.Future(
+          Sketches.updateDistinctRollup(b, t, Seq("grp"), "uid", at(w)))
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+
+    val rows = CommitLog.scan(spark, t).select("grp").collect().map(_.getString(0))
+    assert(rows.sorted.toSeq == Seq("g0", "g1"),
+      s"expected exactly one state row per group, got ${rows.toSeq}")
+    val once = mkTable()
+    Sketches.updateDistinctRollup(batches.reduce(_.unionByName(_)), once,
+      Seq("grp"), "uid", at(9))
+    def state(tbl: String) =
+      Sketches.estimates(spark, tbl, Seq("grp")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state(t) == state(once),
+      s"racing writers lost mass: ${state(t)} vs ${state(once)}")
+  }
+
   test("only touched groups rewrite: an update to one group leaves the " +
       "other groups' stored sketch bytes untouched") {
     val spark2 = spark
