@@ -148,4 +148,82 @@ class PropertySpec extends GraftSuite {
     // Column form against the same brute force)
     assert(brute(0xFFFFL, 0L) == 0x55555555L && brute(0L, 0xFFFFL) == 0xAAAAAAAAL)
   }
+
+  test("property: MG summaries — serialization round-trips, and the " +
+      "deterministic bound survives arbitrary data and merge splits") {
+    import graft.plans.FrequencyExprs
+    import graft.plans.FrequencyExprs.MgSummary
+    // skewed item stream: small alphabet ⊎ long-tail ids
+    val genItems: Gen[List[String]] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "d"),
+      4 -> Gen.choose(0, 5000).map(i => s"t$i")))
+    val genK = Gen.choose(1, 24)
+
+    check(Prop.forAll(genItems, genK) { (items, k) =>
+      val s = new MgSummary(k); items.foreach(s.insert)
+      val rt = FrequencyExprs.deserialize(FrequencyExprs.serialize(s))
+      rt.k == s.k && rt.n == s.n && rt.counters.toMap == s.counters.toMap
+    }, "mg-serde-roundtrip")
+
+    def boundHolds(s: MgSummary, items: List[String]): Boolean = {
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val m = s.counters.values.sum
+      val bound = (s.n - m) / (s.k + 1)
+      s.n == items.size &&
+        // every counter is an undercount within the bound
+        s.counters.forall { case (i, est) =>
+          val t = trueCounts.getOrElse(i, 0L)
+          est <= t && t <= est + bound
+        } &&
+        // every guaranteed-heavy item is present
+        trueCounts.forall { case (i, t) =>
+          t <= bound || s.counters.contains(i)
+        }
+    }
+    check(Prop.forAll(genItems, genK) { (items, k) =>
+      val s = new MgSummary(k); items.foreach(s.insert)
+      boundHolds(s, items)
+    }, "mg-single-bound")
+    // arbitrary 3-way split, merged in arbitrary nesting order
+    check(Prop.forAll(genItems, genK, Gen.choose(0, 2), Gen.oneOf(true, false)) {
+      (items, k, which, leftFirst) =>
+        val parts = items.zipWithIndex.groupBy(_._2 % 3).view
+          .mapValues(_.map(_._1)).toMap.withDefaultValue(Nil)
+        val ss = (0 to 2).map { i =>
+          val s = new MgSummary(k); parts(i).foreach(s.insert); s
+        }
+        val merged =
+          if (leftFirst) ss(which).mergeIn(ss((which + 1) % 3)).mergeIn(ss((which + 2) % 3))
+          else ss(which).mergeIn(ss((which + 1) % 3).mergeIn(ss((which + 2) % 3)))
+        boundHolds(merged, items)
+    }, "mg-merge-bound")
+  }
+
+  test("property: GK sketch wire format round-trips and the rank bound " +
+      "holds after serialize/merge/deserialize") {
+    import graft.plans.QuantileExprs
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val genVals: Gen[List[Double]] =
+      Gen.listOf(Gen.choose(-1e6, 1e6)).suchThat(_.nonEmpty)
+    val eps = 0.05
+
+    check(Prop.forAll(genVals) { vals =>
+      var s = new QuantileSummaries(
+        QuantileSummaries.defaultCompressThreshold, eps)
+      vals.foreach(v => s = s.insert(v))
+      val rt = QuantileExprs.deserialize(
+        QuantileExprs.serialize(s.compress()))
+      rt.count == vals.size && {
+        val sorted = vals.sorted
+        Seq(0.1, 0.5, 0.9).forall { p =>
+          rt.query(p).forall { est =>
+            val lt = sorted.count(_ < est); val le = sorted.count(_ <= est)
+            // two-sided rank bound with merge headroom (2*eps)
+            lt <= (p + 2 * eps) * vals.size + 1 &&
+              le >= (p - 2 * eps) * vals.size - 1
+          }
+        }
+      }
+    }, "gk-serde-rank")
+  }
 }
