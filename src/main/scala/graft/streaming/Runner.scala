@@ -78,7 +78,8 @@ object Runner {
             retryPath: Option[String] = None,
             backoff: Backoff = Backoff(),
             eventTimeRetries: Boolean = true,
-            retryWatermarkDelay: String = "10 minutes"): Running = {
+            retryWatermarkDelay: String = "10 minutes",
+            latencyRollupTable: Option[String] = None): Running = {
     import spark.implicits._
     new java.io.File(logPath).mkdirs()
     retryPath.foreach(p => new java.io.File(p).mkdirs())
@@ -116,10 +117,34 @@ object Runner {
         // emptiness probe and the log write (one fanout execution), and
         // for pure-projection sinks skips the per-batch localCheckpoint
         // job entirely.
-        registry.deliverWith(batch) { outcomes =>
-          if (!outcomes.isEmpty) {
+        registry.deliverWith(batch) { outcomes0 =>
+          if (!outcomes0.isEmpty) {
+            // with the rollup on, the outcome frame feeds TWO consumers;
+            // pin it once so both see identical attempt stamps (a lazy
+            // pure-projection outcome re-evaluates wall-clock columns per
+            // action — the log and the sketch would disagree)
+            val outcomes =
+              if (latencyRollupTable.isDefined) outcomes0.localCheckpoint(true)
+              else outcomes0
             // epoch id makes a post-failure micro-batch replay a no-op
             Pipeline.logSinkBatch(outcomes, logPath, batchId)
+            // delivery-latency observability rides the SAME micro-batch
+            // loop: per-destination GK quantile sketches folded into a
+            // commit-log rollup other sessions can query mid-stream
+            // (p50/p99 per destination without scanning the attempt
+            // log). Its own epoch token -> the two commits share the
+            // curation intakes' crash-window argument: a replay after
+            // "log written, rollup not" re-delivers nothing (log token
+            // no-ops) and the rollup append proceeds; both idempotent.
+            latencyRollupTable.foreach { t =>
+              graft.operators.Sketches.updateQuantileRollup(
+                outcomes.withColumn("latency_ms",
+                  (unix_millis(col("attempt_time")) -
+                    unix_millis(col("event_time"))).cast("double")),
+                t, Seq("destination_id"), "latency_ms",
+                new java.sql.Timestamp(System.currentTimeMillis()),
+                token = Some(s"lat-$batchId"))
+            }
           }
         }
       }

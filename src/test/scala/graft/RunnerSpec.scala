@@ -44,6 +44,52 @@ class RunnerSpec extends GraftSuite {
     } finally running.stopAll()
   }
 
+  test("latency rollup rides the delivery loop: per-destination quantile " +
+      "state matches the attempt log's exact stamps") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_runner_lat").toString
+    val destinations = Seq(
+      Destination("d1", "t1", "mock", Seq("*"), None, disabled = false),
+      Destination("d2", "t1", "mock", Seq("order.*"), None, disabled = false)).toDS()
+    val registry = new Sinks.Registry(Seq(
+      Sinks.MockSink("mock", wallClockAttempts = true)))
+    val raw = MemoryStream[String]
+    val rollup = s"$tmp/latency"
+    val running = Runner.start(spark, raw.toDF(), destinations, registry,
+      logPath = s"$tmp/log", alertSinkName = "runner_lat_alerts",
+      checkpointRoot = s"$tmp/ckpt", latencyRollupTable = Some(rollup))
+    try {
+      (0 until 3).foreach { b => // several micro-batches -> several merges
+        raw.addData((1 to 20).map(i =>
+          s"""{"event_id":"b$b-e$i","tenant_id":"t1","topic":"order.created","event_time":"${new java.sql.Timestamp(System.currentTimeMillis()).toInstant}","data":{"n":$i}}"""))
+        running.delivery.processAllAvailable()
+      }
+      val state = graft.operators.Sketches.quantiles(
+          spark, rollup, Seq("destination_id"), Seq(0.5, 0.99))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      assert(state.keySet == Set("d1", "d2"))
+      // exact side: the attempt log's own latency stamps
+      val log = spark.read.parquet(s"$tmp/log")
+        .select(col("destination_id"),
+          (unix_millis(col("attempt_time")) - unix_millis(col("event_time")))
+            .cast("double").as("lat"))
+      Seq("d1", "d2").foreach { d =>
+        val lats = log.filter(col("destination_id") === d)
+          .collect().map(_.getDouble(1)).sorted
+        val (n, qs) = state(d)
+        assert(n == lats.length, s"$d n_rows $n != logged ${lats.length}")
+        Seq(0.5 -> qs(0), 0.99 -> qs(1)).foreach { case (p, est) =>
+          val lt = lats.count(_ < est); val le = lats.count(_ <= est)
+          assert(lt <= (p + 0.05) * n + 1 && le >= (p - 0.05) * n - 1,
+            s"$d p$p=$est violates rank bound over ${lats.length} attempts")
+        }
+      }
+    } finally running.stopAll()
+  }
+
   test("retry loop: failed delivery -> scheduled retry -> redelivery succeeds") {
     val spark2 = spark
     import spark2.implicits._
