@@ -30,6 +30,28 @@ object PackingOps {
     // table (index, token count, content md5) hash-matches DuckDB's
     // replication — any start drift, tail mishandling, or off-by-one in
     // the overlap changes some chunk's md5.
+    // chunk-grain cross-document dedup (the RAG-prep shape: near-identical
+    // passages shared across documents — boilerplate headers, quoted
+    // blocks — collapse at CHUNK granularity even when the documents
+    // differ): per doc, how many of its sliding-window chunks also appear
+    // verbatim in ANOTHER document. Chunk identity is the chunk md5, so
+    // DuckDB replicates the whole computation.
+    "chunk_dedup_stats" -> ((s, dir) => {
+      val chunks = Packing.chunkDocuments(Tables.documents(s, dir),
+        window = 64, stride = 48)
+      // chunks whose content appears in >= 2 distinct docs; the join
+      // moves (md5, doc) pairs only, never text
+      val shared = chunks.groupBy("chunk_md5")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("chunk_md5")
+      chunks.join(shared, Seq("chunk_md5"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_chunks"))
+        .join(chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks")),
+          Seq("doc_id"), "right")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+    }),
+
     "chunk_documents" -> ((s, dir) =>
       Packing.chunkDocuments(Tables.documents(s, dir),
         window = 64, stride = 48)),
@@ -77,6 +99,28 @@ object PackingOps {
         |  md5(array_to_string(toks[s*48+1 : least(s*48+64, n)], ' '))
         |    AS chunk_md5
         |FROM e""".stripMargin,
+    "chunk_dedup_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0,
+        |      CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS s
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks[s*48+1 : least(s*48+64, n)], ' '))
+        |      AS chunk_md5
+        |  FROM e),
+        |shared AS (
+        |  SELECT chunk_md5 FROM c GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN chunk_md5 IN (SELECT chunk_md5 FROM shared)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+        |FROM c GROUP BY 1""".stripMargin,
     "shard_export_manifest" ->
       """WITH d AS (
         |  SELECT text,
