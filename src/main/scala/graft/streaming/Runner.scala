@@ -129,19 +129,23 @@ object Runner {
             // epoch id makes a post-failure micro-batch replay a no-op
             Pipeline.logSinkBatch(outcomes, logPath, batchId)
             // delivery-latency observability rides the SAME micro-batch
-            // loop: per-destination GK quantile sketches folded into a
-            // commit-log rollup other sessions can query mid-stream
-            // (p50/p99 per destination without scanning the attempt
-            // log). Its own epoch token -> the two commits share the
-            // curation intakes' crash-window argument: a replay after
-            // "log written, rollup not" re-delivers nothing (log token
-            // no-ops) and the rollup append proceeds; both idempotent.
+            // loop: GK quantile sketches at the metrics engine's grain —
+            // (destination, event-time hour) — folded into a commit-log
+            // rollup other sessions can query mid-stream (p50/p99 per
+            // destination per hour without scanning the attempt log;
+            // coarser grains by sketch merge). Its own epoch token -> the
+            // two commits share the curation intakes' crash-window
+            // argument: a replay after "log written, rollup not"
+            // re-delivers nothing (log token no-ops) and the rollup
+            // append proceeds; both idempotent.
             latencyRollupTable.foreach { t =>
               graft.operators.Sketches.updateQuantileRollup(
-                outcomes.withColumn("latency_ms",
-                  (unix_millis(col("attempt_time")) -
-                    unix_millis(col("event_time"))).cast("double")),
-                t, Seq("destination_id"), "latency_ms",
+                outcomes
+                  .withColumn("latency_ms",
+                    (unix_millis(col("attempt_time")) -
+                      unix_millis(col("event_time"))).cast("double"))
+                  .withColumn("bucket_ts", date_trunc("hour", col("event_time"))),
+                t, Seq("destination_id", "bucket_ts"), "latency_ms",
                 new java.sql.Timestamp(System.currentTimeMillis()),
                 token = Some(s"lat-$batchId"))
             }

@@ -66,9 +66,12 @@ class RunnerSpec extends GraftSuite {
           s"""{"event_id":"b$b-e$i","tenant_id":"t1","topic":"order.created","event_time":"${new java.sql.Timestamp(System.currentTimeMillis()).toInstant}","data":{"n":$i}}"""))
         running.delivery.processAllAvailable()
       }
-      val state = graft.operators.Sketches.quantiles(
+      // stored grain is (destination, event-time hour); the wall-clock
+      // test spans at most two hour buckets — read per-destination via
+      // the coarser-grain sketch merge (the exact query a dashboard runs)
+      val state = graft.operators.Sketches.quantilesAcross(
           spark, rollup, Seq("destination_id"), Seq(0.5, 0.99))
-        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2)))
+        .collect().map(r => r.getString(0) -> (r.getLong(2), r.getSeq[Double](1)))
         .toMap
       assert(state.keySet == Set("d1", "d2"))
       // exact side: the attempt log's own latency stamps
