@@ -818,6 +818,13 @@ object Dedup {
     // intra-group pairs are J=1.0 by construction; a verified rep pair
     // (A,B,j) yields members(A) × members(B) pairs, all at the same j (the
     // Jaccard between any two members equals the Jaccard of their sets).
+    // (measured dead end, kept for the record: a repartition-before-
+    // tokenize here — the fix that parallelized the LEDGER batch path —
+    // REGRESSED the one-shot by ~0.5 s at sf0.1: this chain's partial
+    // aggregate already distributes the heavy work after one cheap
+    // single-task tokenize pass, so the extra exchange of raw text costs
+    // more than the parallelism buys. The ledger path differs because
+    // its banding ran IN the single-task chain.)
     val keyed = docs.select(col(idCol).as("id"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
