@@ -129,6 +129,64 @@ object Sketches {
         col("hh.n").as("n") :+ col("hh.bound").as("bound"): _*)
   }
 
+  /** DETERMINISTIC SAMPLE rollup — bottom-k (KMV) per group via
+    * [[graft.plans.BottomKAgg]]: the k distinct items with the smallest
+    * md5 hashes, a pure function of the item SET (order-, partition- and
+    * merge-tree-independent), so the incrementally-maintained sample is
+    * EXACTLY reproducible — its gate hash-matches the full sample against
+    * a standard-SQL recompute, the strongest contract in the sketch
+    * family. Semantically a uniform-without-replacement sample of the
+    * distinct items (the KMV construction): the "show me example members
+    * per group" a random reservoir cannot answer reproducibly. */
+  def updateSampleRollup(batch: DataFrame, table: String,
+                         groupCols: Seq[String], itemCol: String,
+                         at: java.sql.Timestamp, k: Int = 64,
+                         token: Option[String] = None): Unit = {
+    graft.plans.BottomKRegistry.install(batch.sparkSession)
+    updateRollup(batch, table, groupCols,
+      batchAggs = Seq(
+        graft.plans.BottomKRegistry.bkAgg(col(itemCol).cast("string"), k)
+          .as("bsketch"),
+        count(col(itemCol)).as("n_rows")),
+      mergeAggs = Seq(
+        graft.plans.BottomKRegistry.bkMerge(col("bsketch")).as("bsketch"),
+        sum(col("n_rows")).as("n_rows")),
+      stateCols = Seq("bsketch", "n_rows"), at = at, token = token)
+  }
+
+  /** The sample at its stored grain: one row per sampled item —
+    * (group cols..., n_rows, sample_rank, item), rank hash-ascending. */
+  def sampleItems(spark: SparkSession, table: String,
+                  groupCols: Seq[String]): DataFrame = {
+    graft.plans.BottomKRegistry.install(spark)
+    CommitLog.scan(spark, table)
+      .select(groupCols.map(col) :+ col("n_rows") :+
+        posexplode(graft.plans.BottomKRegistry.bkItems(col("bsketch"))): _*)
+      .withColumnRenamed("pos", "sample_rank")
+      .withColumnRenamed("col", "item")
+  }
+
+  /** The sample at a COARSER grain by bottom-k merge over state rows —
+    * still exactly the coarser grain's true bottom-k (min-k union is
+    * idempotent), with no pass over facts. */
+  def sampleAcross(spark: SparkSession, table: String,
+                   overCols: Seq[String]): DataFrame = {
+    graft.plans.BottomKRegistry.install(spark)
+    val base = CommitLog.scan(spark, table)
+    val merged =
+      if (overCols.isEmpty)
+        base.agg(graft.plans.BottomKRegistry.bkMerge(col("bsketch")).as("bsketch"),
+          sum(col("n_rows")).as("n_rows"))
+      else base.groupBy(overCols.map(col): _*)
+        .agg(graft.plans.BottomKRegistry.bkMerge(col("bsketch")).as("bsketch"),
+          sum(col("n_rows")).as("n_rows"))
+    merged
+      .select(overCols.map(col) :+ col("n_rows") :+
+        posexplode(graft.plans.BottomKRegistry.bkItems(col("bsketch"))): _*)
+      .withColumnRenamed("pos", "sample_rank")
+      .withColumnRenamed("col", "item")
+  }
+
   /** Shared state-update algebra of the rollups: sketch the batch per
     * group, union with the stored state of the TOUCHED groups only
     * (broadcast semi join -- untouched groups are never read twice, let

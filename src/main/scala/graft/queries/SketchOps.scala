@@ -80,6 +80,33 @@ object SketchOps {
           estOk(col("distinct_est"), col("n_exact")))
     }),
 
+    // bottom-k (KMV) sample rollup — the strongest contract in the
+    // family: "the 32 distinct doc ids with the smallest md5 hashes per
+    // lang" is a pure function of the id set, independent of arrival
+    // order, partitioning and merge tree, and md5 exists in both
+    // engines — so the FULL incrementally-maintained sample hash-matches
+    // DuckDB's recompute, rank by rank (no tolerance boolean anywhere).
+    "sketch_sample_rollup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_sketch_bk").toString + "/rollup"
+      val t0 = 1704067200000L
+      (0 until 3).foreach { b =>
+        Sketches.updateSampleRollup(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), table,
+          Seq("lang"), "doc_id", new java.sql.Timestamp(t0 + b * 3600000L),
+          k = 32, token = Some(s"bk-$b"))
+      }
+      Sketches.updateSampleRollup( // replayed batch: token → no-op
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), table,
+        Seq("lang"), "doc_id", new java.sql.Timestamp(t0 + 3600000L),
+        k = 32, token = Some("bk-1"))
+      Sketches.sampleItems(s, table, Seq("lang"))
+        .select(col("lang"), col("n_rows"),
+          col("sample_rank").cast("long").as("sample_rank"), col("item"))
+    }),
+
     // Misra–Gries heavy-hitter rollup: per-lang frequent tokens through
     // three incremental batches + a replay. Contract rows are the EXACT
     // heavy set (share ≥ 1/64 of the lang's tokens — integer-arithmetic
@@ -195,6 +222,21 @@ object SketchOps {
       """SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
         |  TRUE AS p50_ok, TRUE AS p95_ok
         |FROM events GROUP BY 1""".stripMargin,
+    "sketch_sample_rollup" ->
+      """WITH h AS (
+        |  SELECT lang, CAST(doc_id AS VARCHAR) AS item,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      AS hash
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, item,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hash, item) - 1
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nl
+        |  FROM h)
+        |SELECT lang, CAST(nl AS BIGINT) AS n_rows,
+        |  CAST(rn AS BIGINT) AS sample_rank, item
+        |FROM r WHERE rn < 32""".stripMargin,
     "sketch_topk_rollup" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token

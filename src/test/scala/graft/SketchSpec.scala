@@ -175,6 +175,54 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("bottom-k sample rollup: incremental == one-shot EXACTLY (not just " +
+      "within tolerance); replay no-op; coarser grain is the true bottom-k") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 2000L).map(i => (s"g${i % 2}", i)).toDF("grp", "id")
+    val inc = mkTable()
+    (0 until 3).foreach { b =>
+      Sketches.updateSampleRollup(
+        df.filter(pmod(col("id"), lit(3)) === b), inc,
+        Seq("grp"), "id", at(b), k = 16, token = Some(s"s$b"))
+    }
+    val verBefore = CommitLog.snapshot(inc).version
+    Sketches.updateSampleRollup(df.filter(pmod(col("id"), lit(3)) === 0), inc,
+      Seq("grp"), "id", at(0), k = 16, token = Some("s0"))
+    assert(CommitLog.snapshot(inc).version == verBefore, "replay moved state")
+
+    val once = mkTable()
+    Sketches.updateSampleRollup(df, once, Seq("grp"), "id", at(9), k = 16)
+    def sample(t: String): Seq[(String, Long, Int, String)] =
+      Sketches.sampleItems(spark, t, Seq("grp")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getString(3)))
+        .toSeq.sorted
+    assert(sample(inc) == sample(once),
+      "incremental sample diverged from one-shot — bottom-k must be exact")
+    // the sample really is the k hash-smallest: recompute in-JVM
+    val want = (1L to 2000L).map(i => (s"g${i % 2}", i.toString))
+      .groupBy(_._1).view.mapValues(_.map(_._2)
+        .sortBy(it => (graft.plans.BottomKExprs.hashOf(it), it))(
+          Ordering.Tuple2(new Ordering[Long] {
+            def compare(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b)
+          }, Ordering.String))
+        .take(16)).toMap
+    sample(inc).groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.sortBy(_._3).map(_._4) == want(g),
+        s"$g sample is not the hash-minimal 16")
+    }
+    // global grain from state only == true global bottom-k
+    val globalGot = Sketches.sampleAcross(spark, inc, Seq.empty)
+      .orderBy(col("sample_rank")).collect().map(_.getString(2)).toSeq
+    val globalWant = (1L to 2000L).map(_.toString)
+      .sortBy(it => (graft.plans.BottomKExprs.hashOf(it), it))(
+        Ordering.Tuple2(new Ordering[Long] {
+          def compare(a: Long, b: Long) = java.lang.Long.compareUnsigned(a, b)
+        }, Ordering.String))
+      .take(16)
+    assert(globalGot == globalWant, "merged grain is not the true bottom-k")
+  }
+
   test("streaming rollup intake: a MemoryStream drains into the state " +
       "table, a replayed epoch is a no-op, and the readout matches a " +
       "one-shot batch build") {
