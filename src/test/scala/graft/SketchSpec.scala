@@ -293,6 +293,39 @@ class SketchSpec extends GraftSuite {
       s"racing writers lost mass: ${state(t)} vs ${state(once)}")
   }
 
+  test("rollup state retention composes with deleteWhere: old buckets " +
+      "drop by group predicate, survivors untouched, updates continue") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t = mkTable()
+    // time-bucketed grain (bkt, grp): the shape the Runner rollup uses
+    val df = (1L to 600L).map(i =>
+      (s"2024-0${i % 3 + 1}", s"g${i % 2}", i % 97)).toDF("bkt", "grp", "uid")
+    Sketches.updateDistinctRollup(df, t, Seq("bkt", "grp"), "uid", at(0))
+    val before = Sketches.estimates(spark, t, Seq("bkt", "grp")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(before.size == 6)
+    // retention: drop the oldest bucket's state rows by GROUP predicate
+    // (the commit-log month partition tracks updated_at, not the grain --
+    // state retention is row-level by design)
+    val removed = CommitLog.deleteWhere(spark, t,
+      col("bkt") === "2024-01", idCol = "rollup_id", tsCol = "updated_at")
+    assert(removed > 0)
+    val after = Sketches.estimates(spark, t, Seq("bkt", "grp")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(after.keySet == before.keySet.filterNot(_._1 == "2024-01"))
+    assert(after.forall { case (k, v) => before(k) == v },
+      "surviving buckets' state changed under retention")
+    // the table still accepts updates after the rewrite
+    Sketches.updateDistinctRollup(
+      Seq(("2024-04", "g0", 7L)).toDF("bkt", "grp", "uid"),
+      t, Seq("bkt", "grp"), "uid", at(1))
+    assert(Sketches.estimates(spark, t, Seq("bkt", "grp"))
+      .filter(col("bkt") === "2024-04").count() == 1)
+  }
+
   test("only touched groups rewrite: an update to one group leaves the " +
       "other groups' stored sketch bytes untouched") {
     val spark2 = spark
