@@ -49,7 +49,24 @@ object Caching {
     *
     * Must wrap the MATERIALIZING action, not just plan construction:
     * physical planning (where exchange width is read) happens at action
-    * time, so the scope sits at the operator's public entry points. */
+    * time, so the scope sits at the operator's public entry points.
+    *
+    * ==SESSION-GLOBAL side effect==
+    * These are SparkSession confs, i.e. process-visible for the whole
+    * duration of the scope: any UNRELATED query a concurrent thread runs
+    * on the same session while a ledger/rollup batch is in flight also
+    * executes with 8 shuffle partitions and AQE off. There is no
+    * per-plan conf in the DataFrame API, so the batch operators accept
+    * this deliberately (their batches are short, seconds at most) —
+    * callers that interleave large ad-hoc queries with incremental
+    * batches on one session should either serialize them or give the
+    * analytics side its own `SparkSession.newSession()` (shared
+    * SparkContext + cache, independent conf). Callers affected:
+    * [[graft.operators.Dedup]] ledger batches,
+    * [[graft.operators.Similarity]] embedding-ledger batches,
+    * [[graft.operators.Sketches]] rollup commits (including the Runner's
+    * per-micro-batch latency rollup, which enters this scope once per
+    * trigger). */
   // REFERENCE-COUNTED per session: session confs are process-global, so
   // with concurrent batch operators (racing rollup writers, parallel
   // intakes) a naive save/set/restore interleaves — writer B "saves" the

@@ -225,14 +225,29 @@ object Sketches {
         val snap = CommitLog.snapshot(table)
         val all =
           if (snap.files.isEmpty) bs
-          else CommitLog.scanAt(spark, table, snap.version)
-            .select(gcols ++ stateCols.map(col): _*)
+          else {
             // touched groups only: the rollup table streams through a
-            // broadcast semi join on the batch's (small) group set
-            .join(broadcast(bs.select(gcols: _*)), groupCols, "left_semi")
-            .unionByName(bs)
+            // broadcast semi join on the batch's (small) group set.
+            // NULL-SAFE keys (<=>): groupBy folds nulls into one group,
+            // so a stored null-valued group must match the batch's null
+            // group here or its prior sketch mass would be silently
+            // replaced by the batch-only sketch
+            val bkeys = broadcast(
+              bs.select(groupCols.map(c => col(c).as(s"__bk_$c")): _*))
+            val touched = groupCols
+              .map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
+            CommitLog.scanAt(spark, table, snap.version)
+              .select(gcols ++ stateCols.map(col): _*)
+              .join(bkeys, touched, "left_semi")
+              .unionByName(bs)
+          }
+        // rollup_id must be collision-proof across DISTINCT group tuples
+        // (a separator char appearing in a value would merge two groups)
+        // and must encode nulls distinctly from empty strings: md5 over
+        // the JSON struct encoding (field-quoted, nulls kept) gives both
         val merged = all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
-          .withColumn("rollup_id", concat_ws("", gcols: _*))
+          .withColumn("rollup_id", md5(to_json(struct(gcols: _*),
+            Map("ignoreNullFields" -> "false"))))
           .withColumn("updated_at", lit(at))
         try {
           CommitLog.upsertBatch(merged, table,

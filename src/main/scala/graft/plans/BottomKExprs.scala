@@ -44,11 +44,18 @@ object BottomKExprs {
 
   private val FormatVersion: Byte = 1
 
-  /** Unsigned-compare ordering for the 8-byte md5 prefix. */
+  /** Unsigned-compare ordering for the 8-byte md5 prefix. Ties break on
+    * UTF-8 BYTE order (unsigned), not Java's UTF-16 code-unit order —
+    * the two differ for supplementary-plane characters, and the
+    * cross-engine contract ("same sample in any engine") replays the
+    * tie-break as binary/codepoint collation (DuckDB string order). */
   private val hashOrd: Ordering[(Long, String)] = new Ordering[(Long, String)] {
     def compare(a: (Long, String), b: (Long, String)): Int = {
       val c = java.lang.Long.compareUnsigned(a._1, b._1)
-      if (c != 0) c else a._2.compareTo(b._2)
+      if (c != 0) c
+      else java.util.Arrays.compareUnsigned(
+        a._2.getBytes(StandardCharsets.UTF_8),
+        b._2.getBytes(StandardCharsets.UTF_8))
     }
   }
 

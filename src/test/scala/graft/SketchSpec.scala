@@ -72,6 +72,43 @@ class SketchSpec extends GraftSuite {
       s"global union estimate $est not near 1200 (sum of groups would be 1601)")
   }
 
+  test("rollup identity survives concat-colliding and NULL group keys " +
+      "across batches (ADVICE r7: rollup_id + null-safe touched-group join)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // ("2024-1","1x") vs ("2024-11","x"): any separator-free concat of the
+    // group tuple collides; each must keep its own accumulated state.
+    // (null, "x"): concat_ws skips nulls and equality joins never match
+    // null keys — both failure modes replace prior state with the batch's.
+    val rows: Seq[(String, String, Long)] =
+      (1L to 300L).map(i => ("2024-1", "1x", i)) ++
+      (201L to 500L).map(i => ("2024-11", "x", i)) ++
+      (1L to 250L).map(i => (null: String, "x", i))
+    val df = rows.toDF("bkt", "dim", "uid")
+    val t = mkTable()
+    // two batches, both touching all three groups
+    (0 until 2).foreach { b =>
+      Sketches.updateDistinctRollup(
+        df.filter(pmod(col("uid"), lit(2)) === b), t,
+        Seq("bkt", "dim"), "uid", at(b), token = Some(s"c$b"))
+    }
+    val st = Sketches.estimates(spark, t, Seq("bkt", "dim")).collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3).toDouble)).toMap
+    assert(st.keySet == Set(
+      (Some("2024-1"), "1x"), (Some("2024-11"), "x"), (None, "x")),
+      s"group identity lost: ${st.keySet}")
+    val exact = Map[(Option[String], String), Long](
+      (Some("2024-1"), "1x") -> 300L, (Some("2024-11"), "x") -> 300L,
+      (None, "x") -> 250L)
+    exact.foreach { case (k, d) =>
+      val (n, est) = st(k)
+      assert(n == d, s"n_rows for $k lost prior batch mass: $n != $d")
+      assert(math.abs(est - d) <= math.max(1.0, 0.05 * d),
+        s"estimate for $k drifted: $est vs $d")
+    }
+  }
+
   test("quantile rollup: incremental build honours the GK rank bound at " +
       "stored and merged grains; replay is a no-op; empty sketch reads null") {
     val spark2 = spark
