@@ -83,14 +83,17 @@ object StreamBench {
 
     try {
       // ---- phase 1: throughput -------------------------------------
+      // Drain detection is processAllAvailable on the delivery query (the
+      // log write is synchronous inside its foreachBatch, so "all source
+      // data processed" == "all attempts logged"). The old shape polled
+      // `logged()` at 4 Hz — each probe a real Spark job (full directory
+      // listing + count) racing the engine's own micro-batches for the
+      // driver and the 32 cores; with thousands of log files the probes
+      // measurably WERE the paced-phase p99 spikes. Accounting still
+      // reads the log, once, after each drain.
       val nWarm = 2000
       mem.addData((0 until nWarm).map(eventJson("w")))
-      val warmDeadline = System.currentTimeMillis() + 60000
-      // 250 ms poll, not 100: every logged() probe is a real Spark job
-      // (parquet listing + count) competing with the engine's own
-      // micro-batches for the 32 cores — the probe must not be the load
-      while (logged() < expectedFor(nWarm) &&
-          System.currentTimeMillis() < warmDeadline) Thread.sleep(250)
+      running.delivery.processAllAvailable()
       val base0 = logged()
 
       val expected = expectedFor(n)
@@ -102,12 +105,9 @@ object StreamBench {
       (0 until n).grouped(5000).foreach { b =>
         mem.addData(b.map(eventJson("e"))); Thread.sleep(50)
       }
-      val deadline = System.currentTimeMillis() + 180000
-      var done = logged() - base0
-      while (done < expected && System.currentTimeMillis() < deadline) {
-        Thread.sleep(250); done = logged() - base0
-      }
+      running.delivery.processAllAvailable()
       val sec = (System.nanoTime() - t0) / 1e9
+      val done = logged() - base0
 
       // ---- phase 2: paced operating point --------------------------
       // The burst phase publishes ~100k/s into a ~13k/s engine, so its
@@ -118,7 +118,6 @@ object StreamBench {
       // artifact reports (VERDICT r6 task #4).
       val pacedRate = 9000
       val nPaced = 27000
-      val base1 = logged()
       val chunk = pacedRate / 10 // per 100 ms tick
       val tPace0 = System.nanoTime()
       (0 until nPaced).grouped(chunk).foreach { b =>
@@ -130,10 +129,7 @@ object StreamBench {
       // arrival rate = events over the PUBLISH window; the drain tail is
       // reported separately (a kept-up engine has a sub-second tail)
       val pubWindowSec = (System.nanoTime() - tPace0) / 1e9
-      val pacedExpected = expectedFor(nPaced)
-      val pacedDeadline = System.currentTimeMillis() + 120000
-      while (logged() - base1 < pacedExpected &&
-          System.currentTimeMillis() < pacedDeadline) Thread.sleep(250)
+      running.delivery.processAllAvailable()
       val drainSec = (System.nanoTime() - tPace0) / 1e9 - pubWindowSec
 
       // ---- phase 3: verification -----------------------------------
@@ -304,7 +300,17 @@ object StreamBench {
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-stream-bench")
-      .config("spark.sql.shuffle.partitions", "32")
+      // The delivery platform's OWN session (the reference deploys its
+      // services as their own processes too) — tuned like one:
+      //  - stateful-query state partitions latch from shuffle.partitions
+      //    at stream start; 32 meant 32 HDFSBackedStateStore commits per
+      //    alert/retry trigger (~16 CPU-seconds each trigger, measured —
+      //    more than the delivery work itself). 8 fits the destination
+      //    cardinality; a 100k-destination deployment sizes this up.
+      //  - per-file checkpoint checksums double every state/offset-log
+      //    write; local checkpoint dirs don't need them.
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

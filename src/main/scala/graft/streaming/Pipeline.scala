@@ -148,10 +148,20 @@ object Pipeline {
     * `Logstore.scanLatest` read-repair and `compactMonth` permanently
     * remove; [[logSinkBatchTx]] closes it fully (the token commits
     * atomically with the data). */
-  def logSinkBatch(batch: DataFrame, tablePath: String, batchId: Long = -1L): Unit = {
+  def logSinkBatch(batch: DataFrame, tablePath: String, batchId: Long = -1L,
+                   rows: Long = -1L): Unit = {
     val marker = new java.io.File(
       new java.io.File(tablePath, "_applied_batches"), batchId.toString)
     if (batchId >= 0 && marker.exists) return // replayed batch: already applied
+    // write width: a normal micro-batch lands as 2 files; a batch the
+    // caller KNOWS is replay-scale (rows ≥ 16k) streams through 8
+    // writers. Unknown (-1, the lazy single-action path) defaults to 2:
+    // measured, a 41k-attempt batch still writes in ~0.5 s at width 2,
+    // and fewer files per batch is a LATENCY lever, not just hygiene —
+    // every downstream file-stream trigger and ad-hoc reader re-lists
+    // this directory, and that listing runs on the driver the
+    // micro-batches schedule from.
+    val width = if (rows >= 16384) 8 else 2
     batch
       .withColumn("month",
         date_format(Buckets.utcFields(col("attempt_time")), "yyyy-MM"))
@@ -159,17 +169,16 @@ object Pipeline {
       // probe StreamBench reads; projected away by every schema-driven
       // reader, so the log contract is unchanged
       .withColumn("logged_at", current_timestamp())
-      // ONE shuffle per micro-batch: repartition(8, attempt_id) hash-
+      // ONE shuffle per micro-batch: repartition(width, attempt_id) hash-
       // clusters by the dedup key, which SATISFIES dropDuplicates'
       // distribution requirement — Catalyst inserts no second exchange
       // (the old dedup-then-repartition(month) shape paid two full
       // shuffles per micro-batch; the month pass's sole job was
-      // file-count hygiene). 8 partitions, not the session's 32: a
-      // micro-batch is ~10^4 rows and 32 shuffle tasks were pure
-      // scheduling overhead on the latency path; large replay batches
-      // still stream through 8 writers, and long-term layout belongs to
-      // the compaction operator (Layout.zorderCompact), not this sink.
-      .repartition(8, col("attempt_id"))
+      // file-count hygiene). Never the session's 32: a micro-batch is
+      // ~10^4 rows and 32 shuffle tasks were pure scheduling overhead on
+      // the latency path; long-term layout belongs to the compaction
+      // operator (Layout.zorderCompact), not this sink.
+      .repartition(width, col("attempt_id"))
       .dropDuplicates("attempt_id")
       .sortWithinPartitions(col("month"), col("attempt_time"), col("attempt_id"))
       .write.mode("append").partitionBy("month").parquet(tablePath)

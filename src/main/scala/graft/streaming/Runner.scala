@@ -111,14 +111,27 @@ object Runner {
         // outcomes come back DENORMALIZED with event columns (wide
         // attempts, S4 — the reference's LogEntry shape): the log sink
         // consumes them directly, with no join back onto the batch.
-        // No batch.isEmpty pre-check: it costs a job per micro-batch and
-        // deliverWith already yields an empty frame the isEmpty below
-        // skips. Scoped deliverWith keeps the batch cached across the
-        // emptiness probe and the log write (one fanout execution), and
-        // for pure-projection sinks skips the per-batch localCheckpoint
-        // job entirely.
+        //
+        // Fast path — single pure-projection sink, no rollup consumer:
+        // the outcome frame has exactly ONE reader (the log write), so
+        // nothing is shared and nothing needs a persist or an emptiness
+        // probe — the fanout computes exactly once, inside the write
+        // job. ONE query execution per trigger is the paced-latency
+        // lever: the persist+count shape paid two full executions
+        // (fanout→cache, then cache→write) plus their scheduling, ~2×
+        // the per-batch fixed cost. An all-filtered batch flows through
+        // the same job and simply writes no files.
+        if (registry.singlePure && latencyRollupTable.isEmpty)
+          Pipeline.logSinkBatch(registry.deliverLazy(batch), logPath, batchId)
+        else
         registry.deliverWith(batch) { outcomes0 =>
-          if (!outcomes0.isEmpty) {
+          // count, not isEmpty: same single job over the cached batch, and
+          // the row count lets the log sink size its write width (2 files
+          // for a normal micro-batch, 8 for replay-scale) — file-count
+          // growth in the log directory is what every downstream listing
+          // (alert/retry file streams, ad-hoc readers) pays for
+          val rows = outcomes0.count()
+          if (rows > 0) {
             // with the rollup on, the outcome frame feeds TWO consumers;
             // pin it once so both see identical attempt stamps (a lazy
             // pure-projection outcome re-evaluates wall-clock columns per
@@ -127,7 +140,7 @@ object Runner {
               if (latencyRollupTable.isDefined) outcomes0.localCheckpoint(true)
               else outcomes0
             // epoch id makes a post-failure micro-batch replay a no-op
-            Pipeline.logSinkBatch(outcomes, logPath, batchId)
+            Pipeline.logSinkBatch(outcomes, logPath, batchId, rows = rows)
             // delivery-latency observability rides the SAME micro-batch
             // loop: GK quantile sketches at the metrics engine's grain —
             // (destination, event-time hour) — folded into a commit-log
@@ -164,6 +177,13 @@ object Runner {
     val alerts = Alerts.evaluateStream(spark, attemptsStream, alertCfg)
       .writeStream
       .option("checkpointLocation", s"$checkpointRoot/alerts")
+      // real trigger: with the default ASAP trigger this query re-lists
+      // the whole log directory continuously; as the log grows to
+      // thousands of files that listing runs on the driver and competes
+      // with the delivery query's micro-batches (measured as paced-phase
+      // p99 spikes). Alerting is a seconds-grain consumer — 500 ms
+      // keeps its latency negligible at a tenth of the listing load.
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
       .format("memory").outputMode("append")
       .queryName(alertSinkName)
       .start()

@@ -710,6 +710,25 @@ object Sinks {
       finally b.unpersist()
     }
 
+    /** True when the registry is one pure-projection sink — the shape
+      * where a single-consumer caller can skip the batch persist
+      * entirely ([[deliverLazy]]). */
+    def singlePure: Boolean =
+      byType.size == 1 && !sinks.exists(_.sideEffecting)
+
+    /** Zero-overhead delivery for the single-pure-sink registry: returns
+      * the LAZY outcome frame with no persist, no type probe, no
+      * checkpoint. Correct ONLY when the caller runs exactly ONE action
+      * over the result — with one reader there is nothing to share, so
+      * the upstream fanout computes exactly once, inside that reader's
+      * job. This removes the two extra per-micro-batch jobs (cache
+      * materialization + count) from the streaming latency path; with
+      * multiple sinks or a side-effecting sink use [[deliverWith]]. */
+    def deliverLazy(batch: DataFrame): DataFrame = {
+      require(singlePure, "deliverLazy requires a single pure sink; use deliverWith")
+      deliverOn(batch, forceCheckpoint = false)
+    }
+
     private def deliverOn(b: DataFrame, forceCheckpoint: Boolean): DataFrame = {
       // single registered type (the overwhelmingly common batch in a
       // per-tenant deployment): the distinct-type probe job is pure
