@@ -71,41 +71,82 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
 
-    // (steal, idle) seconds accumulated across all CPUs, from /proc/stat —
-    // the direct evidence separating "query got slower" from "host stole
-    // the CPU while the clock ran".
-    def cpuStat(): (Double, Double) =
+    // (steal, idle, busy) seconds accumulated across all CPUs, from
+    // /proc/stat — the direct evidence separating "query got slower" from
+    // "someone else ate the machine while the clock ran". busy =
+    // user+nice+system+irq+softirq+steal.
+    def cpuStat(): (Double, Double, Double) =
       try {
         val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
           .trim.split("\\s+").drop(1).map(_.toDouble)
         val hz = 100.0 // USER_HZ
-        (f(7) / hz, f(3) / hz)
-      } catch { case _: Throwable => (-1.0, -1.0) }
+        (f(7) / hz, f(3) / hz, (f(0) + f(1) + f(2) + f(5) + f(6) + f(7)) / hz)
+      } catch { case _: Throwable => (-1.0, -1.0, -1.0) }
 
-    /** One cold timed pass → (seconds, cpu-steal seconds DURING the pass).
-      * The steal delta is the per-run poison detector: a 2026-08-14 full
-      * run recorded 873 stolen CPU-seconds — without per-run attribution
-      * every number in such an artifact is unusable; with it, each run is
-      * individually trustworthy or individually discountable. */
-    def timedRun(name: String, dir: String = sfDir): (Double, Double) = {
+    // CPU seconds this JVM itself consumed (utime+stime over all threads,
+    // /proc/self/stat fields after the parenthesised comm). busyDelta -
+    // selfDelta = CPU burned by OTHER processes during a run — the
+    // contention signal /proc/stat steal cannot see (a concurrent build on
+    // the same VM is not hypervisor steal).
+    def selfCpu(): Double =
+      try {
+        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
+        (rest(11).toDouble + rest(12).toDouble) / 100.0 // utime, stime
+      } catch { case _: Throwable => -1.0 }
+
+    /** One cold timed pass → (seconds, cpu-steal seconds DURING the pass,
+      * other-process cpu seconds DURING the pass). Steal is the
+      * hypervisor poison detector (a 2026-08-14 full run recorded 873
+      * stolen CPU-seconds); other-cpu is the same-host poison detector (a
+      * concurrent sbt test shows up here, not in steal). With per-run
+      * attribution each run is individually trustworthy or individually
+      * discountable. */
+    def timedRun(name: String, dir: String = sfDir): (Double, Double, Double) = {
       spark.catalog.clearCache() // timed pass re-executes everything
       // settle async unpersist/broadcast cleanup + prior query's garbage
       // BEFORE the clock starts, so it isn't charged to this query
       System.gc()
       Thread.sleep(200)
-      val (s0, _) = cpuStat()
+      val (s0, _, b0) = cpuStat()
+      val self0 = selfCpu()
       val t0 = System.nanoTime()
       val ok = try { runOne(name, dir); true } catch { case _: Throwable => false }
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      val (s1, _) = cpuStat()
+      val (s1, _, b1) = cpuStat()
+      val self1 = selfCpu()
       spark.catalog.clearCache() // no cross-query storage-pool churn
-      (dt, if (s0 < 0 || s1 < 0) 0.0 else s1 - s0)
+      val steal = if (s0 < 0 || s1 < 0) 0.0 else s1 - s0
+      val other =
+        if (b0 < 0 || b1 < 0 || self0 < 0 || self1 < 0) 0.0
+        else math.max(0.0, (b1 - b0) - (self1 - self0))
+      (dt, steal, other)
     }
+
+    val nCpus = cpus.toInt
+    // Contention rules (VERDICT r7 task #2 — the artifact must
+    // self-adjudicate):
+    //  - a run is CLEAN when it lost < max(0.5 s, 25% of wall) to the
+    //    hypervisor AND other processes burned < max(1 s, 15% of machine
+    //    capacity) while it ran;
+    //  - a query's basis is ACCEPTED when it has ≥1 clean run (≥2 for
+    //    multi-run queries) and the clean spread is within ±30%
+    //    (max ≤ 1.3 × min).
+    def isClean(r: (Double, Double, Double)): Boolean = r match {
+      case (t, s, o) => t >= 0 && s <= math.max(0.5, 0.25 * t) &&
+        o <= math.max(1.0, 0.15 * nCpus * t)
+    }
+    def spreadOk(ts: Seq[Double]): Boolean =
+      ts.isEmpty || ts.max <= 1.3 * ts.min
 
     // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
     // carries the full per-run list behind each reported number so a reader
     // sees variance directly instead of inferring it from the median.
-    def benchOne(name: String, dir: String): (Double, Seq[(Double, Double)]) = {
+    // Returns (median, raw runs, contended): contended=true means the
+    // auto-rerun rounds below could NOT produce an accepted basis — the
+    // number is flagged, not silently trusted.
+    def benchOne(name: String,
+                 dir: String): (Double, Seq[(Double, Double, Double)], Boolean) = {
       try runOne(name, dir) catch { case _: Throwable => () } // warmup (untimed)
       val first = timedRun(name, dir)
       // multi-second queries carry multi-second GC/AQE/scheduling noise at
@@ -115,28 +156,35 @@ object Bench {
       var runs =
         if (first._1 > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
         else Seq(first)
-      // This host steals CPU in bursts (measured: a 9 s query stalling to
-      // 134 s with zero other processes; /proc/stat shows episodic steal).
-      // A burst can poison two of three runs, so when the spread screams
-      // "contention" (max > 4x min) take two more passes — the raw list
-      // keeps every run, so widening the sample is visible, not hidden.
-      if (runs.size > 1 && runs.map(_._1).max > 4 * runs.map(_._1).min)
+      val minClean = if (runs.size > 1) 2 else 1
+      def accepted: Boolean = {
+        val c = runs.filter(isClean)
+        c.size >= minClean && spreadOk(c.map(_._1))
+      }
+      // AUTO-RERUN: a contended or wildly-spread sample takes up to two
+      // extra rounds of passes — a steal burst or a transient co-tenant
+      // poisons a window, and re-measuring outside the window recovers the
+      // true number. The raw list keeps every pass, so widening the sample
+      // is visible, not hidden. Persistent contention exhausts the rounds
+      // and flags the query instead of laundering the inflated number.
+      var rounds = 0
+      while (!accepted && rounds < 2) {
         runs = runs ++ Seq(timedRun(name, dir), timedRun(name, dir))
-      // steal-aware median: a run that lost > max(0.5 s, 25% of its wall)
-      // to the hypervisor is contention-poisoned — median over the clean
-      // runs when any exist. Every raw (time, steal) pair stays in the
-      // artifact, so the exclusion is auditable, not hidden.
-      val clean = runs.filter { case (t, s) => t >= 0 && s <= math.max(0.5, 0.25 * t) }
-      val basis = (if (clean.nonEmpty) clean else runs).map(_._1)
-      (basis.sorted.apply(basis.size / 2), runs)
+        rounds += 1
+      }
+      val clean = runs.filter(isClean)
+      val basis = (if (clean.nonEmpty) clean else runs).map(_._1).filter(_ >= 0)
+      val med =
+        if (basis.isEmpty) -1.0 else basis.sorted.apply(basis.size / 2)
+      (med, runs, !accepted)
     }
 
     val wallT0 = System.nanoTime()
     val loadBefore = loadavg()
-    val (stealT0, idleT0) = cpuStat()
+    val (stealT0, idleT0, _) = cpuStat()
 
     val full = qs.map { name => name -> benchOne(name, sfDir) }
-    val results = full.map { case (n, (med, _)) => n -> med }
+    val results = full.map { case (n, (med, _, _)) => n -> med }
     // Scaling evidence (VERDICT r5 task #2): re-time the same queries at
     // the sibling sf0.01 dir so the per-query sf0.01→sf0.1 ratio — the
     // "sub-second queries sit on the local-mode scheduling floor" claim —
@@ -145,12 +193,12 @@ object Bench {
       val p = java.nio.file.Paths.get(sfDir)
       p.resolveSibling("sf0.01").toString
     }
-    val smallFull: Seq[(String, (Double, Seq[(Double, Double)]))] =
+    val smallFull: Seq[(String, (Double, Seq[(Double, Double, Double)], Boolean))] =
       if (smallDir != sfDir && java.nio.file.Files.isDirectory(
             java.nio.file.Paths.get(smallDir)))
         qs.map { name => name -> benchOne(name, smallDir) }
       else Seq.empty
-    val small = smallFull.map { case (n, (med, _)) => n -> med }
+    val small = smallFull.map { case (n, (med, _, _)) => n -> med }
 
     // Streaming sustained-load numbers ride in the same artifact (VERDICT
     // r5 task #9): two-phase StreamBench at 60k events — throughput, then
@@ -174,28 +222,39 @@ object Bench {
 
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    def runsJson(rs: Seq[(String, (Double, Seq[(Double, Double)]))],
-                 pick: ((Double, Double)) => Double): String =
-      rs.map { case (k, (_, runs)) =>
+    def runsJson(rs: Seq[(String, (Double, Seq[(Double, Double, Double)], Boolean))],
+                 pick: ((Double, Double, Double)) => Double): String =
+      rs.map { case (k, (_, runs, _)) =>
         "\"" + k + "\":" + runs.map(v => f"${pick(v)}%.3f").mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    def contendedJson(
+        rs: Seq[(String, (Double, Seq[(Double, Double, Double)], Boolean))]): String =
+      rs.collect { case (k, (_, _, true)) => "\"" + k + "\"" }
+        .mkString("[", ",", "]")
     val qJson = toJson(results)
     val total = results.map(_._2).filter(_ >= 0).sum
     val smallPart =
       if (small.nonEmpty)
         s""","queries_small":${toJson(small)},"runs_small":${runsJson(smallFull, _._1)}""" +
-        s""","runs_small_steal":${runsJson(smallFull, _._2)},"sf_small":"$smallDir""""
+        s""","runs_small_steal":${runsJson(smallFull, _._2)}""" +
+        s""","runs_small_other_cpu":${runsJson(smallFull, _._3)}""" +
+        s""","contended_small":${contendedJson(smallFull)},"sf_small":"$smallDir""""
       else ""
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     // Load context makes an externally-contended run self-diagnosing: a
     // loadavg far above the 32 cores this JVM uses, or stolen CPU seconds
     // accumulating, means something else was eating the machine while the
     // clock ran.
-    val (stealT1, idleT1) = cpuStat()
+    val (stealT1, idleT1, _) = cpuStat()
+    // run-level contention verdict the artifact carries itself: any
+    // query flagged, or the bench started on an already-loaded host
+    val anyContended = full.exists(_._2._3) || smallFull.exists(_._2._3) ||
+      loadBefore.split("\\s+").headOption.exists(l =>
+        try l.toDouble > 1.0 catch { case _: Throwable => false })
     val envPart =
-      f""","wall_sec":$wallSec%.1f,"cpu_steal_sec":${stealT1 - stealT0}%.1f,"cpu_idle_sec":${idleT1 - idleT0}%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}""""
+      f""","wall_sec":$wallSec%.1f,"cpu_steal_sec":${stealT1 - stealT0}%.1f,"cpu_idle_sec":${idleT1 - idleT0}%.1f,"loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}","contended":$anyContended"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full, _._1)},"runs_steal":${runsJson(full, _._2)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"runs":${runsJson(full, _._1)},"runs_steal":${runsJson(full, _._2)},"runs_other_cpu":${runsJson(full, _._3)},"contended_queries":${contendedJson(full)},"sf":"$sfDir"$smallPart$streamPart$envPart}"""
     // Stdout can be tail-truncated by a harness (it ate BENCH_r06); the
     // file copy is the durable artifact. Subset runs (fast iteration on
     // named queries) write a sidecar instead, so they can never clobber
