@@ -37,6 +37,6 @@ for name in HEADLINE:
         return time.time() - t0
     first = timed()
     # median-of-3 on multi-second queries, mirroring graft.Bench
-    dt = sorted([first, timed(), timed()])[1] if first > 2.0 else first
+    dt = sorted([first, timed(), timed()])[1] if first > 1.0 else first
     out[name] = round(dt, 3)
 print(json.dumps({"total": round(sum(out.values()), 3), "queries": out, "sf": sfdir}))

@@ -149,12 +149,21 @@ object Bench {
                  dir: String): (Double, Seq[(Double, Double, Double)], Boolean) = {
       try runOne(name, dir) catch { case _: Throwable => () } // warmup (untimed)
       val first = timedRun(name, dir)
-      // multi-second queries carry multi-second GC/AQE/scheduling noise at
-      // local[32]; report the MEDIAN of three cold runs (not the min —
-      // median is the honest central tendency, and duck_bench.py applies
-      // the same rule)
+      // second-plus queries carry GC/JIT/AQE/scheduling noise at
+      // local[32] that a single cold pass cannot average out; report the
+      // MEDIAN of three runs (not the min — median is the honest central
+      // tendency, and duck_bench.py applies the same rule at the same
+      // 1.0 s threshold). For these, the FIRST timed pass doubles as a
+      // second warmup: one warmup pass measurably leaves JIT profiles
+      // cold on multi-cycle queries (pass 1 runs ~25-40% above passes
+      // 2-4, a monotone drift the ±30% spread rule would misread as
+      // contention). Its time is still RECORDED, leading the raw runs
+      // list, so the drift is auditable — it just doesn't enter the
+      // median basis. DuckDB needs no such pass (no JIT): both engines
+      // end up reporting steady state.
+      val jitWarm = first._1 > 1.0
       var runs =
-        if (first._1 > 2.0) Seq(first, timedRun(name, dir), timedRun(name, dir))
+        if (jitWarm) Seq(timedRun(name, dir), timedRun(name, dir), timedRun(name, dir))
         else Seq(first)
       val minClean = if (runs.size > 1) 2 else 1
       def accepted: Boolean = {
@@ -176,7 +185,7 @@ object Bench {
       val basis = (if (clean.nonEmpty) clean else runs).map(_._1).filter(_ >= 0)
       val med =
         if (basis.isEmpty) -1.0 else basis.sorted.apply(basis.size / 2)
-      (med, runs, !accepted)
+      (med, if (jitWarm) first +: runs else runs, !accepted)
     }
 
     val wallT0 = System.nanoTime()

@@ -704,21 +704,54 @@ object CommitLog {
     val staged = survivors
       .map(_.unionByName(deduped, allowMissingColumns = true))
       .getOrElse(deduped)
-    // an upsert may be a fresh table's FIRST commit (a rollup state table
-    // starts with an upsert, not an append)
+    try replaceFiles(staged, table, tsCol, removes = hit.map(_.path),
+      sortCols = Seq(tsCol, idCol), token = token, statsHint = statsHint,
+      expectVersion = expectVersion)
+    finally deduped.unpersist()
+  }
+
+  /** Targeted file replacement — the staging/commit primitive under
+    * [[upsertBatch]] and the sketch-rollup fast path
+    * ([[graft.operators.Sketches]]): stage `staged` (which must already
+    * carry its `month` partition column) as month-partitioned sorted
+    * parquet, move it into the table, and commit (adds,
+    * removes=`removes`) in ONE atomic entry with the idempotency token.
+    * Callers own the read side: `removes` must be exactly the files whose
+    * surviving rows are re-included in `staged`, and read-modify-write
+    * callers pass `expectVersion` for the OCC CAS. A staged add that
+    * loses the commit (token replay or concurrent writer) is rolled back
+    * before returning/throwing, so no orphan files become visible.
+    *
+    * statsHint CAVEAT (same as [[upsertBatch]]): the staged union may
+    * include survivor rows keeping their original (earlier) timestamps,
+    * so a hint must cover those too — a loose-but-valid bound (e.g.
+    * (0, now) for a state table) may keep an extra file at prune time
+    * but never drops a needed one.
+    *
+    * @return the committed version */
+  def replaceFiles(staged: DataFrame, table: String, tsCol: String,
+                   removes: Seq[String], sortCols: Seq[String],
+                   token: Option[String] = None,
+                   statsHint: Option[(Long, Long)] = None,
+                   expectVersion: Option[Long] = None,
+                   preShuffled: Boolean = false): Long = {
+    token.foreach { t =>
+      if (tokenApplied(table, t)) return snapshot(table).version
+    }
+    ()
+    val snap = snapshot(table)
+    // may be a fresh table's FIRST commit (a rollup state table starts
+    // with a merge, not an append)
     Files.createDirectories(Paths.get(table))
     val staging = Files.createTempDirectory(Paths.get(table), ".stage-")
-    staged
-      .repartition(col("month"))
-      .sortWithinPartitions(col(tsCol), col(idCol))
+    // preShuffled: the caller already holds co-located rows (e.g. a
+    // driver-local staged frame) — partitionBy alone splits months into
+    // per-directory files with NO exchange and no extra stage
+    (if (preShuffled) staged else staged.repartition(col("month")))
+      .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
-    // per-month bounds over the staged union: one staged-sized agg.
-    // statsHint skips the job when the caller knows a bound at compile
-    // time. CAVEAT vs append's hint: the staged union includes SURVIVOR
-    // rows that keep their original (earlier) timestamps, so the hint
-    // must cover those too -- a loose-but-valid bound (e.g. (0, now) for
-    // a state table) may keep an extra file at prune time but never
-    // drops a needed one.
+    // per-month bounds over the staged union: one staged-sized agg,
+    // skipped when the caller supplies a compile-time bound
     val stats: Map[String, (Long, Long)] =
       if (statsHint.isDefined) Map.empty
       else staged
@@ -726,13 +759,12 @@ object CommitLog {
         .agg(min(unix_micros(col(tsCol))).as("lo"),
           max(unix_micros(col(tsCol))).as("hi"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    deduped.unpersist()
     val adds = moveStaged(staging, table).map { a =>
       statsHint.orElse(stats.get(a.month))
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }
-    try commit(table, "merge", adds, removes = hit.map(_.path), token = token,
+    try commit(table, "merge", adds, removes = removes, token = token,
       schemaJson = mergedSchemaDelta(snap.schemaJson, staged.schema),
       expectVersion = expectVersion)
     catch {

@@ -187,21 +187,43 @@ object Sketches {
       .withColumnRenamed("col", "item")
   }
 
+  /** States below this size take the collected fast path in
+    * [[updateRollup]]: the whole rollup state (sketch bytes included)
+    * reads into the driver in one tiny job. 8 MB covers ~10^4 HLL/GK
+    * groups; a genuinely large rollup (10^5+ groups on a cluster) flows
+    * through the generic distributed path below untouched. */
+  private val SmallStateBytes = 8L << 20
+
   /** Shared state-update algebra of the rollups: sketch the batch per
     * group, union with the stored state of the TOUCHED groups only
-    * (broadcast semi join -- untouched groups are never read twice, let
-    * alone rewritten), merge, upsert in one token-idempotent commit.
+    * (untouched groups are never read twice, let alone rewritten), merge,
+    * commit token-idempotently.
     *
     * SERIALIZABLE under concurrent writers via optimistic
     * read-modify-write: the merge reads the state AT a pinned version
-    * (`scanAt`) and the upsert commits with `expectVersion` -- a racing
+    * (`scanAt`) and the commit carries `expectVersion` -- a racing
     * writer whose commit landed first makes this one fail with
     * [[CommitLog.ConcurrentWrite]] (or [[CommitLog.ConcurrentDelete]] on
     * a same-file collision) and the WHOLE read-merge-write re-runs
     * against the new state. Without the CAS, two racing updates with
     * disjoint file sets -- e.g. both first-commits on a fresh table --
     * would both blind-append, leaving duplicate rollup_id rows and each
-    * missing the other's sketch mass. */
+    * missing the other's sketch mass.
+    *
+    * TWO EXECUTION SHAPES, same semantics (VERDICT r7 task #3 -- the
+    * update cycle is commit-fixed-cost-bound, not data-bound):
+    *  - SMALL STATE (<= [[SmallStateBytes]]): the state collects to the
+    *    driver WITH file attribution while the batch aggregate collects
+    *    CONCURRENTLY (two independent jobs sharing the cluster); touched
+    *    groups, hit files and survivors resolve driver-side, and the
+    *    final merge runs over LocalRelations in ONE small write job --
+    *    three short jobs per cycle instead of five, no state file read
+    *    twice.
+    *  - LARGE STATE: the original distributed shape -- broadcast
+    *    semi-join of the batch's group set onto the state stream, merge,
+    *    generic [[CommitLog.upsertBatch]].
+    * Both preserve the file-level contract pinned by SketchSpec: a file
+    * holding only untouched groups is never rewritten. */
   private def updateRollup(batch: DataFrame, table: String,
                            groupCols: Seq[String],
                            batchAggs: Seq[org.apache.spark.sql.Column],
@@ -216,16 +238,42 @@ object Sketches {
     require(groupCols.forall(c => !reserved.contains(c)),
       s"group columns may not use reserved names " + reserved.mkString(", "))
     val spark = batch.sparkSession
+    // replayed batch: the token already committed -> nothing to compute
+    if (token.exists(CommitLog.tokenApplied(table, _))) return
     graft.core.Caching.narrowBatchScope(spark) {
       val gcols = groupCols.map(col)
       val bs = batch.groupBy(gcols: _*).agg(batchAggs.head, batchAggs.tail: _*)
+      // rollup_id must be collision-proof across DISTINCT group tuples
+      // (a separator char appearing in a value would merge two groups)
+      // and must encode nulls distinctly from empty strings: md5 over
+      // the JSON struct encoding (field-quoted, nulls kept) gives both
+      def withIds(df: DataFrame): DataFrame = df
+        .withColumn("rollup_id", md5(to_json(struct(gcols: _*),
+          Map("ignoreNullFields" -> "false"))))
+        .withColumn("updated_at", lit(at))
+      def withMonth(df: DataFrame): DataFrame = df.withColumn("month",
+        date_format(graft.functions.Buckets.utcFields(col("updated_at")), "yyyy-MM"))
+      def stateBytes(snap: CommitLog.Snapshot): Long =
+        snap.files.map { f =>
+          try java.nio.file.Files.size(
+            java.nio.file.Paths.get(table).resolve(f.path))
+          catch { case _: Throwable => Long.MaxValue / 1024 }
+        }.sum
       var attempts = 0
       var done = false
       while (!done) {
         val snap = CommitLog.snapshot(table)
-        val all =
-          if (snap.files.isEmpty) bs
-          else {
+        try {
+          if (snap.files.isEmpty) {
+            // first commit: the batch aggregate IS the state
+            CommitLog.replaceFiles(withMonth(withIds(bs)), table, "updated_at",
+              removes = Nil, sortCols = Seq("updated_at", "rollup_id"),
+              token = token, statsHint = Some((0L, at.getTime * 1000L)),
+              expectVersion = Some(snap.version))
+          } else if (stateBytes(snap) <= SmallStateBytes) {
+            fastCycle(spark, table, snap, bs, groupCols, stateCols,
+              mergeAggs, at, token, withIds, withMonth)
+          } else {
             // touched groups only: the rollup table streams through a
             // broadcast semi join on the batch's (small) group set.
             // NULL-SAFE keys (<=>): groupBy folds nulls into one group,
@@ -236,26 +284,19 @@ object Sketches {
               bs.select(groupCols.map(c => col(c).as(s"__bk_$c")): _*))
             val touched = groupCols
               .map(c => col(c) <=> col(s"__bk_$c")).reduce(_ && _)
-            CommitLog.scanAt(spark, table, snap.version)
+            val all = CommitLog.scanAt(spark, table, snap.version)
               .select(gcols ++ stateCols.map(col): _*)
               .join(bkeys, touched, "left_semi")
               .unionByName(bs)
+            val merged = withIds(
+              all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*))
+            CommitLog.upsertBatch(merged, table,
+              idCol = "rollup_id", tsCol = "updated_at", token = token,
+              // (0, at): surviving rows carry earlier updated_at stamps, so
+              // the bound must reach below `at` (upsertBatch note)
+              statsHint = Some((0L, at.getTime * 1000L)),
+              expectVersion = Some(snap.version))
           }
-        // rollup_id must be collision-proof across DISTINCT group tuples
-        // (a separator char appearing in a value would merge two groups)
-        // and must encode nulls distinctly from empty strings: md5 over
-        // the JSON struct encoding (field-quoted, nulls kept) gives both
-        val merged = all.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*)
-          .withColumn("rollup_id", md5(to_json(struct(gcols: _*),
-            Map("ignoreNullFields" -> "false"))))
-          .withColumn("updated_at", lit(at))
-        try {
-          CommitLog.upsertBatch(merged, table,
-            idCol = "rollup_id", tsCol = "updated_at", token = token,
-            // (0, at): surviving rows carry earlier updated_at stamps, so
-            // the bound must reach below `at` (upsertBatch note)
-            statsHint = Some((0L, at.getTime * 1000L)),
-            expectVersion = Some(snap.version))
           done = true
         } catch {
           case e @ (_: CommitLog.ConcurrentWrite | _: CommitLog.ConcurrentDelete) =>
@@ -264,6 +305,82 @@ object Sketches {
         }
       }
     }
+  }
+
+  /** Small-state update cycle: state (with file attribution) and the
+    * batch aggregate collect as CONCURRENT jobs; touched groups, hit
+    * files and survivors resolve on the driver; one local-relation write
+    * job stages merged ∪ survivors and [[CommitLog.replaceFiles]] commits
+    * it against the pinned version. */
+  /** Small-state update cycle: the state (with file attribution) and the
+    * batch aggregate collect as two CONCURRENT jobs sharing the executor
+    * pool; touched groups, hit files and survivors resolve on the
+    * driver; one write job stages (touched ∪ batch → merge agg) ∪
+    * survivors over LocalRelations and [[CommitLog.replaceFiles]]
+    * commits it against the pinned version. Two short jobs + one commit
+    * per cycle — the generic path pays five jobs and reads the state
+    * files twice more. */
+  private def fastCycle(spark: SparkSession, table: String,
+                        snap: CommitLog.Snapshot, bs: DataFrame,
+                        groupCols: Seq[String], stateCols: Seq[String],
+                        mergeAggs: Seq[org.apache.spark.sql.Column],
+                        at: java.sql.Timestamp, token: Option[String],
+                        withIds: DataFrame => DataFrame,
+                        withMonth: DataFrame => DataFrame): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val gcols = groupCols.map(col)
+    val stDf = CommitLog.scanAt(spark, table, snap.version)
+      .select((groupCols ++ stateCols ++ Seq("rollup_id", "updated_at"))
+        .map(col) :+ input_file_name().as("_f"): _*)
+    // two independent reads, one wall-clock wait: the tiny state scan and
+    // the batch aggregation (the only real data work of the cycle) share
+    // the executor pool instead of serializing
+    val fState = Future(stDf.collect())
+    val fBatch = Future(bs.collect())
+    val stRows = Await.result(fState, Duration.Inf)
+    val bsRows = Await.result(fBatch, Duration.Inf)
+    val nG = groupCols.size
+    def keyOf(r: org.apache.spark.sql.Row): Vector[Any] =
+      (0 until nG).map(r.get).toVector
+    val batchKeys = bsRows.iterator.map(keyOf).toSet
+    val fIdx = stDf.columns.length - 1
+    val touched = stRows.filter(r => batchKeys.contains(keyOf(r)))
+    val hitUris = touched.map(_.getString(fIdx)).toSet
+    val hitFiles = snap.files.filter(f => hitUris.exists(_.endsWith(f.path)))
+    // survivors: untouched groups living in a hit file get carried into
+    // the rewrite; untouched FILES are never rewritten (spec-pinned)
+    val survivors = stRows.filter(r =>
+      hitFiles.exists(f => r.getString(fIdx).endsWith(f.path)) &&
+        !batchKeys.contains(keyOf(r)))
+    val stSchema = org.apache.spark.sql.types.StructType(
+      stDf.schema.fields.dropRight(1))
+    import scala.jdk.CollectionConverters._
+    def local(rows: Seq[org.apache.spark.sql.Row],
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(
+        rows.map(r => org.apache.spark.sql.Row.fromSeq(
+          r.toSeq.take(schema.length))).asJava, schema)
+    // both row shapes share the (groupCols ++ stateCols) PREFIX — one
+    // local relation carries the whole merge input, no union analysis
+    val mergeSchema = org.apache.spark.sql.types.StructType(
+      stSchema.fields.take(nG + stateCols.size).map(_.copy(nullable = true)))
+    val mergedIn = local((touched ++ bsRows).toIndexedSeq, mergeSchema)
+    val merged = withIds(
+      mergedIn.groupBy(gcols: _*).agg(mergeAggs.head, mergeAggs.tail: _*))
+    // coalesce(1): the write is then two tasks end-to-end (local scan →
+    // agg exchange → single writer) and preShuffled skips the
+    // repartition(month) exchange — one file per month per cycle holds
+    val staged = withMonth(
+      merged.unionByName(local(survivors.toIndexedSeq, stSchema)))
+      .coalesce(1)
+    CommitLog.replaceFiles(staged, table, "updated_at",
+      removes = hitFiles.map(_.path),
+      sortCols = Seq("updated_at", "rollup_id"), token = token,
+      statsHint = Some((0L, at.getTime * 1000L)),
+      expectVersion = Some(snap.version), preShuffled = true)
+    ()
   }
 
   /** Quantile-rollup state at its stored grain: group columns + exact
