@@ -226,7 +226,16 @@ object Bench {
         val s3 =
           try s""","vector_intake":${StreamBench.vectorIntakeRun(spark, 10000)}"""
           catch { case e: Throwable => s""","vector_intake_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3
+        // T5/T6 state stores at deployment scale (VERDICT r7 task #5):
+        // 100k destinations / 100k pending retries with exact accounting
+        // and per-trigger state-store size evidence
+        val s4 =
+          try s""","alert_scale":${StreamBench.alertScaleRun(spark, 100000)}"""
+          catch { case e: Throwable => s""","alert_scale_error":"${e.getClass.getSimpleName}""""}
+        val s5 =
+          try s""","retry_scale":${StreamBench.retryScaleRun(spark, 100000)}"""
+          catch { case e: Throwable => s""","retry_scale_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

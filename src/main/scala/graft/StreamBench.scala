@@ -295,6 +295,131 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** T6 alert state at DEPLOYMENT scale (VERDICT r7 task #5): the
+    * consecutive-failure evaluator driven across `nDests` destinations
+    * (the reference's alert store is a per-destination Redis set — here
+    * one state-store row per destination), with per-trigger state-store
+    * metrics read from StreamingQueryProgress. Accounting is EXACT
+    * against the threshold model: every never-reset destination crosses
+    * the 50% threshold (5 of 10) on trigger 5 exactly once; destinations
+    * reset by a success on trigger 3 never reach it. Bounded state:
+    * numRowsTotal must equal nDests (one row per destination) on every
+    * trigger — growth run-over-run would mean key leakage. */
+  def alertScaleRun(spark: SparkSession, nDests: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_alert_scale")
+    val mem = MemoryStream[graft.streaming.Model.Attempt]
+    val cfg = graft.streaming.Alerts.Config(
+      autoDisableCount = 10, thresholds = Seq(50, 70, 90, 100), maxRetries = 10)
+    val qname = "alert_scale_sink"
+    val q = graft.streaming.Alerts.evaluateStream(spark, mem.toDS(), cfg)
+      .writeStream
+      .option("checkpointLocation", s"$ckpt/alerts")
+      .format("memory").outputMode("append").queryName(qname)
+      .start()
+    val base = 1704067200000L
+    val triggers = 5
+    val rows = Seq.newBuilder[Long]
+    val mems = Seq.newBuilder[Long]
+    val t0 = System.nanoTime()
+    try {
+      (1 to triggers).foreach { tr =>
+        val batch = (0 until nDests).map { d =>
+          val success = tr == 3 && d % 10 == 0
+          graft.streaming.Model.Attempt(
+            s"a$tr-$d", s"e$d", "t1", s"d$d", "mock", 1, manual = false,
+            if (success) "success" else "failed",
+            new Timestamp(base + tr * 60000L),
+            if (success) "200" else "503")
+        }
+        mem.addData(batch)
+        q.processAllAvailable()
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.apply(0)).foreach { s =>
+            rows += s.numRowsTotal; mems += s.memoryUsedBytes
+          }
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val alerts = spark.table(qname)
+      val resetDests = (0 until nDests).count(_ % 10 == 0)
+      val expected = (nDests - resetDests).toLong
+      val total = alerts.count()
+      val exact = total == expected &&
+        alerts.select("destination_id").distinct().count() == expected &&
+        alerts.filter(col("kind") === "consecutive_failure" &&
+          col("threshold_pct") === 50).count() == expected
+      val stateRows = rows.result()
+      val stateMem = mems.result()
+      val bounded = stateRows.nonEmpty && stateRows.forall(_ == nDests.toLong)
+      s"""{"destinations":$nDests,"triggers":$triggers,""" +
+        s""""attempts":${nDests.toLong * triggers},""" +
+        s""""attempts_per_sec":${(nDests.toLong * triggers / sec).round},""" +
+        s""""alerts":$total,"alerts_expected":$expected,"accounting_exact":$exact,""" +
+        s""""state_rows":${stateRows.mkString("[", ",", "]")},""" +
+        s""""state_rows_bounded":$bounded,""" +
+        s""""state_mem_mb":${stateMem.map(b => (b / 1048576.0 * 10).round / 10.0)
+          .mkString("[", ",", "]")},""" +
+        s""""wall_sec":${math.round(sec * 1000) / 1000.0}}"""
+    } finally q.stop()
+  }
+
+  /** T5 retry-scheduler state at scale: `nKeys` failed deliveries park one
+    * pending retry each in the event-time scheduler's store; a
+    * watermark-advancing batch then fires ALL of them. Exact accounting
+    * (every key emits exactly one due task) plus the eviction contract:
+    * state rows return to ~0 after firing — the store holds only pending
+    * work, so its size tracks in-flight retries, not history. */
+  def retryScaleRun(spark: SparkSession, nKeys: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_retry_scale")
+    val mem = MemoryStream[graft.streaming.Retry.Outcome]
+    val qname = "retry_scale_sink"
+    val q = graft.streaming.Retry
+      .scheduleStreamEventTime(spark, mem.toDS(),
+        graft.core.Backoff(), watermarkDelay = "10 minutes")
+      .writeStream
+      .option("checkpointLocation", s"$ckpt/retries")
+      .format("memory").outputMode("append").queryName(qname)
+      .start()
+    val base = 1704067200000L
+    def outcome(id: String, status: String, atMs: Long): graft.streaming.Retry.Outcome =
+      graft.streaming.Retry.Outcome(id, "t1", s"dst-$id", 1, status,
+        eligible_for_retry = true, manual = false,
+        new Timestamp(base), "order.created", "{}", Map.empty,
+        new Timestamp(atMs))
+    val t0 = System.nanoTime()
+    try {
+      mem.addData((0 until nKeys).map(k => outcome(s"e$k", "failed", base)))
+      q.processAllAvailable()
+      val parked = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0))
+      // watermark mover: a lone success outcome 30 min ahead pushes the
+      // watermark past every fire_at (base + 30 s); its own chain cancels
+      mem.addData(Seq(outcome("wm", "success", base + 1800000L)))
+      q.processAllAvailable()
+      // event-time timers fire on the batch AFTER the watermark advances
+      mem.addData(Seq(outcome("wm", "success", base + 1860000L)))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 60000
+      def fired(): Long = spark.table(qname).count()
+      while (fired() < nKeys && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val total = fired()
+      val exact = total == nKeys.toLong &&
+        spark.table(qname).select("event_id").distinct().count() == nKeys.toLong
+      val after = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0))
+      s"""{"keys":$nKeys,"parked_state_rows":${parked.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""parked_state_mem_mb":${parked.map(s => (s.memoryUsedBytes / 1048576.0 * 10).round / 10.0).getOrElse(-1.0)},""" +
+        s""""fired":$total,"accounting_exact":$exact,""" +
+        s""""state_rows_after_fire":${after.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""wall_sec":${math.round(sec * 1000) / 1000.0}}"""
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lastOption.map(_.toInt).getOrElse(60000)
     val spark = SparkSession.builder()
@@ -315,10 +440,13 @@ object StreamBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // `vectors <n>` / `curation <n>` run one intake bench standalone
+    // `vectors <n>` / `curation <n>` / `alertscale <n>` / `retryscale <n>`
+    // run one bench standalone
     val json = args.headOption match {
       case Some("vectors") => vectorIntakeRun(spark, n)
       case Some("curation") => curationRun(spark, n)
+      case Some("alertscale") => alertScaleRun(spark, if (args.size > 1) n else 100000)
+      case Some("retryscale") => retryScaleRun(spark, if (args.size > 1) n else 100000)
       case _ => run(spark, n)
     }
     println(json)
