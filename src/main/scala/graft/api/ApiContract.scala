@@ -152,6 +152,14 @@ object ApiContract {
         Field("paths", "object")),
       examplePathQuery = "/api/v1/openapi.json"),
 
+    Route("GET", "/metrics",
+      "Operational pipeline metrics, Prometheus text exposition " +
+        "(published/eligible events, API calls+latency by route, " +
+        "delivered counts from the attempt log, delivery-latency " +
+        "quantiles from the GK rollup)",
+      responseKind = "text",
+      examplePathQuery = "/metrics"),
+
     Route("PUT", "/api/v1/tenants/{tenant_id}",
       "Create (201) or update (200; metadata replaced, created_at preserved)",
       bodyFields = Seq(Param("metadata", "object")),
@@ -380,6 +388,7 @@ object ApiContract {
           fields.foreach(f => props.putObject(f.name).put("type", f.kind))
         }
         r.responseKind match {
+          case "text" => okSchema.put("type", "string"); ()
           case "object" => objSchema(okSchema, r.responseFields)
           case "array" =>
             okSchema.put("type", "array")

@@ -58,7 +58,11 @@ object HttpApi {
       // retry-task store (Runner retryPath) for POST /retry
       retrySpool: Option[String] = None,
       // sink registry for /destination-types
-      registry: Option[graft.streaming.Sinks.Registry] = None)
+      registry: Option[graft.streaming.Sinks.Registry] = None,
+      // GK latency rollup table (Runner latencyRollupTable) — GET /metrics
+      // reads delivery-latency quantiles from its sketch state; None
+      // omits that family from the scrape
+      latencyRollup: Option[String] = None)
 
   final class Server(val http: HttpServer) {
     def port: Int = http.getAddress.getPort
@@ -126,8 +130,10 @@ object HttpApi {
     val method = ex.getRequestMethod
     val path = ex.getRequestURI.getPath
     val q = parseQuery(ex.getRequestURI.getRawQuery)
+    val t0 = System.nanoTime()
     try {
       (method, path) match {
+        case ("GET", "/metrics") => metricsScrape(spark, cfg, ex)
         case ("GET", "/api/v1/openapi.json") =>
           // self-describing surface: the compiled-in contract, rendered
           // OpenAPI-shaped (reference ships docs/apis/openapi.yaml; the
@@ -178,7 +184,55 @@ object HttpApi {
         sendError(ex, 400, e.getMessage)
       case e: IllegalArgumentException => sendError(ex, 400, e.getMessage)
       case e: Exception => sendError(ex, 500, String.valueOf(e.getMessage))
-    } finally ex.close()
+    } finally {
+      // operational accounting (reference emetrics APICalls /
+      // APIResponseLatency): counted by ROUTE TEMPLATE so label
+      // cardinality is bounded by the route table, not by tenants/ids.
+      // The scrape route itself is excluded (scraping must not move the
+      // counters it reports).
+      if (path != "/metrics")
+        graft.streaming.Emetrics.apiCall(method, routeTemplate(path),
+          (System.nanoTime() - t0) / 1000000L)
+      ex.close()
+    }
+  }
+
+  /** The route TEMPLATE a concrete path matched — the bounded label the
+    * metrics counters key on. Unmatched paths fold into one bucket. */
+  private def routeTemplate(path: String): String = path match {
+    case "/api/v1/openapi.json" | "/api/v1/publish" | "/api/v1/retry" |
+         "/api/v1/topics" | "/api/v1/destination-types" |
+         "/api/v1/tenants" => path
+    case DestTypeOne(_) => "/api/v1/destination-types/{type}"
+    case TenantToken(_) => "/api/v1/tenants/{tenant}/token"
+    case TenantPortal(_) => "/api/v1/tenants/{tenant}/portal"
+    case TenantOne(_) => "/api/v1/tenants/{tenant}"
+    case EventGet(_, _) => "/api/v1/{tenant}/events/{id}"
+    case EventsList(_) => "/api/v1/{tenant}/events"
+    case MetricsEvents(_) => "/api/v1/{tenant}/metrics/events"
+    case MetricsAttempts(_) => "/api/v1/{tenant}/metrics/attempts"
+    case DestAttemptGet(_, _, _) => "/api/v1/{tenant}/destinations/{id}/attempts/{attempt}"
+    case DestAttempts(_, _) => "/api/v1/{tenant}/destinations/{id}/attempts"
+    case DestEnable(_, _) => "/api/v1/{tenant}/destinations/{id}/enable"
+    case DestDisable(_, _) => "/api/v1/{tenant}/destinations/{id}/disable"
+    case DestOne(_, _) => "/api/v1/{tenant}/destinations/{id}"
+    case DestList(_) => "/api/v1/{tenant}/destinations"
+    case AttemptGet(_, _) => "/api/v1/{tenant}/attempts/{id}"
+    case AttemptsList(_) => "/api/v1/{tenant}/attempts"
+    case _ => "{unmatched}"
+  }
+
+  /** GET /metrics — Prometheus/OpenMetrics text exposition of the
+    * pipeline's operational metrics ([[graft.streaming.Emetrics]]). */
+  private def metricsScrape(spark: SparkSession, cfg: Config,
+                            ex: HttpExchange): Unit = {
+    val body = graft.streaming.Emetrics
+      .render(spark, cfg.attempts, cfg.latencyRollup)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, body.length)
+    ex.getResponseBody.write(body)
   }
 
   // ---------------------------------------------------------- handlers --
@@ -298,6 +352,10 @@ object HttpApi {
     java.nio.file.Files.move(tmp, dir.resolve(s"$id.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
 
+    // reference emetrics EventPublished/EventEligbible: counted at the
+    // moment the publish is durably accepted into the spool
+    graft.streaming.Emetrics.eventPublished(topic.getOrElse("*"),
+      e.get("eligible_for_retry").asBoolean)
     val out = nf.objectNode()
     out.put("id", id)
     out.put("status", "accepted")

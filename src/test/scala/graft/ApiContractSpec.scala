@@ -118,6 +118,7 @@ class ApiContractSpec extends GraftSuite {
         assert(code == r.successStatus,
           s"${r.method} ${r.examplePathQuery}: expected ${r.successStatus}, got $code: $body")
         r.responseKind match {
+          case "text" => () // non-JSON (Prometheus exposition); status pinned above
           case "object" => assertShape(r.template, body, r.responseFields)
           case "array" =>
             assert(body.isArray, s"${r.template}: expected array, got $body")
