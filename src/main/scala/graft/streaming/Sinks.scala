@@ -405,10 +405,19 @@ object Sinks {
           map(lit("content-type"), lit("application/json"))).as("headers"),
         col("destination_id"), col("event_id"), col("tenant_id"),
         col("attempt"), col("manual"), col("event_time"))
-      val writer = records.write.mode("append").options(outputOptions)
       outputFormat match {
-        case "kafka" => writer.format("kafka").save()
-        case _ => writer.format(outputFormat).save(spoolDir)
+        case "kafka" =>
+          // the connector's write contract wants headers as
+          // array<struct<key:string, value:binary>> (the Kafka record
+          // header wire shape); the renderer's map form stays the pinned
+          // spool contract
+          records.withColumn("headers", expr(
+            "transform(map_entries(headers), " +
+              "e -> struct(e.key as key, cast(e.value as binary) as value))"))
+            .write.mode("append").options(outputOptions).format("kafka").save()
+        case _ =>
+          records.write.mode("append").options(outputOptions)
+            .format(outputFormat).save(spoolDir)
       }
       successOutcomes(tasks, destType)
     }
