@@ -51,7 +51,7 @@ object Bench {
     val wanted: Seq[String] =
       if (args.nonEmpty) args.toSeq else headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastFs.install(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -190,7 +190,7 @@ object MetricsBench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_MB_ROWS", "10000000").toLong
     val dir = sys.env.getOrElse("SPARK_GRAFT_MB_DIR", "/tmp/graft_metrics_bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastFs.install(SparkSession.builder())
       .master(s"local[$cpus]")
       .appName("graft-metrics-bench")
       .config("spark.sql.shuffle.partitions", cpus)

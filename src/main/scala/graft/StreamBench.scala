@@ -422,7 +422,7 @@ object StreamBench {
 
   def main(args: Array[String]): Unit = {
     val n = args.lastOption.map(_.toInt).getOrElse(60000)
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastFs.install(SparkSession.builder())
       .master("local[32]")
       .appName("graft-stream-bench")
       // The delivery platform's OWN session (the reference deploys its

@@ -17,7 +17,7 @@ object StreamProbe {
   def main(args: Array[String]): Unit = {
     val secs = args.headOption.map(_.toInt).getOrElse(15)
     val rate = args.lift(1).map(_.toInt).getOrElse(9000)
-    val spark = SparkSession.builder()
+    val spark = graft.core.FastFs.install(SparkSession.builder())
       .master("local[32]")
       .appName("graft-stream-probe")
       // the streaming app's session: stateful-query state partitions
