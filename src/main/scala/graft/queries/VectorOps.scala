@@ -237,6 +237,66 @@ object VectorOps {
       graft.operators.Clustering.semdedupKmeans(
         Tables.embeddings(s, dir), k = 10, iters = 3, threshold = 0.4)),
 
+    // product quantization codes (Jégou et al. 2011): 8 subspaces × 8
+    // dims, each quantized by its own deterministic 32-centroid k-means
+    // (2 iterations). FULLY oracled: DuckDB replays all eight per-subspace
+    // k-means runs and the final argmin encode. The codes table is 8 small
+    // ints per vector — the ~16× memory cut (vs 64 float32 dims after
+    // parquet dictionary encoding) that lets a 100 TB corpus's ANN index
+    // live in cluster RAM.
+    "pq_codes" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val cb = graft.operators.Quantization.pqTrain(vecs, m = PqM, k = PqK, iters = 2)
+      graft.operators.Quantization.pqEncode(vecs, cb).orderBy(col("vec_id"))
+    }),
+
+    // PQ ANN via Asymmetric Distance Computation: driver-side 8×32 LUT of
+    // squared subspace distances from the probe vector, one codes scan
+    // summing 8 literal-array lookups, TakeOrderedAndProject top-20.
+    // FULLY oracled — DuckDB replays codebooks, codes, LUT and the ADC sum.
+    "pq_ann_topk" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val cb = graft.operators.Quantization.pqTrain(vecs, m = PqM, k = PqK, iters = 2)
+      val codes = graft.operators.Quantization.pqEncode(vecs, cb)
+      graft.operators.Quantization.adcTopK(codes, cb, queryVec(s, dir), topK = 20)
+    }),
+
+    // ADC shortlist (200) + exact re-rank top-20 — the standard PQ recall
+    // rescue: the full-vector column is only read for the broadcast-sized
+    // shortlist. FULLY oracled end-to-end.
+    "pq_ann_rerank" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val cb = graft.operators.Quantization.pqTrain(vecs, m = PqM, k = PqK, iters = 2)
+      val codes = graft.operators.Quantization.pqEncode(vecs, cb)
+      graft.operators.Quantization.adcRerankTopK(vecs, codes, cb,
+        queryVec(s, dir), shortlist = PqShortlist, topK = 20)
+    }),
+
+    // PQ recall contract: shortlist-and-re-rank top-20 vs the exact
+    // full-vector L2 top-20. Unlike ann_check's Spark-claimed booleans,
+    // DuckDB REPLAYS both sides and derives the overlap itself. Measured
+    // recall 20/20 at sf0.01 and sf0.001, 15/20 at sf0.1 — bound pinned
+    // at PqMinHits with margin.
+    "pq_ann_check" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir)
+      val cb = graft.operators.Quantization.pqTrain(vecs, m = PqM, k = PqK, iters = 2)
+      val codes = graft.operators.Quantization.pqEncode(vecs, cb)
+      val pq = graft.operators.Quantization.adcRerankTopK(vecs, codes, cb, q,
+          shortlist = PqShortlist, topK = 20)
+        .collect().map(_.getLong(0)).toSet
+      val qd = q.map(_.toDouble)
+      val exact = vecs.select(col("vec_id"),
+          aggregate(zip_with(transform(col("embedding"), _.cast("double")),
+            array(qd.map(lit): _*), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(20)
+        .collect().map(_.getLong(0)).toSet
+      Seq((20, pq.intersect(exact).size >= PqMinHits))
+        .toDF("exact_n", "pq_recall_ok")
+    }),
+
     // multimodal decode: image rows are REAL synthesized PNGs decoded by
     // javax.imageio (width/height read from actual headers; the oracle
     // predicts them from the synthesis contract, so the gate verifies the
@@ -433,7 +493,25 @@ object VectorOps {
        |FROM fin WHERE rank <= 10""".stripMargin
   }
 
+  /** PQ gate operating point: 8 subspaces × 32 centroids, ADC shortlist
+    * 200 before exact re-rank; recall@20 floor pinned with margin below
+    * the measured 20/20 (sf0.001, sf0.01) / 15/20 (sf0.1). */
+  private val PqM = 8
+  private val PqK = 32
+  private val PqShortlist = 200
+  private val PqMinHits = 12
+
   def oracles: Map[String, String] = Map(
+    "pq_codes" -> graft.operators.Quantization
+      .pqCodesOracleSql(m = PqM, k = PqK, iters = 2),
+    "pq_ann_topk" -> graft.operators.Quantization
+      .pqAnnOracleSql(m = PqM, k = PqK, iters = 2, topK = 20, queryId = 0),
+    "pq_ann_rerank" -> graft.operators.Quantization
+      .pqRerankOracleSql(m = PqM, k = PqK, iters = 2, shortlist = PqShortlist,
+        topK = 20, queryId = 0),
+    "pq_ann_check" -> graft.operators.Quantization
+      .pqCheckOracleSql(m = PqM, k = PqK, iters = 2, shortlist = PqShortlist,
+        topK = 20, queryId = 0, minHits = PqMinHits),
     "hybrid_rrf_topk" -> hybridRrfOracle,
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
     "incremental_embedding_dedup" -> incrementalEmbeddingOracle,
