@@ -316,21 +316,46 @@ object CommitLog {
     * deleted paths. */
   def vacuum(table: String, graceMillis: Long = 15L * 60 * 1000): Seq[String] = {
     val liveRel = snapshot(table).files.map(_.path).toSet
-    val data = dataDir(table)
-    if (!Files.isDirectory(data)) return Nil
     val cutoff = System.currentTimeMillis() - graceMillis
     val deleted = Seq.newBuilder[String]
-    Files.list(data).iterator().asScala.filter(Files.isDirectory(_)).foreach { mdir =>
-      Files.list(mdir).iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(".parquet")).foreach { f =>
-          val rel = s"data/${mdir.getFileName}/${f.getFileName}"
-          if (!liveRel.contains(rel) &&
-              Files.getLastModifiedTime(f).toMillis < cutoff) {
-            Files.deleteIfExists(f)
-            deleted += rel
+    def stale(p: Path) = Files.getLastModifiedTime(p).toMillis < cutoff
+    val data = dataDir(table)
+    if (Files.isDirectory(data))
+      Files.list(data).iterator().asScala.filter(Files.isDirectory(_)).foreach { mdir =>
+        Files.list(mdir).iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet")).foreach { f =>
+            val rel = s"data/${mdir.getFileName}/${f.getFileName}"
+            if (!liveRel.contains(rel) && stale(f)) {
+              Files.deleteIfExists(f)
+              deleted += rel
+            }
           }
+      }
+    // CRASH RESIDUE, invisible to every reader but never self-cleaning:
+    // a writer that died between rendering its entry and claiming a
+    // version leaves a .tmp-* file in _log; one that died before
+    // moveStaged leaves a .stage-* dir under the table root. Both are
+    // private to the dead writer (tmp names are UUIDs, staging dirs are
+    // createTempDirectory's), so past the grace window they are garbage
+    // by construction.
+    val log = logDir(table)
+    if (Files.isDirectory(log))
+      Files.list(log).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
+        .foreach { p => Files.deleteIfExists(p); deleted += s"_log/${p.getFileName}" }
+    val root = Paths.get(table)
+    if (Files.isDirectory(root))
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(".stage-") &&
+          Files.isDirectory(p) && stale(p))
+        .foreach { p =>
+          def rm(q: Path): Unit = {
+            if (Files.isDirectory(q)) Files.list(q).iterator().asScala.foreach(rm)
+            Files.deleteIfExists(q); ()
+          }
+          rm(p)
+          deleted += p.getFileName.toString
         }
-    }
     deleted.result()
   }
 
