@@ -151,6 +151,119 @@ object Quantization {
   }
 
   // ------------------------------------------------------------------
+  // Scalar (int8) quantization — the near-lossless compression tier
+  // ------------------------------------------------------------------
+
+  /** Per-dimension linear int8 quantization parameters: (lo, scale) per
+    * dim, from one min/max pass. min/max are order-independent, so the
+    * values are exact on any engine — no fixed-point rounding needed. */
+  def sqTrain(vectors: DataFrame, dim: Int = 64,
+              vecCol: String = "embedding"): (Seq[Double], Seq[Double]) = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val aggs = (0 until dim).flatMap(j => Seq(
+      min(element_at(v, j + 1)).as(s"lo$j"), max(element_at(v, j + 1)).as(s"hi$j")))
+    val r = vectors.agg(aggs.head, aggs.tail: _*).head()
+    val lo = (0 until dim).map(j => r.getDouble(2 * j))
+    val scale = (0 until dim).map(j => (r.getDouble(2 * j + 1) - r.getDouble(2 * j)) / 255.0)
+    (lo, scale)
+  }
+
+  /** Encode each vector to 64 int8-range codes — one shuffle-free
+    * projection: code_j = round((x_j − lo_j)/scale_j) ∈ [0, 255] (4× over
+    * float32, 8× over the double the engine would otherwise compare in).
+    * Constant dims (scale 0) encode as 0. */
+  def sqEncode(vectors: DataFrame, lo: Seq[Double], scale: Seq[Double],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val codes = array(lo.indices.map { j =>
+      if (scale(j) == 0.0) lit(0)
+      else round((element_at(v, j + 1) - lit(lo(j))) / lit(scale(j)), 0).cast("int")
+    }: _*)
+    vectors.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Symmetric quantized top-k: the query quantizes with the same (lo,
+    * scale); distance is Σ_j (code_j − qcode_j)² · w_j with
+    * w_j = round(scale_j²·10¹²) — ALL-INTEGER arithmetic, so the ranking
+    * is bit-exact on any engine and any aggregation order (the property
+    * the PQ path needs ordered-fold tricks for). One codes scan →
+    * TakeOrderedAndProject. */
+  def sqTopK(codes: DataFrame, lo: Seq[Double], scale: Seq[Double],
+             query: Seq[Float], topK: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val qc = lo.indices.map { j =>
+      if (scale(j) == 0.0) 0L
+      else math.round((query(j).toDouble - lo(j)) / scale(j))
+    }
+    val w = scale.map(s => math.round(s * s * 1e12))
+    val d = lo.indices.map { j =>
+      val diff = element_at(col("codes"), j + 1).cast("long") - lit(qc(j))
+      diff * diff * lit(w(j))
+    }.reduceLeft(_ + _)
+    codes.select(col(idCol), d.as("dist_q"))
+      .orderBy(col("dist_q"), col(idCol))
+      .limit(topK)
+  }
+
+  /** DuckDB replication of [[sqTrain]]+[[sqEncode]], exploded to
+    * (idCol, dim, code) rows so every code is value-verified. */
+  def sqCodesOracleSql(table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): String =
+    s"""WITH v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS fv FROM $table),
+       |e AS (SELECT id, generate_subscripts(fv, 1) AS j, unnest(fv) AS x FROM v),
+       |mm AS (SELECT j, min(x) AS lo, max(x) AS hi FROM e GROUP BY j)
+       |SELECT e.id AS $idCol, CAST(e.j - 1 AS INT) AS dim,
+       |  CAST(CASE WHEN mm.hi = mm.lo THEN 0
+       |    ELSE round((e.x - mm.lo) / ((mm.hi - mm.lo) / 255.0)) END AS INT) AS code
+       |FROM e JOIN mm USING (j)
+       |ORDER BY $idCol, dim""".stripMargin
+
+  /** DuckDB replication of the symmetric int8 top-k for `queryId` — the
+    * same all-integer distance, summed unordered (exactness needs no
+    * order). */
+  def sqAnnOracleSql(topK: Int, queryId: Long, table: String = "embeddings",
+                     idCol: String = "vec_id", vecCol: String = "embedding"): String =
+    s"""WITH v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS fv FROM $table),
+       |e AS (SELECT id, generate_subscripts(fv, 1) AS j, unnest(fv) AS x FROM v),
+       |mm AS (SELECT j, min(x) AS lo, max(x) AS hi FROM e GROUP BY j),
+       |w AS (SELECT j, lo, (hi - lo) / 255.0 AS sc,
+       |  CAST(round(((hi - lo) / 255.0) * ((hi - lo) / 255.0) * 1e12) AS BIGINT) AS wj
+       |  FROM mm),
+       |codes AS (SELECT id, e.j, CASE WHEN w.sc = 0 THEN 0
+       |    ELSE CAST(round((e.x - w.lo) / w.sc) AS BIGINT) END AS c
+       |  FROM e JOIN w USING (j)),
+       |q AS (SELECT j, c AS qc FROM codes WHERE id = $queryId),
+       |d AS (SELECT codes.id, sum((c - qc) * (c - qc) * wj) AS dist_q
+       |  FROM codes JOIN q USING (j) JOIN w USING (j) GROUP BY codes.id)
+       |SELECT id AS $idCol, CAST(dist_q AS BIGINT) AS dist_q
+       |FROM d ORDER BY dist_q, id LIMIT $topK""".stripMargin
+
+  /** DuckDB verification of the SQ recall contract (same structure as
+    * [[pqCheckOracleSql]]: both sides replayed inside the oracle). */
+  def sqCheckOracleSql(topK: Int, queryId: Long, minHits: Int,
+                       table: String = "embeddings", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): String =
+    s"""WITH v AS (SELECT $idCol AS id, CAST($vecCol AS DOUBLE[]) AS fv FROM $table),
+       |e AS (SELECT id, generate_subscripts(fv, 1) AS j, unnest(fv) AS x FROM v),
+       |mm AS (SELECT j, min(x) AS lo, max(x) AS hi FROM e GROUP BY j),
+       |w AS (SELECT j, lo, (hi - lo) / 255.0 AS sc,
+       |  CAST(round(((hi - lo) / 255.0) * ((hi - lo) / 255.0) * 1e12) AS BIGINT) AS wj
+       |  FROM mm),
+       |codes AS (SELECT id, e.j, CASE WHEN w.sc = 0 THEN 0
+       |    ELSE CAST(round((e.x - w.lo) / w.sc) AS BIGINT) END AS c
+       |  FROM e JOIN w USING (j)),
+       |q AS (SELECT j, c AS qc FROM codes WHERE id = $queryId),
+       |sqtop AS (SELECT codes.id FROM codes JOIN q USING (j) JOIN w USING (j)
+       |  GROUP BY codes.id
+       |  ORDER BY sum((c - qc) * (c - qc) * wj), codes.id LIMIT $topK),
+       |exact AS (SELECT id FROM (
+       |  SELECT b.id, list_distance(b.fv, (SELECT fv FROM v WHERE id = $queryId)) AS ed
+       |  FROM v b) ORDER BY ed, id LIMIT $topK)
+       |SELECT $topK AS exact_n,
+       |  (SELECT count(*) FROM sqtop JOIN exact USING (id)) >= $minHits AS sq_recall_ok
+       |""".stripMargin
+
+  // ------------------------------------------------------------------
   // DuckDB replication (gate oracles)
   // ------------------------------------------------------------------
 

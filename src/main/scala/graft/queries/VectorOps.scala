@@ -297,6 +297,50 @@ object VectorOps {
         .toDF("exact_n", "pq_recall_ok")
     }),
 
+    // scalar int8 quantization codes, exploded to (vec_id, dim, code) so
+    // EVERY code is value-verified: per-dim (min, max) from one pass
+    // (order-independent, so exact on any engine), code = round((x−lo)/
+    // scale). 4× smaller than float32; recall@20 measured 20/20 at every
+    // SF — the near-lossless compression tier next to PQ's 16×.
+    "sq_codes" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val (lo, sc) = graft.operators.Quantization.sqTrain(vecs)
+      graft.operators.Quantization.sqEncode(vecs, lo, sc)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("dim", "code")))
+        .orderBy("vec_id", "dim")
+    }),
+
+    // symmetric int8 top-k: distance is Σ (code−qcode)²·round(scale²·1e12)
+    // — ALL-INTEGER, so the ranking is bit-exact on any engine and any
+    // aggregation order. One codes scan → TakeOrderedAndProject.
+    "sq_ann_topk" -> ((s, dir) => {
+      val vecs = Tables.embeddings(s, dir)
+      val (lo, sc) = graft.operators.Quantization.sqTrain(vecs)
+      val codes = graft.operators.Quantization.sqEncode(vecs, lo, sc)
+      graft.operators.Quantization.sqTopK(codes, lo, sc, queryVec(s, dir), topK = 20)
+    }),
+
+    // SQ recall contract vs the exact L2 top-20, both sides replayed
+    // inside the DuckDB oracle (the pq_ann_check structure).
+    "sq_ann_check" -> ((s, dir) => {
+      import s.implicits._
+      val vecs = Tables.embeddings(s, dir)
+      val q = queryVec(s, dir)
+      val (lo, sc) = graft.operators.Quantization.sqTrain(vecs)
+      val codes = graft.operators.Quantization.sqEncode(vecs, lo, sc)
+      val sq = graft.operators.Quantization.sqTopK(codes, lo, sc, q, topK = 20)
+        .collect().map(_.getLong(0)).toSet
+      val qd = q.map(_.toDouble)
+      val exact = vecs.select(col("vec_id"),
+          aggregate(zip_with(transform(col("embedding"), _.cast("double")),
+            array(qd.map(lit): _*), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+        .orderBy(col("d2"), col("vec_id")).limit(20)
+        .collect().map(_.getLong(0)).toSet
+      Seq((20, sq.intersect(exact).size >= SqMinHits))
+        .toDF("exact_n", "sq_recall_ok")
+    }),
+
     // multimodal decode: image rows are REAL synthesized PNGs decoded by
     // javax.imageio (width/height read from actual headers; the oracle
     // predicts them from the synthesis contract, so the gate verifies the
@@ -501,6 +545,9 @@ object VectorOps {
   private val PqShortlist = 200
   private val PqMinHits = 12
 
+  /** SQ recall@20 floor — measured 20/20 at sf0.001/0.01/0.1. */
+  private val SqMinHits = 18
+
   def oracles: Map[String, String] = Map(
     "pq_codes" -> graft.operators.Quantization
       .pqCodesOracleSql(m = PqM, k = PqK, iters = 2),
@@ -512,6 +559,11 @@ object VectorOps {
     "pq_ann_check" -> graft.operators.Quantization
       .pqCheckOracleSql(m = PqM, k = PqK, iters = 2, shortlist = PqShortlist,
         topK = 20, queryId = 0, minHits = PqMinHits),
+    "sq_codes" -> graft.operators.Quantization.sqCodesOracleSql(),
+    "sq_ann_topk" -> graft.operators.Quantization
+      .sqAnnOracleSql(topK = 20, queryId = 0),
+    "sq_ann_check" -> graft.operators.Quantization
+      .sqCheckOracleSql(topK = 20, queryId = 0, minHits = SqMinHits),
     "hybrid_rrf_topk" -> hybridRrfOracle,
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
     "incremental_embedding_dedup" -> incrementalEmbeddingOracle,

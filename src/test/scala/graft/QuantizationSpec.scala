@@ -64,6 +64,23 @@ class QuantizationSpec extends GraftSuite {
     assert(got.toSeq == exact.toSeq)
   }
 
+  test("sq: codes in [0,255], encode shuffle-free, symmetric top-k all-integer") {
+    val (lo, sc) = Quantization.sqTrain(vecs)
+    assert(lo.size == 64 && sc.size == 64)
+    val codes = Quantization.sqEncode(vecs, lo, sc)
+    assert(!codes.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = codes.collect()
+    rows.foreach(_.getSeq[Int](1).foreach(c => assert(c >= 0 && c <= 255)))
+
+    val top = Quantization.sqTopK(codes, lo, sc, query, topK = 20)
+    assert(top.schema("dist_q").dataType.typeName == "long")
+    val phys = top.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), phys)
+    // self-row quantizes to its own codes → distance exactly 0, rank 1
+    val first = top.head()
+    assert(first.getLong(0) == 0L && first.getLong(1) == 0L, first)
+  }
+
   test("adc distance estimate is within the quantization error of the exact distance") {
     val codes = Quantization.pqEncode(vecs, cb)
     // the ADC value for the query's own row: distance from the query to
