@@ -18,14 +18,14 @@ object SparkEntry {
     MetricsQueries.defs("metrics_count_hourly")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Relational4.defs ++
       EventOps.defs ++ EventOps2.defs ++ MetricsQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
       StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++
+    Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
       EventOps.oracles ++ EventOps2.oracles ++ MetricsQueries.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++

@@ -91,6 +91,26 @@ object EventOps2 {
         .orderBy(col("event_type"))
     }),
 
+    // TIME TRAVEL (Delta VERSION AS OF analog): three monthly batches,
+    // then a compaction that REWRITES month 1's files at v4 — reading AS
+    // OF v2 must still see exactly batches 0+1 through the pre-compaction
+    // file set (log entries are immutable; only vacuum retires history).
+    "logstore_time_travel" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_tt").toString
+      val docs = Tables.documents(s, dir)
+        .withColumn("b", expr("CAST(doc_id % 3 AS INT)"))
+        .withColumn("ts", expr("make_timestamp(2024, b + 1, 15, 0, 0, 0)"))
+        .select("doc_id", "b", "ts", "source", "n_chars")
+      (0 until 3).foreach { b =>
+        CommitLog.append(docs.filter(col("b") === b), table,
+          idCol = "doc_id", tsCol = "ts")
+      }
+      CommitLog.compactMonth(s, table, "2024-01", idCol = "doc_id", tsCol = "ts")
+      CommitLog.scanAt(s, table, 2L)
+        .select(col("doc_id"), col("b"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the commit-log CHANGE FEED (Delta CDF analog): four monthly batches
     // appended (v1,v2,v3,v5), a compaction between them (v4 — physical
     // reorganization, must contribute NOTHING), and a retention drop of
@@ -330,6 +350,9 @@ object EventOps2 {
     "logstore_commitlog" ->
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "logstore_time_travel" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
+        |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
     "logstore_changefeed" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(substr(source, 4) AS INT) % 4 AS b FROM documents)

@@ -282,4 +282,41 @@ class PlanSpec extends GraftSuite {
     assert(aggPhys.contains("partial_graft_mg_agg"),
       s"MG aggregate lost its partial (map-side) stage:\n$aggPhys")
   }
+
+  test("q19: disjunct-derived bounds push to BOTH scans, residual OR rides a broadcast join") {
+    val df = graft.queries.Relational4.defs("q19_discounted_revenue")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // Catalyst must extract per-side conjuncts from the OR-of-ANDs: the
+    // quantity envelope reaches the lineitem scan, the brand/size envelope
+    // reaches the part scan — neither side scans rows the disjunction can
+    // never accept.
+    assert(phys.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"lineitem scan lost the derived quantity bound:\n$phys")
+    // (PushedFilters strings are elided in toString, so match the stable
+    // prefix of the brand disjunction rather than a full literal.)
+    assert(phys.contains("EqualTo(p_brand"),
+      s"part scan lost the derived brand/size disjunction:\n$phys")
+    assert(phys.contains("BroadcastHashJoin") && !phys.contains("SortMergeJoin"),
+      s"q19 must broadcast the filtered part side:\n$phys")
+  }
+
+  test("q21: EXISTS/NOT-EXISTS pair decorrelates to LeftSemi + LeftAnti, no cartesian") {
+    val df = graft.queries.Relational4.defs("q21_waiting_suppliers")(spark, sf)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType.toString
+    }
+    assert(joins.contains("LeftSemi") && joins.contains("LeftAnti"),
+      s"correlated subqueries did not lower to semi/anti joins: $joins")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"), s"q21 planned a cartesian:\n$phys")
+  }
+
+  test("q18: group-HAVING aggregates map-side before its exchange; limit is TakeOrdered") {
+    val df = graft.queries.Relational4.defs("q18_large_orders")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("partial_sum"),
+      s"per-order quantity sum lost its partial (map-side) stage:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"ORDER BY+LIMIT must plan as top-k, not a global sort:\n$phys")
+  }
 }
