@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{CommitLog, IncrementalAgg, Logstore, TemporalJoins}
+import graft.operators.{CommitLog, IncrementalAgg, JoinView, Logstore, TemporalJoins}
 import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,6 +109,49 @@ object EventOps2 {
       CommitLog.scanAt(s, table, 2L)
         .select(col("doc_id"), col("b"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL JOIN-VIEW MAINTENANCE: orders⋈customer kept in sync over
+    // four refreshes as batches land on BOTH sides — one refresh applies
+    // both sides' deltas at once (the ΔL⋈ΔR cross term), and a retention
+    // delete on orders exercises the signed-delete path. The view must
+    // equal a from-scratch join of the final tables.
+    "incremental_join_view" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_jv").toString
+      val (lt, rt, vt) = (s"$base/orders", s"$base/customer", s"$base/view")
+      val spec = JoinView.Spec(
+        leftKey = "o_custkey", rightKey = "c_custkey",
+        viewCols = Seq("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice", "c_name", "c_nationkey"),
+        tsCol = "o_orderdate")
+      // orders ships TIMESTAMP_NTZ; the log's stats pass needs TIMESTAMP
+      // (session TZ is pinned UTC, so the cast is value-stable)
+      val orders = Tables.orders(s, dir)
+        .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      val cust = Tables.customer(s, dir)
+        .withColumn("c_ts", lit("2024-01-15").cast("timestamp"))
+      def sync(): Unit = { JoinView.refresh(s, lt, rt, vt, spec); () }
+      CommitLog.append(orders.filter(col("o_orderkey") % 3 === 0), lt,
+        idCol = "o_orderkey", tsCol = "o_orderdate")
+      sync() // right still empty: cursor-only commit
+      CommitLog.append(cust.filter(col("c_custkey") % 2 === 0), rt,
+        idCol = "c_custkey", tsCol = "c_ts")
+      sync() // ΔR against the left snapshot
+      CommitLog.append(orders.filter(col("o_orderkey") % 3 === 1), lt,
+        idCol = "o_orderkey", tsCol = "o_orderdate")
+      CommitLog.append(cust.filter(col("c_custkey") % 2 === 1), rt,
+        idCol = "c_custkey", tsCol = "c_ts")
+      sync() // both deltas in one refresh (cross term folded into ΔL⋈R_new)
+      CommitLog.append(orders.filter(col("o_orderkey") % 3 === 2), lt,
+        idCol = "o_orderkey", tsCol = "o_orderdate")
+      CommitLog.deleteWhere(s, lt, col("o_totalprice") < 50000.0,
+        idCol = "o_orderkey", tsCol = "o_orderdate")
+      sync() // append + row-level delete in one range
+      JoinView.readView(s, vt)
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_millis(col("o_orderdate")).as("o_date_ms"),
+          col("o_totalprice"), col("c_name"), col("c_nationkey"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // the commit-log CHANGE FEED (Delta CDF analog): four monthly batches
@@ -353,6 +396,12 @@ object EventOps2 {
     "logstore_time_travel" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
         |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
+    "incremental_join_view" ->
+      """SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_date_ms,
+        |  o_totalprice, c_name, c_nationkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE NOT (o_totalprice < 50000.0)
+        |ORDER BY o_orderkey""".stripMargin,
     "logstore_changefeed" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(substr(source, 4) AS INT) % 4 AS b FROM documents)

@@ -311,6 +311,32 @@ class PlanSpec extends GraftSuite {
     assert(!phys.contains("CartesianProduct"), s"q21 planned a cartesian:\n$phys")
   }
 
+  test("join-view delta: batch deltas broadcast, full sides stream unshuffled") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_plan_jv").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d 00:00:00")
+    val l1 = (1 to 30).map(i => (i.toLong, (i % 5).toLong, ts(1))).toDF("l_id", "k", "ts")
+    val r1 = (0 to 4).map(i => (i.toLong, s"name$i", ts(1))).toDF("k", "name", "r_ts")
+    graft.operators.CommitLog.append(l1, s"$base/l", idCol = "l_id", tsCol = "ts")
+    graft.operators.CommitLog.append(r1, s"$base/r", idCol = "k", tsCol = "r_ts")
+    val l2 = (31 to 40).map(i => (i.toLong, (i % 5).toLong, ts(2))).toDF("l_id", "k", "ts")
+    graft.operators.CommitLog.append(l2, s"$base/l", idCol = "l_id", tsCol = "ts")
+    val spec = graft.operators.JoinView.Spec("k", "k",
+      Seq("l_id", "k", "ts", "name"), "ts")
+    // second refresh range: ΔL (the new batch) against R at head — the
+    // delta must BROADCAST and the full side must reach the join as a bare
+    // scan; a hash-partitioned exchange of either fact side here is the
+    // 100 TB regression this pin guards against
+    val delta = graft.operators.JoinView.deltaFrame(
+      spark, s"$base/l", s"$base/r", spec, 1L, 2L, 1L, 1L).get
+    val phys = delta.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"join-view delta lost its broadcast join:\n$phys")
+    assert(!phys.contains("SortMergeJoin") && !phys.contains("hashpartitioning"),
+      s"join-view delta shuffled a fact side:\n$phys")
+  }
+
   test("q18: group-HAVING aggregates map-side before its exchange; limit is TakeOrdered") {
     val df = graft.queries.Relational4.defs("q18_large_orders")(spark, sf)
     val phys = df.queryExecution.executedPlan.toString
