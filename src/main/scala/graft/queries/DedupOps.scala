@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, EntityResolution}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ENTITY RESOLUTION candidate stage: blocked Levenshtein pairs over
+    // the distinct part-name dictionary (block = last token). Exact edit
+    // distance, so DuckDB replays it verbatim.
+    "entity_match_pairs" -> ((s, dir) =>
+      EntityResolution.matchPairs(Tables.part(s, dir), "p_name",
+          n => element_at(split(n, " "), -1), maxDist = 3)
+        .orderBy(col("name_a"), col("name_b"))),
+
+    // Full resolution: records labeled with the component-min entity, then
+    // rolled up — distinct-name count and record count per entity.
+    "entity_resolution" -> ((s, dir) =>
+      EntityResolution.resolve(Tables.part(s, dir), "p_name",
+          n => element_at(split(n, " "), -1), maxDist = 3)
+        .groupBy(col("entity"))
+        .agg(countDistinct(col("p_name")).as("n_names"),
+          count(lit(1)).as("n_parts"))
+        .orderBy(col("entity"))),
+
     // exact dedup: corpus-level duplication stats + survivor count.
     "dedup_exact_stats" -> ((s, dir) => {
       Tables.documents(s, dir).agg(
@@ -299,6 +317,32 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "entity_match_pairs" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+    "entity_resolution" ->
+      """WITH RECURSIVE n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n),
+        |p AS (
+        |  SELECT a.p_name AS na, b2.p_name AS nb
+        |  FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |  WHERE levenshtein(a.p_name, b2.p_name) <= 3),
+        |edges AS (SELECT na AS a, nb AS b FROM p UNION SELECT nb, na FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |lab AS (SELECT a AS name, least(a, min(b)) AS entity
+        |        FROM reach GROUP BY a)
+        |SELECT coalesce(l.entity, t.p_name) AS entity,
+        |  count(DISTINCT t.p_name) AS n_names, count(*) AS n_parts
+        |FROM part t LEFT JOIN lab l ON t.p_name = l.name
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_stats" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT md5(text)) AS n_distinct_text,

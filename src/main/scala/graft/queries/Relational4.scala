@@ -212,6 +212,25 @@ object Relational4 {
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
     }),
 
+    // GROUPING SETS (the irregular cousin of the oracled CUBE/ROLLUP
+    // gates): an explicit, non-hierarchical set list — per-flag×status,
+    // per-status alone, grand total, but NOT per-flag — with grouping()
+    // markers disambiguating subtotal NULLs from (hypothetical) data NULLs.
+    "grouping_sets_lineitem" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS qty_cents,
+          |  count(*) AS n
+          |FROM v_gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |                        (l_linestatus), ())
+          |ORDER BY g_rf, g_ls,
+          |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // q22 shape: scalar-average subquery threshold + anti join against
     // recent orders. The average is sum(cents)/100/count — exact integers
     // divided in a fixed order, so the threshold is bit-identical in both
@@ -345,6 +364,17 @@ object Relational4 {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "grouping_sets_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())
+        |ORDER BY g_rf, g_ls,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q22_idle_customers" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |  sum(CAST(round(c_acctbal*100.0) AS BIGINT))/100.0 AS totacctbal
