@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SLOWLY-CHANGING DIMENSION (type 2) maintenance over the commit log:
+  * a dimension-history table where every attribute change opens a new
+  * version row (`valid_from`, `valid_to`, `is_current`) and closes the
+  * prior one — the warehouse-standard way to keep a join-able history of
+  * a mutable dimension (the reference's destination registry is exactly
+  * such a dimension; its store keeps only the latest row, this keeps them
+  * all and makes any as-of enrichment a range predicate).
+  *
+  * Batch application is ONE [[CommitLog.upsertBatch]] commit:
+  *   - change detection compares an md5 attr-hash (stored on every row,
+  *     so later batches never recompute history hashes) — unchanged keys
+  *     write NOTHING;
+  *   - changed/new keys contribute an opened version (`valid_to` null,
+  *     current) and, for changed keys, the prior version re-written
+  *     closed (`valid_to` = batch ts, not current) — same surrogate id
+  *     `key@valid_from`, so the upsert replaces it in place.
+  *
+  * 100 TB shape: the current-version probe is a broadcast semi join of
+  * the batch's keys onto the history scan (history streams, batch
+  * broadcasts), and upsertBatch rewrites only files holding touched rows.
+  * Unchanged keys and closed history months are never rewritten. Batches
+  * are token-idempotent like every other log consumer.
+  *
+  * Contract: one observation per key per batch (callers pre-dedupe to
+  * the latest); batch timestamps advance monotonically per key.
+  */
+object Scd2 {
+
+  private def surrogate(keyCol: String) =
+    concat_ws("@", col(keyCol), unix_micros(col("valid_from")))
+
+  /** The full version history (all columns, including bookkeeping). */
+  def readHistory(spark: SparkSession, table: String): DataFrame =
+    CommitLog.scan(spark, table)
+
+  /** Apply one batch of `(key, ts, attrs…)` observations. Returns the
+    * committed version of the history table. */
+  def applyBatch(spark: SparkSession, batch: DataFrame, table: String,
+                 keyCol: String, tsCol: String,
+                 token: Option[String] = None): Long = {
+    val attrCols = batch.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val b = batch
+      .withColumn("_h", md5(to_json(struct(attrCols.map(col): _*))))
+      .select(Seq(col(keyCol), col(tsCol).as("_ts"), col("_h")) ++
+        attrCols.map(col): _*)
+
+    val empty = CommitLog.snapshot(table).files.isEmpty
+    // current versions of only the touched keys: batch keys broadcast,
+    // history streams through the semi join
+    val current =
+      if (empty) None
+      else Some(CommitLog.scan(spark, table)
+        .filter(col("is_current"))
+        .join(broadcast(b.select(col(keyCol))), Seq(keyCol), "left_semi"))
+
+    val opened0 = b
+      .withColumn("valid_from", col("_ts"))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+      .drop("_ts")
+    val (opened, closed) = current match {
+      case None => (opened0, None)
+      case Some(cur) =>
+        val curKeyed = cur.select(col(keyCol), col("_h").as("_cur_h"),
+          col("valid_from").as("_cur_from"))
+        val joined = opened0.join(broadcast(curKeyed), Seq(keyCol), "left")
+        // unchanged keys drop out entirely — no version, no rewrite
+        val op = joined
+          .filter(col("_cur_h").isNull || col("_cur_h") =!= col("_h"))
+          .drop("_cur_h", "_cur_from")
+        // prior versions of changed keys, re-written closed at the batch ts
+        val cl = cur.join(
+            broadcast(op.select(col(keyCol), col("valid_from").as("_new_from"))),
+            Seq(keyCol))
+          .withColumn("valid_to", col("_new_from"))
+          .withColumn("is_current", lit(false))
+          .drop("_new_from")
+        (op, Some(cl))
+    }
+    val upsert = closed.fold(opened)(cl => opened.unionByName(
+        cl.select(opened.columns.map(col): _*)))
+      .withColumn("_vid", surrogate(keyCol))
+    CommitLog.upsertBatch(upsert, table,
+      idCol = "_vid", tsCol = "valid_from", token = token)
+  }
+}

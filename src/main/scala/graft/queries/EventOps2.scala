@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.core.Tables
-import graft.operators.{CommitLog, IncrementalAgg, JoinView, Logstore, TemporalJoins}
+import graft.operators.{CommitLog, IncrementalAgg, JoinView, Logstore, Scd2, TemporalJoins}
 import graft.plans.JsonMatchExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -109,6 +109,30 @@ object EventOps2 {
       CommitLog.scanAt(s, table, 2L)
         .select(col("doc_id"), col("b"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // SCD2 DIMENSION HISTORY: three observation batches with staggered key
+    // arrival (k%3 <= b) and a cycling attribute ((k+b)%4 / 2 — half the
+    // steps are no-ops) maintained through change-detected version rows.
+    // DuckDB replays it as a lag-dedupe + lead-close window pass over the
+    // same synthetic event stream.
+    "scd2_history" -> ((s, dir) => {
+      val table =
+        java.nio.file.Files.createTempDirectory("graft_scd2").toString + "/dim"
+      val cust = Tables.customer(s, dir)
+      def batch(b: Int) = cust.filter(col("c_custkey") % 3 <= b)
+        .select(col("c_custkey").as("k"),
+          expr(s"make_timestamp(2024, ${b + 1}, 15, 0, 0, 0)").as("ts"),
+          expr(s"CAST(floor(((c_custkey + $b) % 4) / 2.0) AS BIGINT)").as("attr"))
+      (0 to 2).foreach(b =>
+        Scd2.applyBatch(s, batch(b), table, keyCol = "k", tsCol = "ts",
+          token = Some(s"scd2-$b")))
+      Scd2.readHistory(s, table)
+        .select(col("k"), col("attr"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("is_current").cast("int").as("is_current"))
+        .orderBy(col("k"), col("valid_from_ms"))
     }),
 
     // INCREMENTAL JOIN-VIEW MAINTENANCE: orders⋈customer kept in sync over
@@ -396,6 +420,21 @@ object EventOps2 {
     "logstore_time_travel" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
         |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
+    "scd2_history" ->
+      """WITH ev AS (
+        |  SELECT c_custkey AS k, b, make_timestamp(2024, b + 1, 15, 0, 0, 0) AS ts,
+        |    CAST(floor(((c_custkey + b) % 4) / 2.0) AS BIGINT) AS attr
+        |  FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS b)
+        |  WHERE c_custkey % 3 <= b),
+        |d AS (
+        |  SELECT k, ts, attr, lag(attr) OVER (PARTITION BY k ORDER BY ts) AS prev
+        |  FROM ev),
+        |ch AS (SELECT k, ts, attr FROM d WHERE prev IS NULL OR prev <> attr)
+        |SELECT k, attr, epoch_ms(ts) AS valid_from_ms,
+        |  epoch_ms(lead(ts) OVER (PARTITION BY k ORDER BY ts)) AS valid_to_ms,
+        |  CAST(CASE WHEN lead(ts) OVER (PARTITION BY k ORDER BY ts) IS NULL
+        |       THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM ch ORDER BY k, valid_from_ms""".stripMargin,
     "incremental_join_view" ->
       """SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS o_date_ms,
         |  o_totalprice, c_name, c_nationkey
