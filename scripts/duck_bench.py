@@ -17,7 +17,10 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
             "salted_agg_by_type", "dedup_clusters", "q17_small_quantity",
             "moving_avg_revenue", "dedup_span_removal", "bm25_topk",
             "weighted_sample_topn", "pack_sequences", "incremental_minhash_dedup",
-            "hybrid_rrf_topk", "mixture_sample_budget", "sketch_distinct_rollup"]
+            "hybrid_rrf_topk", "mixture_sample_budget", "sketch_distinct_rollup",
+            "q21_waiting_suppliers", "q8_market_share",
+            "q13_customer_distribution", "q19_discounted_revenue",
+            "entity_resolution"]
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",

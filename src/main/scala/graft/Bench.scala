@@ -43,7 +43,14 @@ object Bench {
     "hybrid_rrf_topk", "mixture_sample_budget",
     // HLL sketch-rollup family: 3 incremental state commits + a replay +
     // the estimate readout — the distinct-count maintenance cycle
-    "sketch_distinct_rollup")
+    "sketch_distinct_rollup",
+    // round-8 wave: correlated-subquery decorrelation, multi-join ratio,
+    // outer-join histogram, disjunctive pushdown, blocked entity
+    // resolution. (incremental_join_view / scd2_history stay gate-only:
+    // like the embedding ledger, their cost is sequential commit cycles —
+    // fixed maintenance overhead, not query work.)
+    "q21_waiting_suppliers", "q8_market_share", "q13_customer_distribution",
+    "q19_discounted_revenue", "entity_resolution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
