@@ -85,7 +85,10 @@ object Scd2 {
     val upsert = closed.fold(opened)(cl => opened.unionByName(
         cl.select(opened.columns.map(col): _*)))
       .withColumn("_vid", surrogate(keyCol))
-    CommitLog.upsertBatch(upsert, table,
+    // an all-unchanged batch writes NOTHING — not even a version bump
+    // (the emptiness probe is one action over a batch-sized frame)
+    if (upsert.isEmpty) CommitLog.snapshot(table).version
+    else CommitLog.upsertBatch(upsert, table,
       idCol = "_vid", tsCol = "valid_from", token = token)
   }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{CommitLog, JoinView, Scd2}
+import org.apache.spark.sql.functions._
+
+/** Maintenance-operator contracts the gates can't see: replay idempotency,
+  * cursor behavior on no-op ranges, all-unchanged SCD2 batches, and
+  * view-equals-recompute at every step (not just the final one). */
+class JoinViewScd2Spec extends GraftSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 00:00:00")
+
+  test("join view equals a from-scratch join after EVERY refresh, and replays no-op") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = tmp("graft_jv_spec")
+    val (lt, rt, vt) = (s"$base/l", s"$base/r", s"$base/v")
+    val spec = JoinView.Spec("k", "k", Seq("l_id", "k", "ts", "name"), "ts")
+
+    def recompute(): Set[(Long, Long, String)] =
+      CommitLog.scan(spark, lt).join(CommitLog.scan(spark, rt)
+          .select(col("k"), col("name")), Seq("k"))
+        .select(col("l_id"), col("k"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    def view(): Set[(Long, Long, String)] =
+      JoinView.readView(spark, vt)
+        .select(col("l_id"), col("k"), col("name"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+    CommitLog.append((1 to 20).map(i => (i.toLong, (i % 4).toLong, ts(1)))
+      .toDF("l_id", "k", "ts"), lt, idCol = "l_id", tsCol = "ts")
+    CommitLog.append((0 to 3).map(i => (i.toLong, s"n$i", ts(1)))
+      .toDF("k", "name", "r_ts"), rt, idCol = "k", tsCol = "r_ts")
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    assert(view() == recompute())
+
+    // right-side delta alone
+    CommitLog.append(Seq((4L, "n4", ts(2))).toDF("k", "name", "r_ts"),
+      rt, idCol = "k", tsCol = "r_ts")
+    // left rows arriving for the new right key, same refresh range
+    CommitLog.append((21 to 25).map(i => (i.toLong, (i % 5).toLong, ts(2)))
+      .toDF("l_id", "k", "ts"), lt, idCol = "l_id", tsCol = "ts")
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    assert(view() == recompute())
+
+    // row-level delete on the left propagates as signed removals
+    CommitLog.deleteWhere(spark, lt, col("l_id") <= 5, idCol = "l_id", tsCol = "ts")
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    assert(view() == recompute())
+    assert(!view().exists(_._1 <= 5))
+
+    // replay with unchanged heads: version must not move
+    val v0 = CommitLog.snapshot(vt).version
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    assert(CommitLog.snapshot(vt).version == v0, "no-op refresh committed")
+
+    // compaction-only range: cursor advances via a data-less commit, view
+    // content untouched
+    val before = view()
+    CommitLog.compactMonth(spark, lt, "2024-03", idCol = "l_id", tsCol = "ts")
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    assert(view() == before)
+    assert(JoinView.synced(vt)._1 == CommitLog.snapshot(lt).version,
+      "cursor did not advance over a compaction")
+  }
+
+  test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = tmp("graft_scd2_spec") + "/dim"
+    def obs(t: Int, attrs: Map[Long, String]) =
+      attrs.toSeq.map { case (k, a) => (k, ts(t), a) }.toDF("k", "ts", "attr")
+
+    Scd2.applyBatch(spark, obs(1, Map(1L -> "a", 2L -> "b")), table, "k", "ts",
+      token = Some("b1"))
+    val v1 = CommitLog.snapshot(table).version
+
+    // token replay: same batch again must not change the table
+    Scd2.applyBatch(spark, obs(1, Map(1L -> "a", 2L -> "b")), table, "k", "ts",
+      token = Some("b1"))
+    assert(CommitLog.snapshot(table).version == v1, "token replay re-applied")
+
+    // all attrs unchanged at a NEW ts: no version rows, no commit at all
+    Scd2.applyBatch(spark, obs(2, Map(1L -> "a", 2L -> "b")), table, "k", "ts",
+      token = Some("b2"))
+    assert(CommitLog.snapshot(table).version == v1, "unchanged batch committed")
+    assert(Scd2.readHistory(spark, table).count() == 2)
+
+    // one change + one no-change: exactly one closed + one opened row
+    Scd2.applyBatch(spark, obs(3, Map(1L -> "a", 2L -> "c")), table, "k", "ts",
+      token = Some("b3"))
+    val h = Scd2.readHistory(spark, table)
+      .select(col("k"), col("attr"), col("is_current"),
+        unix_millis(col("valid_to")).as("to_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(h.count(_._1 == 1L) == 1, s"unchanged key grew history: $h")
+    assert(h.count(_._1 == 2L) == 2, s"changed key missing a version: $h")
+    val closed = h.find(t => t._1 == 2L && !t._3).get
+    assert(closed._2 == "b" && closed._4 == ts(3).getTime,
+      s"prior version not closed at the change ts: $closed")
+    assert(h.exists(t => t._1 == 2L && t._3 && t._2 == "c"))
+  }
+}
