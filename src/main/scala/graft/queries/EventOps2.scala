@@ -135,6 +135,35 @@ object EventOps2 {
         .orderBy(col("k"), col("valid_from_ms"))
     }),
 
+    // SCD2 AS-OF ENRICHMENT — the consumption pattern the history exists
+    // for: each (key, probe-time) fact picks the version row whose
+    // [valid_from, valid_to) interval covers it. Probes at month
+    // boundaries ±15d land between batch timestamps, so every probe
+    // resolves to a definite version (or none, for keys not yet arrived).
+    "scd2_asof_enrich" -> ((s, dir) => {
+      val table =
+        java.nio.file.Files.createTempDirectory("graft_scd2e").toString + "/dim"
+      val cust = Tables.customer(s, dir)
+      def batch(b: Int) = cust.filter(col("c_custkey") % 3 <= b)
+        .select(col("c_custkey").as("k"),
+          expr(s"make_timestamp(2024, ${b + 1}, 15, 0, 0, 0)").as("ts"),
+          expr(s"CAST(floor(((c_custkey + $b) % 4) / 2.0) AS BIGINT)").as("attr"))
+      (0 to 2).foreach(b =>
+        Scd2.applyBatch(s, batch(b), table, keyCol = "k", tsCol = "ts",
+          token = Some(s"scd2e-$b")))
+      val probes = cust.select(col("c_custkey").as("k"),
+        expr("make_timestamp(2024, CAST(c_custkey % 3 AS INT) + 2, 1, 0, 0, 0)")
+          .as("probe_ts"))
+      val h = Scd2.readHistory(s, table)
+        .select(col("k"), col("attr"), col("valid_from"), col("valid_to"))
+      probes.join(h, Seq("k"))
+        .filter(col("probe_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("probe_ts") < col("valid_to")))
+        .select(col("k"), unix_millis(col("probe_ts")).as("probe_ms"),
+          col("attr"))
+        .orderBy(col("k"))
+    }),
+
     // INCREMENTAL JOIN-VIEW MAINTENANCE: orders⋈customer kept in sync over
     // four refreshes as batches land on BOTH sides — one refresh applies
     // both sides' deltas at once (the ΔL⋈ΔR cross term), and a retention
@@ -420,6 +449,29 @@ object EventOps2 {
     "logstore_time_travel" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
         |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
+    "scd2_asof_enrich" ->
+      """WITH ev AS (
+        |  SELECT c_custkey AS k, b, make_timestamp(2024, b + 1, 15, 0, 0, 0) AS ts,
+        |    CAST(floor(((c_custkey + b) % 4) / 2.0) AS BIGINT) AS attr
+        |  FROM customer CROSS JOIN (SELECT unnest([0, 1, 2]) AS b)
+        |  WHERE c_custkey % 3 <= b),
+        |d AS (
+        |  SELECT k, ts, attr, lag(attr) OVER (PARTITION BY k ORDER BY ts) AS prev
+        |  FROM ev),
+        |ch AS (SELECT k, ts, attr FROM d WHERE prev IS NULL OR prev <> attr),
+        |hist AS (
+        |  SELECT k, attr, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY k ORDER BY ts) AS valid_to
+        |  FROM ch),
+        |probes AS (
+        |  SELECT c_custkey AS k,
+        |    make_timestamp(2024, CAST(c_custkey % 3 AS INT) + 2, 1, 0, 0, 0) AS probe_ts
+        |  FROM customer)
+        |SELECT p.k, epoch_ms(p.probe_ts) AS probe_ms, h.attr
+        |FROM probes p JOIN hist h ON p.k = h.k
+        |WHERE p.probe_ts >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+        |ORDER BY p.k""".stripMargin,
     "scd2_history" ->
       """WITH ev AS (
         |  SELECT c_custkey AS k, b, make_timestamp(2024, b + 1, 15, 0, 0, 0) AS ts,
