@@ -21,9 +21,32 @@ object Explain {
         "topk_orders_by_price", "metrics_count_hourly", "json_filter_gte")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
+      val df = if (n == "joinview_delta") joinViewDelta(spark) else
+        SparkEntry.queries(n)(spark, sfDir)
+      println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+  }
+
+  /** The JoinView maintenance plan is internal to refresh() (the gate's
+    * own output plan is just the view scan) — rebuild the PlanSpec
+    * fixture and surface the delta term for audit. */
+  private def joinViewDelta(spark: SparkSession) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_jv_explain").toString
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-0$d 00:00:00")
+    val l1 = (1 to 30).map(i => (i.toLong, (i % 5).toLong, ts(1))).toDF("l_id", "k", "ts")
+    val r1 = (0 to 4).map(i => (i.toLong, s"name$i", ts(1))).toDF("k", "name", "r_ts")
+    graft.operators.CommitLog.append(l1, s"$base/l", idCol = "l_id", tsCol = "ts")
+    graft.operators.CommitLog.append(r1, s"$base/r", idCol = "k", tsCol = "r_ts")
+    val l2 = (31 to 40).map(i => (i.toLong, (i % 5).toLong, ts(2))).toDF("l_id", "k", "ts")
+    graft.operators.CommitLog.append(l2, s"$base/l", idCol = "l_id", tsCol = "ts")
+    val spec = graft.operators.JoinView.Spec("k", "k",
+      Seq("l_id", "k", "ts", "name"), "ts")
+    graft.operators.JoinView.deltaFrame(
+      spark, s"$base/l", s"$base/r", spec, 1L, 2L, 1L, 1L).get
+      .select(col("l_id"), col("k"), col("name"), col("_sign"))
   }
 }
