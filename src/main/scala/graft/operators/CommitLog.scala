@@ -856,4 +856,33 @@ object CommitLog {
     commit(table, "retain", Nil, removes = old.map(_.path))
     old.map(_.month).distinct.sorted
   }
+
+  /** ZERO-COPY CLONE (the Delta CLONE analog): materialize `dst` as an
+    * independent table holding exactly `src`'s current snapshot. Data
+    * files are HARDLINKED (one inode, two names — no bytes move; falls
+    * back to a copy across filesystems), and the clone's log is a single
+    * append entry carrying the snapshot's file stats and schema. The two
+    * tables share nothing afterwards: appends/deletes on either side are
+    * invisible to the other, and a vacuum on the source only unlinks the
+    * source's name — the shared inode lives until both tables drop it.
+    * At 100 TB this is the cheap branch primitive: an experiment gets a
+    * writable fork of a production table for the cost of its manifest.
+    *
+    * @return the clone's committed version (1)
+    * @throws IllegalStateException if `dst` already has a log */
+  def cloneTable(src: String, dst: String): Long = {
+    if (Files.isDirectory(logDir(dst)))
+      throw new IllegalStateException(s"clone target $dst already exists")
+    val snap = snapshot(src)
+    snap.files.foreach { f =>
+      val from = Paths.get(src).resolve(f.path)
+      val to = Paths.get(dst).resolve(f.path)
+      Files.createDirectories(to.getParent)
+      try { Files.createLink(to, from); () }
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        Files.copy(from, to); ()
+      }
+    }
+    commit(dst, "append", snap.files, schemaJson = snap.schemaJson)
+  }
 }

@@ -111,6 +111,33 @@ object EventOps2 {
         .orderBy(col("doc_id"))
     }),
 
+    // ZERO-COPY CLONE: fork the table after two batches, then make the
+    // SOURCE diverge hard — a third batch, a row-level delete rewriting
+    // files, and a grace-0 vacuum physically reclaiming the rewritten
+    // originals. The clone's hardlinks keep the shared inodes alive, so
+    // it must still read exactly batches 0+1.
+    "logstore_clone" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_clone").toString
+      val (src, dst) = (s"$base/src", s"$base/clone")
+      val docs = Tables.documents(s, dir)
+        .withColumn("b", expr("CAST(doc_id % 3 AS INT)"))
+        .withColumn("ts", expr("make_timestamp(2024, b + 1, 15, 0, 0, 0)"))
+        .select("doc_id", "b", "ts", "source", "n_chars")
+      (0 until 2).foreach { b =>
+        CommitLog.append(docs.filter(col("b") === b), src,
+          idCol = "doc_id", tsCol = "ts")
+      }
+      CommitLog.cloneTable(src, dst)
+      CommitLog.append(docs.filter(col("b") === 2), src,
+        idCol = "doc_id", tsCol = "ts")
+      CommitLog.deleteWhere(s, src, col("n_chars") < 500,
+        idCol = "doc_id", tsCol = "ts")
+      CommitLog.vacuum(src, graceMillis = 0L)
+      CommitLog.scan(s, dst)
+        .select(col("doc_id"), col("b"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SCD2 DIMENSION HISTORY: three observation batches with staggered key
     // arrival (k%3 <= b) and a cycling attribute ((k+b)%4 / 2 — half the
     // steps are no-ops) maintained through change-detected version rows.
@@ -447,6 +474,9 @@ object EventOps2 {
       """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "logstore_time_travel" ->
+      """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
+        |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
+    "logstore_clone" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
         |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
     "scd2_asof_enrich" ->

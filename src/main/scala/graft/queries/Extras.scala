@@ -40,6 +40,21 @@ object Extras {
         .select(col("event_type"), col("n"),
           (col("cents") / 100.0).as("sum_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // skew-salted broadcast-replica JOIN == the plain join (left-family
+    // row identity is spec-pinned; this gate oracles a full workload:
+    // events enriched with a 150-row user dimension, rolled up per
+    // (segment, event_type)).
+    "salted_join_enrich" -> ((s, dir) => {
+      val dim = Tables.customer(s, dir).filter(col("c_custkey") < 150)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val enriched = Skew.saltedJoin(
+        Tables.events(s, dir).select(col("user_id"), col("event_type")),
+        dim, Seq("user_id"), salts = 8)
+      enriched.groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("segment"), col("event_type"))
     })
   )
 
@@ -54,6 +69,11 @@ object Extras {
     "salted_agg_by_type" ->
       """SELECT event_type, count(*) AS n,
         |  sum(CAST(round(value*100.0) AS BIGINT))/100.0 AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "salted_join_enrich" ->
+      """SELECT c_mktsegment AS segment, event_type, count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE c_custkey < 150
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
