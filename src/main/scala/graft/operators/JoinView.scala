@@ -95,55 +95,72 @@ object JoinView {
   }
 
   /** Apply both sides' changes up to their current heads. Returns the new
-    * synced (left, right) versions. Idempotent under replay. */
+    * synced (left, right) versions. Idempotent under replay, and OCC-safe
+    * under concurrent refreshers: the merge commits against the view
+    * version it was derived from (`expectVersion` CAS) — a racer that
+    * lost re-derives the WHOLE refresh from the new cursor (a stale-range
+    * merge re-applied blindly would double-count its delta or regress the
+    * cursor past a wider racer's token). */
   def refresh(spark: SparkSession, leftTable: String, rightTable: String,
               viewTable: String, spec: Spec): (Long, Long) = {
-    val (fl, fr) = synced(viewTable)
-    val lh = CommitLog.snapshot(leftTable).version
-    val rh = CommitLog.snapshot(rightTable).version
-    if (lh <= fl && rh <= fr) return (fl, fr)
-    val token = s"$SyncPrefix$lh-$rh"
-
-    deltaFrame(spark, leftTable, rightTable, spec, fl, lh, fr, rh) match {
-      case None =>
-        // compactions / one-sided appends with the other side empty:
-        // advance the cursor with a data-less commit
-        try CommitLog.commit(viewTable, "append", Nil, token = Some(token))
-        catch { case _: CommitLog.AlreadyApplied => () }
-        (lh, rh)
-      case Some(delta0) =>
-        val monthOf = date_format(col(spec.tsCol), "yyyy-MM")
-        val delta = delta0.withColumn("month", monthOf)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val months = delta.select(col("month")).distinct()
-          .collect().map(_.getString(0)).toSet
-
-        val oldFiles = CommitLog.snapshot(viewTable).files
-          .filter(f => months.contains(f.month))
-        val keyCols = (spec.viewCols :+ "month").map(col)
-        val current =
-          if (oldFiles.isEmpty) delta.limit(0).withColumn("_sign", lit(1L))
-          else spark.read
-            .option("basePath", Paths.get(viewTable, "data").toString)
-            .parquet(oldFiles.map(f =>
-              Paths.get(viewTable).resolve(f.path).toString): _*)
-            .withColumn("_sign", lit(1L))
-            .select(keyCols :+ col("_sign"): _*)
-        // full-row multiplicity merge: net count per distinct row, re-emit
-        // n copies (n is 1 for duplicate-free sides; sequence() keeps the
-        // general case exact)
-        val merged = current.unionByName(delta.select(keyCols :+ col("_sign"): _*))
-          .groupBy(keyCols: _*)
-          .agg(sum(col("_sign")).as("_n"))
-          .filter(col("_n") > 0L)
-          .withColumn("_dup", explode(sequence(lit(1L), col("_n"))))
-          .select(keyCols: _*)
-        val v = CommitLog.replaceFiles(merged, viewTable, spec.tsCol,
-          removes = oldFiles.map(_.path),
-          sortCols = Seq(spec.tsCol), token = Some(token))
-        delta.unpersist()
-        require(v > 0, s"join-view merge failed to commit $viewTable")
-        (lh, rh)
+    var attempts = 0
+    while (true) {
+      val vsnap = CommitLog.snapshot(viewTable)
+      val (fl, fr) = synced(viewTable)
+      val lh = CommitLog.snapshot(leftTable).version
+      val rh = CommitLog.snapshot(rightTable).version
+      if (lh <= fl && rh <= fr) return (fl, fr)
+      val token = s"$SyncPrefix$lh-$rh"
+      try {
+        deltaFrame(spark, leftTable, rightTable, spec, fl, lh, fr, rh) match {
+          case None =>
+            // compactions / one-sided appends with the other side empty:
+            // advance the cursor with a data-less commit
+            try CommitLog.commit(viewTable, "append", Nil,
+              token = Some(token), expectVersion = Some(vsnap.version))
+            catch { case _: CommitLog.AlreadyApplied => () }
+            return (lh, rh)
+          case Some(delta0) =>
+            val monthOf = date_format(col(spec.tsCol), "yyyy-MM")
+            val delta = delta0.withColumn("month", monthOf)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val months = delta.select(col("month")).distinct()
+                .collect().map(_.getString(0)).toSet
+              val oldFiles = vsnap.files.filter(f => months.contains(f.month))
+              val keyCols = (spec.viewCols :+ "month").map(col)
+              val current =
+                if (oldFiles.isEmpty) delta.limit(0).withColumn("_sign", lit(1L))
+                else spark.read
+                  .option("basePath", Paths.get(viewTable, "data").toString)
+                  .parquet(oldFiles.map(f =>
+                    Paths.get(viewTable).resolve(f.path).toString): _*)
+                  .withColumn("_sign", lit(1L))
+                  .select(keyCols :+ col("_sign"): _*)
+              // full-row multiplicity merge: net count per distinct row,
+              // re-emit n copies (n is 1 for duplicate-free sides;
+              // sequence() keeps the general case exact)
+              val merged = current
+                .unionByName(delta.select(keyCols :+ col("_sign"): _*))
+                .groupBy(keyCols: _*)
+                .agg(sum(col("_sign")).as("_n"))
+                .filter(col("_n") > 0L)
+                .withColumn("_dup", explode(sequence(lit(1L), col("_n"))))
+                .select(keyCols: _*)
+              val v = CommitLog.replaceFiles(merged, viewTable, spec.tsCol,
+                removes = oldFiles.map(_.path),
+                sortCols = Seq(spec.tsCol), token = Some(token),
+                expectVersion = Some(vsnap.version))
+              require(v > 0, s"join-view merge failed to commit $viewTable")
+              return (lh, rh)
+            } finally delta.unpersist()
+        }
+      } catch {
+        case e @ (_: CommitLog.ConcurrentWrite | _: CommitLog.ConcurrentDelete) =>
+          attempts += 1
+          if (attempts > 20) throw e // livelock guard; view state is clean
+      }
     }
+    (0L, 0L) // unreachable
   }
 }

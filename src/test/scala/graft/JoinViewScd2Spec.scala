@@ -67,6 +67,34 @@ class JoinViewScd2Spec extends GraftSuite {
       "cursor did not advance over a compaction")
   }
 
+  test("join view: racing refreshers apply the delta exactly once (OCC)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = tmp("graft_jv_race")
+    val (lt, rt, vt) = (s"$base/l", s"$base/r", s"$base/v")
+    val spec = JoinView.Spec("k", "k", Seq("l_id", "k", "ts", "name"), "ts")
+    CommitLog.append((0 to 4).map(i => (i.toLong, s"n$i", ts(1)))
+      .toDF("k", "name", "r_ts"), rt, idCol = "k", tsCol = "r_ts")
+    CommitLog.append((1 to 50).map(i => (i.toLong, (i % 5).toLong, ts(1)))
+      .toDF("l_id", "k", "ts"), lt, idCol = "l_id", tsCol = "ts")
+    JoinView.refresh(spark, lt, rt, vt, spec)
+    CommitLog.append((51 to 80).map(i => (i.toLong, (i % 5).toLong, ts(2)))
+      .toDF("l_id", "k", "ts"), lt, idCol = "l_id", tsCol = "ts")
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = (1 to 4).map(_ => Future(JoinView.refresh(spark, lt, rt, vt, spec)))
+    racers.foreach(Await.result(_, 120.seconds))
+
+    val got = JoinView.readView(spark, vt).select(col("l_id")).as[Long]
+      .collect().sorted.toSeq
+    assert(got == (1L to 80L), // exactly-once: no double rows, none lost
+      s"racing refreshers corrupted the view: ${got.take(10)}... n=${got.size}")
+    assert(JoinView.synced(vt) ==
+      (CommitLog.snapshot(lt).version, CommitLog.snapshot(rt).version))
+  }
+
   test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
     val spark2 = spark
     import spark2.implicits._
