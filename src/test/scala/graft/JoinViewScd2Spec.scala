@@ -95,6 +95,52 @@ class JoinViewScd2Spec extends GraftSuite {
       (CommitLog.snapshot(lt).version, CommitLog.snapshot(rt).version))
   }
 
+  test("streaming join-view intake: epochs drain into the view, a replayed " +
+      "epoch no-ops, and the view matches a one-shot recompute") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("graft_jv_stream")
+    val (lt, rt, vt) = (s"$base/l", s"$base/r", s"$base/v")
+    val spec = JoinView.Spec("k", "k", Seq("l_id", "k", "ts", "name"), "ts")
+    CommitLog.append((0 to 4).map(i => (i.toLong, s"n$i", ts(1)))
+      .toDF("k", "name", "r_ts"), rt, idCol = "k", tsCol = "r_ts")
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = graft.streaming.ViewStream.joinViewIntake(
+      mem.toDF().toDF("l_id", "k").withColumn("ts", lit(ts(1))),
+      lt, rt, vt, spec, idCol = "l_id", checkpoint = s"$base/chk")
+    try {
+      mem.addData((1L to 40L).map(i => (i, i % 5)))
+      q.processAllAvailable()
+      // dimension grows BETWEEN epochs: the next epoch's refresh must pick
+      // up the right-side delta too
+      CommitLog.append(Seq((5L, "n5", ts(2))).toDF("k", "name", "r_ts"),
+        rt, idCol = "k", tsCol = "r_ts")
+      mem.addData((41L to 60L).map(i => (i, i % 6)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = JoinView.readView(spark, vt)
+      .select(col("l_id"), col("k"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = CommitLog.scan(spark, lt)
+      .join(CommitLog.scan(spark, rt).select(col("k"), col("name")), Seq("k"))
+      .select(col("l_id"), col("k"), col("name"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == want)
+    assert(got.size == 60, s"expected every fact row joined, got ${got.size}")
+
+    // replayed epoch straight at the batch helper: both halves must no-op
+    val (lv, vv) = (CommitLog.snapshot(lt).version, CommitLog.snapshot(vt).version)
+    graft.streaming.ViewStream.joinViewBatch(
+      Seq((41L, 5L)).toDF("l_id", "k").withColumn("ts", lit(ts(1))),
+      1L, lt, rt, vt, spec, idCol = "l_id")
+    assert(CommitLog.snapshot(lt).version == lv, "replayed epoch re-appended")
+    assert(CommitLog.snapshot(vt).version == vv, "replayed epoch moved the view")
+  }
+
   test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
     val spark2 = spark
     import spark2.implicits._
