@@ -295,6 +295,60 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Streaming join-view maintenance under load: `nFacts` fact rows in 10
+    * epochs through [[graft.streaming.ViewStream.joinViewIntake]] against
+    * a 1000-key dimension. One key's dimension row arrives LATE (epoch 5):
+    * the ΔR ⋈ L_old delta term must retroactively join every earlier fact
+    * carrying that key, so exact accounting is simply view_rows == nFacts.
+    * The per-epoch cost is one fact append + one cursor-driven refresh
+    * (≥2 commit cycles) — this measures the IVM maintenance floor at
+    * streaming cadence, not query work. */
+  def joinViewRun(spark: SparkSession, nFacts: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_jv_bench")
+    val (lt, rt, vt, ckpt) = (s"$base/l", s"$base/r", s"$base/v", s"$base/ckpt")
+    val nKeys = 1000
+    val ts0 = new Timestamp(1700000000000L)
+    graft.operators.CommitLog.append(
+      (0 until nKeys).map(i => (i.toLong, s"dim$i", ts0)).toDF("k", "name", "r_ts"),
+      rt, idCol = "k", tsCol = "r_ts")
+    val spec = graft.operators.JoinView.Spec("k", "k",
+      Seq("l_id", "k", "ts", "name"), "ts")
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.ViewStream.joinViewIntake(
+      mem.toDF().toDF("l_id", "k").withColumn("ts", lit(ts0)),
+      lt, rt, vt, spec, idCol = "l_id", checkpoint = ckpt)
+    try {
+      val t0 = System.nanoTime()
+      (0 until nFacts).grouped(nFacts / 10).zipWithIndex.foreach { case (b, ep) =>
+        if (ep == 5) // the late dimension row: earlier epochs' facts with
+          // k == nKeys are already in the left table, unmatched until now
+          graft.operators.CommitLog.append(
+            Seq((nKeys.toLong, "late", ts0)).toDF("k", "name", "r_ts"),
+            rt, idCol = "k", tsCol = "r_ts")
+        mem.addData(b.map(i => (i.toLong, (i % (nKeys + 1)).toLong)))
+        q.processAllAvailable()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val view = graft.operators.CommitLog.scan(spark, vt)
+      val viewRows = view.count()
+      val recompute = graft.operators.CommitLog.scan(spark, lt)
+        .join(graft.operators.CommitLog.scan(spark, rt)
+          .select(col("k"), col("name")), Seq("k")).count()
+      // every fact carrying the late key must be in the view, including
+      // the ones appended BEFORE its dimension row existed
+      val lateExpected = (0 until nFacts).count(_ % (nKeys + 1) == nKeys).toLong
+      val lateGot = view.filter(col("name") === "late").count()
+      s"""{"facts":$nFacts,"facts_per_sec":${(nFacts / sec).round},""" +
+        s""""epochs":10,"view_rows":$viewRows,""" +
+        s""""view_rows_exact":${viewRows == nFacts.toLong},""" +
+        s""""matches_recompute":${viewRows == recompute},""" +
+        s""""late_dim_healed":${lateGot == lateExpected && lateExpected > 0},""" +
+        s""""wall_sec":${math.round(sec * 1000) / 1000.0}}"""
+    } finally q.stop()
+  }
+
   /** T6 alert state at DEPLOYMENT scale (VERDICT r7 task #5): the
     * consecutive-failure evaluator driven across `nDests` destinations
     * (the reference's alert store is a per-destination Redis set — here
@@ -447,6 +501,7 @@ object StreamBench {
       case Some("curation") => curationRun(spark, n)
       case Some("alertscale") => alertScaleRun(spark, if (args.size > 1) n else 100000)
       case Some("retryscale") => retryScaleRun(spark, if (args.size > 1) n else 100000)
+      case Some("joinview") => joinViewRun(spark, if (args.size > 1) n else 60000)
       case _ => run(spark, n)
     }
     println(json)
