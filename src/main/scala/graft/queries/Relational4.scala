@@ -212,6 +212,41 @@ object Relational4 {
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin)
     }),
 
+    // Ranking-window family not yet oracled elsewhere: percent_rank,
+    // cume_dist, ntile and first/last_value frames over one partition
+    // pass. Doubles as a determinism check on rank ties (the ORDER BY
+    // includes the key, so ranks are total).
+    "window_rank_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("v_wr_customer")
+      s.sql(
+        """SELECT c_custkey, c_nationkey,
+          |  percent_rank() OVER w AS pr,
+          |  cume_dist() OVER w AS cd,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  first_value(c_custkey) OVER w AS first_k,
+          |  last_value(c_custkey) OVER
+          |    (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k
+          |FROM v_wr_customer
+          |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // UNPIVOT (stack): wide per-flag measures back to long form — the
+    // inverse of the oracled PIVOT gate.
+    "unpivot_lineitem_measures" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          moneySum(col("l_quantity"), 100).as("qty_cents"),
+          moneySum(col("l_extendedprice"), 100).as("price_cents"),
+          moneySum(col("l_discount"), 10000).as("disc_dm"))
+        .select(col("l_returnflag"),
+          expr("stack(3, 'qty_cents', qty_cents, 'price_cents', price_cents," +
+            " 'disc_dm', disc_dm) AS (measure, value)"))
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // GROUPING SETS (the irregular cousin of the oracled CUBE/ROLLUP
     // gates): an explicit, non-hierarchical set list — per-flag×status,
     // per-status alone, grand total, but NOT per-flag — with grouping()
@@ -412,6 +447,28 @@ object Relational4 {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    "window_rank_funcs" ->
+      """SELECT c_custkey, c_nationkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  first_value(c_custkey) OVER w AS first_k,
+        |  last_value(c_custkey) OVER
+        |    (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_k
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "unpivot_lineitem_measures" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(round(l_quantity*100.0) AS BIGINT)) AS qty_cents,
+        |    sum(CAST(round(l_extendedprice*100.0) AS BIGINT)) AS price_cents,
+        |    sum(CAST(round(l_discount*10000.0) AS BIGINT)) AS disc_dm
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, CAST(value AS BIGINT) AS value
+        |FROM agg UNPIVOT (value FOR measure IN (qty_cents, price_cents, disc_dm))
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "grouping_sets_lineitem" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
