@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{CommitLog, JoinView}
+import graft.operators.{CommitLog, JoinView, Scd2}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -53,4 +53,23 @@ object ViewStream {
       ()
     }
   }
+
+  /** Maintain an SCD2 dimension history from a stream of observations
+    * (`key, ts, attrs…`). Each micro-batch is one change-detected,
+    * token-idempotent [[Scd2.applyBatch]]; an all-unchanged epoch writes
+    * nothing. Callers ensure one observation per key per epoch (pre-agg
+    * to the latest in the stream if needed). */
+  def scd2Intake(observations: DataFrame, table: String, keyCol: String,
+                 tsCol: String, checkpoint: String): StreamingQuery =
+    observations.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Scd2.applyBatch(batch.sparkSession, batch, table, keyCol, tsCol,
+            token = Some(s"scd2-intake-$batchId"))
+          ()
+        }
+      }
+      .start()
 }

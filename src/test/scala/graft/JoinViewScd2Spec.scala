@@ -141,6 +141,34 @@ class JoinViewScd2Spec extends GraftSuite {
     assert(CommitLog.snapshot(vt).version == vv, "replayed epoch moved the view")
   }
 
+  test("streaming scd2 intake: epochs version the dimension; no-change epochs write nothing") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp("graft_scd2_stream")
+    val table = s"$base/dim"
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.ViewStream.scd2Intake(
+      mem.toDF().toDF("k", "ts", "attr"), table, "k", "ts", s"$base/chk")
+    try {
+      mem.addData(Seq((1L, ts(1), "a"), (2L, ts(1), "b")))
+      q.processAllAvailable()
+      val v1 = CommitLog.snapshot(table).version
+      mem.addData(Seq((1L, ts(2), "a"), (2L, ts(2), "b"))) // all unchanged
+      q.processAllAvailable()
+      assert(CommitLog.snapshot(table).version == v1,
+        "no-change epoch committed")
+      mem.addData(Seq((1L, ts(3), "a2"), (3L, ts(3), "c"))) // change + new key
+      q.processAllAvailable()
+    } finally q.stop()
+    val h = Scd2.readHistory(spark, table)
+      .select(col("k"), col("attr"), col("is_current"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(h == Set((1L, "a", false), (1L, "a2", true),
+      (2L, "b", true), (3L, "c", true)), s"history mismatch: $h")
+  }
+
   test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
     val spark2 = spark
     import spark2.implicits._
