@@ -311,6 +311,39 @@ class PlanSpec extends GraftSuite {
     assert(!phys.contains("CartesianProduct"), s"q21 planned a cartesian:\n$phys")
   }
 
+  test("runtime bloom filter: a selective dim filter reaches the fact scan as a bloom probe") {
+    // Spark injects a bloom-filter runtime filter on the shuffle-join fact
+    // side when the creation side is filtered and small enough — at 100 TB
+    // this is the difference between scanning the full fact table and
+    // skipping most of it before the join. Thresholds are tuned for real
+    // data sizes, so pin the behavior with test-scaled ones.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force the shuffle-join shape the filter targets (broadcast joins
+      // prune for free and are skipped by the rule)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.core.Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val l = graft.core.Tables.lineitem(spark, sf)
+      val q = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(o("o_orderpriority"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg") || opt.contains("BloomFilterMightContain")
+          || opt.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$opt")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("join-view delta: batch deltas broadcast, full sides stream unshuffled") {
     val spark2 = spark
     import spark2.implicits._
