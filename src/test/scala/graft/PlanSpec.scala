@@ -311,6 +311,24 @@ class PlanSpec extends GraftSuite {
     assert(!phys.contains("CartesianProduct"), s"q21 planned a cartesian:\n$phys")
   }
 
+  test("entity resolution: records take labels via broadcast; the pair stage shuffles only the dictionary") {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    val resolved = graft.operators.EntityResolution.resolve(
+      graft.core.Tables.part(spark, sf), "p_name",
+      n => element_at(split(n, " "), -1), maxDist = 3)
+      .select(col("p_partkey"), col("entity"))
+    val phys = resolved.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"record labeling lost its broadcast join:\n$phys")
+    // records must never hash-shuffle for resolution: the only exchanges
+    // besides broadcasts belong to the dictionary-side pair/label stages,
+    // which partition on dictionary tuples (blk/name/component), never on
+    // a record column like p_partkey
+    val recordShuffle = phys.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("p_partkey"))
+    assert(!recordShuffle, s"records shuffled for entity resolution:\n$phys")
+  }
+
   test("runtime bloom filter: a selective dim filter reaches the fact scan as a bloom probe") {
     // Spark injects a bloom-filter runtime filter on the shuffle-join fact
     // side when the creation side is filtered and small enough — at 100 TB
