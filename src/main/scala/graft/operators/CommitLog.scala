@@ -343,11 +343,21 @@ object CommitLog {
       Files.list(log).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
         .foreach { p => Files.deleteIfExists(p); deleted += s"_log/${p.getFileName}" }
+    // A staging dir's ROOT mtime freezes once its month= children exist —
+    // parquet tasks touch only the leaves. Staleness must therefore use the
+    // newest mtime anywhere in the tree, or a >grace write would be swept
+    // out from under its live writer.
+    def newestMtime(p: Path): Long = {
+      var newest = Files.getLastModifiedTime(p).toMillis
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(c => newest = math.max(newest, newestMtime(c)))
+      newest
+    }
     val root = Paths.get(table)
     if (Files.isDirectory(root))
       Files.list(root).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith(".stage-") &&
-          Files.isDirectory(p) && stale(p))
+          Files.isDirectory(p) && newestMtime(p) < cutoff)
         .foreach { p =>
           def rm(q: Path): Unit = {
             if (Files.isDirectory(q)) Files.list(q).iterator().asScala.foreach(rm)

@@ -121,7 +121,11 @@ object JoinView {
             catch { case _: CommitLog.AlreadyApplied => () }
             return (lh, rh)
           case Some(delta0) =>
-            val monthOf = date_format(col(spec.tsCol), "yyyy-MM")
+            // UTC month, matching every other CommitLog writer — a session
+            // timezone must not shift boundary rows into a different
+            // partition than retention/compaction would compute
+            val monthOf = date_format(
+              graft.functions.Buckets.utcFields(col(spec.tsCol)), "yyyy-MM")
             val delta = delta0.withColumn("month", monthOf)
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             try {

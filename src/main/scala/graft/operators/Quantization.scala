@@ -52,8 +52,12 @@ object Quantization {
     slice(transform(col(vecCol), _.cast("double")), s * sub + 1, sub)
 
   private def assignExpr(v: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    // argmin ties must break exactly as DuckDB's list_distance ranks them:
+    // two distinct squared distances can round EQUAL after sqrt, so compare
+    // sqrt(d2) (the oracle's metric), not d2 — same sqrt-then-square trick
+    // as the ADC LUT below
     array_min(array(cents.map { case (cid, c) =>
-      struct(dist2(v, c).as("d"), lit(cid).as("cluster"))
+      struct(sqrt(dist2(v, c)).as("d"), lit(cid).as("cluster"))
     }: _*)).getField("cluster")
 
   /** Train the M codebooks: for each subspace, `iters` Lloyd rounds from a

@@ -43,9 +43,16 @@ object Scd2 {
   def applyBatch(spark: SparkSession, batch: DataFrame, table: String,
                  keyCol: String, tsCol: String,
                  token: Option[String] = None): Long = {
-    val attrCols = batch.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    // The change hash must be stable across batches that present the same
+    // attributes in a DIFFERENT column order, and must keep nulls (to_json
+    // drops null fields by default, which would alias {a:null,b:1} with
+    // {b:1}) — sort the struct fields and pin ignoreNullFields=false, same
+    // as Sketches.updateRollup's rollup_id.
+    val attrCols = batch.columns.filterNot(c => c == keyCol || c == tsCol)
+      .toSeq.sorted
     val b = batch
-      .withColumn("_h", md5(to_json(struct(attrCols.map(col): _*))))
+      .withColumn("_h", md5(to_json(struct(attrCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))))
       .select(Seq(col(keyCol), col(tsCol).as("_ts"), col("_h")) ++
         attrCols.map(col): _*)
 

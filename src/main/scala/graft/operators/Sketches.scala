@@ -429,4 +429,46 @@ object Sketches {
     if (overCols.isEmpty) base.agg(agg.head, agg.tail: _*)
     else base.groupBy(overCols.map(col): _*).agg(agg.head, agg.tail: _*)
   }
+
+  /** ON-DISK FORMAT BREAK (one-shot repair): rollup_id changed from a
+    * separator-joined string to `md5(to_json(struct(groupCols)))`. The
+    * incremental paths remove superseded rows by rollup_id, so a persisted
+    * rollup written under the OLD format would never be matched — every
+    * refresh would add a duplicate row per touched group and double-count
+    * sketch mass. Run this once per surviving pre-upgrade table: it
+    * recomputes each row's id from its group VALUES (the id is a pure
+    * function of them, so no old-format parsing is needed) and rewrites
+    * the table only if any stored id mismatches. Idempotent; CAS-guarded
+    * against concurrent refreshes. Returns the number of rows whose id
+    * was rewritten (0 = already current format, nothing written). */
+  def migrateRollupIds(spark: SparkSession, table: String,
+                       groupCols: Seq[String]): Long = {
+    val gcols = groupCols.map(col)
+    val expected = md5(to_json(struct(gcols: _*),
+      Map("ignoreNullFields" -> "false")))
+    var attempts = 0
+    while (true) {
+      val snap = CommitLog.snapshot(table)
+      if (snap.files.isEmpty) return 0L
+      val all = CommitLog.scanAt(spark, table, snap.version)
+        .withColumn("_new_id", expected)
+      val stale = all.filter(!(col("rollup_id") <=> col("_new_id"))).count()
+      if (stale == 0L) return 0L
+      val fixed = all.withColumn("rollup_id", col("_new_id")).drop("_new_id")
+      try {
+        CommitLog.replaceFiles(fixed, table, "updated_at",
+          removes = snap.files.map(_.path),
+          sortCols = Seq("updated_at", "rollup_id"),
+          token = Some(s"rollup-id-migrate-${snap.version}"),
+          statsHint = Some((0L, System.currentTimeMillis() * 1000L)),
+          expectVersion = Some(snap.version))
+        return stale
+      } catch {
+        case e @ (_: CommitLog.ConcurrentWrite | _: CommitLog.ConcurrentDelete) =>
+          attempts += 1
+          if (attempts > 20) throw e
+      }
+    }
+    0L // unreachable
+  }
 }

@@ -112,4 +112,38 @@ class CommitLogCrashSpec extends GraftSuite {
     assert(!java.nio.file.Files.exists(staging))
     assert(CommitLog.scan(spark, t).count() == 10)
   }
+
+  test("long-running staged write survives vacuum: leaf mtime counts, not root") {
+    // A staging dir's ROOT mtime freezes once month= children exist; only
+    // the leaves advance while parquet tasks stream in. A write running
+    // longer than the grace window must NOT be swept out from under its
+    // live writer — staleness is the newest mtime ANYWHERE in the tree.
+    val t = freshTable()
+    CommitLog.append(sampleBatch(1 to 10, "2024-01"), t, "id", "ts")
+    val staging = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(t), ".stage-")
+    sampleBatch(11 to 30, "2024-01")
+      .withColumn("month", lit("2024-01"))
+      .write.mode("overwrite").partitionBy("month").parquet(staging.toString)
+    // age the root + month dir past any grace; keep ONE leaf fresh (the
+    // file a task just finished writing)
+    import scala.jdk.CollectionConverters._
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600L * 1000)
+    def walk(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(p))
+        p +: java.nio.file.Files.list(p).iterator().asScala.toSeq.flatMap(walk)
+      else Seq(p)
+    val tree = walk(staging)
+    val freshLeaf = tree.filter(_.getFileName.toString.endsWith(".parquet")).head
+    tree.filterNot(_ == freshLeaf)
+      .foreach(java.nio.file.Files.setLastModifiedTime(_, old))
+    assert(CommitLog.vacuum(t, graceMillis = 15L * 60 * 1000).isEmpty)
+    assert(java.nio.file.Files.isDirectory(staging))
+    // once the last leaf goes stale too, the whole tree is garbage
+    java.nio.file.Files.setLastModifiedTime(freshLeaf, old)
+    val deleted = CommitLog.vacuum(t, graceMillis = 15L * 60 * 1000)
+    assert(deleted == Seq(staging.getFileName.toString), deleted)
+    assert(!java.nio.file.Files.exists(staging))
+  }
 }

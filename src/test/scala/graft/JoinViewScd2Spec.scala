@@ -169,6 +169,36 @@ class JoinViewScd2Spec extends GraftSuite {
       (2L, "b", true), (3L, "c", true)), s"history mismatch: $h")
   }
 
+  test("scd2: change hash is column-order stable and keeps nulls") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = tmp("graft_scd2_ord") + "/dim"
+    val b1 = Seq((1L, ts(1), "x", null.asInstanceOf[String]),
+      (2L, ts(1), "y", "z")).toDF("k", "ts", "attr_a", "attr_b")
+    Scd2.applyBatch(spark, b1, table, "k", "ts", token = Some("o1"))
+    val v1 = CommitLog.snapshot(table).version
+
+    // same attribute VALUES, columns presented in the opposite order (and
+    // one null in play): must hash identically -> no commit, no versions
+    val b2 = Seq((1L, ts(2), null.asInstanceOf[String], "x"),
+      (2L, ts(2), "z", "y")).toDF("k", "ts", "attr_b", "attr_a")
+    Scd2.applyBatch(spark, b2, table, "k", "ts", token = Some("o2"))
+    assert(CommitLog.snapshot(table).version == v1,
+      "reordered-column batch opened spurious versions")
+    assert(Scd2.readHistory(spark, table).count() == 2)
+
+    // a REAL change that only swaps which attribute is null must be seen
+    val b3 = Seq((1L, ts(3), "x", null.asInstanceOf[String]))
+      .toDF("k", "ts", "attr_b", "attr_a")
+    Scd2.applyBatch(spark, b3, table, "k", "ts", token = Some("o3"))
+    val h = Scd2.readHistory(spark, table).filter(col("k") === 1L)
+      .select(col("attr_a"), col("attr_b"), col("is_current"))
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getBoolean(2))).toSet
+    assert(h == Set((Some("x"), None, false), (None, Some("x"), true)),
+      s"null-swap change not versioned: $h")
+  }
+
   test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
     val spark2 = spark
     import spark2.implicits._

@@ -56,6 +56,37 @@ class SketchSpec extends GraftSuite {
     }
   }
 
+  test("migrateRollupIds: pre-upgrade concat-format ids are rewritten once; " +
+      "refreshes then match instead of duplicating") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 900L).map(i => (s"g${i % 3}", i)).toDF("grp", "uid")
+    val t = mkTable()
+    Sketches.updateDistinctRollup(df, t, Seq("grp"), "uid", at(0))
+    // regress the table to the OLD on-disk id format (separator-joined)
+    val snap = CommitLog.snapshot(t)
+    val oldFormat = CommitLog.scanAt(spark, t, snap.version)
+      .withColumn("rollup_id", concat_ws("|", col("grp")))
+    CommitLog.replaceFiles(oldFormat, t, "updated_at",
+      removes = snap.files.map(_.path),
+      sortCols = Seq("updated_at", "rollup_id"),
+      statsHint = Some((0L, at(1).getTime * 1000L)))
+
+    val migrated = Sketches.migrateRollupIds(spark, t, Seq("grp"))
+    assert(migrated == 3L, s"expected 3 rewritten ids, got $migrated")
+    // idempotent: second call sees current format, writes nothing
+    val v = CommitLog.snapshot(t).version
+    assert(Sketches.migrateRollupIds(spark, t, Seq("grp")) == 0L)
+    assert(CommitLog.snapshot(t).version == v)
+    // a refresh now MATCHES the migrated rows: still one row per group,
+    // accounting exact (pre-migration this would duplicate each group)
+    Sketches.updateDistinctRollup(df, t, Seq("grp"), "uid", at(2))
+    val st = Sketches.estimates(spark, t, Seq("grp")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(st.size == 3, s"duplicate rollup rows after migration: ${st.toList}")
+    assert(st.toMap.values.toSet == Set(600L), s"double-counted rows: ${st.toList}")
+  }
+
   test("estimateAcross: coarser grain from sketches matches exact distinct " +
       "across the union (overlapping member sets)") {
     val spark2 = spark
