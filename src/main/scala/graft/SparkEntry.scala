@@ -19,6 +19,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Relational4.defs ++
+      Relational5.defs ++ Analytics.defs ++
       EventOps.defs ++ EventOps2.defs ++ MetricsQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
@@ -26,6 +27,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
+      Relational5.oracles ++ Analytics.oracles ++
       EventOps.oracles ++ EventOps2.oracles ++ MetricsQueries.oracles ++
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++

@@ -1,0 +1,281 @@
+package graft.queries
+
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operator family over the events stream + star schema:
+  * ordered-step funnels, cohort retention, iterative PageRank, a
+  * deequ-style data-quality constraint suite, and exponentially-weighted
+  * trailing aggregates. (Reference scope: the engine's event tables power
+  * exactly these dashboard shapes downstream of delivery metrics —
+  * cf. /root/reference/internal/logstore/chlogstore/metrics.go query
+  * matrix; these widen it with the stateful/iterative shapes.)
+  *
+  * Scale notes, per operator:
+  *  - funnel: three aggregations + two joins ALL keyed on user_id — one
+  *    shuffle partitioning reused end-to-end; step tables only shrink.
+  *  - cohort: first-touch table is user-keyed (same reuse); the final
+  *    matrix is |cohorts|×|offsets| (tiny at any SF).
+  *  - pagerank: ranks/degrees co-partition on node; each iteration is one
+  *    shuffle; contributions sum as exact longs (×1e9) so results are
+  *    bit-stable under any partitioning — the property that lets the
+  *    DuckDB oracle replay iterations as chained CTEs.
+  *  - constraints: one conditional-agg pass per table + one anti-join;
+  *    output is one row per constraint.
+  *  - EMA: facts first collapse to the bounded day grain (shuffle), then
+  *    a ≤30-day self range-join runs on the tiny dimension — the weights
+  *    are powers of 0.5 (exact in binary FP, so both engines agree to the
+  *    last bit; 0.9^k would differ in the last ulp between libm and Java).
+  */
+object Analytics {
+
+  private def step(ev: DataFrame, typ: String) =
+    ev.filter(col("event_type") === typ)
+      .select(col("user_id"), col("ts"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Ordered-step funnel with a 7-day per-step window: a user counts for
+    // step N only with an event strictly after their step-N-1 time and
+    // within 7 days of it. min(ts) per user per step keeps every table
+    // user-keyed: groupBy→join→groupBy→join→groupBy, one partitioning.
+    "funnel_steps" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val t1 = step(ev, "view").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"))
+      val t2 = step(ev, "click").join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 7 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = step(ev, "purchase").join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 7 DAY"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      t1.agg(count(lit(1)).as("users")).withColumn("st", lit("1_view"))
+        .unionByName(
+          t2.agg(count(lit(1)).as("users")).withColumn("st", lit("2_click")))
+        .unionByName(
+          t3.agg(count(lit(1)).as("users")).withColumn("st", lit("3_purchase")))
+        .select(col("st"), col("users"))
+        .orderBy(col("st"))
+    }),
+
+    // Weekly cohort retention matrix: cohort = Monday-truncated week of a
+    // user's FIRST event; each (cohort, weeks-since) cell counts distinct
+    // active users. Offsets are exact integer math on epoch millis.
+    "cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      ev.join(first, Seq("user_id"))
+        .withColumn("week_offset",
+          floor((unix_millis(date_trunc("week", col("ts"))) -
+            unix_millis(col("cohort_week"))) / lit(604800000L)))
+        .groupBy(unix_millis(col("cohort_week")).as("cohort_week_ms"),
+          col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_week_ms"), col("week_offset"))
+    }),
+
+    // PageRank (3 iterations, d = 0.85) over the customer↔supplier trade
+    // graph (an edge per distinct trading pair, both directions, so no
+    // dangling mass). Per-iteration contributions round to exact 1e-9
+    // units before the shuffle-sum — rank values are then identical
+    // whatever the partitioning, and DuckDB replays the same three
+    // iterations as CTEs to the bit.
+    "pagerank_trade" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val e = edges.join(deg, Seq("src"))
+      graft.core.Caching.withCached(e) {
+        var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+        (1 to 3).foreach { _ =>
+          ranks = e.join(ranks, col("src") === col("node"))
+            .select(col("dst"),
+              round(col("rank") / col("d") * 1e9, 0).cast("long").as("contrib"))
+            .groupBy(col("dst"))
+            .agg((lit(0.15) + lit(0.85) * (sum(col("contrib")) / lit(1e9)))
+              .as("rank"))
+            .withColumnRenamed("dst", "node")
+        }
+        // top-25 collects INSIDE the cache scope (driver-bounded result;
+        // a lazy frame would recompute the whole loop post-unpersist)
+        val out = ranks.orderBy(col("rank").desc, col("node")).limit(25)
+        s.createDataFrame(
+          java.util.Arrays.asList(out.collect(): _*), out.schema)
+      }
+    }),
+
+    // Deequ-style constraint suite: completeness, uniqueness, range, set
+    // membership, referential integrity, and a per-group cardinality
+    // bound — one row per constraint with its exact violation count.
+    // Shapes: one conditional-agg pass per table, one anti join (ref
+    // integrity), one grouped HAVING (cardinality); all counts are longs.
+    "dq_constraints" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      val oAgg = o.agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("v_status"))
+      val lAgg = l.agg(
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("v_disc"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("v_qty"),
+        // deliberately failing check: exercises nonzero violation counts
+        sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("v_tax"))
+      val orphans = l.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v_orphan"))
+      val fat = l.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 7L)
+        .agg(count(lit(1)).as("v_fat"))
+      val wide = oAgg.crossJoin(lAgg).crossJoin(orphans).crossJoin(fat)
+      val rows = Seq(
+        ("orders.o_orderkey.not_null", "v_null"),
+        ("orders.o_orderkey.unique", "v_dup"),
+        ("orders.o_totalprice.positive", "v_price"),
+        ("orders.o_orderstatus.in_set", "v_status"),
+        ("lineitem.l_discount.range_0_01", "v_disc"),
+        ("lineitem.l_quantity.range_1_50", "v_qty"),
+        ("lineitem.l_tax.max_005", "v_tax"),
+        ("lineitem.l_orderkey.ref_orders", "v_orphan"),
+        ("lineitem.per_order.max_7_lines", "v_fat"))
+      wide.select(explode(array(rows.map { case (name, c) =>
+          struct(lit(name).as("check_name"), col(c).as("violations"))
+        }: _*)).as("r"))
+        .select(col("r.check_name").as("check_name"),
+          col("r.violations").as("violations"),
+          (col("r.violations") === 0L).cast("int").as("passed"))
+        .orderBy(col("check_name"))
+    }),
+
+    // Exponentially-weighted trailing revenue: daily order revenue (exact
+    // cents) convolved with 0.5^age over a 30-day window. Facts collapse
+    // to the day grain FIRST; the range self-join then runs on a
+    // dimension whose size is fixed by the calendar, not the SF.
+    "ema_daily_revenue" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long"))
+          .as("rev_cents"))
+      val a = daily.select(col("day"), col("rev_cents"))
+      val b = daily.select(col("day").as("bday"), col("rev_cents").as("brev"))
+      a.join(b, datediff(col("day"), col("bday")).between(0, 29))
+        .groupBy(col("day"), col("rev_cents"))
+        // round() before the long cast: Spark's double→long cast truncates
+        // while DuckDB's rounds — the explicit round makes both exact on
+        // the already-exact product (cents × a power of two)
+        .agg(sum(round(col("brev") *
+            pow(lit(0.5), datediff(col("day"), col("bday")).cast("double")), 0)
+          .cast("long")).as("ew_cents"))
+        .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
+          (col("rev_cents") / 100.0).as("revenue"),
+          (col("ew_cents") / 100.0).as("ew_revenue"))
+        .orderBy(col("day_ms"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "funnel_steps" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 7 DAY GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t2 + INTERVAL 7 DAY GROUP BY 1)
+        |SELECT st, users FROM (
+        |  SELECT '1_view' AS st, count(*) AS users FROM t1
+        |  UNION ALL SELECT '2_click', count(*) FROM t2
+        |  UNION ALL SELECT '3_purchase', count(*) FROM t3)
+        |ORDER BY st""".stripMargin,
+    "cohort_retention" ->
+      """WITH first_touch AS (
+        |  SELECT user_id, date_trunc('week', min(ts)::TIMESTAMP) AS cohort_week
+        |  FROM events GROUP BY 1)
+        |SELECT epoch_ms(cohort_week) AS cohort_week_ms,
+        |  CAST(floor((epoch_ms(date_trunc('week', e.ts::TIMESTAMP))
+        |    - epoch_ms(cohort_week)) / 604800000.0) AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS active_users
+        |FROM events e JOIN first_touch f ON e.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pagerank_trade" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+        |r0 AS (SELECT src AS node, 1.0 AS rank FROM deg),
+        |r1 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 + 0.85 * (sum(CAST(round(r.rank / deg.d * 1e9) AS BIGINT)) / 1e9) AS rank
+        |  FROM edges e JOIN r0 r ON e.src = r.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 + 0.85 * (sum(CAST(round(r.rank / deg.d * 1e9) AS BIGINT)) / 1e9) AS rank
+        |  FROM edges e JOIN r1 r ON e.src = r.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT e.dst AS node,
+        |    0.15 + 0.85 * (sum(CAST(round(r.rank / deg.d * 1e9) AS BIGINT)) / 1e9) AS rank
+        |  FROM edges e JOIN r2 r ON e.src = r.node JOIN deg ON deg.src = e.src
+        |  GROUP BY 1)
+        |SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 25""".stripMargin,
+    "dq_constraints" ->
+      """WITH v AS (
+        |  SELECT 'orders.o_orderkey.not_null' AS check_name,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS violations
+        |  UNION ALL SELECT 'orders.o_orderkey.unique',
+        |    (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        |  UNION ALL SELECT 'orders.o_totalprice.positive',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0.0)
+        |  UNION ALL SELECT 'orders.o_orderstatus.in_set',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P'))
+        |  UNION ALL SELECT 'lineitem.l_discount.range_0_01',
+        |    (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1)
+        |  UNION ALL SELECT 'lineitem.l_quantity.range_1_50',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+        |  UNION ALL SELECT 'lineitem.l_tax.max_005',
+        |    (SELECT count(*) FROM lineitem WHERE l_tax > 0.05)
+        |  UNION ALL SELECT 'lineitem.l_orderkey.ref_orders',
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+        |  UNION ALL SELECT 'lineitem.per_order.max_7_lines',
+        |    (SELECT count(*) FROM (SELECT l_orderkey FROM lineitem
+        |     GROUP BY 1 HAVING count(*) > 7)))
+        |SELECT check_name, violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM v ORDER BY check_name""".stripMargin,
+    "ema_daily_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT epoch_ms(a.day::TIMESTAMP) AS day_ms,
+        |  a.rev_cents / 100.0 AS revenue,
+        |  sum(CAST(round(b.rev_cents * power(0.5, datediff('day', b.day, a.day))) AS BIGINT))
+        |    / 100.0 AS ew_revenue
+        |FROM daily a JOIN daily b
+        |  ON datediff('day', b.day, a.day) BETWEEN 0 AND 29
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  )
+}
