@@ -20,7 +20,9 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
             "hybrid_rrf_topk", "mixture_sample_budget", "sketch_distinct_rollup",
             "q21_waiting_suppliers", "q8_market_share",
             "q13_customer_distribution", "q19_discounted_revenue",
-            "entity_resolution"]
+            "entity_resolution",
+            "q2_min_cost_supplier", "q11_important_stock", "funnel_steps",
+            "pagerank_trade", "ema_daily_revenue", "dq_constraints"]
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",

@@ -50,7 +50,12 @@ object Bench {
     // like the embedding ledger, their cost is sequential commit cycles —
     // fixed maintenance overhead, not query work.)
     "q21_waiting_suppliers", "q8_market_share", "q13_customer_distribution",
-    "q19_discounted_revenue", "entity_resolution")
+    "q19_discounted_revenue", "entity_resolution",
+    // round-9 wave: TPC-H completion (decorrelated min, scalar-fraction
+    // HAVING) + analytics family (ordered funnel, iterative PageRank,
+    // EW trailing window, constraint suite)
+    "q2_min_cost_supplier", "q11_important_stock", "funnel_steps",
+    "pagerank_trade", "ema_daily_revenue", "dq_constraints")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

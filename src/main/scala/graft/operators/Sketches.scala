@@ -430,6 +430,53 @@ object Sketches {
     else base.groupBy(overCols.map(col): _*).agg(agg.head, agg.tail: _*)
   }
 
+  /** KMV set-operation estimates between every PAIR of groups, from
+    * sample-rollup STATE alone — the set operation HLL union cannot
+    * provide (intersections). For groups A, B with bottom-k samples
+    * S_A, S_B (k smallest md5 hashes over distinct items), the k
+    * smallest distinct items of S_A ∪ S_B are exactly the bottom-k
+    * sample of A ∪ B, and every member of it that lies in S_A ∩ S_B is
+    * in A ∩ B (its hash clears both per-set thresholds) — so
+    * `jaccard_est = |bottom_k(S_A ∪ S_B) ∩ S_A ∩ S_B| / k_eff` is the
+    * classic KMV Jaccard estimator, σ ≈ √(J(1−J)/k).
+    *
+    * Determinism: the estimate is a pure function of the two item SETS
+    * through their md5-hex order (ties break on the item itself), so it
+    * is identical under any partitioning or merge order, and an oracle
+    * with md5 replays it bit-for-bit. The only shuffle is state-sized
+    * (pairs × k rows); facts are never read. */
+  def jaccardAcross(spark: SparkSession, table: String,
+                    groupCol: String, k: Int): DataFrame = {
+    val s = sampleItems(spark, table, Seq(groupCol))
+      .select(col(groupCol).as("g"), col("item"))
+    val gs = s.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("lang_a"))
+      .crossJoin(gs.select(col("g").as("lang_b")))
+      .filter(col("lang_a") < col("lang_b"))
+    val aSide = pairs.join(s.withColumnRenamed("g", "lang_a"), Seq("lang_a"))
+      .select(col("lang_a"), col("lang_b"), col("item"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val bSide = pairs.join(s.withColumnRenamed("g", "lang_b"), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("item"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val cand = aSide.unionByName(bSide)
+      .groupBy(col("lang_a"), col("lang_b"), col("item"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      // hex prefix ORDER == unsigned numeric order of the 8-byte hash;
+      // staying in string space keeps both engines' comparisons identical
+      .withColumn("hh", substring(md5(col("item").cast("binary")), 1, 16))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang_a"), col("lang_b"))
+      .orderBy(col("hh"), col("item"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(col("in_a") * col("in_b")).as("overlap_k"))
+      .withColumn("jaccard_est",
+        col("overlap_k").cast("double") / col("k_eff").cast("double"))
+  }
+
   /** ON-DISK FORMAT BREAK (one-shot repair): rollup_id changed from a
     * separator-joined string to `md5(to_json(struct(groupCols)))`. The
     * incremental paths remove superseded rows by rollup_id, so a persisted

@@ -174,6 +174,63 @@ object SketchOps {
         .select(col("event_type"), col("n_rows"),
           col("quantiles")(0).as("p50"), col("quantiles")(1).as("p95"))
       quantileRankCheck(ev, est, Seq("event_type"))
+    }),
+
+    // KMV SET OPERATIONS on sample-rollup state: pairwise Jaccard /
+    // intersection estimates between groups — the readout HLL union
+    // cannot provide. Items are word trigrams per language (distinct
+    // vocabularies with real partial overlap, J≈0.06–0.08); the rollup
+    // builds through three incremental batches + a token replay, then
+    // the estimator runs on STATE ALONE. Because the bottom-k order is
+    // md5-hex (+ item tiebreak), the estimate — not just a tolerance
+    // boolean — hash-matches DuckDB's replay exactly; `within_tol`
+    // additionally pins |est − true| ≤ 0.08 (σ ≈ √(J(1−J)/128) ≈ 0.024).
+    "sketch_jaccard_rollup" -> ((s, dir) => {
+      val tri = Tables.documents(s, dir)
+        .withColumn("a", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          explode(expr(
+            """CASE WHEN size(a) >= 3
+              |THEN transform(sequence(1, size(a) - 2), i ->
+              |  concat_ws(' ', element_at(a, i), element_at(a, i + 1),
+              |    element_at(a, i + 2)))
+              |ELSE array() END""".stripMargin)).as("item"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_sketch_jac").toString + "/rollup"
+      val t0 = 1704067200000L
+      (0 until 3).foreach { b =>
+        Sketches.updateSampleRollup(
+          tri.filter(pmod(col("doc_id"), lit(3)) === b), table,
+          Seq("lang"), "item", new java.sql.Timestamp(t0 + b * 3600000L),
+          k = 128, token = Some(s"jac-$b"))
+      }
+      Sketches.updateSampleRollup( // replayed batch: token → no-op
+        tri.filter(pmod(col("doc_id"), lit(3)) === 1), table,
+        Seq("lang"), "item", new java.sql.Timestamp(t0 + 3600000L),
+        k = 128, token = Some("jac-1"))
+      val est = Sketches.jaccardAcross(s, table, "lang", 128)
+      // exact side (facts) for the tolerance contract
+      val sets = tri.select(col("lang"), col("item")).distinct()
+      val sizes = sets.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val inter = sets.select(col("lang").as("ia"), col("item"))
+        .join(sets.select(col("lang").as("ib"), col("item")), Seq("item"))
+        .filter(col("ia") < col("ib"))
+        .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("i"))
+      est
+        .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("na"))),
+          Seq("lang_a"))
+        .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("nb"))),
+          Seq("lang_b"))
+        .join(broadcast(inter.select(col("ia").as("lang_a"),
+          col("ib").as("lang_b"), col("i"))), Seq("lang_a", "lang_b"), "left")
+        .withColumn("jaccard_true",
+          coalesce(col("i"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("i"), lit(0L))).cast("double"))
+        .withColumn("within_tol",
+          (abs(col("jaccard_est") - col("jaccard_true")) <= 0.08).cast("int"))
+        .select(col("lang_a"), col("lang_b"), col("k_eff"), col("overlap_k"),
+          col("jaccard_est"), col("jaccard_true"), col("within_tol"))
+        .orderBy(col("lang_a"), col("lang_b"))
     })
   )
 
@@ -251,6 +308,60 @@ object SketchOps {
         |c AS (SELECT lang, token, count(*) AS tc FROM t GROUP BY 1, 2)
         |SELECT c.lang, token, CAST(tc AS BIGINT) AS true_count,
         |  TRUE AS present_ok, TRUE AS err_ok
-        |FROM c JOIN n USING (lang) WHERE tc * 64 >= nl""".stripMargin
+        |FROM c JOIN n USING (lang) WHERE tc * 64 >= nl""".stripMargin,
+    "sketch_jaccard_rollup" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
+        |tri AS (
+        |  SELECT DISTINCT lang,
+        |    unnest(list_transform(list_zip(a[1:-3], a[2:-2], a[3:-1]),
+        |      p -> p[1] || ' ' || p[2] || ' ' || p[3])) AS item
+        |  FROM t),
+        |sk AS (
+        |  SELECT lang, item,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY substr(md5(item), 1, 16), item) AS rn
+        |  FROM tri),
+        |samp AS (SELECT lang, item FROM sk WHERE rn <= 128),
+        |langs AS (SELECT DISTINCT lang FROM samp),
+        |pairs AS (
+        |  SELECT a.lang AS ga, b.lang AS gb FROM langs a, langs b
+        |  WHERE a.lang < b.lang),
+        |cand AS (
+        |  SELECT ga, gb, item, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |    SELECT p.ga, p.gb, s.item, 1 AS in_a, 0 AS in_b
+        |    FROM pairs p JOIN samp s ON s.lang = p.ga
+        |    UNION ALL
+        |    SELECT p.ga, p.gb, s.item, 0 AS in_a, 1 AS in_b
+        |    FROM pairs p JOIN samp s ON s.lang = p.gb)
+        |  GROUP BY 1, 2, 3),
+        |rk AS (
+        |  SELECT ga, gb, in_a, in_b,
+        |    row_number() OVER (PARTITION BY ga, gb
+        |      ORDER BY substr(md5(item), 1, 16), item) AS rn
+        |  FROM cand),
+        |est AS (
+        |  SELECT ga, gb, count(*) AS k_eff, sum(in_a * in_b) AS overlap_k
+        |  FROM rk WHERE rn <= 128 GROUP BY 1, 2),
+        |sizes AS (SELECT lang, count(*) AS n FROM tri GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.lang AS ga, t2.lang AS gb, count(*) AS i
+        |  FROM tri t1 JOIN tri t2 ON t1.item = t2.item AND t1.lang < t2.lang
+        |  GROUP BY 1, 2)
+        |SELECT e.ga AS lang_a, e.gb AS lang_b,
+        |  CAST(e.k_eff AS BIGINT) AS k_eff,
+        |  CAST(e.overlap_k AS BIGINT) AS overlap_k,
+        |  CAST(e.overlap_k AS DOUBLE) / CAST(e.k_eff AS DOUBLE) AS jaccard_est,
+        |  CAST(COALESCE(i.i, 0) AS DOUBLE)
+        |    / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard_true,
+        |  CAST(CASE WHEN abs(
+        |      CAST(e.overlap_k AS DOUBLE) / CAST(e.k_eff AS DOUBLE)
+        |      - CAST(COALESCE(i.i, 0) AS DOUBLE)
+        |        / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE)) <= 0.08
+        |    THEN 1 ELSE 0 END AS INT) AS within_tol
+        |FROM est e
+        |JOIN sizes sa ON sa.lang = e.ga
+        |JOIN sizes sb ON sb.lang = e.gb
+        |LEFT JOIN inter i ON i.ga = e.ga AND i.gb = e.gb
+        |ORDER BY lang_a, lang_b""".stripMargin
   )
 }

@@ -396,4 +396,47 @@ class PlanSpec extends GraftSuite {
     assert(phys.contains("TakeOrderedAndProject"),
       s"ORDER BY+LIMIT must plan as top-k, not a global sort:\n$phys")
   }
+
+  test("funnel: every step's type filter reaches the parquet scan; step tables " +
+      "never sort-merge against the event stream") {
+    val df = graft.queries.Analytics.defs("funnel_steps")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    // three step scans, each with its own pushed equality — a funnel that
+    // scans all events per step and filters late reads 5x the bytes
+    Seq("view", "click", "purchase").foreach { t =>
+      assert(phys.contains(s"EqualTo(event_type,$t)"),
+        s"step '$t' filter not pushed to the scan:\n$phys")
+    }
+    assert(!phys.contains("SortMergeJoin"),
+      s"per-user step tables must hash-join (they only shrink):\n$phys")
+  }
+
+  test("ema: facts collapse to the day grain BEFORE the range self-join") {
+    val df = graft.queries.Analytics.defs("ema_daily_revenue")(spark, sf)
+    // the ≤30-day band join is non-equi, so it must be a nested-loop over
+    // the CALENDAR-bounded aggregate — never over raw orders rows
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.size == 1, s"expected exactly the band self-join:\n$opt")
+    joins.head.children.foreach { side =>
+      assert(side.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined,
+        s"a raw (pre-aggregation) side reached the nested-loop join:\n$opt")
+    }
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastNestedLoopJoin"), phys)
+  }
+
+  test("q11: the scalar-fraction HAVING compares exact longs against a 1-row broadcast") {
+    val df = graft.queries.Relational5.defs("q11_important_stock")(spark, sf)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("* 1000)"),
+      s"fraction threshold must cross-multiply to exact longs:\n$phys")
+    assert(phys.contains("IdentityBroadcastMode") ||
+      phys.contains("BroadcastNestedLoopJoin"),
+      s"the global total must broadcast as one row:\n$phys")
+    assert(!phys.contains("SortMergeJoin"), phys)
+  }
 }
