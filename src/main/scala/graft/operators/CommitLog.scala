@@ -50,9 +50,19 @@ object CommitLog {
     * opening thousands of parquet footers with one small log read. The
     * unbounded defaults keep pre-stats entries (and any writer that skips
     * stats) correctness-safe: an unknown range is never pruned. */
+  /** `keyBloom`: optional per-file bloom filter over the table's id
+    * column (base64 of `spark.util.sketch.BloomFilter`'s wire format),
+    * carried in the log like the time bounds — the Delta bloom-index
+    * pattern, manifest-resident. A point lookup tests each file's bloom
+    * DRIVER-SIDE (no job, no IO) and scans only surviving files; at
+    * 100 TB an id probe touches ~1 file instead of a month's worth.
+    * Absent (old entries, compaction outputs, writers that skip it) →
+    * the file is never pruned — same never-wrong-only-incomplete rule
+    * as the ts bounds. */
   final case class AddFile(path: String, month: String,
                            tsMin: Long = Long.MinValue,
-                           tsMax: Long = Long.MaxValue)
+                           tsMax: Long = Long.MaxValue,
+                           keyBloom: Option[String] = None)
 
   /** `schemaJson`: the table's CURRENT logical schema (Spark StructType
     * JSON), carried in the log — the Delta approach to ADDITIVE schema
@@ -111,10 +121,12 @@ object CommitLog {
     val months = strings("months")
     val mins = strings("tsmins")
     val maxs = strings("tsmaxs")
+    val blooms = strings("blooms")
     val files = adds.zipWithIndex.map { case (p, i) =>
       val lo = if (i < mins.length) mins(i).toLong else Long.MinValue
       val hi = if (i < maxs.length) maxs(i).toLong else Long.MaxValue
-      AddFile(p, months(i), lo, hi)
+      val kb = if (i < blooms.length && blooms(i).nonEmpty) Some(blooms(i)) else None
+      AddFile(p, months(i), lo, hi, kb)
     }
     (files, strings("removes"))
   }
@@ -127,7 +139,11 @@ object CommitLog {
     // schema rides base64'd: the tiny hand-rolled parser stays regex-safe
     val sch = schemaJson.map(s => s""","schema":"${java.util.Base64.getEncoder
       .encodeToString(s.getBytes("UTF-8"))}"""").getOrElse("")
-    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"tsmins":${arr(adds.map(_.tsMin.toString))},"tsmaxs":${arr(adds.map(_.tsMax.toString))},"removes":${arr(removes)}$tok$sch}"""
+    // blooms only materialize when at least one file carries one (keeps
+    // bloom-free tables' entries byte-stable vs earlier versions)
+    val blm = if (adds.exists(_.keyBloom.isDefined))
+      s""","blooms":${arr(adds.map(_.keyBloom.getOrElse("")))}""" else ""
+    s"""{"op":"$op","adds":${arr(adds.map(_.path))},"months":${arr(adds.map(_.month))},"tsmins":${arr(adds.map(_.tsMin.toString))},"tsmaxs":${arr(adds.map(_.tsMax.toString))},"removes":${arr(removes)}$blm$tok$sch}"""
   }
 
   private def parseSchema(s: String): Option[String] = {
@@ -503,7 +519,8 @@ object CommitLog {
              token: Option[String] = None,
              statsHint: Option[(Long, Long)] = None,
              filesPerMonth: Int = 1,
-             assumeUnique: Boolean = false): Long = {
+             assumeUnique: Boolean = false,
+             keyBlooms: Boolean = false): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
@@ -551,11 +568,16 @@ object CommitLog {
         .agg(min(unix_micros(col(tsCol))).as("lo"), max(unix_micros(col(tsCol))).as("hi"))
         .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     if (statsHint.isEmpty) cached.unpersist()
-    val adds = moveStaged(staging, table).map { a =>
+    val adds0 = moveStaged(staging, table).map { a =>
       statsHint.orElse(stats.get(a.month))
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }
+    // keyBlooms: one bloom per moved file over idCol, carried in the
+    // entry. Built between move and commit — a crash here leaves the
+    // same invisible orphans vacuum already reclaims.
+    val adds = if (keyBlooms)
+      attachKeyBlooms(batch.sparkSession, table, adds0, idCol) else adds0
     // ADDITIVE schema evolution: the recorded schema is the UNION of the
     // table's current columns and the batch's (existing definitions win,
     // everything nullable — files predating a column must read as null,
@@ -637,6 +659,61 @@ object CommitLog {
     readFiles(spark, table, snap, files)
       .filter(unix_micros(col(tsCol)) >= fromMicros &&
         unix_micros(col(tsCol)) < toMicros)
+  }
+
+  /** Build one id-column bloom per added file (post-move, pre-commit) and
+    * attach it to the AddFile records. Each file gets its own
+    * `spark.util.sketch.BloomFilter` sized to its row count at 1 % fpp —
+    * the count is a parquet-footer read, the build one column scan of the
+    * just-written file; both batch-sized. (A production variant for
+    * thousand-file commits would fold all blooms in one pass with an
+    * Aggregator keyed by input_file_name; appends here move ≤ filesPerMonth
+    * × months files.) */
+  private def attachKeyBlooms(spark: SparkSession, table: String,
+                              adds: Seq[AddFile], idCol: String): Seq[AddFile] =
+    adds.map { a =>
+      val df = spark.read.parquet(Paths.get(table).resolve(a.path).toString)
+      val n = math.max(df.count(), 64L)
+      val bf = df.stat.bloomFilter(idCol, n, 0.01)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      a.copy(keyBloom =
+        Some(java.util.Base64.getEncoder.encodeToString(bos.toByteArray)))
+    }
+
+  /** PLAN-TIME file pruning for an id EQUALITY probe: test each live
+    * file's manifest bloom driver-side — zero jobs, zero file IO — and
+    * return (surviving files, total live files). Bloom-less files always
+    * survive (never wrong, only incomplete). */
+  def filesForKey(table: String, value: Any): (Seq[AddFile], Int) = {
+    val snap = snapshot(table)
+    val survivors = snap.files.filter { f =>
+      f.keyBloom.forall { b64 =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(
+            java.util.Base64.getDecoder.decode(b64)))
+          .mightContain(value)
+      }
+    }
+    (survivors, snap.files.size)
+  }
+
+  /** Point lookup planned from manifest blooms ([[filesForKey]]); the
+    * row-level equality filter applies on top, so false positives cost a
+    * pruned-file scan, never a wrong row. An all-files-rejected probe
+    * returns an empty frame without reading ANY data file's rows. */
+  def scanForKey(spark: SparkSession, table: String,
+                 idCol: String, value: Any): DataFrame = {
+    val snap = snapshot(table)
+    val (survivors, _) = filesForKey(table, value)
+    val paths = survivors.map(f => Paths.get(table).resolve(f.path).toString)
+    if (paths.isEmpty) {
+      val any = snap.files.headOption.getOrElse(
+        throw new IllegalStateException(s"empty commit-log table at $table"))
+      return readFiles(spark, table, snap,
+        Seq(Paths.get(table).resolve(any.path).toString)).limit(0)
+    }
+    readFiles(spark, table, snap, paths).filter(col(idCol) === lit(value))
   }
 
   /** ROW-LEVEL DELETE (the lakehouse `DELETE WHERE` — GDPR / erasure

@@ -88,8 +88,13 @@ object Analytics {
       // the distinct, degree count and three contribution shuffles move
       // 8-byte keys; the 'c…'/'s…' labels render once in the readout
       // (measured: string-keyed graph 4.2 s → long-keyed 2.x s at sf0.1)
+      // both sides of the orderkey→custkey mapping are fact-sized at
+      // scale — the shuffle join is the right plan (measured: forcing a
+      // broadcast here is a wash at sf0.1 and wrong at 100 TB)
       val pairs = Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2L).as("a"),
           (col("l_suppkey") * 2L + 1L).as("b"))
         .distinct()
@@ -100,6 +105,10 @@ object Analytics {
       graft.core.Caching.withCached(e) {
         var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
         (1 to 3).foreach { _ =>
+          // ranks (node-count-sized) shuffles TO the cached edge
+          // partitioning each round; the edges themselves never move.
+          // Deliberately NOT a broadcast: a billion-node graph's rank
+          // table outgrows the driver, the node-keyed shuffle does not.
           ranks = e.join(ranks, col("src") === col("node"))
             .select(col("dst"),
               round(col("rank") / col("d") * 1e9, 0).cast("long").as("contrib"))

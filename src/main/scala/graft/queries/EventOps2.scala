@@ -138,6 +138,39 @@ object EventOps2 {
         .orderBy(col("doc_id"))
     }),
 
+    // MANIFEST KEY BLOOMS: a point lookup plans its file set from
+    // per-file blooms carried in the log — driver-side membership tests,
+    // zero jobs, zero data-file IO before the surviving scan. Three
+    // month-separated batches → three files; the hit id lives in exactly
+    // one, the miss id in none. `pruned` pins the file-skipping contract
+    // (hit scans ≤ 2 of 3 files — its own plus at most one 1 %-fpp false
+    // positive; miss scans ≤ 1); rows/n_chars pin the data itself.
+    "logstore_point_lookup" -> ((s, dir) => {
+      val table = java.nio.file.Files.createTempDirectory("graft_pl").toString
+      val docs = Tables.documents(s, dir)
+        .withColumn("b", expr("CAST(doc_id % 3 AS INT)"))
+        .withColumn("ts", expr("make_timestamp(2024, b + 1, 15, 0, 0, 0)"))
+        .select("doc_id", "b", "ts", "source", "n_chars")
+      (0 until 3).foreach { b =>
+        CommitLog.append(docs.filter(col("b") === b), table,
+          idCol = "doc_id", tsCol = "ts", keyBlooms = true)
+      }
+      val hitId = 247L
+      val missId = 10L * 1000L * 1000L
+      val (hs, total) = CommitLog.filesForKey(table, hitId)
+      val (ms, _) = CommitLog.filesForKey(table, missId)
+      val hitRows = CommitLog.scanForKey(s, table, "doc_id", hitId)
+        .select(col("n_chars")).collect()
+      val missRows = CommitLog.scanForKey(s, table, "doc_id", missId).count()
+      val rows = Seq(
+        ("hit", hitRows.length.toLong, hitRows.map(_.getLong(0)).sum,
+          if (hs.size <= 2 && total == 3) 1 else 0),
+        ("miss", missRows, 0L, if (ms.size <= 1) 1 else 0))
+      s.createDataFrame(rows)
+        .toDF("probe", "rows_found", "n_chars_sum", "pruned")
+        .orderBy(col("probe"))
+    }),
+
     // SCD2 DIMENSION HISTORY: three observation batches with staggered key
     // arrival (k%3 <= b) and a cycling attribute ((k+b)%4 / 2 — half the
     // steps are no-ops) maintained through change-detected version rows.
@@ -479,6 +512,14 @@ object EventOps2 {
     "logstore_clone" ->
       """SELECT doc_id, CAST(doc_id % 3 AS INT) AS b, source, n_chars
         |FROM documents WHERE doc_id % 3 <= 1 ORDER BY doc_id""".stripMargin,
+    "logstore_point_lookup" ->
+      """SELECT 'hit' AS probe, CAST(1 AS BIGINT) AS rows_found,
+        |  (SELECT CAST(n_chars AS BIGINT) FROM documents WHERE doc_id = 247)
+        |    AS n_chars_sum,
+        |  CAST(1 AS INT) AS pruned
+        |UNION ALL
+        |SELECT 'miss', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INT)
+        |ORDER BY probe""".stripMargin,
     "scd2_asof_enrich" ->
       """WITH ev AS (
         |  SELECT c_custkey AS k, b, make_timestamp(2024, b + 1, 15, 0, 0, 0) AS ts,

@@ -298,4 +298,48 @@ class CommitLogSpec extends GraftSuite {
     assert(snap.files.forall(_.month == "2024-02"))
     assert(CommitLog.scan(spark, t).count() == 15)
   }
+
+  test("manifest key blooms: point lookups prune files driver-side; " +
+      "bloom-less files are never pruned") {
+    val t = freshTable()
+    // three disjoint id ranges in three months → three files, each bloomed
+    CommitLog.append(sampleBatch(0 until 200, "2024-01"), t, "id", "ts",
+      keyBlooms = true)
+    CommitLog.append(sampleBatch(200 until 400, "2024-02"), t, "id", "ts",
+      keyBlooms = true)
+    CommitLog.append(sampleBatch(400 until 600, "2024-03"), t, "id", "ts",
+      keyBlooms = true)
+    val snap = CommitLog.snapshot(t)
+    assert(snap.files.size == 3 && snap.files.forall(_.keyBloom.isDefined))
+
+    // hit: survives in its own file (+ ≤1 fpp straggler), and the scan
+    // returns exactly the row
+    val (hs, total) = CommitLog.filesForKey(t, "id250")
+    assert(total == 3 && hs.nonEmpty && hs.size <= 2, hs.map(_.path))
+    assert(hs.exists(_.month == "2024-02"), hs.map(_.month))
+    val row = CommitLog.scanForKey(spark, t, "id", "id250").collect()
+    assert(row.map(_.getAs[Int]("v")).toSeq == Seq(250))
+
+    // miss: every bloom rejects → the scan reads NO data rows
+    val (ms, _) = CommitLog.filesForKey(t, "id-nope")
+    assert(ms.size <= 1, ms.map(_.path))
+    assert(CommitLog.scanForKey(spark, t, "id", "id-nope").count() == 0)
+
+    // blooms survive the checkpoint→snapshot path: force enough commits
+    // for a checkpoint, then re-read
+    (3 until 11).foreach(i => CommitLog.append(
+      sampleBatch(600 + i * 10 until 610 + i * 10, "2024-04"), t, "id", "ts",
+      keyBlooms = true))
+    val reread = CommitLog.snapshot(t)
+    assert(reread.files.forall(_.keyBloom.isDefined))
+    assert(CommitLog.filesForKey(t, "id250")._1.exists(_.month == "2024-02"))
+
+    // a compaction output carries no bloom → it must ALWAYS survive
+    CommitLog.compactMonth(spark, t, "2024-02", idCol = "id", tsCol = "ts")
+    val (afterCompact, _) = CommitLog.filesForKey(t, "id-definitely-absent")
+    assert(afterCompact.exists(_.month == "2024-02"),
+      "bloom-less compacted file was wrongly pruned")
+    assert(CommitLog.scanForKey(spark, t, "id", "id250")
+      .collect().map(_.getAs[Int]("v")).toSeq == Seq(250))
+  }
 }
