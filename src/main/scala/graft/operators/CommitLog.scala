@@ -918,8 +918,14 @@ object CommitLog {
     // for free (compaction only dedups rows, so true bounds can only
     // shrink — a loose-but-valid range never mis-prunes)
     val (lo, hi) = (old.map(_.tsMin).min, old.map(_.tsMax).max)
-    val adds = moveStaged(staging, table)
+    val adds0 = moveStaged(staging, table)
       .map(_.copy(tsMin = lo, tsMax = hi))
+    // INDEX INHERITANCE: if the month was bloom-indexed, its compacted
+    // replacements are too — maintenance must not silently degrade point
+    // lookups back to scan-everything (blooms rebuild per output file;
+    // the replaced files' blooms are useless, their row sets merged)
+    val adds = if (old.exists(_.keyBloom.isDefined))
+      attachKeyBlooms(spark, table, adds0, idCol) else adds0
     try commit(table, "compact", adds, removes = old.map(_.path))
     catch {
       case e: ConcurrentDelete =>

@@ -83,4 +83,34 @@ object TemporalJoins {
       .filter(col("t_b") > col("t_a") && col("t_b") <= col("t_a") + windowMillis)
       .select(col("k"), col("id_a"), col("id_b"), (col("t_b") - col("t_a")).as("gap_ms"))
   }
+
+  /** STREAM-STREAM interval join: correlate two live streams on a key
+    * within a bounded event-time window (`0 <= right.ts - left.ts <=
+    * windowMillis`) — e.g. delivery attempts against provider callbacks.
+    *
+    * This is Structured Streaming's native stateful join: BOTH sides
+    * carry watermarks (`delayMillis` of allowed lateness) and the time
+    * bound rides IN the join condition, which is what lets the state
+    * store evict rows once the watermark passes their window — without
+    * the bound the state grows forever. Inner semantics: a row emits
+    * when its partner arrives; state size stays O(window × rate).
+    *
+    * Both inputs must be STREAMING frames. The left keeps its columns;
+    * right payload lands as `j_<name>`. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         windowMillis: Long, delayMillis: Long): DataFrame = {
+    require(left.isStreaming && right.isStreaming,
+      "streamIntervalJoin needs two streaming inputs")
+    val delay = s"$delayMillis milliseconds"
+    val l = left.withWatermark(leftTs, delay)
+    val rCols = right.columns.toSeq
+    val r0 = right.withWatermark(rightTs, delay)
+    val r = rCols.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"j_$c"))
+    l.join(r,
+      col(keyCol) === col(s"j_$keyCol") &&
+        col(s"j_$rightTs") >= col(leftTs) &&
+        col(s"j_$rightTs") <= col(leftTs) + expr(s"INTERVAL $windowMillis MILLISECONDS"),
+      "inner")
+  }
 }

@@ -334,12 +334,19 @@ class CommitLogSpec extends GraftSuite {
     assert(reread.files.forall(_.keyBloom.isDefined))
     assert(CommitLog.filesForKey(t, "id250")._1.exists(_.month == "2024-02"))
 
-    // a compaction output carries no bloom → it must ALWAYS survive
+    // INDEX INHERITANCE: compacting a bloomed month rebuilds blooms on
+    // its outputs — maintenance must not degrade point lookups
     CommitLog.compactMonth(spark, t, "2024-02", idCol = "id", tsCol = "ts")
-    val (afterCompact, _) = CommitLog.filesForKey(t, "id-definitely-absent")
-    assert(afterCompact.exists(_.month == "2024-02"),
-      "bloom-less compacted file was wrongly pruned")
+    val feb = CommitLog.snapshot(t).files.filter(_.month == "2024-02")
+    assert(feb.nonEmpty && feb.forall(_.keyBloom.isDefined),
+      "compaction dropped the bloom index")
     assert(CommitLog.scanForKey(spark, t, "id", "id250")
       .collect().map(_.getAs[Int]("v")).toSeq == Seq(250))
+
+    // a file appended WITHOUT blooms must always survive any probe
+    CommitLog.append(sampleBatch(900 until 920, "2024-05"), t, "id", "ts")
+    val (unbloomed, _) = CommitLog.filesForKey(t, "id-definitely-absent")
+    assert(unbloomed.exists(_.month == "2024-05"),
+      "bloom-less file was wrongly pruned")
   }
 }
