@@ -37,6 +37,11 @@ object HttpApi {
       events: DataFrame,
       destTable: String,
       storeSecret: String,
+      // commit-log table path backing `events`: when set, GET
+      // /events/{id} plans its file set from the manifest key blooms
+      // (CommitLog.scanForKey — driver-side tests, ~1 file read) instead
+      // of filtering the full frame. None = frame filter, as before.
+      eventsTable: Option[String] = None,
       defaultLimit: Int = 100,
       maxLimit: Int = 1000,
       // POST /api/v1/publish target: a spool directory a streaming file
@@ -151,7 +156,10 @@ object HttpApi {
         case ("GET", TenantOne(id)) => getTenant(spark, cfg, id, ex)
         case ("DELETE", TenantOne(id)) => deleteTenantRoute(spark, cfg, opSeq, id, ex)
         case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
-        case ("GET", EventGet(_, id)) => getEvent(cfg, id, ex)
+        case ("GET", EventGet(_, id)) => cfg.eventsTable match {
+          case Some(t) => getEventByKey(spark, cfg, t, id, ex)
+          case None => getEvent(cfg, id, ex)
+        }
         case ("GET", MetricsEvents(_)) => metricsEvents(spark, cfg, q, ex)
         case ("GET", MetricsAttempts(tenant)) => metricsAttempts(spark, cfg, q, tenant, ex)
         case ("GET", AttemptsList(tenant)) => listAttempts(cfg, q, tenant, ex)
@@ -367,6 +375,19 @@ object HttpApi {
       throw new IllegalArgumentException(s"bad event id: $id"))
     ListQuery.retrieve(cfg.events, "event_id", eid) match {
       case Some(row) => sendJson(ex, 200, rowToJson(row, cfg.events.schema))
+      case None => sendError(ex, 404, s"event not found: $id")
+    }
+  }
+
+  private def getEventByKey(spark: SparkSession, cfg: Config, table: String,
+                            id: String, ex: HttpExchange): Unit = {
+    val eid = id.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"bad event id: $id"))
+    val hit = graft.operators.CommitLog
+      .scanForKey(spark, table, "event_id", eid)
+      .limit(1).collect().headOption
+    hit match {
+      case Some(row) => sendJson(ex, 200, rowToJson(row, row.schema))
       case None => sendError(ex, 404, s"event not found: $id")
     }
   }

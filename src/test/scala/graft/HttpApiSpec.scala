@@ -44,6 +44,34 @@ class HttpApiSpec extends GraftSuite {
     try f(server) finally server.stop()
   }
 
+  test("event GET plans from manifest key blooms when eventsTable is set") {
+    val base = java.nio.file.Files.createTempDirectory("graft_api_pl").toString
+    val table = s"$base/events"
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 3).foreach { b =>
+      graft.operators.CommitLog.append(
+        ev.filter(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.lit(3)) === b),
+        table, idCol = "event_id", tsCol = "ts", keyBlooms = true)
+    }
+    val server = HttpApi.start(spark, HttpApi.Config(
+      events = graft.operators.CommitLog.scan(spark, table),
+      destTable = s"$base/destinations",
+      storeSecret = "api-secret",
+      eventsTable = Some(table)))
+    try {
+      val (c1, one) = get(server, "/api/v1/t1/events/424")
+      assert(c1 == 200 && one.get("event_id").asLong == 424L, one)
+      // the bloom path really is in play: a miss prunes every file
+      val (surv, total) = graft.operators.CommitLog.filesForKey(table, 999999999L)
+      assert(total == 3 && surv.size <= 1, surv.map(_.path))
+      assert(get(server, "/api/v1/t1/events/999999999")._1 == 404)
+      assert(get(server, "/api/v1/t1/events/not-a-number")._1 == 400)
+    } finally server.stop()
+  }
+
   test("events: list clamps limits, paginates by cursor, retrieves by id") {
     withServer { s =>
       // limit clamp: absent → default 100; over max → 1000; invalid → default
