@@ -28,8 +28,16 @@ object TemporalJoins {
     * @param rightTs   right timestamp column name
     * @param payload   right columns to carry (emitted as `asof_<name>`)
     */
+  /** @param direction       "backward" (latest right at-or-before left, the
+    *                        default) or "forward" (earliest right
+    *                        at-or-after left) — pandas merge_asof's axes
+    * @param toleranceMillis max |left.ts − matched.ts|: a match further
+    *                        away nulls out (row kept, pandas semantics) */
   def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+               leftTs: String, rightTs: String, payload: Seq[String],
+               direction: String = "backward",
+               toleranceMillis: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -47,11 +55,25 @@ object TemporalJoins {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(lNorm.columns.map(col): _*)
     val unioned = lNorm.unionByName(rNorm)
-    // right rows sort before left rows at equal ts (<= semantics)
+    // right rows sort before left rows at equal ts (<=/>= semantics both
+    // inclusive); forward simply walks time in reverse — same single
+    // window pass, still ONE shuffle on the key
+    val order =
+      if (direction == "backward") Seq(col("_ts").asc, col("_side").asc)
+      else Seq(col("_ts").desc, col("_side").asc)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = unioned.withColumn("_last", last(col("_pay"), ignoreNulls = true).over(w))
+    val filled0 = unioned.withColumn("_last", last(col("_pay"), ignoreNulls = true).over(w))
+    // tolerance (pandas merge_asof): a match further than the bound nulls
+    // out, the left row survives
+    val filled = toleranceMillis match {
+      case None => filled0
+      case Some(tol) => filled0.withColumn("_last",
+        when(col("_last").isNotNull &&
+          abs(unix_millis(col("_ts")) -
+            unix_millis(col("_last").getField(rightTs))) <= tol, col("_last")))
+    }
     val outPayload = payload.map(p => col("_last").getField(p).as(s"asof_$p")) :+
       col("_last").getField(rightTs).as(s"asof_$rightTs")
     filled.filter(col("_side") === 1)

@@ -46,6 +46,27 @@ object EventOps2 {
         .orderBy(col("event_id"))
     }),
 
+    // as-of FORWARD with tolerance (pandas merge_asof's other axis): for
+    // each purchase, the EARLIEST click at-or-after it, nulled out when
+    // the gap exceeds 6 h (row kept — 223 matched / 1758 nulled at
+    // sf0.01, both paths exercised). Same union + one-window formulation
+    // as the backward form — one shuffle on user_id.
+    "asof_forward_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      TemporalJoins.asofJoin(purchases, clicks, Seq("user_id"),
+          leftTs = "ts", rightTs = "ts", payload = Seq("click_id"),
+          direction = "forward", toleranceMillis = Some(21600000L))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("asof_click_id").as("next_click_id"),
+          unix_millis(col("asof_ts")).as("next_click_ms"))
+        .orderBy(col("event_id"))
+    }),
+
     // bounded range join: same-user event pairs within 60 s (bucketed
     // equi-join — no theta-join explosion).
     "range_join_60s" -> ((s, dir) => {
@@ -490,6 +511,22 @@ object EventOps2 {
         |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type='click') c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "asof_forward_tolerance" ->
+      """WITH j AS (
+        |  SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS cts
+        |  FROM (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type='purchase') p
+        |  ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id
+        |                  FROM events WHERE event_type='click') c
+        |    ON p.user_id = c.user_id AND c.ts >= p.ts)
+        |SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS ts_ms,
+        |  CASE WHEN cts IS NOT NULL
+        |    AND epoch_ms(cts::TIMESTAMP) - epoch_ms(ts::TIMESTAMP) <= 21600000
+        |    THEN click_id END AS next_click_id,
+        |  CASE WHEN cts IS NOT NULL
+        |    AND epoch_ms(cts::TIMESTAMP) - epoch_ms(ts::TIMESTAMP) <= 21600000
+        |    THEN epoch_ms(cts::TIMESTAMP) END AS next_click_ms
+        |FROM j ORDER BY event_id""".stripMargin,
     "range_join_60s" ->
       """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
         |  epoch_ms(b.ts::TIMESTAMP) - epoch_ms(a.ts::TIMESTAMP) AS gap_ms
