@@ -181,6 +181,51 @@ object Analytics {
         .orderBy(col("check_name"))
     }),
 
+    // Time-series GAP FILL + linear interpolation: premium orders
+    // (totalprice > 400k) land on ~half the calendar days; every missing
+    // day gets prev + (next−prev)·(pos/len) between its observed
+    // neighbors (exact-cent endpoints, one double expression both
+    // engines compute identically), edges forward/backward-fill. The
+    // single unpartitioned window is over the CALENDAR-bounded day grain
+    // (~2.4k rows at any SF — same argument as the EMA op); facts
+    // collapse to that grain first.
+    "gap_fill_interpolate" -> ((s, dir) => {
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long"))
+          .as("rev_cents"))
+      val slots = obs
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wNext = org.apache.spark.sql.expressions.Window
+        .orderBy(col("day"))
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      slots.join(obs, Seq("day"), "left")
+        .withColumn("prev_v", last(col("rev_cents"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_d", last(when(col("rev_cents").isNotNull, col("day")),
+          ignoreNulls = true).over(wPrev))
+        .withColumn("next_v", first(col("rev_cents"), ignoreNulls = true).over(wNext))
+        .withColumn("next_d", first(when(col("rev_cents").isNotNull, col("day")),
+          ignoreNulls = true).over(wNext))
+        .withColumn("filled_cents",
+          when(col("rev_cents").isNotNull, col("rev_cents"))
+            .when(col("prev_v").isNull, col("next_v"))
+            .when(col("next_v").isNull, col("prev_v"))
+            .otherwise(round(
+              col("prev_v") + (col("next_v") - col("prev_v")) *
+                datediff(col("day"), col("prev_d")).cast("double") /
+                datediff(col("next_d"), col("prev_d")).cast("double"), 0)
+              .cast("long")))
+        .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
+          col("rev_cents").isNotNull.cast("int").as("observed"),
+          (col("filled_cents") / 100.0).as("revenue"))
+        .orderBy(col("day_ms"))
+    }),
+
     // Exponentially-weighted trailing revenue: daily order revenue (exact
     // cents) convolved with 0.5^age over a 30-day window. Facts collapse
     // to the day grain FIRST; the range self-join then runs on a
@@ -287,6 +332,38 @@ object Analytics {
         |SELECT check_name, violations,
         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
         |FROM v ORDER BY check_name""".stripMargin,
+    "gap_fill_interpolate" ->
+      """WITH obs AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+        |  FROM orders WHERE o_totalprice > 400000.0 GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM obs),
+        |slots AS (
+        |  SELECT CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+        |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+        |j AS (SELECT s.day, o.rev_cents FROM slots s LEFT JOIN obs o ON s.day = o.day),
+        |f AS (
+        |  SELECT day, rev_cents,
+        |    last_value(rev_cents IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        |    last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+        |    first_value(rev_cents IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        |    first_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+        |      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+        |  FROM j)
+        |SELECT epoch_ms(day::TIMESTAMP) AS day_ms,
+        |  CAST(CASE WHEN rev_cents IS NOT NULL THEN 1 ELSE 0 END AS INT) AS observed,
+        |  CASE
+        |    WHEN rev_cents IS NOT NULL THEN rev_cents
+        |    WHEN prev_v IS NULL THEN next_v
+        |    WHEN next_v IS NULL THEN prev_v
+        |    ELSE CAST(round(prev_v + (next_v - prev_v)
+        |      * CAST(datediff('day', prev_d, day) AS DOUBLE)
+        |      / CAST(datediff('day', prev_d, next_d) AS DOUBLE)) AS BIGINT)
+        |  END / 100.0 AS revenue
+        |FROM f ORDER BY day_ms""".stripMargin,
     "ema_daily_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
