@@ -247,7 +247,12 @@ object Bench {
         val s5 =
           try s""","retry_scale":${StreamBench.retryScaleRun(spark, 100000)}"""
           catch { case e: Throwable => s""","retry_scale_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5
+        // stream-stream interval join: 100k correlated pairs, exact
+        // in/out-of-window accounting, watermark-bounded state
+        val s6 =
+          try s""","ssjoin_scale":${StreamBench.streamJoinRun(spark, 100000)}"""
+          catch { case e: Throwable => s""","ssjoin_scale_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5 + s6
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

@@ -474,6 +474,67 @@ object StreamBench {
     } finally q.stop()
   }
 
+  /** Stream-stream interval join at scale: `nPairs` attempt/callback
+    * pairs through [[graft.operators.TemporalJoins.streamIntervalJoin]]
+    * (60 s window, 10 s lateness). 80 % of callbacks land in-window, 20 %
+    * outside — exact accounting against that split — and after a
+    * watermark-advancing tail batch the state store must have shed the
+    * bulk load (bounded by the window, not history). */
+  def streamJoinRun(spark: SparkSession, nPairs: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssjoin")
+    val attempts = MemoryStream[(Long, Timestamp, String)]
+    val callbacks = MemoryStream[(Long, Timestamp, String)]
+    val joined = graft.operators.TemporalJoins.streamIntervalJoin(
+      attempts.toDF().toDF("id", "ts", "dest"),
+      callbacks.toDF().toDF("id", "ts", "status"),
+      keyCol = "id", leftTs = "ts", rightTs = "ts",
+      windowMillis = 60000L, delayMillis = 10000L)
+    val qname = "ssjoin_sink"
+    val q = joined.select(col("id"))
+      .writeStream.option("checkpointLocation", s"$ckpt/j")
+      .format("memory").outputMode("append").queryName(qname).start()
+    val base = 1704067200000L
+    val t0 = System.nanoTime()
+    try {
+      // attempts spread over 10 min of event time; callback k answers
+      // 30 s later (in window) except every 5th, which answers 120 s
+      // later (out of window)
+      attempts.addData((0 until nPairs).map(k =>
+        (k.toLong, new Timestamp(base + (k % 600) * 1000L), s"d$k")))
+      callbacks.addData((0 until nPairs).map { k =>
+        val at = base + (k % 600) * 1000L +
+          (if (k % 5 == 4) 120000L else 30000L)
+        (k.toLong, new Timestamp(at), "ok")
+      })
+      q.processAllAvailable()
+      val bulk = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0))
+      // event time moves 1 h forward on both sides → watermark passes
+      // every bulk row's window; the NEXT batch sees the new watermark
+      attempts.addData(Seq((9999990L, new Timestamp(base + 3600000L), "wm")))
+      callbacks.addData(Seq((9999990L, new Timestamp(base + 3600001L), "ok")))
+      q.processAllAvailable()
+      attempts.addData(Seq((9999991L, new Timestamp(base + 3660000L), "wm")))
+      callbacks.addData(Seq((9999991L, new Timestamp(base + 3660001L), "ok")))
+      q.processAllAvailable()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val expected = (0 until nPairs).count(_ % 5 != 4).toLong + 2
+      val got = spark.table(qname).count()
+      val after = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0))
+      val afterRows = after.map(_.numRowsTotal).getOrElse(-1L)
+      s"""{"pairs":$nPairs,"pairs_per_sec":${(nPairs / sec).round},""" +
+        s""""matched":$got,"matched_expected":$expected,""" +
+        s""""accounting_exact":${got == expected},""" +
+        s""""bulk_state_rows":${bulk.map(_.numRowsTotal).getOrElse(-1L)},""" +
+        s""""state_rows_after_watermark":$afterRows,""" +
+        s""""state_evicted":${afterRows >= 0 && afterRows < nPairs / 10},""" +
+        s""""wall_sec":${math.round(sec * 1000) / 1000.0}}"""
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.lastOption.map(_.toInt).getOrElse(60000)
     val spark = graft.core.FastFs.install(SparkSession.builder())

@@ -68,4 +68,11 @@ class StreamJoinSpec extends GraftSuite {
         s"state store holds $state rows — watermark eviction not happening")
     } finally q.stop()
   }
+
+  test("streamJoinRun bench point: exact in/out-of-window accounting and " +
+      "watermark eviction at 5k pairs") {
+    val json = graft.StreamBench.streamJoinRun(spark, 5000)
+    assert(json.contains("\"accounting_exact\":true"), json)
+    assert(json.contains("\"state_evicted\":true"), json)
+  }
 }
