@@ -181,6 +181,64 @@ object Analytics {
         .orderBy(col("check_name"))
     }),
 
+    // Markov transition matrix over the event stream: per-user
+    // consecutive event-type pairs (lag window keyed by user — ONE
+    // shuffle), then global (prev → next) counts with row probabilities
+    // as one exact-integer division. The user-keyed window is the only
+    // stateful pass; the matrix itself is |types|² rows.
+    "event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val counts = pairs.groupBy(col("prev_type"),
+          col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("row_total"))
+      counts.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          (col("n").cast("double") / col("row_total").cast("double")).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
+    // RFM segmentation: per-user recency (days since last purchase,
+    // anchored at the stream's max ts — no wall clock), frequency, exact
+    // monetary cents; quartile codes via ntile over (metric, user_id) —
+    // the tie-broken total order both engines share. NOTE the global
+    // ntile sorts one partition; at 100 TB the quartile thresholds would
+    // come from the GK-quantile rollup state and broadcast instead —
+    // this gate pins the segmentation SEMANTICS.
+    "rfm_segments" -> ((s, dir) => {
+      val purchases = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val anchor = purchases.agg(max(col("ts")).as("anchor"))
+      val per = purchases.crossJoin(broadcast(anchor))
+        .groupBy(col("user_id"))
+        .agg(
+          datediff(to_date(first(col("anchor"))), to_date(max(col("ts"))))
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("value") * 100.0, 0).cast("long")).as("monetary_cents"))
+      def quart(c: String, ascBest: Boolean) = {
+        val o = if (ascBest) Seq(col(c).asc, col("user_id").asc)
+          else Seq(col(c).desc, col("user_id").asc)
+        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(o: _*))
+      }
+      per
+        .withColumn("r_q", quart("recency_days", ascBest = true))
+        .withColumn("f_q", quart("frequency", ascBest = false))
+        .withColumn("m_q", quart("monetary_cents", ascBest = false))
+        .select(col("user_id"), col("recency_days").cast("long").as("recency_days"),
+          col("frequency"),
+          (col("monetary_cents") / 100.0).as("monetary"),
+          concat(col("r_q").cast("string"), col("f_q").cast("string"),
+            col("m_q").cast("string")).as("rfm"))
+        .orderBy(col("user_id"))
+    }),
+
     // Time-series GAP FILL + linear interpolation: premium orders
     // (totalprice > 400k) land on ~half the calendar days; every missing
     // day gets prev + (next−prev)·(pos/len) between its observed
@@ -332,6 +390,36 @@ object Analytics {
         |SELECT check_name, violations,
         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
         |FROM v ORDER BY check_name""".stripMargin,
+    "event_transitions" ->
+      """WITH p AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS row_total FROM c GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+        |FROM c JOIN t USING (prev_type) ORDER BY 1, 2""".stripMargin,
+    "rfm_segments" ->
+      """WITH pur AS (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT max(ts) AS anchor FROM pur),
+        |per AS (
+        |  SELECT user_id,
+        |    datediff('day', CAST(max(ts) AS DATE),
+        |      CAST((SELECT anchor FROM a) AS DATE)) AS recency_days,
+        |    count(*) AS frequency,
+        |    sum(CAST(round(value * 100.0) AS BIGINT)) AS monetary_cents
+        |  FROM pur GROUP BY 1)
+        |SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+        |  monetary_cents / 100.0 AS monetary,
+        |  CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS VARCHAR) ||
+        |  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR) ||
+        |  CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS VARCHAR)
+        |    AS rfm
+        |FROM per ORDER BY user_id""".stripMargin,
     "gap_fill_interpolate" ->
       """WITH obs AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
