@@ -176,6 +176,37 @@ object SketchOps {
       quantileRankCheck(ev, est, Seq("event_type"))
     }),
 
+    // MG heavy hitters at a COARSER grain: global frequent tokens from a
+    // merge of the per-lang sketches alone — no pass over facts (the MG
+    // family's analog of sketch_union_across / sketch_quantile_union).
+    // Contract: every token with global share ≥ 1/64 must be present
+    // (merged worst-case undercount ≤ n/257 < n/64) with
+    // est ≤ true ≤ est + bound.
+    "sketch_topk_union" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("token"))
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_sketch_mgu").toString + "/rollup"
+      val t0 = 1704067200000L
+      (0 until 3).foreach { b =>
+        Sketches.updateTopKRollup(
+          toks.filter(pmod(col("doc_id"), lit(3)) === b), table,
+          Seq("lang"), "token", new java.sql.Timestamp(t0 + b * 3600000L),
+          k = 256, token = Some(s"mgu-$b"))
+      }
+      val est = Sketches.topKAcross(s, table, Seq.empty)
+        .select(col("item").as("token"), col("est"), col("bound"))
+      val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+      val nAll = toks.agg(count(lit(1)).as("n_all"))
+      exact.crossJoin(broadcast(nAll))
+        .filter(col("true_count") * 64 >= col("n_all"))
+        .join(est, Seq("token"), "left")
+        .select(col("token"), col("true_count"),
+          col("est").isNotNull.as("present_ok"),
+          (col("est").isNotNull && col("est") <= col("true_count") &&
+            col("true_count") <= col("est") + col("bound")).as("err_ok"))
+    }),
+
     // KMV SET OPERATIONS on sample-rollup state: pairwise Jaccard /
     // intersection estimates between groups — the readout HLL union
     // cannot provide. Items are word trigrams per language (distinct
@@ -309,6 +340,14 @@ object SketchOps {
         |SELECT c.lang, token, CAST(tc AS BIGINT) AS true_count,
         |  TRUE AS present_ok, TRUE AS err_ok
         |FROM c JOIN n USING (lang) WHERE tc * 64 >= nl""".stripMargin,
+    "sketch_topk_union" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS na FROM t),
+        |c AS (SELECT token, count(*) AS tc FROM t GROUP BY 1)
+        |SELECT token, CAST(tc AS BIGINT) AS true_count,
+        |  TRUE AS present_ok, TRUE AS err_ok
+        |FROM c, n WHERE tc * 64 >= na""".stripMargin,
     "sketch_jaccard_rollup" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS a FROM documents),
         |tri AS (
