@@ -57,6 +57,59 @@ object Bench {
     "q2_min_cost_supplier", "q11_important_stock", "funnel_steps",
     "pagerank_trade", "ema_daily_revenue", "dq_constraints")
 
+  /** Manifest-bloom point-lookup micro-bench: events loaded once into a
+    * bloomed 12-file commit-log table, then 20 hit + 20 miss probes via
+    * [[graft.operators.CommitLog.scanForKey]] (driver-side file pruning)
+    * against the same probes as a plain full-frame filter. Reports
+    * median ms per path plus the pruning evidence (files touched). */
+  private[graft] def pointLookupRun(spark: SparkSession,
+                             sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_bench_pl").toString + "/events"
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    // narrowBatchScope: AQE would coalesce the 4-way salted write back to
+    // one file per month on a small batch, defeating filesPerMonth (the
+    // ledger writers scope their appends the same way)
+    graft.core.Caching.narrowBatchScope(spark) {
+      (0 until 3).foreach { b =>
+        graft.operators.CommitLog.append(
+          ev.filter(pmod(col("event_id"), lit(3)) === b), table,
+          idCol = "event_id", tsCol = "ts", filesPerMonth = 4,
+          keyBlooms = true)
+      }
+    }
+    val full = graft.operators.CommitLog.scan(spark, table)
+    val nFiles = graft.operators.CommitLog.snapshot(table).files.size
+    val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+    val hits = (0 until 20).map(i => maxId * i / 20)
+    val misses = (1 to 20).map(i => maxId + 1000L + i)
+    def medianMs(ids: Seq[Long], f: Long => Long): Double = {
+      val ts = ids.map { id =>
+        val t0 = System.nanoTime(); f(id); (System.nanoTime() - t0) / 1e6
+      }.sorted
+      math.round(ts(ts.size / 2) * 10) / 10.0
+    }
+    // warmup one of each path (codegen, footer cache)
+    graft.operators.CommitLog.scanForKey(spark, table, "event_id", hits.head).count()
+    full.filter(col("event_id") === hits.head).count()
+    val bloomHit = medianMs(hits, id =>
+      graft.operators.CommitLog.scanForKey(spark, table, "event_id", id).count())
+    val bloomMiss = medianMs(misses, id =>
+      graft.operators.CommitLog.scanForKey(spark, table, "event_id", id).count())
+    val filterHit = medianMs(hits, id =>
+      full.filter(col("event_id") === id).count())
+    val hitFiles = hits.map(id =>
+      graft.operators.CommitLog.filesForKey(table, id)._1.size)
+    val missFiles = misses.map(id =>
+      graft.operators.CommitLog.filesForKey(table, id)._1.size)
+    s"""{"files_total":$nFiles,""" +
+      s""""hit_files_max":${hitFiles.max},"miss_files_max":${missFiles.max},""" +
+      s""""bloom_hit_ms":$bloomHit,"bloom_miss_ms":$bloomMiss,""" +
+      s""""full_filter_ms":$filterHit}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: query names to bench (default: full headline set)
@@ -252,7 +305,10 @@ object Bench {
         val s6 =
           try s""","ssjoin_scale":${StreamBench.streamJoinRun(spark, 100000)}"""
           catch { case e: Throwable => s""","ssjoin_scale_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5 + s6
+        val s7 =
+          try s""","point_lookup":${pointLookupRun(spark, sfDir)}"""
+          catch { case e: Throwable => s""","point_lookup_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5 + s6 + s7
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

@@ -75,4 +75,16 @@ class StreamJoinSpec extends GraftSuite {
     assert(json.contains("\"accounting_exact\":true"), json)
     assert(json.contains("\"state_evicted\":true"), json)
   }
+
+  test("pointLookupRun micro-bench: blooms prune hits to <=2 files, " +
+      "misses to <=1, out of a multi-file table") {
+    val json = graft.Bench.pointLookupRun(spark, sf)
+    def intOf(k: String) = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(99)
+    // salt buckets can collide inside the 8-partition batch shuffle, so
+    // files-per-batch lands in [3,4] — the contract is the PRUNING RATIO
+    assert(intOf("files_total") >= 9, json)
+    assert(intOf("hit_files_max") >= 1 && intOf("hit_files_max") <= 2, json)
+    assert(intOf("miss_files_max") <= 1, json)
+  }
 }
