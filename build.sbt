@@ -30,6 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // starved the storage fraction under the bench's persisted dedup
   // intermediates (measured eviction churn). The sandbox has 125 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Catalyst's recursive tree transforms overflow the 1 MB default stack
+  // on a session that has planned a full bench run's worth of queries
+  // (observed: StackOverflowError in the point-lookup section at the end
+  // of a 47-query pass); Spark's own docs recommend a larger driver
+  // thread stack for deep plans.
+  "-Xss16m",
 )
 // Tests run on a DST-shifting, negative-offset host timezone on purpose:
 // operators must be timezone-independent (explicit-UTC field arithmetic),
