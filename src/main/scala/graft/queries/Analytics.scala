@@ -284,6 +284,31 @@ object Analytics {
         .orderBy(col("day_ms"))
     }),
 
+    // Z-score anomaly detection on the daily revenue series. Mean and
+    // variance come from EXACT integer moments (sum, sum-of-squares over
+    // whole-dollar longs — cents would overflow the square sum at sf0.1)
+    // with one fixed-order double expression, so the z values — and the
+    // |z| > 2.5 boundary — are bit-identical in both engines, unlike a
+    // built-in stddev whose accumulation order floats. The moments are a
+    // 1-row broadcast; no second pass, no window.
+    "revenue_anomalies" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("rev_d"))
+      val mo = daily.agg(count(lit(1)).as("n"), sum(col("rev_d")).as("s1"),
+        sum(col("rev_d") * col("rev_d")).as("s2"))
+      val z = (col("rev_d") - col("s1").cast("double") / col("n")) /
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - 1L))
+      daily.crossJoin(broadcast(mo))
+        .withColumn("z", z)
+        .filter(abs(col("z")) > 2.5)
+        .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
+          col("rev_d").as("revenue"), col("z"))
+        .orderBy(col("day_ms"))
+    }),
+
     // Exponentially-weighted trailing revenue: daily order revenue (exact
     // cents) convolved with 0.5^age over a 30-day window. Facts collapse
     // to the day grain FIRST; the range self-join then runs on a
@@ -452,6 +477,24 @@ object Analytics {
         |      / CAST(datediff('day', prev_d, next_d) AS DOUBLE)) AS BIGINT)
         |  END / 100.0 AS revenue
         |FROM f ORDER BY day_ms""".stripMargin,
+    "revenue_anomalies" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(round(o_totalprice) AS BIGINT)) AS rev_d
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n, sum(rev_d) AS s1, sum(rev_d * rev_d) AS s2
+        |  FROM daily)
+        |SELECT epoch_ms(day::TIMESTAMP) AS day_ms,
+        |  CAST(rev_d AS BIGINT) AS revenue,
+        |  (rev_d - CAST(s1 AS DOUBLE) / n)
+        |    / sqrt((CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) AS z
+        |FROM daily, s
+        |WHERE abs((rev_d - CAST(s1 AS DOUBLE) / n)
+        |    / sqrt((CAST(s2 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))) > 2.5
+        |ORDER BY day_ms""".stripMargin,
     "ema_daily_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
