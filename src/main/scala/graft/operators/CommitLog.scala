@@ -385,8 +385,38 @@ object CommitLog {
     deleted.result()
   }
 
-  /** Current snapshot: newest parsable checkpoint + replay of the (≤ K)
-    * entries after it; full replay only if no checkpoint works. */
+  /** SERVING-PATH CACHES. A point-lookup service must not replay the
+    * manifest or re-decode every file's bloom per request (at 100 TB /
+    * ~10⁵ files that driver work, not file IO, becomes the hot-path
+    * bottleneck). `snapCache` memoizes the current [[Snapshot]] per table
+    * path, validated by (latest entry version, that entry file's mtime +
+    * size): an unchanged log is one directory listing + one stat; a new
+    * commit advances the version and triggers an INCREMENTAL replay of
+    * only the entries after the cached version (entries are immutable and
+    * never deleted, so delta replay is exact); a recreated table at the
+    * same path (rewritten entry files — tests do this) changes the cached
+    * head entry's fingerprint and falls back to a full rebuild. */
+  private final case class CachedSnap(version: Long, mtime: Long,
+                                      size: Long, snap: Snapshot)
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
+  /** Replay counter (full or delta rebuilds) — pinned by `HttpApiSpec`:
+    * N sequential `GET /events/{id}` with no intervening commit must
+    * replay the manifest at most once. */
+  private[graft] val manifestReplays =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def entryFingerprint(table: String, v: Long): Option[(Long, Long)] =
+    try {
+      val p = entryPath(table, v)
+      Some((Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS),
+        Files.size(p)))
+    } catch { case _: Exception => None }
+
+  /** Current snapshot — cached (see above); on miss, newest parsable
+    * checkpoint + replay of the (≤ K) entries after it, or a delta replay
+    * on top of the still-valid cached state; full replay only if neither
+    * works. */
   def snapshot(table: String): Snapshot = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return Snapshot(0L, Nil)
@@ -395,24 +425,46 @@ object CommitLog {
     val versions = names.filter(n => n.endsWith(".json") && !n.contains("checkpoint"))
       .filter(!_.startsWith("."))
       .map(_.stripSuffix(".json").toLong).sorted
-    val checkpoints = names.filter(_.endsWith(".checkpoint.json"))
-      .map(_.stripSuffix(".checkpoint.json").toLong).sorted.reverse
+    val latest = versions.lastOption.getOrElse(0L)
+    val fp = entryFingerprint(table, latest)
+    val cached = snapCache.get(table)
+    if (cached != null && cached.version == latest &&
+        fp.contains((cached.mtime, cached.size)))
+      return cached.snap
+    // Delta base: cached state is reusable iff its own head entry is still
+    // the same file (same fingerprint ⇒ the log grew, wasn't recreated).
+    val deltaBase: Option[Snapshot] =
+      if (cached != null && cached.version > 0L && cached.version < latest &&
+          entryFingerprint(table, cached.version)
+            .contains((cached.mtime, cached.size)))
+        Some(cached.snap)
+      else None
+    manifestReplays.incrementAndGet()
     val live = scala.collection.mutable.LinkedHashMap[String, AddFile]()
     var schema: Option[String] = None
-    // newest checkpoint that parses wins; a bad one falls back to older/none
-    val base = checkpoints.iterator.flatMap { c =>
-      try {
-        val s = Files.readString(checkpointPath(table, c))
-        // strict shape check: the lenient regex parser would read garbage
-        // as an empty (valid-looking) checkpoint and silently drop files
-        if (!s.startsWith("{\"op\":\"checkpoint\"") || !s.endsWith("}")) None
-        else Some((c, parseEntry(s)._1, parseSchema(s)))
-      } catch { case _: Exception => None }
-    }.take(1).toSeq.headOption
-    base.foreach { case (_, adds, sc) =>
-      adds.foreach(a => live(a.path) = a); schema = sc
+    val from = deltaBase match {
+      case Some(base) =>
+        base.files.foreach(a => live(a.path) = a)
+        schema = base.schemaJson
+        base.version
+      case None =>
+        val checkpoints = names.filter(_.endsWith(".checkpoint.json"))
+          .map(_.stripSuffix(".checkpoint.json").toLong).sorted.reverse
+        // newest checkpoint that parses wins; a bad one falls back to older/none
+        val base = checkpoints.iterator.flatMap { c =>
+          try {
+            val s = Files.readString(checkpointPath(table, c))
+            // strict shape check: the lenient regex parser would read garbage
+            // as an empty (valid-looking) checkpoint and silently drop files
+            if (!s.startsWith("{\"op\":\"checkpoint\"") || !s.endsWith("}")) None
+            else Some((c, parseEntry(s)._1, parseSchema(s)))
+          } catch { case _: Exception => None }
+        }.take(1).toSeq.headOption
+        base.foreach { case (_, adds, sc) =>
+          adds.foreach(a => live(a.path) = a); schema = sc
+        }
+        base.map(_._1).getOrElse(0L)
     }
-    val from = base.map(_._1).getOrElse(0L)
     versions.filter(_ > from).foreach { v =>
       val s = Files.readString(entryPath(table, v))
       val (adds, removes) = parseEntry(s)
@@ -420,7 +472,11 @@ object CommitLog {
       removes.foreach(live.remove)
       parseSchema(s).foreach(sc => schema = Some(sc))
     }
-    Snapshot(versions.lastOption.getOrElse(0L), live.values.toSeq, schema)
+    val snap = Snapshot(latest, live.values.toSeq, schema)
+    fp.foreach { case (m, sz) =>
+      snapCache.put(table, CachedSnap(latest, m, sz, snap))
+    }
+    snap
   }
 
   private implicit class IterAsScala[A](it: java.util.Iterator[A]) {
@@ -681,19 +737,41 @@ object CommitLog {
         Some(java.util.Base64.getEncoder.encodeToString(bos.toByteArray)))
     }
 
+  /** Decoded-bloom cache, keyed by the base64 payload itself: identical
+    * bytes decode to an identical (read-only, thread-safe) filter, so the
+    * key is correct by construction across tables, paths, and recreated
+    * test dirs. Blooms are ~1.2 bytes/row, so the crude clear-at-cap bound
+    * keeps worst-case residency to a few hundred MB of sketches while a
+    * steady-state serving table decodes each file's bloom exactly once. */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+  private def decodedBloom(b64: String): org.apache.spark.util.sketch.BloomFilter = {
+    val hit = bloomCache.get(b64)
+    if (hit != null) hit
+    else {
+      if (bloomCache.size > 4096) bloomCache.clear()
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+      bloomCache.putIfAbsent(b64, bf)
+      bf
+    }
+  }
+
   /** PLAN-TIME file pruning for an id EQUALITY probe: test each live
     * file's manifest bloom driver-side — zero jobs, zero file IO — and
     * return (surviving files, total live files). Bloom-less files always
     * survive (never wrong, only incomplete). */
-  def filesForKey(table: String, value: Any): (Seq[AddFile], Int) = {
-    val snap = snapshot(table)
+  def filesForKey(table: String, value: Any): (Seq[AddFile], Int) =
+    filesForKey(snapshot(table), value)
+
+  /** Same, against a snapshot already in hand — the serving path computes
+    * ONE snapshot per request and threads it here (one log read backs both
+    * the pruning and the scan, so a commit landing mid-request can't mix
+    * a version-N schema with version-N+1 survivors). */
+  def filesForKey(snap: Snapshot, value: Any): (Seq[AddFile], Int) = {
     val survivors = snap.files.filter { f =>
-      f.keyBloom.forall { b64 =>
-        org.apache.spark.util.sketch.BloomFilter
-          .readFrom(new java.io.ByteArrayInputStream(
-            java.util.Base64.getDecoder.decode(b64)))
-          .mightContain(value)
-      }
+      f.keyBloom.forall(b64 => decodedBloom(b64).mightContain(value))
     }
     (survivors, snap.files.size)
   }
@@ -705,7 +783,7 @@ object CommitLog {
   def scanForKey(spark: SparkSession, table: String,
                  idCol: String, value: Any): DataFrame = {
     val snap = snapshot(table)
-    val (survivors, _) = filesForKey(table, value)
+    val (survivors, _) = filesForKey(snap, value)
     val paths = survivors.map(f => Paths.get(table).resolve(f.path).toString)
     if (paths.isEmpty) {
       val any = snap.files.headOption.getOrElse(

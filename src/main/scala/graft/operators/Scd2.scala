@@ -38,6 +38,40 @@ object Scd2 {
   def readHistory(spark: SparkSession, table: String): DataFrame =
     CommitLog.scan(spark, table)
 
+  /** ON-DISK FORMAT BREAK (one-shot repair, mirrors
+    * [[Sketches.migrateRollupIds]]): the change hash `_h` format moved to
+    * sorted attribute order + ignoreNullFields=false. `_h` is persisted on
+    * every history row and compared against new-format batch hashes, so a
+    * pre-upgrade table whose attributes weren't already sorted (or which
+    * has null attributes) would see every key as "changed" on its first
+    * post-upgrade batch — spurious version rows, falsely closed currents.
+    * `_h` is a pure function of the stored attribute columns, so this
+    * recomputes it in place: one scan tags stale rows, and only files
+    * holding one are rewritten (upsertBatch file-targeting); clean tables
+    * return 0 without writing. Run once per pre-upgrade table, before the
+    * first new-format [[applyBatch]]. Returns the number of rows repaired. */
+  def migrateHashes(spark: SparkSession, table: String, keyCol: String): Long = {
+    val snap = CommitLog.snapshot(table)
+    if (snap.files.isEmpty) return 0L
+    val hist = readHistory(spark, table)
+    val book = Set("_h", "_vid", "valid_from", "valid_to", "is_current", "month")
+    val attrCols = hist.columns
+      .filterNot(c => book.contains(c) || c == keyCol).toSeq.sorted
+    val recomputed = hist.withColumn("_h_new",
+      md5(to_json(struct(attrCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))))
+    val stale = recomputed.filter(!(col("_h") <=> col("_h_new")))
+      .withColumn("_h", col("_h_new")).drop("_h_new", "month")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = stale.count()
+      if (n == 0L) return 0L
+      CommitLog.upsertBatch(stale, table, idCol = "_vid", tsCol = "valid_from",
+        token = Some(s"scd2-hash-migrate-${snap.version}"))
+      n
+    } finally { stale.unpersist(); () }
+  }
+
   /** Apply one batch of `(key, ts, attrs…)` observations. Returns the
     * committed version of the history table. */
   def applyBatch(spark: SparkSession, batch: DataFrame, table: String,

@@ -487,16 +487,33 @@ object Sketches {
     * function of them, so no old-format parsing is needed) and rewrites
     * the table only if any stored id mismatches. Idempotent; CAS-guarded
     * against concurrent refreshes. Returns the number of rows whose id
-    * was rewritten (0 = already current format, nothing written). */
+    * was rewritten (0 = already current format, nothing written).
+    *
+    * `groupCols` is an unordered SET here: the id is
+    * field-ORDER-sensitive (`to_json` of a struct), and the order that
+    * counts is the one the table's refresh callers use — which
+    * [[updateRollup]] persists as the stored column prefix. Trusting the
+    * argument order instead would let a migrate call with the same
+    * columns in a different order rewrite every id to a format no future
+    * refresh matches — silently reintroducing the duplicate-row bug this
+    * migration exists to fix. So the order is derived from the stored
+    * schema, not the argument. */
   def migrateRollupIds(spark: SparkSession, table: String,
                        groupCols: Seq[String]): Long = {
-    val gcols = groupCols.map(col)
-    val expected = md5(to_json(struct(gcols: _*),
-      Map("ignoreNullFields" -> "false")))
     var attempts = 0
     while (true) {
       val snap = CommitLog.snapshot(table)
       if (snap.files.isEmpty) return 0L
+      // stored-schema order: updateRollup writes groupCols as the leading
+      // columns in refresh-caller order, so filtering the stored column
+      // list by membership recovers that order for any argument order
+      val storedCols = CommitLog.scanAt(spark, table, snap.version).columns
+      val ordered = storedCols.filter(groupCols.contains).toSeq
+      require(ordered.toSet == groupCols.toSet,
+        s"group columns ${groupCols.filterNot(ordered.contains).mkString(",")} " +
+          s"not present in rollup table $table (stored: ${storedCols.mkString(",")})")
+      val expected = md5(to_json(struct(ordered.map(col): _*),
+        Map("ignoreNullFields" -> "false")))
       val all = CommitLog.scanAt(spark, table, snap.version)
         .withColumn("_new_id", expected)
       val stale = all.filter(!(col("rollup_id") <=> col("_new_id"))).count()

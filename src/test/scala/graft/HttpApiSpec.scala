@@ -69,6 +69,32 @@ class HttpApiSpec extends GraftSuite {
       assert(total == 3 && surv.size <= 1, surv.map(_.path))
       assert(get(server, "/api/v1/t1/events/999999999")._1 == 404)
       assert(get(server, "/api/v1/t1/events/not-a-number")._1 == 400)
+
+      // SERVING-PATH CACHE (r10): sequential lookups with no intervening
+      // commit replay the manifest at most once — the Snapshot is cached
+      // keyed by the log head, decoded blooms by their payload.
+      val r0 = graft.operators.CommitLog.manifestReplays.get()
+      (0 until 10).foreach { i =>
+        val id = if (i % 2 == 0) 424L else 999999000L + i
+        val code = get(server, s"/api/v1/t1/events/$id")._1
+        assert(code == 200 || code == 404)
+      }
+      val r1 = graft.operators.CommitLog.manifestReplays.get()
+      assert(r1 - r0 <= 1, s"manifest replayed ${r1 - r0} times across 10 lookups")
+
+      // a new commit invalidates exactly once (incremental delta replay),
+      // and the freshly committed key is immediately visible
+      import org.apache.spark.sql.functions.{col, lit}
+      graft.operators.CommitLog.append(
+        ev.filter(col("event_id") === 424).withColumn("event_id", lit(77777777L)),
+        table, idCol = "event_id", tsCol = "ts", keyBlooms = true)
+      val r2 = graft.operators.CommitLog.manifestReplays.get()
+      val (cNew, rowNew) = get(server, "/api/v1/t1/events/77777777")
+      assert(cNew == 200 && rowNew.get("event_id").asLong == 77777777L, rowNew)
+      assert(get(server, "/api/v1/t1/events/424")._1 == 200)
+      val r3 = graft.operators.CommitLog.manifestReplays.get()
+      assert(r3 - r2 <= 1,
+        s"post-commit lookups replayed ${r3 - r2} times (expected one delta)")
     } finally server.stop()
   }
 

@@ -199,6 +199,50 @@ class JoinViewScd2Spec extends GraftSuite {
       s"null-swap change not versioned: $h")
   }
 
+  test("scd2: migrateHashes repairs pre-upgrade _h once; unchanged batches " +
+      "then write nothing instead of opening spurious versions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = tmp("graft_scd2_mig") + "/dim"
+    val b1 = Seq((1L, ts(1), "x", null.asInstanceOf[String]),
+      (2L, ts(1), "y", "z")).toDF("k", "ts", "attr_a", "attr_b")
+    Scd2.applyBatch(spark, b1, table, "k", "ts", token = Some("m1"))
+
+    // regress the stored rows to the OLD hash format: unsorted column
+    // order + to_json's default null-dropping — what a pre-upgrade
+    // applyBatch would have persisted
+    val snap = CommitLog.snapshot(table)
+    val old = Scd2.readHistory(spark, table)
+      .withColumn("_h", md5(to_json(struct(col("attr_b"), col("attr_a")))))
+    CommitLog.replaceFiles(old, table, "valid_from",
+      removes = snap.files.map(_.path),
+      sortCols = Seq("valid_from", "_vid"))
+
+    // both rows carry a stale hash (order for k=2, dropped null for k=1)
+    assert(Scd2.migrateHashes(spark, table, "k") == 2L)
+    // idempotent: nothing left to repair, no commit
+    val v = CommitLog.snapshot(table).version
+    assert(Scd2.migrateHashes(spark, table, "k") == 0L)
+    assert(CommitLog.snapshot(table).version == v)
+
+    // the migration's point: an all-unchanged post-upgrade batch is a
+    // no-op again (pre-migration it would re-version every key)
+    val same = Seq((1L, ts(2), "x", null.asInstanceOf[String]),
+      (2L, ts(2), "y", "z")).toDF("k", "ts", "attr_a", "attr_b")
+    Scd2.applyBatch(spark, same, table, "k", "ts", token = Some("m2"))
+    assert(CommitLog.snapshot(table).version == v,
+      "unchanged batch committed after migration")
+    assert(Scd2.readHistory(spark, table).count() == 2)
+
+    // real changes still version
+    val chg = Seq((2L, ts(3), "y", "w")).toDF("k", "ts", "attr_a", "attr_b")
+    Scd2.applyBatch(spark, chg, table, "k", "ts", token = Some("m3"))
+    val h = Scd2.readHistory(spark, table).filter(col("k") === 2L)
+      .select(col("attr_b"), col("is_current"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(h == Set(("z", false), ("w", true)), s"change not versioned: $h")
+  }
+
   test("scd2: all-unchanged batch writes nothing; token replay no-ops") {
     val spark2 = spark
     import spark2.implicits._

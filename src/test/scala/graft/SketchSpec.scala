@@ -87,6 +87,38 @@ class SketchSpec extends GraftSuite {
     assert(st.toMap.values.toSet == Set(600L), s"double-counted rows: ${st.toList}")
   }
 
+  test("migrateRollupIds: argument order is irrelevant — the stored schema " +
+      "order defines the id, so refreshes always match post-migration") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1L to 600L).map(i => (s"g${i % 2}", s"s${i % 3}", i))
+      .toDF("grp", "sub", "uid")
+    val t = mkTable()
+    Sketches.updateDistinctRollup(df, t, Seq("grp", "sub"), "uid", at(0))
+    // regress to the old separator-joined format
+    val snap = CommitLog.snapshot(t)
+    val oldFormat = CommitLog.scanAt(spark, t, snap.version)
+      .withColumn("rollup_id", concat_ws("|", col("grp"), col("sub")))
+    CommitLog.replaceFiles(oldFormat, t, "updated_at",
+      removes = snap.files.map(_.path),
+      sortCols = Seq("updated_at", "rollup_id"),
+      statsHint = Some((0L, at(1).getTime * 1000L)))
+
+    // migrate with the group columns REVERSED vs the refresh callers' order:
+    // the rewritten ids must still be the ones updateRollup computes
+    assert(Sketches.migrateRollupIds(spark, t, Seq("sub", "grp")) == 6L)
+    Sketches.updateDistinctRollup(df, t, Seq("grp", "sub"), "uid", at(2))
+    val st = Sketches.estimates(spark, t, Seq("grp", "sub")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toSeq
+    assert(st.size == 6, s"duplicate rollup rows after reversed-arg migration: $st")
+    assert(st.toMap.values.toSet == Set(200L), s"double-counted rows: $st")
+
+    // an argument column the table doesn't have is an error, not a rewrite
+    intercept[IllegalArgumentException] {
+      Sketches.migrateRollupIds(spark, t, Seq("grp", "nope"))
+    }
+  }
+
   test("estimateAcross: coarser grain from sketches matches exact distinct " +
       "across the union (overlapping member sets)") {
     val spark2 = spark
