@@ -140,45 +140,28 @@ object Analytics {
     // Shapes: one conditional-agg pass per table, one anti join (ref
     // integrity), one grouped HAVING (cardinality); all counts are longs.
     "dq_constraints" -> ((s, dir) => {
+      // the gate runs through the REUSABLE suite API
+      // (operators/Quality.scala) — two tables, two suites, one union;
+      // each suite's row-level checks share a single aggregate pass
+      import graft.operators.Quality
+      import graft.operators.Quality._
       val o = Tables.orders(s, dir)
       val l = Tables.lineitem(s, dir)
-      val oAgg = o.agg(
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_null"),
-        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dup"),
-        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_price"),
-        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
-          .as("v_status"))
-      val lAgg = l.agg(
-        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
-          .otherwise(0L)).as("v_disc"),
-        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
-          .otherwise(0L)).as("v_qty"),
+      val oChecks = Quality.check(o, Seq(
+        NotNull("orders.o_orderkey.not_null", "o_orderkey"),
+        Unique("orders.o_orderkey.unique", Seq("o_orderkey")),
+        FailsWhen("orders.o_totalprice.positive", col("o_totalprice") <= 0.0),
+        InSet("orders.o_orderstatus.in_set", "o_orderstatus",
+          Seq("F", "O", "P"))))
+      val lChecks = Quality.check(l, Seq(
+        InRange("lineitem.l_discount.range_0_01", "l_discount", 0.0, 0.1),
+        InRange("lineitem.l_quantity.range_1_50", "l_quantity", 1.0, 50.0),
         // deliberately failing check: exercises nonzero violation counts
-        sum(when(col("l_tax") > 0.05, 1L).otherwise(0L)).as("v_tax"))
-      val orphans = l.join(o.select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .agg(count(lit(1)).as("v_orphan"))
-      val fat = l.groupBy(col("l_orderkey"))
-        .agg(count(lit(1)).as("n")).filter(col("n") > 7L)
-        .agg(count(lit(1)).as("v_fat"))
-      val wide = oAgg.crossJoin(lAgg).crossJoin(orphans).crossJoin(fat)
-      val rows = Seq(
-        ("orders.o_orderkey.not_null", "v_null"),
-        ("orders.o_orderkey.unique", "v_dup"),
-        ("orders.o_totalprice.positive", "v_price"),
-        ("orders.o_orderstatus.in_set", "v_status"),
-        ("lineitem.l_discount.range_0_01", "v_disc"),
-        ("lineitem.l_quantity.range_1_50", "v_qty"),
-        ("lineitem.l_tax.max_005", "v_tax"),
-        ("lineitem.l_orderkey.ref_orders", "v_orphan"),
-        ("lineitem.per_order.max_7_lines", "v_fat"))
-      wide.select(explode(array(rows.map { case (name, c) =>
-          struct(lit(name).as("check_name"), col(c).as("violations"))
-        }: _*)).as("r"))
-        .select(col("r.check_name").as("check_name"),
-          col("r.violations").as("violations"),
-          (col("r.violations") === 0L).cast("int").as("passed"))
-        .orderBy(col("check_name"))
+        FailsWhen("lineitem.l_tax.max_005", col("l_tax") > 0.05),
+        RefIntegrity("lineitem.l_orderkey.ref_orders", Seq("l_orderkey"),
+          o, Seq("o_orderkey")),
+        MaxPerGroup("lineitem.per_order.max_7_lines", Seq("l_orderkey"), 7L)))
+      oChecks.unionByName(lChecks).orderBy(col("check_name"))
     }),
 
     // Markov transition matrix over the event stream: per-user
@@ -285,18 +268,23 @@ object Analytics {
     }),
 
     // Z-score anomaly detection on the daily revenue series. Mean and
-    // variance come from EXACT integer moments (sum, sum-of-squares over
-    // whole-dollar longs — cents would overflow the square sum at sf0.1)
-    // with one fixed-order double expression, so the z values — and the
-    // |z| > 2.5 boundary — are bit-identical in both engines, unlike a
-    // built-in stddev whose accumulation order floats. The moments are a
-    // 1-row broadcast; no second pass, no window.
+    // variance come from EXACT integer moments with one fixed-order double
+    // expression, so the z values — and the |z| > 2.5 boundary — are
+    // bit-identical in both engines, unlike a built-in stddev whose
+    // accumulation order floats. The moments accumulate as decimal(38,0):
+    // a bigint second moment wraps SILENTLY in non-ANSI Spark once daily
+    // revenue reaches ~9e7 (sf≥1: sum of ~2.4k squares of ~8e15 ≈ 2e19 >
+    // Long.MaxValue) while DuckDB promotes BIGINT sums to HUGEINT — the
+    // decimal path matches that promotion exactly (both convert the same
+    // exact integer to double with IEEE round-to-nearest at the end).
+    // The moments are a 1-row broadcast; no second pass, no window.
     "revenue_anomalies" -> ((s, dir) => {
       val daily = Tables.orders(s, dir)
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice"), 0).cast("long")).as("rev_d"))
-      val mo = daily.agg(count(lit(1)).as("n"), sum(col("rev_d")).as("s1"),
-        sum(col("rev_d") * col("rev_d")).as("s2"))
+      val revDec = col("rev_d").cast("decimal(38,0)")
+      val mo = daily.agg(count(lit(1)).as("n"), sum(revDec).as("s1"),
+        sum(revDec * revDec).as("s2"))
       val z = (col("rev_d") - col("s1").cast("double") / col("n")) /
         sqrt((col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") / col("n")) /
@@ -483,7 +471,8 @@ object Analytics {
         |    sum(CAST(round(o_totalprice) AS BIGINT)) AS rev_d
         |  FROM orders GROUP BY 1),
         |s AS (
-        |  SELECT count(*) AS n, sum(rev_d) AS s1, sum(rev_d * rev_d) AS s2
+        |  SELECT count(*) AS n, sum(rev_d) AS s1,
+        |    sum(rev_d::HUGEINT * rev_d::HUGEINT) AS s2
         |  FROM daily)
         |SELECT epoch_ms(day::TIMESTAMP) AS day_ms,
         |  CAST(rev_d AS BIGINT) AS revenue,

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Quality
+import graft.operators.Quality._
+
+/** The declarative data-quality suite (operators/Quality.scala): a
+  * user-defined constraint set over a hand-built table with KNOWN
+  * defects — verdict counts must match the planted defects exactly, and
+  * `failureRows` must return precisely the planted rows. */
+class QualitySpec extends GraftSuite {
+
+  test("user-defined suite: every constraint shape counts its planted " +
+      "defects; failureRows returns exactly the offenders") {
+    val spark2 = spark
+    import spark2.implicits._
+    // planted defects: one null id, one duplicate id (2 surplus rows? no —
+    // 2 rows share id 3 → 1 surplus), one negative amount, one bad status,
+    // one orphan account, and account "a1" holds 3 rows (cap 2)
+    val df = Seq(
+      (Option(1L), "a1", 10.0, "ok"),
+      (Option(2L), "a1", -5.0, "ok"),      // negative amount
+      (Option(3L), "a1", 7.0, "ok"),       // a1 now oversized (3 > 2)
+      (Option(3L), "a2", 8.0, "ok"),       // duplicate id 3
+      (Option(4L), "a9", 9.0, "weird"),    // bad status + orphan account
+      (Option.empty[Long], "a2", 1.0, "ok") // null id
+    ).toDF("id", "account", "amount", "status")
+    val accounts = Seq("a1", "a2", "a3").toDF("acct_id")
+
+    val suite = Seq(
+      NotNull("id.not_null", "id"),
+      Unique("id.unique", Seq("id")),
+      FailsWhen("amount.positive", col("amount") <= 0.0),
+      InSet("status.known", "status", Seq("ok", "held")),
+      InRange("amount.range", "amount", 0.0, 9.5),
+      RefIntegrity("account.exists", Seq("account"), accounts, Seq("acct_id")),
+      MaxPerGroup("account.max_2_rows", Seq("account"), 2L))
+
+    val verdicts = Quality.check(df, suite).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(verdicts == Map(
+      "id.not_null" -> ((1L, 0)),
+      // count − countDistinct: 6 rows, 4 distinct non-null ids → the dup
+      // surplus (1) plus the null row (1); nulls ride the completeness check
+      "id.unique" -> ((2L, 0)),
+      "amount.positive" -> ((1L, 0)),
+      "status.known" -> ((1L, 0)),
+      "amount.range" -> ((2L, 0)),        // -5.0 below and 10.0 above
+      "account.exists" -> ((1L, 0)),
+      "account.max_2_rows" -> ((1L, 0))), // one oversized group (a1)
+      s"verdict mismatch: ${verdicts.toSeq.sortBy(_._1)}")
+
+    // a clean suite on the same data passes with zero violations
+    val clean = Quality.check(df, Seq(
+      InRange("amount.loose", "amount", -100.0, 100.0),
+      MaxPerGroup("account.max_9", Seq("account"), 9L))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(clean.toSet == Set(("amount.loose", 0L, 1),
+      ("account.max_9", 0L, 1)))
+
+    // verdict order is declaration order (no sort required of the caller)
+    val names = Quality.check(df, suite).select("check_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == suite.map(_.name))
+
+    // failureRows: exactly the planted offenders
+    def ids(c: Constraint) = Quality.failureRows(df, c)
+      .select("id").collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq
+    assert(ids(suite(0)) == Seq(-1L))               // the null-id row
+    assert(ids(suite(1)) == Seq(3L, 3L))            // both rows of dup id
+    assert(ids(suite(2)) == Seq(2L))                // negative amount
+    assert(ids(suite(3)) == Seq(4L))                // weird status
+    assert(ids(suite(4)) == Seq(1L, 2L))            // 10.0 and -5.0
+    assert(ids(suite(5)) == Seq(4L))                // orphan account a9
+    assert(ids(suite(6)) == Seq(1L, 2L, 3L))        // all rows of group a1
+  }
+
+  test("duplicate constraint names are rejected; suite over an empty " +
+      "table passes everything") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, "x")).toDF("id", "v").limit(0)
+    intercept[IllegalArgumentException] {
+      Quality.check(df, Seq(NotNull("a", "id"), NotNull("a", "v")))
+    }
+    val out = Quality.check(df, Seq(
+      NotNull("id.not_null", "id"),
+      Unique("id.unique", Seq("id")),
+      MaxPerGroup("v.cap", Seq("v"), 1L))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set(("id.not_null", 0L, 1), ("id.unique", 0L, 1),
+      ("v.cap", 0L, 1)))
+  }
+}
