@@ -76,7 +76,7 @@ object Bench {
       (0 until 3).foreach { b =>
         graft.operators.CommitLog.append(
           ev.filter(pmod(col("event_id"), lit(3)) === b), table,
-          idCol = "event_id", tsCol = "ts", filesPerMonth = 4,
+          idCol = "event_id", tsCol = "ts", filesPerMonth = 12,
           keyBlooms = true)
       }
     }
@@ -85,21 +85,42 @@ object Bench {
     val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
     val hits = (0 until 20).map(i => maxId * i / 20)
     val misses = (1 to 20).map(i => maxId + 1000L + i)
-    def medianMs(ids: Seq[Long], f: Long => Long): Double = {
-      val ts = ids.map { id =>
-        val t0 = System.nanoTime(); f(id); (System.nanoTime() - t0) / 1e6
-      }.sorted
-      math.round(ts(ts.size / 2) * 10) / 10.0
+    def med(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      math.round(s(s.size / 2) * 10) / 10.0
     }
-    // warmup one of each path (codegen, footer cache)
-    graft.operators.CommitLog.scanForKey(spark, table, "event_id", hits.head).count()
-    full.filter(col("event_id") === hits.head).count()
-    val bloomHit = medianMs(hits, id =>
-      graft.operators.CommitLog.scanForKey(spark, table, "event_id", id).count())
-    val bloomMiss = medianMs(misses, id =>
-      graft.operators.CommitLog.scanForKey(spark, table, "event_id", id).count())
-    val filterHit = medianMs(hits, id =>
-      full.filter(col("event_id") === id).count())
+    def msOf(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+    }
+    // COLD pass first — every key probed once through both paths,
+    // interleaved (a block-ordered measurement hands the later block
+    // warmer JIT profiles; measured: an identical 2-file probe times
+    // 160 ms early in the JVM and 85 ms late). This pass is reported as
+    // the *_cold numbers AND doubles as the warmup for the steady pass.
+    val cold = hits.map { id =>
+      val b = msOf(graft.operators.CommitLog
+        .scanForKey(spark, table, "event_id", id).count())
+      val f = msOf(full.filter(col("event_id") === id).count())
+      (b, f)
+    }
+    misses.foreach(id => graft.operators.CommitLog
+      .scanForKey(spark, table, "event_id", id).count())
+    // STEADY pass — what a serving layer pays per request once the
+    // snapshot / bloom / relation caches hold the hot key set. This is
+    // the number the reference's indexed read path should be compared
+    // against; the cold numbers sit alongside for the amortization story.
+    val probes = hits.map { id =>
+      val b = msOf(graft.operators.CommitLog
+        .scanForKey(spark, table, "event_id", id).count())
+      val f = msOf(full.filter(col("event_id") === id).count())
+      (b, f)
+    }
+    val bloomHit = med(probes.map(_._1))
+    val filterHit = med(probes.map(_._2))
+    val bloomHitCold = med(cold.map(_._1))
+    val filterHitCold = med(cold.map(_._2))
+    val bloomMiss = med(misses.map(id => msOf(graft.operators.CommitLog
+      .scanForKey(spark, table, "event_id", id).count())))
     val hitFiles = hits.map(id =>
       graft.operators.CommitLog.filesForKey(table, id)._1.size)
     val missFiles = misses.map(id =>
@@ -107,7 +128,9 @@ object Bench {
     s"""{"files_total":$nFiles,""" +
       s""""hit_files_max":${hitFiles.max},"miss_files_max":${missFiles.max},""" +
       s""""bloom_hit_ms":$bloomHit,"bloom_miss_ms":$bloomMiss,""" +
-      s""""full_filter_ms":$filterHit}"""
+      s""""full_filter_ms":$filterHit,""" +
+      s""""bloom_hit_cold_ms":$bloomHitCold,""" +
+      s""""full_filter_cold_ms":$filterHitCold}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,6 +148,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // fast path: `runMain graft.Bench point_lookup` times ONLY the
+    // manifest-bloom micro-bench (it is not a SparkEntry query, so the
+    // generic path would silently bench nothing)
+    if (wanted == Seq("point_lookup")) {
+      println(s"""{"metric":"graft_point_lookup","sf":"$sfDir",""" +
+        s""""point_lookup":${pointLookupRun(spark, sfDir)}}""")
+      spark.stop()
+      return
+    }
 
     val qs = wanted.filter(SparkEntry.queries.contains)
 
