@@ -100,4 +100,36 @@ object Caching {
       }
     }
   }
+
+  /** AQE-off scope for ITERATIVE loops (PageRank-style): adaptive
+    * execution splits every shuffle of every iteration into its own job
+    * with a driver round trip and re-optimization, but an iteration's
+    * plan shape is fixed by construction (cached edges, node-keyed
+    * shuffles) so there is nothing for AQE to improve — the loop pays
+    * pure per-stage scheduling overhead. Shuffle width is left at the
+    * session setting (iterative state is node-sized, NOT batch-small —
+    * [[narrowBatchScope]]'s 8 would be wrong at scale). Same
+    * session-global caveat and nesting discipline as above. */
+  private val aqeScopes = scala.collection.mutable.Map
+    .empty[org.apache.spark.sql.SparkSession, (Int, String)]
+
+  def noAqeScope[A](spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    scopeLock.synchronized {
+      aqeScopes.get(spark) match {
+        case Some((depth, aqe)) => aqeScopes(spark) = (depth + 1, aqe)
+        case None =>
+          aqeScopes(spark) =
+            (1, spark.conf.get("spark.sql.adaptive.enabled", "true"))
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+      }
+    }
+    try f finally scopeLock.synchronized {
+      aqeScopes(spark) match {
+        case (1, aqe) =>
+          aqeScopes.remove(spark)
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        case (depth, aqe) => aqeScopes(spark) = (depth - 1, aqe)
+      }
+    }
+  }
 }

@@ -100,10 +100,26 @@ object Analytics {
         .distinct()
       val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
         .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val e = edges.join(deg, Seq("src"))
+      // degree rides the SAME src shuffle as the cached edge frame (a
+      // partition-wide count window), replacing the r9 aggregate+join —
+      // one preamble shuffle and a join operator gone (measured: the
+      // preamble, not the iterations, dominated after the AQE-off fix)
+      val e = edges.withColumn("d", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      // AQE off for the whole loop+readout: each iteration's plan shape
+      // is fixed (cached edges, node-keyed shuffles), and AQE's
+      // per-shuffle job materialization put ~10 driver round trips on
+      // the ~0.3 s local scheduling floor (measured r9: the loop was
+      // stage-floor-bound, not data-bound)
+      graft.core.Caching.noAqeScope(s) {
+      val prevW = s.conf.get("spark.sql.shuffle.partitions", "32")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       graft.core.Caching.withCached(e) {
-        var ranks = deg.select(col("src").as("node"), lit(1.0).as("rank"))
+        // rank init groups the CACHED src-partitioned frame — partial-agg
+        // only, no extra shuffle, no recompute of the preamble subtree
+        var ranks = e.groupBy(col("src").as("node"))
+          .agg(lit(1.0).as("rank"))
         (1 to 3).foreach { _ =>
           // ranks (node-count-sized) shuffles TO the cached edge
           // partitioning each round; the edges themselves never move.
@@ -131,6 +147,8 @@ object Analytics {
           .orderBy(col("rank").desc, col("node")).limit(25)
         s.createDataFrame(
           java.util.Arrays.asList(out.collect(): _*), out.schema)
+      }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevW)
       }
     }),
 
