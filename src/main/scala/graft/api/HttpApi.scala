@@ -67,7 +67,11 @@ object HttpApi {
       // GK latency rollup table (Runner latencyRollupTable) — GET /metrics
       // reads delivery-latency quantiles from its sketch state; None
       // omits that family from the scrape
-      latencyRollup: Option[String] = None)
+      latencyRollup: Option[String] = None,
+      // per-event trace table (streaming/EventTrace.scala) — GET
+      // /events/{id}/trace follows one event through receive → match →
+      // deliver → log; None = route 404s
+      traceTable: Option[String] = None)
 
   final class Server(val http: HttpServer) {
     def port: Int = http.getAddress.getPort
@@ -113,6 +117,7 @@ object HttpApi {
 
   private val EventsList = "/api/v1/([^/]+)/events".r
   private val EventGet = "/api/v1/([^/]+)/events/([^/]+)".r
+  private val EventTraceGet = "/api/v1/([^/]+)/events/([^/]+)/trace".r
   private val MetricsEvents = "/api/v1/([^/]+)/metrics/events".r
   private val MetricsAttempts = "/api/v1/([^/]+)/metrics/attempts".r
   private val DestList = "/api/v1/([^/]+)/destinations".r
@@ -156,6 +161,10 @@ object HttpApi {
         case ("GET", TenantOne(id)) => getTenant(spark, cfg, id, ex)
         case ("DELETE", TenantOne(id)) => deleteTenantRoute(spark, cfg, opSeq, id, ex)
         case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
+        case ("GET", EventTraceGet(_, id)) => cfg.traceTable match {
+          case Some(t) => getEventTrace(spark, t, id, ex)
+          case None => sendError(ex, 404, "tracing not configured")
+        }
         case ("GET", EventGet(_, id)) => cfg.eventsTable match {
           case Some(t) => getEventByKey(spark, cfg, t, id, ex)
           case None => getEvent(cfg, id, ex)
@@ -390,6 +399,23 @@ object HttpApi {
       case Some(row) => sendJson(ex, 200, rowToJson(row, row.schema))
       case None => sendError(ex, 404, s"event not found: $id")
     }
+  }
+
+  /** One event's spans in pipeline order — the debugging view the
+    * reference's OTel tracer exports per event; served from the trace
+    * table via the same manifest-bloom point lookup as GET /events/{id}
+    * (the r10 snapshot/bloom/relation caches make it request-cheap). */
+  private def getEventTrace(spark: SparkSession, table: String,
+                            id: String, ex: HttpExchange): Unit = {
+    val spans = graft.streaming.EventTrace.forEvent(spark, table, id).collect()
+    if (spans.isEmpty) { sendError(ex, 404, s"no trace for event: $id"); return }
+    val arr = mapper.createArrayNode()
+    spans.foreach(r => arr.add(rowToJson(r, spans.head.schema)))
+    val root = mapper.createObjectNode()
+    root.put("event_id", id)
+    root.put("trace_id", spans.head.getAs[String]("trace_id"))
+    root.set[com.fasterxml.jackson.databind.JsonNode]("spans", arr)
+    sendJson(ex, 200, root)
   }
 
   private def metricsEvents(spark: SparkSession, cfg: Config,

@@ -576,7 +576,8 @@ object CommitLog {
              statsHint: Option[(Long, Long)] = None,
              filesPerMonth: Int = 1,
              assumeUnique: Boolean = false,
-             keyBlooms: Boolean = false): Long = {
+             keyBlooms: Boolean = false,
+             bloomCol: Option[String] = None): Long = {
     token.foreach { t =>
       if (tokenApplied(table, t)) return snapshot(table).version
     }
@@ -629,11 +630,15 @@ object CommitLog {
         .map { case (lo, hi) => a.copy(tsMin = lo, tsMax = hi) }
         .getOrElse(a)
     }
-    // keyBlooms: one bloom per moved file over idCol, carried in the
-    // entry. Built between move and commit — a crash here leaves the
-    // same invisible orphans vacuum already reclaims.
+    // keyBlooms: one bloom per moved file over bloomCol (defaults to
+    // idCol — tables whose point-lookup key differs from the dedup key,
+    // e.g. the trace table probed by event_id but unique by span_id,
+    // pass it explicitly), carried in the entry. Built between move and
+    // commit — a crash here leaves the same invisible orphans vacuum
+    // already reclaims.
     val adds = if (keyBlooms)
-      attachKeyBlooms(batch.sparkSession, table, adds0, idCol) else adds0
+      attachKeyBlooms(batch.sparkSession, table, adds0,
+        bloomCol.getOrElse(idCol)) else adds0
     // ADDITIVE schema evolution: the recorded schema is the UNION of the
     // table's current columns and the batch's (existing definitions win,
     // everything nullable — files predating a column must read as null,

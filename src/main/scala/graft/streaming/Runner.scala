@@ -79,7 +79,8 @@ object Runner {
             backoff: Backoff = Backoff(),
             eventTimeRetries: Boolean = true,
             retryWatermarkDelay: String = "10 minutes",
-            latencyRollupTable: Option[String] = None): Running = {
+            latencyRollupTable: Option[String] = None,
+            traceTable: Option[String] = None): Running = {
     import spark.implicits._
     new java.io.File(logPath).mkdirs()
     retryPath.foreach(p => new java.io.File(p).mkdirs())
@@ -121,7 +122,8 @@ object Runner {
         // (fanout→cache, then cache→write) plus their scheduling, ~2×
         // the per-batch fixed cost. An all-filtered batch flows through
         // the same job and simply writes no files.
-        if (registry.singlePure && latencyRollupTable.isEmpty)
+        if (registry.singlePure && latencyRollupTable.isEmpty &&
+            traceTable.isEmpty)
           Pipeline.logSinkBatch(registry.deliverLazy(batch), logPath, batchId)
         else
         registry.deliverWith(batch) { outcomes0 =>
@@ -161,6 +163,20 @@ object Runner {
                 t, Seq("destination_id", "bucket_ts"), "latency_ms",
                 new java.sql.Timestamp(System.currentTimeMillis()),
                 token = Some(s"lat-$batchId"))
+            }
+            // per-event trace spans ride the same micro-batch loop
+            // (reference eventtracer.go): receive+match from the task
+            // batch, deliver+log from the outcomes — one token-idempotent
+            // append per epoch; retries re-emitting receive/match spans
+            // dedup by deterministic span id (EventTrace read repair)
+            traceTable.foreach { t =>
+              EventTrace.append(
+                EventTrace.receiveSpans(batch.dropDuplicates("event_id"))
+                  .unionByName(EventTrace.matchSpans(batch))
+                  .unionByName(EventTrace.deliverSpans(outcomes))
+                  .unionByName(EventTrace.logSpans(
+                    outcomes.withColumn("logged_at", current_timestamp()))),
+                t, token = Some(s"trace-$batchId"))
             }
           }
         }

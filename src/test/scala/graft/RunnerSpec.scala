@@ -24,7 +24,8 @@ class RunnerSpec extends GraftSuite {
     val running = Runner.start(spark, raw.toDF(), destinations, registry,
       logPath = s"$tmp/log", alertSinkName = "runner_alerts",
       checkpointRoot = s"$tmp/ckpt",
-      alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 2, thresholds = Seq(100)))
+      alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 2, thresholds = Seq(100)),
+      traceTable = Some(s"$tmp/traces"))
     try {
       raw.addData((1 to 3).map(i =>
         s"""{"event_id":"e$i","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:0$i.000Z","data":{"n":$i}}"""))
@@ -35,6 +36,17 @@ class RunnerSpec extends GraftSuite {
       assert(log.count() == 6) // 3 events × 2 matched destinations
       assert(log.filter(col("status") === "failed").count() == 3)
       assert(log.select("month").distinct().collect().map(_.getString(0)).toSeq == Seq("2024-01"))
+
+      // trace spans rode the same micro-batch loop: receive + 2×match +
+      // 2×deliver + 2×log per event, failed delivery status carried
+      val t1 = graft.streaming.EventTrace
+        .forEvent(spark, s"$tmp/traces", "e1").collect()
+      assert(t1.map(_.getAs[String]("stage")).toSeq ==
+        Seq("receive", "match", "match", "deliver", "deliver", "log", "log"),
+        t1.map(_.getAs[String]("stage")).toSeq)
+      assert(t1.exists(r => r.getAs[String]("stage") == "deliver" &&
+        r.getAs[String]("destination_id") == "d_down" &&
+        r.getAs[String]("status") == "failed"))
 
       // the alert query tails the log table and fires on the 2nd d_down failure
       running.alerts.processAllAvailable()
