@@ -286,6 +286,25 @@ object Bench {
       (med, if (jitWarm) first +: runs else runs, !accepted)
     }
 
+    // START GATE (VERDICT r9 task #2): don't start a full bench on an
+    // already-loaded host — every committed r9 artifact was flagged
+    // `contended` because the run STARTED into a noisy window and the
+    // per-query reruns could only partially recover. Wait (bounded) for
+    // 1-minute loadavg < 1.0; on timeout, run anyway — the per-run
+    // steal/other-cpu attribution still self-adjudicates. Subset runs
+    // (fast iteration) skip the gate.
+    if (args.isEmpty) {
+      val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
+      var load = loadavg().split("\\s+").headOption
+        .flatMap(_.toDoubleOption).getOrElse(0.0)
+      while (load >= 1.0 && System.currentTimeMillis() < deadline) {
+        System.err.println(f"[bench] host loaded (loadavg $load%.2f) — waiting")
+        Thread.sleep(15000)
+        load = loadavg().split("\\s+").headOption
+          .flatMap(_.toDoubleOption).getOrElse(0.0)
+      }
+    }
+
     val wallT0 = System.nanoTime()
     val loadBefore = loadavg()
     val (stealT0, idleT0, _) = cpuStat()
