@@ -23,7 +23,8 @@ object SparkEntry {
       EventOps.defs ++ EventOps2.defs ++ MetricsQueries.defs ++
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
-      StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs
+      StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs ++
+      TraceQualityOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
@@ -32,5 +33,5 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++
       CurationOps.oracles ++ StoreOps.oracles ++ PackingOps.oracles ++
-      SketchOps.oracles
+      SketchOps.oracles ++ TraceQualityOps.oracles
 }
