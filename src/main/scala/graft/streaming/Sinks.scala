@@ -627,6 +627,11 @@ object Sinks {
       concat(parts: _*)
     }
 
+    /** The rendered object rows — the wire form an S3 PUT loop (or the
+      * [[HttpWire.deliverS3]] socket leg) consumes. */
+    def objects(tasks: DataFrame): DataFrame =
+      tasks.select(keyColumn.as("object_key"), col("data").as("body"))
+
     override def publish(tasks: DataFrame): DataFrame = {
       val rootDir = root
       tasks.select(keyColumn.as("objkey"), col("data"))
