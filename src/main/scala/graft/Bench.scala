@@ -63,19 +63,23 @@ object Bench {
     * against the same probes as a plain full-frame filter. Reports
     * median ms per path plus the pruning evidence (files touched). */
   private[graft] def pointLookupRun(spark: SparkSession,
-                             sfDir: String): String = {
+                             sfDir: String, batches: Int = 3): String = {
     import org.apache.spark.sql.functions._
     val table = java.nio.file.Files
       .createTempDirectory("graft_bench_pl").toString + "/events"
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    // narrowBatchScope: AQE would coalesce the 4-way salted write back to
-    // one file per month on a small batch, defeating filesPerMonth (the
-    // ledger writers scope their appends the same way)
+    // narrowBatchScope: AQE would coalesce the salted write back to one
+    // file per month on a small batch, defeating filesPerMonth (the
+    // ledger writers scope their appends the same way). `batches` scales
+    // the FILE COUNT (each append lands ~6 files): the scale variant
+    // drives ~8× the files to show the bloom path flat while the full
+    // filter pays per-file task cost — the 100 TB separation argument
+    // measured, not asserted.
     graft.core.Caching.narrowBatchScope(spark) {
-      (0 until 3).foreach { b =>
+      (0 until batches).foreach { b =>
         graft.operators.CommitLog.append(
-          ev.filter(pmod(col("event_id"), lit(3)) === b), table,
+          ev.filter(pmod(col("event_id"), lit(batches)) === b), table,
           idCol = "event_id", tsCol = "ts", filesPerMonth = 12,
           keyBlooms = true)
       }
@@ -157,9 +161,10 @@ object Bench {
     // fast path: `runMain graft.Bench point_lookup` times ONLY the
     // manifest-bloom micro-bench (it is not a SparkEntry query, so the
     // generic path would silently bench nothing)
-    if (wanted == Seq("point_lookup")) {
+    if (wanted == Seq("point_lookup") || wanted == Seq("point_lookup_scale")) {
+      val b = if (wanted.head.endsWith("_scale")) 24 else 3
       println(s"""{"metric":"graft_point_lookup","sf":"$sfDir",""" +
-        s""""point_lookup":${pointLookupRun(spark, sfDir)}}""")
+        s""""${wanted.head}":${pointLookupRun(spark, sfDir, b)}}""")
       spark.stop()
       return
     }
@@ -365,7 +370,13 @@ object Bench {
         val s7 =
           try s""","point_lookup":${pointLookupRun(spark, sfDir)}"""
           catch { case e: Throwable => s""","point_lookup_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5 + s6 + s7
+        // ~8x the files: the bloom path must stay flat while the full
+        // filter pays per-file task cost — the separation that becomes
+        // a month's scan at 100 TB
+        val s8 =
+          try s""","point_lookup_scale":${pointLookupRun(spark, sfDir, batches = 24)}"""
+          catch { case e: Throwable => s""","point_lookup_scale_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8
       }
 
     def toJson(rs: Seq[(String, Double)]): String =
