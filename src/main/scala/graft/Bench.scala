@@ -163,8 +163,21 @@ object Bench {
     // generic path would silently bench nothing)
     if (wanted == Seq("point_lookup") || wanted == Seq("point_lookup_scale")) {
       val b = if (wanted.head.endsWith("_scale")) 24 else 3
-      println(s"""{"metric":"graft_point_lookup","sf":"$sfDir",""" +
-        s""""${wanted.head}":${pointLookupRun(spark, sfDir, b)}}""")
+      def stealNow(): Double =
+        try {
+          val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+            .trim.split("\\s+").drop(1).map(_.toDouble)
+          f(7) / 100.0
+        } catch { case _: Throwable => 0.0 }
+      val s0 = stealNow()
+      val json = s"""{"metric":"graft_point_lookup","sf":"$sfDir",""" +
+        s""""${wanted.head}":${pointLookupRun(spark, sfDir, b)},""" +
+        f""""cpu_steal_sec":${stealNow() - s0}%.1f}"""
+      println(json)
+      // durable sidecar (the stdout line can be tail-truncated)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"BENCH_${wanted.head}.json"),
+        json.getBytes("UTF-8"))
       spark.stop()
       return
     }
