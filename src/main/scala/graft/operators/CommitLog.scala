@@ -1000,7 +1000,8 @@ object CommitLog {
     * retention that already deleted the month aborts with
     * [[ConcurrentDelete]] instead of resurrecting data. */
   def compactMonth(spark: SparkSession, table: String, month: String,
-                   idCol: String, tsCol: String, targetFiles: Int = 1): Unit = {
+                   idCol: String, tsCol: String, targetFiles: Int = 1,
+                   bloomCol: Option[String] = None): Unit = {
     val snap = snapshot(table)
     val old = snap.files.filter(_.month == month)
     if (old.isEmpty) return
@@ -1025,9 +1026,14 @@ object CommitLog {
     // INDEX INHERITANCE: if the month was bloom-indexed, its compacted
     // replacements are too — maintenance must not silently degrade point
     // lookups back to scan-everything (blooms rebuild per output file;
-    // the replaced files' blooms are useless, their row sets merged)
+    // the replaced files' blooms are useless, their row sets merged).
+    // bloomCol mirrors append's: a table probed by a DIFFERENT key than
+    // its dedup id (the trace table: span_id rows, event_id lookups)
+    // must rebuild blooms over the probe column, or compaction would
+    // write blooms that wrongly prune every lookup.
     val adds = if (old.exists(_.keyBloom.isDefined))
-      attachKeyBlooms(spark, table, adds0, idCol) else adds0
+      attachKeyBlooms(spark, table, adds0, bloomCol.getOrElse(idCol))
+    else adds0
     try commit(table, "compact", adds, removes = old.map(_.path))
     catch {
       case e: ConcurrentDelete =>

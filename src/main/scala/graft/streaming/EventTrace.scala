@@ -117,6 +117,15 @@ object EventTrace {
       idCol = "span_id", tsCol = "at", token = token,
       keyBlooms = true, bloomCol = Some("event_id"))
 
+  /** Compact one month of the trace table: dedups by span_id (making
+    * the read repair permanent — re-emitted duplicate rows vanish from
+    * the raw scan) while rebuilding the manifest blooms over EVENT_ID,
+    * the probe column — compacting with the default id-column blooms
+    * would wrongly prune every `GET /events/{id}/trace`. */
+  def compact(spark: SparkSession, table: String, month: String): Unit =
+    graft.operators.CommitLog.compactMonth(spark, table, month,
+      idCol = "span_id", tsCol = "at", bloomCol = Some("event_id"))
+
   /** One event's trace, pipeline order (the `GET /events/{id}/trace`
     * read): manifest-bloom file pruning, then stage order with the
     * carried stamps as tie-breaks. */

@@ -82,6 +82,21 @@ class EventTraceSpec extends GraftSuite {
 
     assert(EventTrace.forEvent(spark, table, "e2").count() == 4)
 
+    // compaction makes the read repair PERMANENT: the re-emitted
+    // duplicates exist physically until the month compacts...
+    // (a scan's file listing freezes at creation — build each frame fresh)
+    def rawE1() = graft.operators.CommitLog.scan(spark, table)
+      .filter(col("event_id") === "e1").count()
+    assert(rawE1() > 7, "expected physical duplicates pre-compaction")
+    EventTrace.compact(spark, table, "1970-01")
+    assert(rawE1() == 7, "compaction left duplicate span rows")
+    // ...and the rebuilt blooms index EVENT_ID (bloomCol), so the point
+    // lookup still prunes correctly instead of losing rows to blooms
+    // built over the dedup id
+    assert(EventTrace.forEvent(spark, table, "e1").count() == 7)
+    val (surv, total) = graft.operators.CommitLog.filesForKey(table, "no-such")
+    assert(surv.size < total, "miss probe should prune compacted files")
+
     // GET /events/{id}/trace serves the same view over HTTP
     val base = java.nio.file.Files.createTempDirectory("graft_trace_api").toString
     val server = graft.api.HttpApi.start(spark, graft.api.HttpApi.Config(

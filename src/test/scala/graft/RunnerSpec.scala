@@ -129,7 +129,8 @@ class RunnerSpec extends GraftSuite {
       alertCfg = graft.streaming.Alerts.Config(autoDisableCount = 100),
       retryPath = Some(s"$tmp/retry"),
       backoff = graft.core.Backoff(baseMillis = 1, factor = 2, maxRetries = 3),
-      retryWatermarkDelay = "0 seconds")
+      retryWatermarkDelay = "0 seconds",
+      traceTable = Some(s"$tmp/traces"))
     try {
       raw.addData(
         """{"event_id":"e1","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:00Z","data":{"n":1}}""")
@@ -162,6 +163,18 @@ class RunnerSpec extends GraftSuite {
       }
       assert(state == Set((1, "failed"), (2, "success")),
         s"expected fail-then-success for e1, got $state")
+
+      // the retry crossed the trace table too: e1's trace carries BOTH
+      // deliver spans (attempt 1 failed, attempt 2 success) and both log
+      // spans, under one trace id
+      val t1 = graft.streaming.EventTrace
+        .forEvent(spark, s"$tmp/traces", "e1").collect()
+      val delivers = t1.filter(_.getAs[String]("stage") == "deliver")
+        .map(r => (r.getAs[Int]("attempt"), r.getAs[String]("status"))).toSet
+      assert(delivers == Set((1, "failed"), (2, "success")),
+        s"retry attempts missing from trace: ${t1.toSeq}")
+      assert(t1.count(_.getAs[String]("stage") == "log") == 2)
+      assert(t1.map(_.getAs[String]("trace_id")).distinct.length == 1)
     } finally running.stopAll()
   }
 
