@@ -108,6 +108,83 @@ object SqsWire {
   }
 }
 
+/** SQS as a FIRST-CLASS delivery sink in the streaming loop: renders
+  * each task like [[Sinks.SqsSink]] and sends it over the JSON-1.0 wire
+  * per partition, branching per-record outcomes on the response exactly
+  * as the webhook sink does (reference
+  * `destawssqs/destawssqs.go:157-183` — publish errors become failed
+  * attempts that feed the retry loop, not exceptions). The endpoint is
+  * the SQS-compatible base URL (AWS, localstack, or the mock). */
+final case class SqsHttpSink(queueUrl: String, endpoint: String,
+                             deliveryMetadata: Map[String, String] = Map.empty,
+                             timeoutMillis: Int = 5000)
+  extends Sinks.Sink {
+  val destType = "aws_sqs"
+
+  override def publish(tasks: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = tasks.sparkSession
+    import spark.implicits._
+    val (qUrl, ep, timeout) = (queueUrl, endpoint, timeoutMillis)
+    val rows = tasks
+      .withColumn("meta_json",
+        to_json(Sinks.makeMetadataExpr(deliveryMetadata)))
+      .select(col("event_id"), col("tenant_id"), col("destination_id"),
+        col("attempt").cast("int").as("attempt"), col("manual"),
+        col("event_time"), col("topic"), col("data"), col("metadata"),
+        col("eligible_for_retry"), col("meta_json"))
+      .as[(String, String, String, Int, Boolean, java.sql.Timestamp,
+        String, String, Map[String, String], Boolean, String)]
+    val outcomes = rows.mapPartitions { it =>
+      val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(timeout.toLong)).build()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.map { case (eid, tid, did, attempt, manual, eventTime, topic,
+          data, metadata, elig, metaJson) =>
+        val attemptTime = new java.sql.Timestamp(System.currentTimeMillis())
+        def out(status: String, code: String, body: String) =
+          Sinks.HttpOutcome(s"att_$eid:$did:$attempt", eid, tid, did,
+            "aws_sqs", attempt, manual, status, attemptTime, code,
+            eventTime, topic, data, metadata, elig, body)
+        try {
+          val root = mapper.createObjectNode()
+          root.put("QueueUrl", qUrl)
+          root.put("MessageBody", data)
+          val a = root.putObject("MessageAttributes").putObject("metadata")
+          a.put("DataType", "String"); a.put("StringValue", metaJson)
+          val req = java.net.http.HttpRequest.newBuilder(
+              java.net.URI.create(ep))
+            .timeout(java.time.Duration.ofMillis(timeout.toLong))
+            .header("Content-Type", "application/x-amz-json-1.0")
+            .header("X-Amz-Target", "AmazonSQS.SendMessage")
+            .POST(java.net.http.HttpRequest.BodyPublishers
+              .ofString(mapper.writeValueAsString(root)))
+            .build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofString())
+          if (resp.statusCode() != 200)
+            out("failed", resp.statusCode().toString, resp.body())
+          else {
+            val r = mapper.readTree(resp.body())
+            val echoed = Option(r.get("MD5OfMessageBody")).map(_.asText).orNull
+            if (echoed != SqsWire.bodyMd5(data))
+              // transport corruption: a delivery that cannot prove
+              // integrity is a FAILED attempt (retryable), like the SDK
+              out("failed", "md5_mismatch", resp.body())
+            else out("success", "200", resp.body())
+          }
+        } catch {
+          case _: java.net.http.HttpTimeoutException =>
+            out("failed", "timeout", null)
+          case e: Exception =>
+            out("failed", "connection_error", e.getClass.getSimpleName)
+        }
+      }
+    }.toDF()
+    outcomes.localCheckpoint(true)
+  }
+}
+
 /** The socket-level SQS fake. `corruptMd5 = true` flips the echoed body
   * digest — a test mode proving the client-side verification is real
   * (deliveries MUST fail against it). */

@@ -66,6 +66,60 @@ class SqsWireSpec extends GraftSuite {
     } finally server.stop()
   }
 
+  test("SqsHttpSink delivers INSIDE the streaming loop: ingest -> fanout " +
+      "-> SQS wire -> attempt log, with per-record failure branching") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark2.sqlContext
+    val server = SqsMockServer.start()
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sqsloop").toString
+      val queueUrl = s"${server.endpoint}123/orders"
+      val destinations = Seq(graft.streaming.Model.Destination(
+        "d_sqs", "t1", "aws_sqs", Seq("*"), None, disabled = false)).toDS()
+      val registry = new Sinks.Registry(Seq(
+        graft.streaming.SqsHttpSink(queueUrl, server.endpoint)))
+      val raw = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+      val running = graft.streaming.Runner.start(spark, raw.toDF(),
+        destinations, registry, logPath = s"$tmp/log",
+        alertSinkName = "sqs_loop_alerts", checkpointRoot = s"$tmp/ckpt")
+      try {
+        raw.addData((1 to 3).map(i =>
+          s"""{"event_id":"se$i","tenant_id":"t1","topic":"order.created","event_time":"2024-01-01T00:00:0$i.000Z","data":{"n":$i}}"""))
+        running.delivery.processAllAvailable()
+      } finally running.stopAll()
+
+      // the wire really carried them: 3 messages in the mock store
+      import scala.jdk.CollectionConverters._
+      assert(server.received.size == 3)
+      assert(server.received.asScala.map(_.body).toSet ==
+        Set("""{"n":1}""", """{"n":2}""", """{"n":3}"""))
+      // and the attempt log shows three successes with the wire's code
+      val log = spark.read.parquet(s"$tmp/log")
+      assert(log.count() == 3)
+      assert(log.filter(org.apache.spark.sql.functions.col("status") === "success").count() == 3)
+
+      // per-record failure branching: a corrupt-MD5 endpoint turns into
+      // FAILED attempts (feeding retries), never an exception
+      val corrupt = SqsMockServer.start(corruptMd5 = true)
+      try {
+        val out = graft.streaming.SqsHttpSink(
+            s"${corrupt.endpoint}q", corrupt.endpoint).publish(tasks)
+          .select("status", "code").collect()
+          .map(r => (r.getString(0), r.getString(1)))
+        assert(out.length == 3 &&
+          out.forall(_ == ("failed", "md5_mismatch")), out.toSeq)
+      } finally corrupt.stop()
+      // unreachable endpoint → connection_error outcomes
+      val dead = graft.streaming.SqsHttpSink(
+          "http://127.0.0.1:1/q", "http://127.0.0.1:1/").publish(tasks)
+        .select("status", "code").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(dead.forall(o => o._1 == "failed" &&
+        (o._2 == "connection_error" || o._2 == "timeout")), dead.toSeq)
+    } finally server.stop()
+  }
+
   test("protocol validation: wrong target and missing body are rejected; " +
       "a corrupted MD5 echo fails the delivery (the verification is real)") {
     val server = SqsMockServer.start()
