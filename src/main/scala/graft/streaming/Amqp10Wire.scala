@@ -1,0 +1,314 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import org.apache.spark.sql.DataFrame
+
+/** AMQP 1.0 WIRE ROUND-TRIP for the Azure Service Bus sink — the last
+  * transport family in the wire-mock set ([[SqsWire]], [[CloudWire]],
+  * [[AmqpWire]] 0-9-1, [[HttpWire]]): Service Bus speaks AMQP 1.0
+  * (ISO 19464), a DIFFERENT protocol from RabbitMQ's 0-9-1 — described
+  * types instead of method frames, link credit flow control instead of
+  * implicit publish. The renderer's rows (reference
+  * `destazureservicebus/destazureservicebus.go:127-142` — body = raw
+  * payload, application-properties = the metadata map, target = the
+  * queue) travel a REAL socket through the real performative sequence:
+  * protocol header, open/begin/attach, a credit-granting flow from the
+  * receiver, one transfer per message carrying application-properties +
+  * data sections, close/close.
+  *
+  * [[Amqp10]] is a compact encoder/decoder for the type universe these
+  * frames need (null/bool/ubyte/uint/ulong variants, utf8 strings,
+  * symbols, binaries, lists, maps, described types) — both ends of the
+  * socket run it, and the mock REJECTS malformed frames rather than
+  * tolerating them. */
+object Amqp10 {
+
+  sealed trait V
+  case object VNull extends V
+  final case class VBool(b: Boolean) extends V
+  /** Any integral (ubyte/ushort/uint/ulong collapse here on decode). */
+  final case class VLong(n: Long) extends V
+  final case class VUByte(n: Int) extends V
+  final case class VStr(s: String) extends V
+  final case class VSym(s: String) extends V
+  final case class VBin(b: Array[Byte]) extends V
+  final case class VList(xs: Seq[V]) extends V
+  final case class VMap(xs: Seq[(V, V)]) extends V
+  final case class VDesc(descriptor: V, value: V) extends V
+
+  def encode(v: V): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(bos)
+    def go(x: V): Unit = x match {
+      case VNull => d.writeByte(0x40)
+      case VBool(b) => d.writeByte(if (b) 0x41 else 0x42)
+      case VUByte(n) => d.writeByte(0x50); d.writeByte(n)
+      case VLong(n) => d.writeByte(0x80); d.writeLong(n) // wide ulong: always legal
+      case VStr(s) =>
+        val b = s.getBytes("UTF-8"); d.writeByte(0xB1); d.writeInt(b.length); d.write(b)
+      case VSym(s) =>
+        val b = s.getBytes("US-ASCII"); d.writeByte(0xB3); d.writeInt(b.length); d.write(b)
+      case VBin(b) => d.writeByte(0xB0); d.writeInt(b.length); d.write(b)
+      case VList(xs) =>
+        val inner = xs.map(encode).foldLeft(Array.emptyByteArray)(_ ++ _)
+        d.writeByte(0xD0); d.writeInt(inner.length + 4); d.writeInt(xs.size); d.write(inner)
+      case VMap(xs) =>
+        val inner = xs.flatMap { case (k, v2) => Seq(encode(k), encode(v2)) }
+          .foldLeft(Array.emptyByteArray)(_ ++ _)
+        d.writeByte(0xD1); d.writeInt(inner.length + 4); d.writeInt(xs.size * 2); d.write(inner)
+      case VDesc(desc, value) =>
+        d.writeByte(0x00); go(desc); go(value)
+    }
+    go(v); d.flush(); bos.toByteArray
+  }
+
+  def decode(b: ByteBuffer): V = {
+    val code = b.get() & 0xFF
+    code match {
+      case 0x00 => VDesc(decode(b), decode(b))
+      case 0x40 => VNull
+      case 0x41 => VBool(true)
+      case 0x42 => VBool(false)
+      case 0x43 | 0x44 => VLong(0) // uint0 / ulong0
+      case 0x50 | 0x53 => VLong(b.get() & 0xFFL) // ubyte / smallulong
+      case 0x52 => VLong(b.get() & 0xFFL) // smalluint
+      case 0x60 => VLong(b.getShort & 0xFFFFL)
+      case 0x70 => VLong(b.getInt & 0xFFFFFFFFL)
+      case 0x80 => VLong(b.getLong)
+      case 0xA0 => { val n = b.get() & 0xFF; val a = new Array[Byte](n); b.get(a); VBin(a) }
+      case 0xB0 => { val n = b.getInt; val a = new Array[Byte](n); b.get(a); VBin(a) }
+      case 0xA1 => { val n = b.get() & 0xFF; val a = new Array[Byte](n); b.get(a); VStr(new String(a, "UTF-8")) }
+      case 0xB1 => { val n = b.getInt; val a = new Array[Byte](n); b.get(a); VStr(new String(a, "UTF-8")) }
+      case 0xA3 => { val n = b.get() & 0xFF; val a = new Array[Byte](n); b.get(a); VSym(new String(a, "US-ASCII")) }
+      case 0xB3 => { val n = b.getInt; val a = new Array[Byte](n); b.get(a); VSym(new String(a, "US-ASCII")) }
+      case 0x45 => VList(Nil)
+      case 0xC0 =>
+        val _ = b.get(); val count = b.get() & 0xFF
+        VList((0 until count).map(_ => decode(b)))
+      case 0xD0 =>
+        val _ = b.getInt; val count = b.getInt
+        VList((0 until count).map(_ => decode(b)))
+      case 0xC1 =>
+        val _ = b.get(); val count = b.get() & 0xFF
+        VMap((0 until count / 2).map(_ => (decode(b), decode(b))))
+      case 0xD1 =>
+        val _ = b.getInt; val count = b.getInt
+        VMap((0 until count / 2).map(_ => (decode(b), decode(b))))
+      case other =>
+        throw new IllegalArgumentException(f"unsupported AMQP 1.0 code 0x$other%02x")
+    }
+  }
+
+  val ProtoHeader: Array[Byte] =
+    "AMQP".getBytes("US-ASCII") ++ Array[Byte](0, 1, 0, 0)
+
+  /** One AMQP 1.0 frame: body = performative + trailing payload bytes. */
+  final case class Frame(channel: Int, body: Array[Byte])
+
+  def writeFrame(out: DataOutputStream, channel: Int, body: Array[Byte]): Unit = {
+    out.writeInt(body.length + 8)
+    out.writeByte(2) // doff
+    out.writeByte(0) // type: AMQP
+    out.writeShort(channel)
+    out.write(body)
+    out.flush()
+  }
+
+  def readFrame(in: DataInputStream): Frame = {
+    val size = in.readInt()
+    val doff = in.readUnsignedByte()
+    val ftype = in.readUnsignedByte()
+    require(ftype == 0, s"non-AMQP frame type $ftype")
+    val channel = in.readUnsignedShort()
+    in.skipBytes(doff * 4 - 8)
+    val body = new Array[Byte](size - doff * 4)
+    in.readFully(body)
+    Frame(channel, body)
+  }
+
+  // performative descriptor codes
+  val Open = 0x10L; val Begin = 0x11L; val Attach = 0x12L; val Flow = 0x13L
+  val Transfer = 0x14L; val Close = 0x18L
+  val TargetDesc = 0x29L; val SourceDesc = 0x28L
+  val AppPropsDesc = 0x74L; val DataDesc = 0x75L
+
+  def perf(code: Long, fields: V*): Array[Byte] =
+    encode(VDesc(VLong(code), VList(fields)))
+
+  def perfOf(f: Frame): (Long, Seq[V], ByteBuffer) = {
+    val b = ByteBuffer.wrap(f.body)
+    decode(b) match {
+      case VDesc(VLong(code), VList(fields)) => (code, fields, b)
+      case other => throw new IllegalArgumentException(s"not a performative: $other")
+    }
+  }
+}
+
+object Amqp10Wire {
+  import Amqp10._
+
+  /** Publish each rendered Service Bus record (queue_name, body,
+    * application_properties) over one AMQP 1.0 connection per partition:
+    * open/begin/attach to the queue, wait for the receiver's credit
+    * flow, one settled transfer per message (application-properties map
+    * + data binary), close. Returns messages sent; protocol violations
+    * or exhausted credit throw. */
+  def deliver(records: DataFrame, host: String, port: Int): Long = {
+    val spark2 = records.sparkSession
+    import spark2.implicits._
+    val rows = records.select("queue_name", "body", "application_properties")
+      .as[(String, Array[Byte], Map[String, String])]
+    rows.mapPartitions { it =>
+      val buffered = it.buffered
+      if (!buffered.hasNext) Iterator.empty
+      else {
+        val queue = buffered.head._1
+        val sock = new java.net.Socket(host, port)
+        sock.setSoTimeout(10000)
+        val out = new DataOutputStream(
+          new java.io.BufferedOutputStream(sock.getOutputStream))
+        val in = new DataInputStream(
+          new java.io.BufferedInputStream(sock.getInputStream))
+        var n = 0L
+        try {
+          out.write(ProtoHeader); out.flush()
+          val echo = new Array[Byte](8); in.readFully(echo)
+          require(java.util.Arrays.equals(echo, ProtoHeader),
+            "server is not AMQP 1.0")
+          writeFrame(out, 0, perf(Open, VStr("graft")))
+          require(perfOf(readFrame(in))._1 == Open, "expected open")
+          writeFrame(out, 0, perf(Begin,
+            VNull, VLong(0), VLong(65536), VLong(65536)))
+          require(perfOf(readFrame(in))._1 == Begin, "expected begin")
+          writeFrame(out, 0, perf(Attach,
+            VStr("graft-sender"), VLong(0), VBool(false), // role: sender
+            VUByte(1), VUByte(0), // snd-settle-mode settled, rcv first
+            VDesc(VLong(SourceDesc), VList(Seq(VNull))),
+            VDesc(VLong(TargetDesc), VList(Seq(VStr(queue))))))
+          require(perfOf(readFrame(in))._1 == Attach, "expected attach")
+          val (fc, fields, _) = perfOf(readFrame(in))
+          require(fc == Flow, "expected credit flow")
+          var credit = fields.lift(6) match {
+            case Some(VLong(c)) => c
+            case other => throw new IllegalArgumentException(s"no link-credit: $other")
+          }
+          var deliveryId = 0L
+          buffered.foreach { case (q, body, props) =>
+            require(q == queue, "one queue per partition batch")
+            require(credit > 0, "link credit exhausted")
+            val sections =
+              encode(VDesc(VLong(AppPropsDesc), VMap(
+                props.toSeq.sortBy(_._1).map { case (k, v) => (VStr(k), VStr(v)) }))) ++
+              encode(VDesc(VLong(DataDesc), VBin(body)))
+            writeFrame(out, 0, perf(Transfer,
+              VLong(0), VLong(deliveryId),
+              VBin(BigInt(deliveryId).toByteArray), VLong(0),
+              VBool(true)) ++ sections) // settled: no disposition expected
+            deliveryId += 1; credit -= 1; n += 1
+          }
+          writeFrame(out, 0, perf(Close, VNull))
+          require(perfOf(readFrame(in))._1 == Close, "expected close")
+        } finally sock.close()
+        Iterator.single(n)
+      }
+    }.reduce(_ + _)
+  }
+}
+
+/** Socket-level AMQP 1.0 fake for the Service Bus shape: real handshake,
+  * credit-granting flow, strict transfer parsing (application-properties
+  * + data sections), stored arrivals. */
+object Amqp10MockServer {
+  import Amqp10._
+
+  final case class Received(queue: String, properties: Map[String, String],
+                            body: Array[Byte])
+
+  final class Server(srv: java.net.ServerSocket,
+                     val received: java.util.concurrent.CopyOnWriteArrayList[Received]) {
+    def port: Int = srv.getLocalPort
+    def stop(): Unit = srv.close()
+  }
+
+  def start(linkCredit: Long = 10000L): Server = {
+    val srv = new java.net.ServerSocket(0, 16,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val received = new java.util.concurrent.CopyOnWriteArrayList[Received]()
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    def serve(sock: java.net.Socket): Unit = {
+      val in = new DataInputStream(
+        new java.io.BufferedInputStream(sock.getInputStream))
+      val out = new DataOutputStream(
+        new java.io.BufferedOutputStream(sock.getOutputStream))
+      try {
+        val hdr = new Array[Byte](8); in.readFully(hdr)
+        require(java.util.Arrays.equals(hdr, ProtoHeader), "bad protocol header")
+        out.write(ProtoHeader); out.flush()
+        var queue = ""
+        var open = true
+        while (open) {
+          val f = readFrame(in)
+          val (code, fields, rest) = perfOf(f)
+          code match {
+            case Open =>
+              writeFrame(out, 0, perf(Open, VStr("graft-mock")))
+            case Begin =>
+              writeFrame(out, 0, perf(Begin,
+                VLong(f.channel.toLong), VLong(0), VLong(65536), VLong(65536)))
+            case Attach =>
+              // fields: name, handle, role(false=their sender), ...,
+              // target at index 6 carries the queue address
+              queue = fields.lift(6) match {
+                case Some(VDesc(VLong(TargetDesc), VList(ts))) =>
+                  ts.headOption match {
+                    case Some(VStr(q)) => q
+                    case _ => throw new IllegalArgumentException("no target address")
+                  }
+                case other => throw new IllegalArgumentException(s"no target: $other")
+              }
+              val name = fields.head
+              writeFrame(out, 0, perf(Attach,
+                name, VLong(0), VBool(true), VUByte(1), VUByte(0),
+                VDesc(VLong(SourceDesc), VList(Seq(VNull))),
+                VDesc(VLong(TargetDesc), VList(Seq(VStr(queue))))))
+              // grant credit: flow [next-in, in-window, next-out,
+              // out-window, handle, delivery-count, link-credit]
+              writeFrame(out, 0, perf(Flow,
+                VLong(0), VLong(65536), VLong(0), VLong(65536),
+                VLong(0), VLong(0), VLong(linkCredit)))
+            case Transfer =>
+              // strict payload parse: application-properties then data
+              var props = Map.empty[String, String]
+              var body: Array[Byte] = null
+              while (rest.hasRemaining) {
+                decode(rest) match {
+                  case VDesc(VLong(AppPropsDesc), VMap(xs)) =>
+                    props = xs.collect { case (VStr(k), VStr(v)) => k -> v }.toMap
+                  case VDesc(VLong(DataDesc), VBin(b)) => body = b
+                  case other =>
+                    throw new IllegalArgumentException(s"unexpected section: $other")
+                }
+              }
+              require(body != null, "transfer carried no data section")
+              received.add(Received(queue, props, body))
+            case Close =>
+              writeFrame(out, 0, perf(Close, VNull))
+              open = false
+            case other =>
+              throw new IllegalArgumentException(s"unexpected performative $other")
+          }
+        }
+      } catch { case _: Exception => () } finally sock.close()
+    }
+    pool.submit(new Runnable {
+      def run(): Unit =
+        try while (true) {
+          val s = srv.accept()
+          pool.submit(new Runnable { def run(): Unit = serve(s) })
+          ()
+        } catch { case _: Exception => () }
+    })
+    new Server(srv, received)
+  }
+}
