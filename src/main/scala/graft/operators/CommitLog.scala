@@ -309,7 +309,7 @@ object CommitLog {
   def latestToken(table: String, prefix: String, lastK: Int = 500): Option[String] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None
-    val versions = Files.list(dir).iterator().asScala
+    val versions = listDir(dir).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.contains("checkpoint") && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong).toSeq.sorted.takeRight(lastK).reverse
@@ -337,8 +337,8 @@ object CommitLog {
     def stale(p: Path) = Files.getLastModifiedTime(p).toMillis < cutoff
     val data = dataDir(table)
     if (Files.isDirectory(data))
-      Files.list(data).iterator().asScala.filter(Files.isDirectory(_)).foreach { mdir =>
-        Files.list(mdir).iterator().asScala
+      listDir(data).iterator.filter(Files.isDirectory(_)).foreach { mdir =>
+        listDir(mdir).iterator
           .filter(f => f.getFileName.toString.endsWith(".parquet")).foreach { f =>
             val rel = s"data/${mdir.getFileName}/${f.getFileName}"
             if (!liveRel.contains(rel) && stale(f)) {
@@ -356,7 +356,7 @@ object CommitLog {
     // by construction.
     val log = logDir(table)
     if (Files.isDirectory(log))
-      Files.list(log).iterator().asScala
+      listDir(log).iterator
         .filter(p => p.getFileName.toString.startsWith(".tmp-") && stale(p))
         .foreach { p => Files.deleteIfExists(p); deleted += s"_log/${p.getFileName}" }
     // A staging dir's ROOT mtime freezes once its month= children exist —
@@ -366,17 +366,17 @@ object CommitLog {
     def newestMtime(p: Path): Long = {
       var newest = Files.getLastModifiedTime(p).toMillis
       if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.foreach(c => newest = math.max(newest, newestMtime(c)))
+        listDir(p).iterator.foreach(c => newest = math.max(newest, newestMtime(c)))
       newest
     }
     val root = Paths.get(table)
     if (Files.isDirectory(root))
-      Files.list(root).iterator().asScala
+      listDir(root).iterator
         .filter(p => p.getFileName.toString.startsWith(".stage-") &&
           Files.isDirectory(p) && newestMtime(p) < cutoff)
         .foreach { p =>
           def rm(q: Path): Unit = {
-            if (Files.isDirectory(q)) Files.list(q).iterator().asScala.foreach(rm)
+            if (Files.isDirectory(q)) listDir(q).iterator.foreach(rm)
             Files.deleteIfExists(q); ()
           }
           rm(p)
@@ -420,7 +420,7 @@ object CommitLog {
   def snapshot(table: String): Snapshot = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return Snapshot(0L, Nil)
-    val names = Files.list(dir).iterator().asScala
+    val names = listDir(dir).iterator
       .map(_.getFileName.toString).toSeq
     val versions = names.filter(n => n.endsWith(".json") && !n.contains("checkpoint"))
       .filter(!_.startsWith("."))
@@ -484,6 +484,17 @@ object CommitLog {
       def hasNext: Boolean = it.hasNext
       def next(): A = it.next()
     }
+  }
+
+  /** `Files.list` with the stream CLOSED (try/finally): the returned
+    * stream holds a directory file descriptor that is otherwise released
+    * only at GC — a snapshot-polling reader (the serving path lists the
+    * log dir per request by design) leaks FDs to exhaustion without
+    * this. Directory sizes here are log/manifest-scale, so materializing
+    * is safe. */
+  private def listDir(p: Path): Vector[Path] = {
+    val st = Files.list(p)
+    try st.iterator().asScala.toVector finally st.close()
   }
 
   /** Commit `adds`/`removes` with optimistic retry. Returns the committed
@@ -553,7 +564,7 @@ object CommitLog {
   def tokenApplied(table: String, token: String, lastK: Int = 50): Boolean = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return false
-    val versions = Files.list(dir).iterator().asScala
+    val versions = listDir(dir).iterator
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.contains("checkpoint") && !n.startsWith("."))
       .map(_.stripSuffix(".json").toLong).toSeq.sorted.takeRight(lastK)
@@ -660,12 +671,12 @@ object CommitLog {
     * state checkpoint) can stage their own rewrite commits. */
   private[operators] def moveStaged(staging: Path, table: String): Seq[AddFile] = {
     val adds = Seq.newBuilder[AddFile]
-    Files.list(staging).iterator().asScala
+    listDir(staging).iterator
       .filter(p => p.getFileName.toString.startsWith("month=")).foreach { mdir =>
         val month = mdir.getFileName.toString.stripPrefix("month=")
         val dest = dataDir(table.toString).resolve(s"month=$month")
         Files.createDirectories(dest)
-        Files.list(mdir).iterator().asScala
+        listDir(mdir).iterator
           .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
             val name = s"part-${java.util.UUID.randomUUID()}.parquet"
             Files.move(f, dest.resolve(name), StandardCopyOption.ATOMIC_MOVE)
@@ -673,7 +684,7 @@ object CommitLog {
           }
       }
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p)) Files.list(p).iterator().asScala.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).iterator.foreach(rm)
       Files.deleteIfExists(p); ()
     }
     rm(staging)

@@ -130,6 +130,57 @@ class CommitLogConcurrencySpec extends GraftSuite {
       def next(): A = it.next()
     }
   }
+  test("snapshot cache under racing commits: versions are monotone per " +
+      "reader, fresh commits become visible, content matches an uncached replay") {
+    val spark2 = spark
+    import spark2.implicits._
+    val table = Files.createTempDirectory("graft_cl_snapcache").toString + "/t"
+    val ts = java.sql.Timestamp.valueOf("2024-02-10 00:00:00")
+    CommitLog.append(Seq((0L, ts)).toDF("id", "ts"), table, "id", "ts")
+
+    val pool = Executors.newFixedThreadPool(5)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // one writer: 30 sequential appends
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        try (1L to 30L).foreach { i =>
+          CommitLog.append(Seq((i, ts)).toDF("id", "ts"), table, "id", "ts")
+        } catch { case t: Throwable => failures.add(t) }
+        finally stop.set(true)
+      }
+    })
+    // four readers: hammer the CACHED snapshot path, asserting per-reader
+    // monotonicity (a cache serving a version older than one it already
+    // served would be a coherence bug, not just staleness)
+    val readers = (0 until 4).map { _ =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          var last = -1L
+          try while (!stop.get()) {
+            val v = CommitLog.snapshot(table).version
+            if (v < last)
+              throw new AssertionError(s"snapshot went backwards: $last -> $v")
+            last = v
+          } catch { case t: Throwable => failures.add(t) }
+        }
+      })
+    }
+    start.countDown()
+    (writer +: readers).foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(failures.isEmpty, failures.asScala.toSeq.map(_.toString))
+    // final cached snapshot == an uncached full replay (snapshotAt)
+    val snap = CommitLog.snapshot(table)
+    val replay = CommitLog.snapshotAt(table, snap.version)
+    assert(snap.version == 31L, s"lost commits: ${snap.version}")
+    assert(snap.files.map(_.path).sorted == replay.files.map(_.path).sorted,
+      "cached snapshot diverged from the uncached log replay")
+  }
+
   private implicit class QAsScala[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
     def asScala: Iterator[A] = q.iterator().asScala
   }
