@@ -165,7 +165,7 @@ object Bench {
       val b = if (wanted.head.endsWith("_scale")) 24 else 3
       def stealNow(): Double =
         try {
-          val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          val f = graft.core.ProcFs.firstLine("/proc/stat")
             .trim.split("\\s+").drop(1).map(_.toDouble)
           f(7) / 100.0
         } catch { case _: Throwable => 0.0 }
@@ -189,7 +189,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
 
     def loadavg(): String =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      try graft.core.ProcFs.slurp("/proc/loadavg").trim
       catch { case _: Throwable => "" }
 
     // (steal, idle, busy) seconds accumulated across all CPUs, from
@@ -198,7 +198,7 @@ object Bench {
     // user+nice+system+irq+softirq+steal.
     def cpuStat(): (Double, Double, Double) =
       try {
-        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        val f = graft.core.ProcFs.firstLine("/proc/stat")
           .trim.split("\\s+").drop(1).map(_.toDouble)
         val hz = 100.0 // USER_HZ
         (f(7) / hz, f(3) / hz, (f(0) + f(1) + f(2) + f(5) + f(6) + f(7)) / hz)
@@ -211,7 +211,7 @@ object Bench {
     // the same VM is not hypervisor steal).
     def selfCpu(): Double =
       try {
-        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val s = graft.core.ProcFs.slurp("/proc/self/stat")
         val rest = s.substring(s.lastIndexOf(')') + 2).split("\\s+")
         (rest(11).toDouble + rest(12).toDouble) / 100.0 // utime, stime
       } catch { case _: Throwable => -1.0 }

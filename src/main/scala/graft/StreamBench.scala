@@ -43,7 +43,7 @@ object StreamBench {
     // number — the artifact must let a reader tell a slow engine from a
     // starved host (same policy as graft.Bench).
     def stealSec(): Double =
-      try scala.io.Source.fromFile("/proc/stat").getLines().next()
+      try graft.core.ProcFs.firstLine("/proc/stat")
         .trim.split("\\s+").drop(1).map(_.toDouble).apply(7) / 100.0
       catch { case _: Throwable => -1.0 }
     val steal0 = stealSec()

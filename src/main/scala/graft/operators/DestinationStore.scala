@@ -478,8 +478,12 @@ object DestinationStore {
   private def deleteRecursively(dir: java.nio.file.Path): Unit = {
     import java.nio.file._
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      // close the walk stream (it holds directory FDs until GC otherwise —
+      // the CommitLog.listDir lesson)
+      val st = Files.walk(dir)
+      try st.sorted(java.util.Comparator.reverseOrder[Path]())
         .forEach(p => { Files.deleteIfExists(p); () })
+      finally st.close()
     }
   }
 
