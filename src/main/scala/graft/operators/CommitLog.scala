@@ -390,14 +390,15 @@ object CommitLog {
     * ~10⁵ files that driver work, not file IO, becomes the hot-path
     * bottleneck). `snapCache` memoizes the current [[Snapshot]] per table
     * path, validated by (latest entry version, that entry file's mtime +
-    * size): an unchanged log is one directory listing + one stat; a new
+    * size + content CRC): an unchanged log is one directory listing + one
+    * small-file read; a new
     * commit advances the version and triggers an INCREMENTAL replay of
     * only the entries after the cached version (entries are immutable and
     * never deleted, so delta replay is exact); a recreated table at the
     * same path (rewritten entry files — tests do this) changes the cached
     * head entry's fingerprint and falls back to a full rebuild. */
   private final case class CachedSnap(version: Long, mtime: Long,
-                                      size: Long, snap: Snapshot)
+                                      size: Long, crc: Long, snap: Snapshot)
   private val snapCache =
     new java.util.concurrent.ConcurrentHashMap[String, CachedSnap]()
   /** Replay counter (full or delta rebuilds) — pinned by `HttpApiSpec`:
@@ -406,11 +407,21 @@ object CommitLog {
   private[graft] val manifestReplays =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def entryFingerprint(table: String, v: Long): Option[(Long, Long)] =
+  /** (mtime ns, size, content CRC32). The CRC closes the coarse-mtime
+    * hole: on filesystems with second-granularity timestamps, a table
+    * recreated at the same path with the same latest version and a
+    * same-size entry inside one granule would otherwise serve a stale
+    * cached snapshot. Entry files are small JSON (the head entry only is
+    * hashed per validation), so the read is a bounded constant cost. */
+  private def entryFingerprint(table: String,
+                               v: Long): Option[(Long, Long, Long)] =
     try {
       val p = entryPath(table, v)
+      val bytes = Files.readAllBytes(p)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes)
       Some((Files.getLastModifiedTime(p).to(java.util.concurrent.TimeUnit.NANOSECONDS),
-        Files.size(p)))
+        bytes.length.toLong, crc.getValue))
     } catch { case _: Exception => None }
 
   /** Current snapshot — cached (see above); on miss, newest parsable
@@ -429,14 +440,14 @@ object CommitLog {
     val fp = entryFingerprint(table, latest)
     val cached = snapCache.get(table)
     if (cached != null && cached.version == latest &&
-        fp.contains((cached.mtime, cached.size)))
+        fp.contains((cached.mtime, cached.size, cached.crc)))
       return cached.snap
     // Delta base: cached state is reusable iff its own head entry is still
     // the same file (same fingerprint ⇒ the log grew, wasn't recreated).
     val deltaBase: Option[Snapshot] =
       if (cached != null && cached.version > 0L && cached.version < latest &&
           entryFingerprint(table, cached.version)
-            .contains((cached.mtime, cached.size)))
+            .contains((cached.mtime, cached.size, cached.crc)))
         Some(cached.snap)
       else None
     manifestReplays.incrementAndGet()
@@ -473,8 +484,8 @@ object CommitLog {
       parseSchema(s).foreach(sc => schema = Some(sc))
     }
     val snap = Snapshot(latest, live.values.toSeq, schema)
-    fp.foreach { case (m, sz) =>
-      snapCache.put(table, CachedSnap(latest, m, sz, snap))
+    fp.foreach { case (m, sz, crc) =>
+      snapCache.put(table, CachedSnap(latest, m, sz, crc, snap))
     }
     snap
   }

@@ -31,7 +31,10 @@ object Quality {
 
   /** The `columns` tuple is unique across the table. Violations = number
     * of surplus rows (count − distinct count), the same accounting a
-    * dedup pass would remove. */
+    * dedup pass would remove. Null semantics: a null-containing tuple IS
+    * a group (two rows with the same null key = 1 violation; a singleton
+    * null key = 0), matching [[failureRows]] — compose with [[NotNull]]
+    * to also reject nulls outright. */
   final case class Unique(name: String, columns: Seq[String]) extends Constraint
 
   /** Value ∈ `values`. Nulls are NOT violations — compose with [[NotNull]]
@@ -66,7 +69,12 @@ object Quality {
     case NotNull(_, c0) =>
       Some(coalesce(sum(when(col(c0).isNull, 1L).otherwise(0L)), lit(0L)))
     case Unique(_, cols0) =>
-      Some(count(lit(1)) - countDistinct(cols0.head, cols0.tail: _*))
+      // distinct over a STRUCT, not the bare tuple: countDistinct drops
+      // tuples containing any null, which would count every null-keyed
+      // row as a violation while failureRows (window count > 1) treats
+      // nulls as a group. The struct is never null, so null tuples count
+      // as distinct groups and check()/failureRows agree.
+      Some(count(lit(1)) - countDistinct(struct(cols0.map(col): _*)))
     case InSet(_, c0, vs) =>
       Some(coalesce(sum(when(!col(c0).isin(vs: _*), 1L).otherwise(0L)), lit(0L)))
     case InRange(_, c0, lo, hi) =>

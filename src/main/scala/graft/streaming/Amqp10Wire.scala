@@ -212,7 +212,7 @@ object Amqp10Wire {
         } finally sock.close()
         Iterator.single(n)
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 }
 

@@ -153,7 +153,7 @@ object AmqpWire {
         } finally sock.close()
         Iterator.single(n)
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 }
 

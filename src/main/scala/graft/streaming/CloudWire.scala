@@ -63,7 +63,7 @@ object CloudWire {
           s"expected one messageId, got ${resp.body()}")
         1L
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 
   /** POST each rendered Kinesis record (stream_name, partition_key,
@@ -98,7 +98,7 @@ object CloudWire {
           s"malformed PutRecord response: ${resp.body()}")
         1L
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 }
 

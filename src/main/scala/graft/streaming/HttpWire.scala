@@ -47,7 +47,7 @@ object HttpWire {
           s"hookdeck delivery failed: HTTP ${resp.statusCode()} ${resp.body()}")
         1L
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 
   private def md5(b: Array[Byte]): Array[Byte] =
@@ -82,7 +82,7 @@ object HttpWire {
           s"ETag mismatch for $key: sent ${hex(digest)}, echoed $etag")
         1L
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 }
 

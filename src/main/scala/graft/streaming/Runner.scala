@@ -134,12 +134,14 @@ object Runner {
           // (alert/retry file streams, ad-hoc readers) pays for
           val rows = outcomes0.count()
           if (rows > 0) {
-            // with the rollup on, the outcome frame feeds TWO consumers;
-            // pin it once so both see identical attempt stamps (a lazy
-            // pure-projection outcome re-evaluates wall-clock columns per
-            // action — the log and the sketch would disagree)
+            // with the rollup OR trace consumer on, the outcome frame
+            // feeds MULTIPLE consumers; pin it once so all see identical
+            // attempt stamps (a lazy pure-projection outcome re-evaluates
+            // wall-clock columns per action — the log, the sketch, and
+            // the trace spans would disagree)
             val outcomes =
-              if (latencyRollupTable.isDefined) outcomes0.localCheckpoint(true)
+              if (latencyRollupTable.isDefined || traceTable.isDefined)
+                outcomes0.localCheckpoint(true)
               else outcomes0
             // epoch id makes a post-failure micro-batch replay a no-op
             Pipeline.logSinkBatch(outcomes, logPath, batchId, rows = rows)
@@ -174,8 +176,14 @@ object Runner {
                 EventTrace.receiveSpans(batch.dropDuplicates("event_id"))
                   .unionByName(EventTrace.matchSpans(batch))
                   .unionByName(EventTrace.deliverSpans(outcomes))
+                  // logged_at = the CARRIED attempt stamp, not wall clock:
+                  // a log-span row re-emitted under a new token must be an
+                  // EXACT duplicate (EventTrace read repair dedups by
+                  // span_id and keeps an arbitrary row — identical rows
+                  // make that choice immaterial). The deliver→log gap is
+                  // sub-batch anyway; durability time is the epoch's.
                   .unionByName(EventTrace.logSpans(
-                    outcomes.withColumn("logged_at", current_timestamp()))),
+                    outcomes.withColumn("logged_at", col("attempt_time")))),
                 t, token = Some(s"trace-$batchId"))
             }
           }

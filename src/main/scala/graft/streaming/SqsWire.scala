@@ -104,7 +104,7 @@ object SqsWire {
         }
         1L
       }
-    }.reduce(_ + _)
+    }.rdd.fold(0L)(_ + _) // fold: empty delivery returns 0, not UnsupportedOperationException
   }
 }
 

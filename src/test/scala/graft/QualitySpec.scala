@@ -40,9 +40,11 @@ class QualitySpec extends GraftSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(verdicts == Map(
       "id.not_null" -> ((1L, 0)),
-      // count − countDistinct: 6 rows, 4 distinct non-null ids → the dup
-      // surplus (1) plus the null row (1); nulls ride the completeness check
-      "id.unique" -> ((2L, 0)),
+      // surplus rows with null tuples as GROUPS: 6 rows, 5 distinct keys
+      // ({1},{2},{3},{4},{null}) → only the id-3 dup counts; the singleton
+      // null row is NOT a violation (it rides the completeness check),
+      // matching failureRows' window semantics
+      "id.unique" -> ((1L, 0)),
       "amount.positive" -> ((1L, 0)),
       "status.known" -> ((1L, 0)),
       "amount.range" -> ((2L, 0)),        // -5.0 below and 10.0 above
@@ -74,6 +76,36 @@ class QualitySpec extends GraftSuite {
     assert(ids(suite(4)) == Seq(1L, 2L))            // 10.0 and -5.0
     assert(ids(suite(5)) == Seq(4L))                // orphan account a9
     assert(ids(suite(6)) == Seq(1L, 2L, 3L))        // all rows of group a1
+  }
+
+  test("Unique null semantics: singleton null key is clean; duplicated " +
+      "null keys count as surplus and check() agrees with failureRows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val one = Seq(Option(1L), Option(2L), Option.empty[Long])
+      .toDF("id")
+    val v1 = Quality.check(one, Seq(Unique("u", Seq("id")))).collect()
+    assert(v1.head.getLong(1) == 0L && v1.head.getInt(2) == 1,
+      "singleton null key must not violate uniqueness")
+    assert(Quality.failureRows(one, Unique("u", Seq("id"))).count() == 0L)
+
+    val two = Seq(Option(1L), Option.empty[Long], Option.empty[Long])
+      .toDF("id")
+    val v2 = Quality.check(two, Seq(Unique("u", Seq("id")))).collect()
+    assert(v2.head.getLong(1) == 1L, "two null-keyed rows = 1 surplus")
+    // failureRows returns BOTH rows of the duplicated null group
+    assert(Quality.failureRows(two, Unique("u", Seq("id"))).count() == 2L)
+
+    // multi-column tuple: (1,null) twice duplicates; (1,null) vs (2,null)
+    // are distinct groups
+    val multi = Seq((1L, Option.empty[String]), (1L, Option.empty[String]),
+      (2L, Option.empty[String]), (1L, Option("x")))
+      .toDF("a", "b")
+    val v3 = Quality.check(multi,
+      Seq(Unique("u", Seq("a", "b")))).collect()
+    assert(v3.head.getLong(1) == 1L)
+    assert(Quality.failureRows(multi, Unique("u", Seq("a", "b")))
+      .count() == 2L)
   }
 
   test("duplicate constraint names are rejected; suite over an empty " +
