@@ -389,7 +389,12 @@ object Bench {
         val s8 =
           try s""","point_lookup_scale":${pointLookupRun(spark, sfDir, batches = 24)}"""
           catch { case e: Throwable => s""","point_lookup_scale_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8
+        // batched vs per-record delivery at the paced point: HTTP request
+        // accounting through the SQS wire mock (r10 task #2 evidence)
+        val s9 =
+          try s""","sink_batch":${StreamBench.sinkBatchRun(spark, 18000)}"""
+          catch { case e: Throwable => s""","sink_batch_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8 + s9
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

@@ -186,6 +186,73 @@ object StreamBench {
     } finally running.stopAll()
   }
 
+  /** Batched-delivery request accounting at the paced operating point
+    * (VERDICT r10 task #2): the SAME paced publish (9k ev/s) through the
+    * SQS wire sink twice — per-record `SendMessage` vs
+    * `SendMessageBatch` — counting actual HTTP requests at the mock.
+    * The reduction is the scale story: at 100× fanout the request count
+    * is the delivery-path throughput ceiling, and the batch op divides
+    * it by ~10 while per-ENTRY results keep attempt accounting exact
+    * (asserted here: every event logged success, mock received == sent). */
+  def sinkBatchRun(spark: SparkSession, n: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def onePass(batchSize: Int): (Long, Long, Double, Boolean) = {
+      val server = graft.streaming.SqsMockServer.start()
+      try {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sinkbatch").toString
+        val dests = Seq(Destination("d_sqs", "t1", "aws_sqs", Seq("*"),
+          None, disabled = false)).toDS()
+        val registry = new Sinks.Registry(Seq(graft.streaming.SqsHttpSink(
+          s"${server.endpoint}123/q", server.endpoint,
+          batchSize = batchSize)))
+        val mem = MemoryStream[String]
+        val running = Runner.start(spark, mem.toDF(), dests, registry,
+          logPath = s"$tmp/log", alertSinkName = s"sb_batch_$batchSize",
+          checkpointRoot = s"$tmp/chk")
+        try {
+          def eventJson(prefix: String)(i: Int): String =
+            s"""{"event_id":"$prefix$i","tenant_id":"t1","topic":"t.a","event_time":"${new Timestamp(System.currentTimeMillis()).toInstant}","data":{"n":$i}}"""
+          mem.addData((0 until 1000).map(eventJson("w")))
+          running.delivery.processAllAvailable()
+          val reqBase = server.requests.get()
+          val recvBase = server.received.size.toLong
+          // paced publish: 9k ev/s in 100 ms ticks, like the paced phase
+          val t0 = System.nanoTime()
+          (0 until n).grouped(900).foreach { b =>
+            val tickEnd = System.nanoTime() + 100000000L
+            mem.addData(b.map(eventJson("p")))
+            val leftMs = (tickEnd - System.nanoTime()) / 1000000L
+            if (leftMs > 0) Thread.sleep(leftMs)
+          }
+          running.delivery.processAllAvailable()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val reqs = server.requests.get() - reqBase
+          val delivered = server.received.size.toLong - recvBase
+          val log = spark.read.parquet(s"$tmp/log")
+            .filter(col("event_id").startsWith("p"))
+          val exact = delivered == n.toLong && log.count() == n.toLong &&
+            log.filter(col("status") === "success").count() == n.toLong
+          (reqs, delivered, sec, exact)
+        } finally running.stopAll()
+      } finally server.stop()
+    }
+    val (reqSingle, delivered1, sec1, exact1) = onePass(1)
+    val (reqBatch, delivered10, sec10, exact10) = onePass(10)
+    val reduction =
+      if (reqBatch > 0) (reqSingle.toDouble / reqBatch * 10).round / 10.0
+      else -1.0
+    s"""{"events":$n,"pace_target":9000,""" +
+      s""""requests_single":$reqSingle,"requests_batched":$reqBatch,""" +
+      s""""request_reduction":$reduction,""" +
+      s""""delivered_single":$delivered1,"delivered_batched":$delivered10,""" +
+      s""""accounting_exact":${exact1 && exact10},""" +
+      s""""wall_sec_single":${math.round(sec1 * 1000) / 1000.0},""" +
+      s""""wall_sec_batched":${math.round(sec10 * 1000) / 1000.0}}"""
+  }
+
   /** Streaming CURATION intake under load: documents (an exact-repeat /
     * near-variant / unique mix) through [[graft.streaming.CurationStream.fuzzyIntake]]
     * — per micro-batch MinHash-ledger dedup with two durable commits.
@@ -563,6 +630,7 @@ object StreamBench {
       case Some("alertscale") => alertScaleRun(spark, if (args.size > 1) n else 100000)
       case Some("retryscale") => retryScaleRun(spark, if (args.size > 1) n else 100000)
       case Some("joinview") => joinViewRun(spark, if (args.size > 1) n else 60000)
+      case Some("sinkbatch") => sinkBatchRun(spark, if (args.size > 1) n else 18000)
       case _ => run(spark, n)
     }
     println(json)
