@@ -310,7 +310,14 @@ object PubSubMockServer {
                      val requests: java.util.concurrent.atomic.AtomicLong) {
     def port: Int = srv.getAddress.getPort
     def endpoint: String = s"http://127.0.0.1:$port"
-    def stop(): Unit = srv.stop(0)
+    def stop(): Unit = {
+      srv.stop(0)
+      // shut the non-daemon executor down so forked JVMs can exit
+      srv.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+        case _ => ()
+      }
+    }
   }
 
   private val Publish = "/v1/projects/([^/]+)/topics/([^/]+):publish".r
@@ -388,7 +395,14 @@ object KinesisMockServer {
                      val requests: java.util.concurrent.atomic.AtomicLong) {
     def port: Int = srv.getAddress.getPort
     def endpoint: String = s"http://127.0.0.1:$port/"
-    def stop(): Unit = srv.stop(0)
+    def stop(): Unit = {
+      srv.stop(0)
+      // shut the non-daemon executor down so forked JVMs can exit
+      srv.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+        case _ => ()
+      }
+    }
   }
 
   /** `failKeysContaining`: PutRecords entries whose partition key matches

@@ -553,9 +553,10 @@ object KafkaMockServer {
 
   final class Server(srv: java.net.ServerSocket,
                      val received: java.util.concurrent.CopyOnWriteArrayList[Received],
-                     val corruptBatches: java.util.concurrent.atomic.AtomicLong) {
+                     val corruptBatches: java.util.concurrent.atomic.AtomicLong,
+                     pool: java.util.concurrent.ExecutorService) {
     def port: Int = srv.getLocalPort
-    def stop(): Unit = srv.close()
+    def stop(): Unit = { srv.close(); pool.shutdownNow(); () }
   }
 
   def start(topics: Map[String, Int] = Map("events" -> 1)): Server = {
@@ -691,6 +692,6 @@ object KafkaMockServer {
           ()
         } catch { case _: Exception => () }
     })
-    new Server(srv, received, corrupt)
+    new Server(srv, received, corrupt, pool)
   }
 }

@@ -114,6 +114,17 @@ object Pipeline {
       if (events.columns.contains("destination_id"))
         events.withColumnRenamed("destination_id", "direct_destination_id")
       else events.withColumn("direct_destination_id", lit(null).cast(StringType))
+    // attempt/manual pass through when the event frame carries them
+    // (retry tasks re-matched per batch in refresh mode keep their
+    // attempt number and manual flag); fresh events default to (1, false)
+    val attemptC =
+      if (events.columns.contains("attempt"))
+        coalesce(col("attempt"), lit(1)).as("attempt")
+      else lit(1).as("attempt")
+    val manualC =
+      if (events.columns.contains("manual"))
+        coalesce(col("manual"), lit(false)).as("manual")
+      else lit(false).as("manual")
     e
       .join(broadcast(d), col("tenant_id") === col("d_tenant_id"), "inner")
       .filter(col("direct_destination_id").isNull ||
@@ -121,7 +132,7 @@ object Pipeline {
       .filter(topicMatchUdf(col("topics"), col("topic")))
       .filter(filterMatchUdf(col("filter_json"), envelope))
       .select(col("event_id"), col("tenant_id"), col("destination_id"),
-        lit(1).as("attempt"), lit(false).as("manual"),
+        attemptC, manualC,
         col("event_time"), col("topic"), col("data"), col("metadata"),
         col("eligible_for_retry"), col("dest_type"))
   }

@@ -80,35 +80,17 @@ object Runner {
             eventTimeRetries: Boolean = true,
             retryWatermarkDelay: String = "10 minutes",
             latencyRollupTable: Option[String] = None,
-            traceTable: Option[String] = None): Running = {
+            traceTable: Option[String] = None,
+            destinationsRefresh: Option[() => Dataset[Destination]] = None): Running = {
     import spark.implicits._
     new java.io.File(logPath).mkdirs()
     retryPath.foreach(p => new java.io.File(p).mkdirs())
 
     val destDf = destinations.toDF()
 
-    // q1: (fresh fanout ∪ due retries) → deliver → denormalized log
-    val fresh = Pipeline.matchFanout(spark,
-      Pipeline.validateAndDefault(rawJson), destinations)
-    val tasks = retryPath match {
-      case Some(p) =>
-        // re-fetch destination state before re-delivery; disabled dests drop
-        val retries = spark.readStream.schema(taskSchema).parquet(p)
-          .join(broadcast(destDf.filter(!col("disabled"))
-            .select(col("destination_id"), col("dest_type"))), Seq("destination_id"))
-          .select(fresh.columns.map(col): _*)
-        fresh.unionByName(retries)
-      case None => fresh
-    }
-    val delivery = tasks.writeStream
-      .queryName("graft_delivery")
-      .option("checkpointLocation", s"$checkpointRoot/delivery")
-      // ProcessingTime only RATE-LIMITS (no data → no batch), so a short
-      // interval costs nothing idle and stops end-to-end latency being
-      // dominated by trigger wait (measured: 1 s trigger capped the
-      // stream bench at ~3.1k events/s; 100 ms lifts the cap)
-      .trigger(Trigger.ProcessingTime("100 milliseconds"))
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    // One micro-batch's delivery: tasks (already fanned out) → sinks →
+    // denormalized log (+ optional rollup/trace consumers).
+    def deliverBatch(batch: DataFrame, batchId: Long): Unit = {
         // outcomes come back DENORMALIZED with event columns (wide
         // attempts, S4 — the reference's LogEntry shape): the log sink
         // consumes them directly, with no join back onto the batch.
@@ -188,8 +170,73 @@ object Runner {
             }
           }
         }
-      }
-      .start()
+    }
+
+    // q1: (fresh fanout ∪ due retries) → deliver → denormalized log.
+    //
+    // Two dimension-binding modes:
+    //   - STATIC (default): the destination Dataset is analyzed into the
+    //     streaming plan once — zero per-batch dimension cost, the right
+    //     trade for a fixed fleet (every bench rides this path).
+    //   - REFRESH (destinationsRefresh = Some(thunk)): the fanout runs
+    //     INSIDE foreachBatch against thunk()'s CURRENT rows, so CRUD on
+    //     the destination store steers the running query at micro-batch
+    //     grain — the reference's live re-read of destination state
+    //     (eventhandler.go fetches destinations per event). Retry tasks
+    //     union in at the RAW level and re-match per batch, which also
+    //     re-validates enabled∧topic∧filter before re-delivery
+    //     (messagehandler.go:439-475 re-fetches; the manual-retry API
+    //     applies the same ladder).
+    val delivery = destinationsRefresh match {
+      case Some(thunk) =>
+        val freshEvents = Pipeline.validateAndDefault(rawJson)
+          .withColumn("attempt", lit(1))
+          .withColumn("manual", lit(false))
+        val source = retryPath match {
+          case Some(p) =>
+            freshEvents.unionByName(
+              spark.readStream.schema(taskSchema).parquet(p)
+                .select(freshEvents.columns.map(col): _*))
+          case None => freshEvents
+        }
+        source.writeStream
+          .queryName("graft_delivery")
+          .option("checkpointLocation", s"$checkpointRoot/delivery")
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            deliverBatch(
+              Pipeline.matchFanout(spark, batch, thunk()), batchId)
+          }
+          .start()
+      case None =>
+        val fresh = Pipeline.matchFanout(spark,
+          Pipeline.validateAndDefault(rawJson), destinations)
+        val tasks = retryPath match {
+          case Some(p) =>
+            // re-fetch destination state before re-delivery; disabled
+            // dests drop
+            val retries = spark.readStream.schema(taskSchema).parquet(p)
+              .join(broadcast(destDf.filter(!col("disabled"))
+                .select(col("destination_id"), col("dest_type"))),
+                Seq("destination_id"))
+              .select(fresh.columns.map(col): _*)
+            fresh.unionByName(retries)
+          case None => fresh
+        }
+        tasks.writeStream
+          .queryName("graft_delivery")
+          .option("checkpointLocation", s"$checkpointRoot/delivery")
+          // ProcessingTime only RATE-LIMITS (no data → no batch), so a
+          // short interval costs nothing idle and stops end-to-end
+          // latency being dominated by trigger wait (measured: 1 s
+          // trigger capped the stream bench at ~3.1k events/s; 100 ms
+          // lifts the cap)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            deliverBatch(batch, batchId)
+          }
+          .start()
+    }
 
     // q2: log → alerts
     val attemptsStream = spark.readStream

@@ -275,7 +275,15 @@ object SqsMockServer {
                      val requests: java.util.concurrent.atomic.AtomicLong) {
     def port: Int = srv.getAddress.getPort
     def endpoint: String = s"http://127.0.0.1:$port/"
-    def stop(): Unit = srv.stop(0)
+    def stop(): Unit = {
+      srv.stop(0)
+      // the executor's core threads are non-daemon: without shutdown a
+      // forked bench JVM never exits after main returns
+      srv.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+        case _ => ()
+      }
+    }
   }
 
   /** `corruptMd5` flips the echoed digests (proving client verification);
