@@ -63,6 +63,27 @@ object Quality {
   final case class MaxPerGroup(name: String, groupCols: Seq[String],
                                max: Long) extends Constraint
 
+  /** DATASET-level statistical constraint: lo ≤ mean(column) ≤ hi.
+    * Violations are 0/1 — the STAT fails, not rows — so [[failureRows]]
+    * is empty by definition. Nulls are ignored (aggregate semantics);
+    * an empty table passes. Rides the shared aggregate pass. */
+  final case class MeanInRange(name: String, column: String,
+                               lo: Double, hi: Double) extends Constraint
+
+  /** DATASET-level statistical constraint: lo ≤ stddev_samp(column) ≤ hi
+    * (SAMPLE standard deviation — both engines' default `stddev`).
+    * Violations 0/1; empty/singleton tables pass (stddev undefined). */
+  final case class StddevInRange(name: String, column: String,
+                                 lo: Double, hi: Double) extends Constraint
+
+  /** Rows whose z-score against the column's own mean/stddev exceeds
+    * `maxZ` (the [[graft.queries.Analytics]] z-anomaly machinery as a
+    * declarable constraint). Violations = anomalous ROW count;
+    * [[failureRows]] returns them. A zero/undefined stddev passes (no
+    * spread ⇒ no outliers). */
+  final case class NoAnomalies(name: String, column: String,
+                               maxZ: Double) extends Constraint
+
   /** The row-level violation counter a constraint contributes to the
     * shared aggregate pass; None for the join/group-shaped ones. */
   private def scalarAgg(c: Constraint): Option[Column] = c match {
@@ -83,6 +104,12 @@ object Quality {
     case FailsWhen(_, cond) =>
       // coalesce: sum over an empty table is null, not 0
       Some(coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)))
+    case MeanInRange(_, c0, lo, hi) =>
+      // null stat (empty table) passes: when(null) falls to otherwise
+      Some(when(avg(col(c0)) < lo || avg(col(c0)) > hi, 1L).otherwise(0L))
+    case StddevInRange(_, c0, lo, hi) =>
+      Some(when(stddev_samp(col(c0)) < lo || stddev_samp(col(c0)) > hi, 1L)
+        .otherwise(0L))
     case _ => None
   }
 
@@ -114,6 +141,15 @@ object Quality {
       case c @ MaxPerGroup(_, g, m) =>
         df.groupBy(g.map(col): _*).agg(count(lit(1)).as("_n"))
           .filter(col("_n") > m)
+          .agg(count(lit(1)).as(alias(c.name)))
+      case c @ NoAnomalies(_, c0, maxZ) =>
+        // two-pass by necessity (the stat, then the rows against it);
+        // the 1-row stat frame broadcasts — no second shuffle
+        val stats = df.agg(avg(col(c0)).as("_qm"),
+          stddev_samp(col(c0)).as("_qs"))
+        df.crossJoin(broadcast(stats))
+          .filter(col("_qs").isNotNull && col("_qs") > 0.0 &&
+            abs(col(c0) - col("_qm")) > lit(maxZ) * col("_qs"))
           .agg(count(lit(1)).as(alias(c.name)))
     }
     val wide = (aggFrame.toSeq ++ joined).reduce(_.crossJoin(_))
@@ -150,5 +186,15 @@ object Quality {
       val big = df.groupBy(g.map(col): _*)
         .agg(count(lit(1)).as("_q_n")).filter(col("_q_n") > m).drop("_q_n")
       df.join(big, g, "left_semi")
+    case NoAnomalies(_, c0, maxZ) =>
+      val stats = df.agg(avg(col(c0)).as("_qm"),
+        stddev_samp(col(c0)).as("_qs"))
+      df.crossJoin(broadcast(stats))
+        .filter(col("_qs").isNotNull && col("_qs") > 0.0 &&
+          abs(col(c0) - col("_qm")) > lit(maxZ) * col("_qs"))
+        .drop("_qm", "_qs")
+    // dataset-level stats have no per-row offenders by definition
+    case MeanInRange(_, _, _, _) => df.limit(0)
+    case StddevInRange(_, _, _, _) => df.limit(0)
   }
 }

@@ -182,6 +182,28 @@ object Analytics {
       oChecks.unionByName(lChecks).orderBy(col("check_name"))
     }),
 
+    // Statistical constraint shapes (r11): dataset-level mean/stddev
+    // bounds ride the shared aggregate pass; NoAnomalies counts rows
+    // beyond a z-score against the column's own moments (the
+    // Analytics z-machinery as a declarable constraint). One check is
+    // deliberately failing to exercise the 0/1 stat verdict.
+    "dq_statistical" -> ((s, dir) => {
+      import graft.operators.Quality
+      import graft.operators.Quality._
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      Quality.check(l, Seq(
+        MeanInRange("lineitem.l_discount.mean_004_006", "l_discount",
+          0.04, 0.06),
+        // deliberately failing: quantity mean ~25.5, bound at 10
+        MeanInRange("lineitem.l_quantity.mean_low", "l_quantity", 0.0, 10.0),
+        StddevInRange("lineitem.l_quantity.stddev_10_20", "l_quantity",
+          10.0, 20.0)))
+        .unionByName(Quality.check(o, Seq(
+          NoAnomalies("orders.o_totalprice.z3", "o_totalprice", 3.0))))
+        .orderBy(col("check_name"))
+    }),
+
     // Markov transition matrix over the event stream: per-user
     // consecutive event-type pairs (lag window keyed by user — ONE
     // shuffle), then global (prev → next) counts with row probabilities
@@ -419,6 +441,25 @@ object Analytics {
         |    (SELECT count(*) FROM (SELECT l_orderkey FROM lineitem
         |     GROUP BY 1 HAVING count(*) > 7)))
         |SELECT check_name, violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
+        |FROM v ORDER BY check_name""".stripMargin,
+    "dq_statistical" ->
+      """WITH v AS (
+        |  SELECT 'lineitem.l_discount.mean_004_006' AS check_name,
+        |    (SELECT CASE WHEN avg(l_discount) < 0.04 OR avg(l_discount) > 0.06
+        |       THEN 1 ELSE 0 END FROM lineitem) AS violations
+        |  UNION ALL SELECT 'lineitem.l_quantity.mean_low',
+        |    (SELECT CASE WHEN avg(l_quantity) < 0.0 OR avg(l_quantity) > 10.0
+        |       THEN 1 ELSE 0 END FROM lineitem)
+        |  UNION ALL SELECT 'lineitem.l_quantity.stddev_10_20',
+        |    (SELECT CASE WHEN stddev_samp(l_quantity) < 10.0
+        |       OR stddev_samp(l_quantity) > 20.0 THEN 1 ELSE 0 END FROM lineitem)
+        |  UNION ALL SELECT 'orders.o_totalprice.z3',
+        |    (SELECT count(*) FROM orders,
+        |       (SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS s
+        |        FROM orders) st
+        |     WHERE st.s > 0 AND abs(o_totalprice - st.m) > 3.0 * st.s))
+        |SELECT check_name, CAST(violations AS BIGINT) AS violations,
         |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS INT) AS passed
         |FROM v ORDER BY check_name""".stripMargin,
     "event_transitions" ->

@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * sink (the delivery pipeline itself, Kafka, files) can carry it. */
 object Opevents {
 
-  /** Reference topic names for each alert kind. */
+  /** Reference topic names for each alert kind; `quality_failure` is a
+    * beyond-reference extension carrying [[QualityStream]] verdicts on
+    * the same rails. */
   val TopicFor: Map[String, String] = Map(
     "consecutive_failure" -> "alert.destination.consecutive_failure",
     "destination_disabled" -> "alert.destination.disabled",
-    "retries_exhausted" -> "alert.attempt.exhausted_retries")
+    "retries_exhausted" -> "alert.attempt.exhausted_retries",
+    "quality_failure" -> "alert.quality.constraint_failure")
 
   def toOperationalEvents(alerts: Dataset[Alert]): DataFrame = {
     val topicExpr = TopicFor.foldLeft(lit("alert.unknown")) {

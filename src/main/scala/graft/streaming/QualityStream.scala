@@ -80,4 +80,27 @@ object QualityStream {
       .agg(sort_array(collect_list(col("check_name"))).as("failing_checks"),
         sum(col("violations")).as("total_violations"))
       .orderBy(col("epoch"))
+
+  /** Failing verdicts as operational ALERT rows ([[Model.Alert]] shape):
+    * data-quality pages ride the SAME opevents pipeline as delivery
+    * alerts — [[Opevents.toOperationalEvents]] turns them into
+    * `alert.quality.constraint_failure` events any sink can carry
+    * (webhook out, the delivery pipeline itself, files). Mapping:
+    * `destination_id` carries the CHECK name (the actionable unit),
+    * `tenant_id` the monitor name, `failure_count` the violation count,
+    * `at` the verdict stamp. One alert per failing (epoch, constraint). */
+  def alerts(spark: SparkSession, verdictTable: String,
+             monitor: String = "quality"): org.apache.spark.sql.Dataset[Model.Alert] = {
+    import spark.implicits._
+    CommitLog.scan(spark, verdictTable)
+      .filter(col("passed") === 0)
+      .select(
+        lit(monitor).as("tenant_id"),
+        col("check_name").as("destination_id"),
+        lit("quality_failure").as("kind"),
+        lit(100).as("threshold_pct"),
+        col("violations").cast("int").as("failure_count"),
+        col("checked_at").as("at"))
+      .as[Model.Alert]
+  }
 }

@@ -108,6 +108,52 @@ class QualitySpec extends GraftSuite {
       .count() == 2L)
   }
 
+  test("statistical constraints: mean/stddev bounds verdict 0/1; " +
+      "NoAnomalies counts z-outliers and returns them as failureRows") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 20 values ~N-ish around 10 (mean 10.0, stddev ~1) plus one wild
+    // outlier at 100 — the only |z| > 3 row
+    val vals = Seq.tabulate(20)(i => 9.0 + (i % 3)) :+ 100.0
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+    val out = Quality.check(df, Seq(
+      MeanInRange("v.mean_ok", "v", 5.0, 20.0),
+      MeanInRange("v.mean_fail", "v", 0.0, 9.0),     // mean ~14.3 > 9
+      StddevInRange("v.sd_ok", "v", 1.0, 50.0),
+      StddevInRange("v.sd_fail", "v", 0.0, 0.5),
+      NoAnomalies("v.z3", "v", 3.0))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(out("v.mean_ok") == ((0L, 1)))
+    assert(out("v.mean_fail") == ((1L, 0)))
+    assert(out("v.sd_ok") == ((0L, 1)))
+    assert(out("v.sd_fail") == ((1L, 0)))
+    assert(out("v.z3") == ((1L, 0)), out)
+    // failureRows: the outlier row for NoAnomalies; EMPTY for the
+    // dataset-level stats (no per-row offenders by definition)
+    val anom = Quality.failureRows(df, NoAnomalies("v.z3", "v", 3.0))
+      .select("v").collect().map(_.getDouble(0)).toSeq
+    assert(anom == Seq(100.0))
+    assert(Quality.failureRows(df,
+      MeanInRange("v.mean_fail", "v", 0.0, 9.0)).count() == 0L)
+    assert(Quality.failureRows(df,
+      StddevInRange("v.sd_fail", "v", 0.0, 0.5)).count() == 0L)
+    // empty + constant tables pass (null/zero stddev is not a violation)
+    val const = Seq(5.0, 5.0, 5.0).toDF("v")
+    val c = Quality.check(const, Seq(
+      NoAnomalies("v.z", "v", 1.0),
+      StddevInRange("v.sd", "v", 0.0, 1.0))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c == Map("v.z" -> 0L, "v.sd" -> 0L))
+    val empty = Seq.empty[Double].toDF("v")
+    val e = Quality.check(empty, Seq(
+      MeanInRange("v.m", "v", 0.0, 1.0),
+      StddevInRange("v.sd", "v", 0.0, 1.0),
+      NoAnomalies("v.z", "v", 3.0))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(e == Set(("v.m", 0L, 1), ("v.sd", 0L, 1), ("v.z", 0L, 1)))
+  }
+
   test("duplicate constraint names are rejected; suite over an empty " +
       "table passes everything") {
     val spark2 = spark

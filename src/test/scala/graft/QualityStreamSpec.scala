@@ -72,5 +72,28 @@ class QualityStreamSpec extends GraftSuite {
     assert(failing.head.getSeq[String](1) ==
       Seq("acct.cap2", "amount.positive", "id.not_null"))
     assert(failing.head.getLong(2) == 3L)
+
+    // failing verdicts as operational alerts on the opevents rails:
+    // one alert per failing (epoch, constraint), check name as the
+    // actionable unit, violation count carried through — and
+    // toOperationalEvents maps them onto the quality alert topic with
+    // the verdict data in the payload
+    val alerts = QualityStream.alerts(spark, table, monitor = "m1")
+    val arows = alerts.collect()
+      .map(a => (a.tenant_id, a.destination_id, a.kind, a.failure_count))
+    assert(arows.toSet == Set(
+      ("m1", "id.not_null", "quality_failure", 1),
+      ("m1", "amount.positive", "quality_failure", 1),
+      ("m1", "acct.cap2", "quality_failure", 1)), arows.toSeq)
+    val ops = graft.streaming.Opevents.toOperationalEvents(alerts)
+      .collect().map(r => (r.getAs[String]("topic"),
+        r.getAs[String]("tenant_id"), r.getAs[String]("data")))
+    assert(ops.length == 3)
+    assert(ops.forall(_._1 == "alert.quality.constraint_failure"), ops.toSeq)
+    assert(ops.forall(_._2 == "m1"))
+    val cap = ops.find(_._3.contains("acct.cap2")).get
+    val data = graft.functions.JsonMatch.parse(cap._3)
+    assert(data.get("destination_id").asText == "acct.cap2")
+    assert(data.get("failure_count").asInt == 1)
   }
 }
