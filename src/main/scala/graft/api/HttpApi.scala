@@ -162,7 +162,8 @@ object HttpApi {
         case ("DELETE", TenantOne(id)) => deleteTenantRoute(spark, cfg, opSeq, id, ex)
         case ("GET", EventsList(tenant)) => listEvents(cfg, q, tenant, ex)
         case ("GET", EventTraceGet(_, id)) => cfg.traceTable match {
-          case Some(t) => getEventTrace(spark, t, id, ex)
+          case Some(t) => getEventTrace(spark, t, id, ex,
+            otlp = q.get("format").exists(_.headOption.contains("otlp")))
           case None => sendError(ex, 404, "tracing not configured")
         }
         case ("GET", EventGet(_, id)) => cfg.eventsTable match {
@@ -406,9 +407,21 @@ object HttpApi {
     * table via the same manifest-bloom point lookup as GET /events/{id}
     * (the r10 snapshot/bloom/relation caches make it request-cheap). */
   private def getEventTrace(spark: SparkSession, table: String,
-                            id: String, ex: HttpExchange): Unit = {
+                            id: String, ex: HttpExchange,
+                            otlp: Boolean = false): Unit = {
     val spans = graft.streaming.EventTrace.forEvent(spark, table, id).collect()
     if (spans.isEmpty) { sendError(ex, 404, s"no trace for event: $id"); return }
+    if (otlp) {
+      // ?format=otlp — the OTLP/JSON encoding a standard collector
+      // ingests (EventTrace.otlpJson documents the field mapping)
+      val body = graft.streaming.EventTrace.otlpJson(spans.toSeq)
+        .getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+      return
+    }
     val arr = mapper.createArrayNode()
     spans.foreach(r => arr.add(rowToJson(r, spans.head.schema)))
     val root = mapper.createObjectNode()

@@ -134,4 +134,66 @@ object EventTrace {
       .select(spanCols.map(col): _*)
       .dropDuplicates("span_id") // read repair (see append)
       .orderBy(col("stage_seq"), col("at"), col("span_id"))
+
+  /** OTLP/JSON export of one event's spans (the shape a standard OTel
+    * collector ingests: resourceSpans → scopeSpans → spans with hex ids
+    * and unix-nano timestamps — the published OTLP JSON encoding;
+    * reference surface `internal/otel/`). Field mapping:
+    *   - traceId = the md5 trace id (16 bytes = 32 hex, exact fit);
+    *   - spanId/parentSpanId = the md5 span ids TRUNCATED to 8 bytes
+    *     (OTLP span ids are 64-bit) — deterministic, so parent links
+    *     stay consistent across spans;
+    *   - start == end = the carried stage stamp in nanos (spans here
+    *     are point events: each records a stage TRANSITION, not an
+    *     interval);
+    *   - status: failed attempts export STATUS_CODE_ERROR (2), all
+    *     else STATUS_CODE_OK (1); stage/destination/attempt ride as
+    *     attributes. */
+  def otlpJson(spans: Seq[org.apache.spark.sql.Row]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val rs = root.putArray("resourceSpans").addObject()
+    val attrs = rs.putObject("resource").putArray("attributes")
+    val svc = attrs.addObject()
+    svc.put("key", "service.name")
+    svc.putObject("value").put("stringValue", "graft")
+    val ss = rs.putArray("scopeSpans").addObject()
+    ss.putObject("scope").put("name", "graft.eventtrace")
+    val arr = ss.putArray("spans")
+    spans.foreach { r =>
+      def s(c: String): String = r.getAs[String](c)
+      val o = arr.addObject()
+      o.put("traceId", s("trace_id"))
+      o.put("spanId", s("span_id").take(16))
+      Option(s("parent_span_id")).foreach(p =>
+        o.put("parentSpanId", p.take(16)))
+      o.put("name", s("stage"))
+      o.put("kind", 1) // SPAN_KIND_INTERNAL
+      val nanos = r.getAs[java.sql.Timestamp]("at").getTime * 1000000L
+      // OTLP JSON encodes uint64 nanos as STRINGS (proto3 JSON mapping)
+      o.put("startTimeUnixNano", nanos.toString)
+      o.put("endTimeUnixNano", nanos.toString)
+      val oa = o.putArray("attributes")
+      def attr(k: String, v: String): Unit = if (v != null) {
+        val a = oa.addObject()
+        a.put("key", k)
+        a.putObject("value").put("stringValue", v)
+        ()
+      }
+      attr("graft.event_id", s("event_id"))
+      attr("graft.tenant_id", s("tenant_id"))
+      attr("graft.destination_id", s("destination_id"))
+      if (!r.isNullAt(r.fieldIndex("attempt"))) {
+        val a = oa.addObject()
+        a.put("key", "graft.attempt")
+        a.putObject("value").put("intValue",
+          r.getAs[Int]("attempt").toString)
+        ()
+      }
+      val code = if (s("status") == "failed") 2 else 1
+      o.putObject("status").put("code", code)
+      ()
+    }
+    mapper.writeValueAsString(root)
+  }
 }

@@ -119,6 +119,52 @@ class EventTraceSpec extends GraftSuite {
       assert(body.get("spans").get(0).get("stage").asText == "receive")
       assert(body.get("spans").get(6).get("stage").asText == "log")
       assert(get("/api/v1/t1/events/nope/trace")._1 == 404)
+
+      // ?format=otlp — the OTLP/JSON encoding a collector ingests:
+      // resourceSpans → scopeSpans → spans, hex ids (32/16), string
+      // unix-nano stamps, proto status codes
+      val (c2, otlp) = get("/api/v1/t1/events/e1/trace?format=otlp")
+      assert(c2 == 200, otlp)
+      val rs = otlp.get("resourceSpans")
+      assert(rs != null && rs.size == 1, otlp)
+      val resAttrs = rs.get(0).get("resource").get("attributes")
+      assert(resAttrs.get(0).get("key").asText == "service.name")
+      assert(resAttrs.get(0).get("value").get("stringValue").asText == "graft")
+      val scope = rs.get(0).get("scopeSpans").get(0)
+      assert(scope.get("scope").get("name").asText == "graft.eventtrace")
+      val spans = scope.get("spans")
+      assert(spans.size == 7, otlp)
+      val hex32 = "[0-9a-f]{32}".r
+      val hex16 = "[0-9a-f]{16}".r
+      val byId = (0 until spans.size).map(spans.get)
+        .map(s => s.get("spanId").asText -> s).toMap
+      (0 until spans.size).map(spans.get).foreach { s =>
+        assert(hex32.matches(s.get("traceId").asText), s)
+        assert(hex16.matches(s.get("spanId").asText), s)
+        assert(s.get("kind").asInt == 1)
+        // unix-nano as STRING (proto3 JSON uint64 mapping), ms-exact
+        val nanos = s.get("startTimeUnixNano").asText
+        assert(nanos.toLong % 1000000L == 0L && nanos.toLong > 0L)
+        assert(s.get("endTimeUnixNano").asText == nanos)
+        // parent links survive the 8-byte truncation: every non-root
+        // parentSpanId resolves to another span in the trace
+        Option(s.get("parentSpanId")).foreach { p =>
+          assert(byId.contains(p.asText), s"dangling parent $p")
+        }
+      }
+      // the failed d2 attempt exports STATUS_CODE_ERROR; successes OK
+      val statuses = (0 until spans.size).map(spans.get)
+        .map(s => (s.get("name").asText,
+          s.get("status").get("code").asInt))
+      assert(statuses.count(_ == ("deliver", 2)) == 1, statuses)
+      assert(statuses.count(s => s._1 == "deliver" && s._2 == 1) == 1)
+      assert(statuses.count(_._2 == 1) == 6)
+      // attributes carry the graft identifiers
+      val first = spans.get(0)
+      val attrKeys = (0 until first.get("attributes").size)
+        .map(i => first.get("attributes").get(i).get("key").asText).toSet
+      assert(attrKeys.contains("graft.event_id"))
+      assert(attrKeys.contains("graft.tenant_id"))
     } finally server.stop()
   }
 }
