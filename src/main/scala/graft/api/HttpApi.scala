@@ -85,7 +85,10 @@ object HttpApi {
 
   def start(spark: SparkSession, cfg: Config, port: Int = 0): Server = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    // 8 handler threads: a serving deployment takes concurrent point
+    // lookups; 4 measurably queued an 8-client load at the HTTP layer
+    // before Spark ever saw the request (point_lookup_concurrent bench)
+    http.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
     // CRUD op sequencing continues from the persisted high-water mark of
     // BOTH changelogs (destinations and tenants share the counter), so
     // restarts never reuse an op_seq (last-write-wins stays sane)
