@@ -113,6 +113,11 @@ object Analytics {
       // stage-floor-bound, not data-bound)
       graft.core.Caching.noAqeScope(s) {
       val prevW = s.conf.get("spark.sql.shuffle.partitions", "32")
+      // 8 balances the two regimes sharing this scope: the preamble
+      // lineitem⋈orders join is DATA-bound (wants width), the iteration
+      // loop is stage-floor-bound (wants fewer tasks). Width 4 measured
+      // indistinguishable (r11: steady 1.9-2.0 s both ways, inside the
+      // cross-JVM noise band) while under-parallelizing the join.
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
       graft.core.Caching.withCached(e) {
