@@ -75,7 +75,15 @@ object HttpApi {
 
   final class Server(val http: HttpServer) {
     def port: Int = http.getAddress.getPort
-    def stop(): Unit = http.stop(0)
+    def stop(): Unit = {
+      http.stop(0)
+      // the handler pool's core threads are non-daemon: without shutdown
+      // a forked bench JVM that booted an API never exits after main
+      http.getExecutor match {
+        case es: java.util.concurrent.ExecutorService => es.shutdownNow(); ()
+        case _ => ()
+      }
+    }
   }
 
   private val mapper = new ObjectMapper()
