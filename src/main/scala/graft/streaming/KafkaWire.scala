@@ -362,19 +362,29 @@ object KafkaWire {
   * metadata + content-type — destkafka.go:209-258) and produces it over
   * the real wire per partition, branching PER-RECORD outcomes on the
   * broker response exactly as [[SqsHttpSink]] does: broker error codes
-  * become failed attempts that feed the retry loop, not exceptions. */
+  * become failed attempts that feed the retry loop, not exceptions.
+  *
+  * `batchSize > 1` is the batched leg (the [[SqsHttpSink]] pattern for
+  * Kafka): each chunk groups hash-routed records into ONE multi-record
+  * batch per topic-partition and sends a single Produce — the request
+  * count drops by the batch size. Produce results are per PARTITION
+  * (the protocol has no per-record results inside a batch), so a failed
+  * partition fails exactly its records; other partitions in the same
+  * call still succeed. */
 final case class KafkaWireSink(topic: String, host: String, port: Int,
                                partitionKeyTemplate: String = "",
                                deliveryMetadata: Map[String, String] = Map.empty,
-                               timeoutMillis: Int = 10000)
+                               timeoutMillis: Int = 10000,
+                               batchSize: Int = 1)
   extends Sinks.Sink {
+  require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
   val destType = "kafka"
 
   override def publish(tasks: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = tasks.sparkSession
     import spark.implicits._
-    val (tpc, h, p, timeout) = (topic, host, port, timeoutMillis)
+    val (tpc, h, p, timeout, bsz) = (topic, host, port, timeoutMillis, batchSize)
     val rows = tasks
       .withColumn("kafka_key",
         graft.functions.PartitionKey
@@ -396,27 +406,38 @@ final case class KafkaWireSink(topic: String, host: String, port: Int,
         if (conn == null) conn = new KafkaWireConnHolder(h, p, timeout)
         conn
       }
-      val out = it.map { case (eid, tid, did, attempt, manual, eventTime,
-          evTopic, data, metadata, elig, kafkaKey, metaJson) =>
+      type Task = (String, String, String, Int, Boolean, java.sql.Timestamp,
+        String, String, Map[String, String], Boolean, String, String)
+      def resFor(t: Task, attemptTime: java.sql.Timestamp)(
+          status: String, code: String, body: String) = {
+        val (eid, tid, did, attempt, manual, eventTime, evTopic,
+          data, metadata, elig, _, _) = t
+        Sinks.HttpOutcome(s"att_$eid:$did:$attempt", eid, tid, did,
+          "kafka", attempt, manual, status, attemptTime, code,
+          eventTime, evTopic, data, metadata, elig, body)
+      }
+      // headers: merged delivery metadata + content-type, the
+      // reference's header layering (destkafka.go:242-246)
+      def headersOf(metaJson: String): Seq[(String, Array[Byte])] = {
+        val meta = graft.functions.JsonMatch.parse(metaJson)
+        val hs = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])](
+          "content-type" -> "application/json".getBytes("UTF-8"))
+        val fields = meta.fields()
+        while (fields.hasNext) {
+          val e = fields.next()
+          hs += e.getKey -> e.getValue.asText.getBytes("UTF-8")
+        }
+        hs.toSeq.sortBy(_._1)
+      }
+      val out: Iterator[Sinks.HttpOutcome] = if (bsz <= 1)
+        it.map { t =>
         val attemptTime = new java.sql.Timestamp(System.currentTimeMillis())
-        def res(status: String, code: String, body: String) =
-          Sinks.HttpOutcome(s"att_$eid:$did:$attempt", eid, tid, did,
-            "kafka", attempt, manual, status, attemptTime, code,
-            eventTime, evTopic, data, metadata, elig, body)
+        val res = resFor(t, attemptTime) _
+        val (_, _, _, _, _, _, _, data, _, _, kafkaKey, metaJson) = t
         try {
-          // headers: merged delivery metadata + content-type, the
-          // reference's header layering (destkafka.go:242-246)
-          val meta = graft.functions.JsonMatch.parse(metaJson)
-          val hs = scala.collection.mutable.ArrayBuffer[(String, Array[Byte])](
-            "content-type" -> "application/json".getBytes("UTF-8"))
-          val fields = meta.fields()
-          while (fields.hasNext) {
-            val e = fields.next()
-            hs += e.getKey -> e.getValue.asText.getBytes("UTF-8")
-          }
           val err = holder().produceOne(tpc,
             kafkaKey.getBytes("UTF-8"), data.getBytes("UTF-8"),
-            hs.toSeq.sortBy(_._1))
+            headersOf(metaJson))
           if (err == 0) res("success", "OK", null)
           else res("failed", KafkaWire.classify(err), null)
         } catch {
@@ -428,6 +449,39 @@ final case class KafkaWireSink(topic: String, host: String, port: Int,
           case e: Exception =>
             if (conn != null) { conn.close(); conn = null }
             res("failed", "kafka_error", e.getClass.getSimpleName)
+        }
+      }
+      else it.grouped(bsz).flatMap { chunk =>
+        val attemptTime = new java.sql.Timestamp(System.currentTimeMillis())
+        try {
+          val recs: Seq[KafkaWire.Rec] = chunk.map { t =>
+            val (_, _, _, _, _, _, _, data, _, _, kafkaKey, metaJson) = t
+            (kafkaKey.getBytes("UTF-8"), data.getBytes("UTF-8"),
+              headersOf(metaJson))
+          }
+          holder().produceMany(tpc, recs) match {
+            case Left(err) =>
+              // topic-level metadata error: every record in the chunk
+              chunk.map(t => resFor(t, attemptTime)(
+                "failed", KafkaWire.classify(err), null))
+            case Right(perRecord) =>
+              chunk.zip(perRecord).map { case (t, err) =>
+                if (err == 0) resFor(t, attemptTime)("success", "OK", null)
+                else resFor(t, attemptTime)(
+                  "failed", KafkaWire.classify(err), null)
+              }
+          }
+        } catch {
+          case _: java.net.SocketTimeoutException =>
+            if (conn != null) { conn.close(); conn = null }
+            chunk.map(t => resFor(t, attemptTime)("failed", "timeout", null))
+          case _: java.net.ConnectException =>
+            chunk.map(t => resFor(t, attemptTime)(
+              "failed", "connection_refused", null))
+          case e: Exception =>
+            if (conn != null) { conn.close(); conn = null }
+            chunk.map(t => resFor(t, attemptTime)(
+              "failed", "kafka_error", e.getClass.getSimpleName))
         }
       }
       // close the connection when the partition iterator drains
@@ -510,30 +564,53 @@ private[streaming] final class KafkaWireConnHolder(host: String, port: Int,
   /** Produce one record; returns the broker's error code (0 = success). */
   def produceOne(topic: String, key: Array[Byte], value: Array[Byte],
                  headers: Seq[(String, Array[Byte])]): Int =
-    partitions(topic) match {
+    produceMany(topic, Seq((key, value, headers))) match {
       case Left(err) => err
+      case Right(errs) => errs.head
+    }
+
+  /** Produce a chunk of records as ONE request: hash-routed into one
+    * multi-record batch per topic-partition, a single Produce carrying
+    * all the sets. Returns Left(topic metadata error) or Right(one error
+    * code per input record, in input order) — Produce results are per
+    * PARTITION, so each record takes its partition's code. */
+  def produceMany(topic: String,
+                  recs: Seq[KafkaWire.Rec]): Either[Int, Seq[Int]] =
+    partitions(topic) match {
+      case Left(err) => Left(err)
       case Right(parts) =>
-        val part = KafkaWire.fnv1aPartition(key, parts)
-        val batch = KafkaWire.encodeBatch(Seq((key, value, headers)),
-          System.currentTimeMillis())
+        val now = System.currentTimeMillis()
+        val partOf = recs.map { case (k, _, _) =>
+          KafkaWire.fnv1aPartition(if (k == null) Array.empty[Byte] else k,
+            parts)
+        }
+        val byPart = recs.zip(partOf).groupBy(_._2)
+          .map { case (p0, rs) =>
+            p0 -> KafkaWire.encodeBatch(rs.map(_._1), now)
+          }.toSeq
         val body = new java.io.ByteArrayOutputStream()
         val d = new DataOutputStream(body)
         d.writeShort(-1) // transactional_id null
         d.writeShort(-1) // acks
         d.writeInt(timeoutMillis)
         d.writeInt(1); KafkaWire.writeString(d, topic)
-        d.writeInt(1); d.writeInt(part)
-        d.writeInt(batch.length); d.write(batch)
+        d.writeInt(byPart.size)
+        byPart.foreach { case (p0, batch) =>
+          d.writeInt(p0); d.writeInt(batch.length); d.write(batch)
+        }
         d.flush()
         val b = call(0, 3, body.toByteArray)
         require(b.getInt == 1, "expected 1 topic in produce response")
         KafkaWire.readString(b)
-        require(b.getInt == 1, "expected 1 partition in produce response")
-        b.getInt // partition
-        val err = b.getShort.toInt
-        b.getLong; b.getLong // base_offset, log_append_time
+        val pn = b.getInt
+        val errByPart = (0 until pn).map { _ =>
+          val p0 = b.getInt
+          val err = b.getShort.toInt
+          b.getLong; b.getLong // base_offset, log_append_time
+          p0 -> err
+        }.toMap
         b.getInt // throttle
-        err
+        Right(partOf.map(p0 => errByPart.getOrElse(p0, 2)))
     }
 
   def close(): Unit = try sock.close() catch { case _: Exception => () }
@@ -554,7 +631,9 @@ object KafkaMockServer {
   final class Server(srv: java.net.ServerSocket,
                      val received: java.util.concurrent.CopyOnWriteArrayList[Received],
                      val corruptBatches: java.util.concurrent.atomic.AtomicLong,
-                     pool: java.util.concurrent.ExecutorService) {
+                     pool: java.util.concurrent.ExecutorService,
+                     val produceRequests: java.util.concurrent.atomic.AtomicLong =
+                       new java.util.concurrent.atomic.AtomicLong(0L)) {
     def port: Int = srv.getLocalPort
     def stop(): Unit = { srv.close(); pool.shutdownNow(); () }
   }
@@ -564,6 +643,7 @@ object KafkaMockServer {
       java.net.InetAddress.getByName("127.0.0.1"))
     val received = new java.util.concurrent.CopyOnWriteArrayList[Received]()
     val corrupt = new java.util.concurrent.atomic.AtomicLong(0L)
+    val produceReqs = new java.util.concurrent.atomic.AtomicLong(0L)
     val offsets = new java.util.concurrent.ConcurrentHashMap[(String, Int),
       java.util.concurrent.atomic.AtomicLong]()
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
@@ -630,6 +710,7 @@ object KafkaMockServer {
               }
             case 0 => // Produce v3
               require(version == 3, s"Produce v$version unsupported")
+              produceReqs.incrementAndGet()
               KafkaWire.readString(b) // transactional_id
               b.getShort              // acks
               b.getInt                // timeout
@@ -692,6 +773,6 @@ object KafkaMockServer {
           ()
         } catch { case _: Exception => () }
     })
-    new Server(srv, received, corrupt, pool)
+    new Server(srv, received, corrupt, pool, produceReqs)
   }
 }

@@ -124,6 +124,46 @@ class KafkaWireSpec extends GraftSuite {
     } finally server.stop()
   }
 
+  test("batched KafkaWireSink: one Produce per chunk with multi-record " +
+      "batches per partition; partition-level branching; 10x fewer " +
+      "requests than per-record") {
+    val server = KafkaMockServer.start(Map("orders" -> 3))
+    try {
+      val spark2 = spark
+      import spark2.implicits._
+      val many = (0 until 40).map { i =>
+        (s"be$i", "t1", "d1", 1, false, ts(i), "order.created",
+          s"""{"i":$i}""", Map.empty[String, String], true)
+      }.toDF("event_id", "tenant_id", "destination_id", "attempt", "manual",
+        "event_time", "topic", "data", "metadata", "eligible_for_retry")
+        .coalesce(1)
+      val out = KafkaWireSink("orders", "127.0.0.1", server.port,
+        batchSize = 10).publish(many)
+        .select("status", "code").collect()
+      assert(out.length == 40 && out.forall(_.getString(0) == "success"))
+      assert(server.received.size == 40)
+      // ceil(40/10) = 4 Produce requests (vs 40 per-record)
+      assert(server.produceRequests.get() == 4L,
+        s"produce requests: ${server.produceRequests.get()}")
+      import scala.jdk.CollectionConverters._
+      // hash routing holds inside multi-record batches, offsets dense
+      server.received.asScala.foreach { r =>
+        assert(r.partition == KafkaWire.fnv1aPartition(r.key, 3))
+      }
+      server.received.asScala.groupBy(_.partition).foreach { case (_, rs) =>
+        assert(rs.map(_.baseOffset).toSeq.sorted == (0L until rs.size).toSeq)
+      }
+      // unknown topic through the batched path: every record in the
+      // chunk fails with the topic error, no exception
+      val bad = KafkaWireSink("nope", "127.0.0.1", server.port,
+        batchSize = 10).publish(many.limit(12))
+        .select("status", "code").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(bad.length == 12 &&
+        bad.forall(_ == ("failed", "topic_not_found")), bad.toSeq)
+    } finally server.stop()
+  }
+
   test("KafkaWireSink delivers INSIDE the streaming loop: ingest -> " +
       "fanout -> Kafka wire -> attempt log, with per-record branching") {
     val spark2 = spark
