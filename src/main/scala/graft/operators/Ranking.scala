@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — `row_number() OVER (ORDER BY …)` without
+  * the single-partition exchange.
+  *
+  * Spark's window functions with an empty PARTITION BY collapse the whole
+  * table into ONE task (`Exchange SinglePartition`) — the canonical
+  * scale-killer: at 100 TB that task never finishes. The classic fix (the
+  * same decomposition TeraSort and every external sorter uses) is
+  *   1. range-partition on the sort key — each partition holds a
+  *      contiguous key range, partition ids ascend with the ordering;
+  *   2. rank WITHIN each partition (a partitioned window — parallel);
+  *   3. add per-partition prefix offsets — `parts` longs through the
+  *      driver, independent of row count.
+  * One range exchange + one in-partition sort, the same I/O a global
+  * `ORDER BY` costs, and every stage is parallel.
+  *
+  * Determinism contract: `sortCols` must be a TOTAL order (include a
+  * unique tiebreaker). The two passes (count, rank) run over one cached
+  * frame so the sampled range bounds are computed once; equal-key
+  * straddling across a range boundary cannot reorder a total order.
+  *
+  * Reference anchor: the reference pages every list endpoint by keyset
+  * (logstore/driver/clickhouse/logstore.go:214-260) precisely because
+  * OFFSET/global-rank is unbounded there; this operator is the analytics
+  * complement — when a global rank IS the ask (percentile reports,
+  * equi-depth binning), compute it scalably instead of refusing it.
+  */
+object Ranking {
+
+  /** Append a 1-based global rank under `sortCols` (must be a total
+    * order). `parts` bounds the range fan-out; the per-partition counts
+    * (≤ `parts` longs) are the only driver state.
+    *
+    * The persist + localCheckpoint around the two passes is CORRECTNESS,
+    * not caching: `RangePartitioner` samples its bounds per plan
+    * compilation (seeded by RDD id), so the count pass and the rank pass
+    * would otherwise see DIFFERENT partition boundaries and the prefix
+    * offsets would be attributed to the wrong partitions. Pinning one
+    * materialization makes both passes read the same assignment. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column], parts: Int = 32,
+                      rankCol: String = "rank"): DataFrame = {
+    val (parted, ranked) = rankedFrames(df, sortCols, parts, rankCol)
+    try ranked.localCheckpoint()
+    finally parted.unpersist(false)
+  }
+
+  /** Internal split of [[globalRowNumber]]: returns (pinned partitioned
+    * frame, LAZY ranked frame). The ranked frame's offsets are only valid
+    * while `parted` stays persisted — callers must localCheckpoint before
+    * unpersisting (tests use the lazy half for plan-shape assertions). */
+  private[graft] def rankedFrames(df: DataFrame, sortCols: Seq[Column],
+                                  parts: Int, rankCol: String): (DataFrame, DataFrame) = {
+    require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
+    val parted = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    parted.persist()
+    // pass 1: per-partition row counts → prefix offsets (driver-bounded:
+    // one (pid, count) pair per partition, NOT per row)
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
+    val offMap = // empty input: typed dummy entry so analysis succeeds (no rows read it)
+      if (offsets.isEmpty) map(lit(0), lit(0L))
+      else map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    // pass 2: in-partition row_number + the offset. The window's
+    // PARTITION BY _pid keeps it parallel — no SinglePartition exchange.
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    val ranked = parted
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
+      .drop("_pid")
+    (parted, ranked)
+  }
+
+  /** SQL `NTILE(k)` semantics over a global order, scalably: bucket
+    * 1..k, the first `n % k` buckets get `n/k + 1` rows, the rest
+    * `n/k` — bit-identical to DuckDB/PostgreSQL `ntile(k) OVER (ORDER BY
+    * sortCols)` when `sortCols` is total. */
+  def ntile(df: DataFrame, k: Int, sortCols: Seq[Column],
+            bucketCol: String = "bucket"): DataFrame = {
+    require(k > 0, s"ntile needs k > 0, got $k")
+    val ranked = globalRowNumber(df, sortCols, rankCol = "_grank")
+    // localCheckpoint'ed → count() is a cheap cached-scan, not a re-run
+    val n = ranked.count()
+    val q = n / k
+    val rem = n % k
+    val threshold = (q + 1) * rem // ranks ≤ threshold land in the wide buckets
+    val r = col("_grank")
+    ranked.withColumn(bucketCol,
+        when(r <= threshold, ((r - 1) / (q + 1)) + 1)
+          .otherwise(lit(rem) + ((r - 1 - threshold) / math.max(q, 1L)) + 1)
+          .cast("int"))
+      .drop("_grank")
+  }
+
+  /** Equi-depth histogram of `valueCol`: k buckets of (near-)equal row
+    * count with per-bucket count/min/max — the feature-discretization /
+    * data-profiling primitive. `tiebreak` makes the order total so the
+    * bucket boundaries are engine-reproducible. */
+  def equidepthHistogram(df: DataFrame, valueCol: Column, k: Int,
+                         tiebreak: Seq[Column]): DataFrame =
+    ntile(df.select(valueCol.as("_v"), struct(tiebreak: _*).as("_tb")),
+        k, Seq(col("_v"), col("_tb")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+      .orderBy(col("bucket"))
+}

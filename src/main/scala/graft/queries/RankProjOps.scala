@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.{Projection, Ranking}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gates for the distributed-ranking and dimensionality-reduction
+  * operators ([[graft.operators.Ranking]], [[graft.operators.Projection]]).
+  *
+  * Every gate here is exactly DuckDB-replayable: global ranks and NTILE
+  * under a total order are engine-independent, the covariance is rounded
+  * at the cross-engine fixed point (6 dp), and the JL matrix is
+  * md5-derived so the oracle REBUILDS it in SQL — the same content-hash
+  * determinism trick the sampling family uses. */
+object RankProjOps {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Global row_number over ALL orders (total order: price desc, key) —
+    // aggregated per priority so the gate pins EVERY rank, not a top slice.
+    // The plan has no SinglePartition exchange (RankingSpec pins it).
+    "global_rank_agg" -> ((s, dir) => {
+      Ranking.globalRowNumber(Tables.orders(s, dir),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), parts = 32)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("rank")).as("rank_sum"), count(lit(1)).as("n"),
+          min(col("rank")).as("rank_min"), max(col("rank")).as("rank_max"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // SQL NTILE(10) semantics at scale: equi-depth deciles of
+    // l_extendedprice (tiebreak orderkey, linenumber → total order);
+    // per-bucket count and exact value bounds.
+    "ntile_deciles" -> ((s, dir) => {
+      Ranking.equidepthHistogram(Tables.lineitem(s, dir),
+        col("l_extendedprice"), k = 10,
+        tiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
+    }),
+
+    // One-pass covariance of the first 8 embedding dims via the
+    // graft_vec_sum moments aggregate — DuckDB recomputes with covar_pop.
+    "pca_covariance" -> ((s, dir) =>
+      Projection.covarianceDF(Tables.embeddings(s, dir), "embedding", dim = 8)
+        .orderBy(col("i"), col("j"))),
+
+    // PCA contract check over 16 dims / top-4 components: the eigenvalue
+    // mass is DuckDB-verified (Σλ = Σ var_pop — the trace), the
+    // eigen-structure invariants (orthonormality, residuals, ordering,
+    // λ1 ≥ max single-dim variance) are exact driver-side booleans.
+    "pca_check" -> ((s, dir) => {
+      val dim = 16
+      val (_, _, cov) = Projection.covariance(Tables.embeddings(s, dir), "embedding", dim)
+      val (eigs, vecs) = Projection.jacobiEigen(cov)
+      val top = vecs.take(4)
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orthonormalOk = (for (i <- top.indices; j <- top.indices) yield
+        math.abs(dot(top(i), top(j)) - (if (i == j) 1.0 else 0.0))).max < 1e-8
+      val residualOk = top.indices.forall { i =>
+        val v = top(i)
+        val cv = Array.tabulate(dim)(r => dot(cov(r), v))
+        cv.zip(v).map { case (a, b) => math.abs(a - eigs(i) * b) }.max < 1e-6
+      }
+      val sortedOk = eigs.sliding(2).forall(p => p(0) >= p(1) - 1e-12)
+      val maxVar = (0 until dim).map(i => cov(i)(i)).max
+      val l1GeMaxvar = eigs(0) >= maxVar - 1e-9
+      val totalVar = BigDecimal(eigs.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s.createDataFrame(Seq((totalVar, orthonormalOk, residualOk, sortedOk, l1GeMaxvar)))
+        .toDF("total_var", "orthonormal_ok", "residual_ok", "sorted_ok", "l1_ge_maxvar")
+    }),
+
+    // Johnson–Lindenstrauss ±1 projection 64 → 8, md5-sign matrix —
+    // DuckDB rebuilds the matrix from md5() and replays every entry.
+    "jl_projection" -> ((s, dir) => {
+      Projection.jlProject(Tables.embeddings(s, dir), "embedding", dim = 64, k = 8)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "v")))
+        .select(col("vec_id"), (col("p") + 1).cast("long").as("comp"),
+          round(col("v"), 6).as("proj"))
+        .orderBy(col("vec_id"), col("comp"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "global_rank_agg" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(sum(rank) AS BIGINT) AS rank_sum,
+        |       count(*) AS n, min(rank) AS rank_min, max(rank) AS rank_max
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ntile_deciles" ->
+      """WITH t AS (
+        |  SELECT l_extendedprice,
+        |         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem)
+        |SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo,
+        |       max(l_extendedprice) AS hi
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pca_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 8) AS t(i))
+        |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+        |       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov  -- +0.0: fold -0.0 → 0.0 (Spark's HALF_UP never emits -0.0)
+        |FROM x a JOIN x b USING (vec_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pca_check" ->
+      """WITH x AS (
+        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 16) AS t(i))
+        |SELECT round(sum(vp), 6) AS total_var, true AS orthonormal_ok,
+        |       true AS residual_ok, true AS sorted_ok, true AS l1_ge_maxvar
+        |FROM (SELECT var_pop(v) AS vp FROM x GROUP BY i)""".stripMargin,
+
+    "jl_projection" ->
+      """WITH m AS (
+        |  SELECT i, j,
+        |         CASE WHEN substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1) < '8'
+        |              THEN 1.0 ELSE -1.0 END AS r
+        |  FROM generate_series(1, 8) AS s(i), generate_series(1, 64) AS t(j)),
+        |x AS (
+        |  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) AS t(j))
+        |SELECT x.vec_id AS vec_id, CAST(m.i AS BIGINT) AS comp,
+        |       round(sum(x.v * m.r) / sqrt(8.0), 6) + 0.0 AS proj
+        |FROM x JOIN m USING (j)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
