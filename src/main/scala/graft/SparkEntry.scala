@@ -24,7 +24,7 @@ object SparkEntry {
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
       StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs ++
-      TraceQualityOps.defs ++ RankProjOps.defs
+      TraceQualityOps.defs ++ RankProjOps.defs ++ FeatureOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
@@ -33,5 +33,6 @@ object SparkEntry {
       TextOps.oracles ++ DedupOps.oracles ++ VectorOps.oracles ++
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++
       CurationOps.oracles ++ StoreOps.oracles ++ PackingOps.oracles ++
-      SketchOps.oracles ++ TraceQualityOps.oracles ++ RankProjOps.oracles
+      SketchOps.oracles ++ TraceQualityOps.oracles ++ RankProjOps.oracles ++
+      FeatureOps.oracles
 }

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.core.Tables
+import graft.operators.Features
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gates for the categorical feature encoders
+  * ([[graft.operators.Features]]). Labels enter the encoders
+  * INTEGER-scaled (cents), folds and hash buckets are md5-nibble-derived,
+  * so DuckDB replays every encoding table exactly. */
+object FeatureOps {
+
+  private def ordersCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).withColumn("y",
+      round(col("o_totalprice") * 100).cast("long"))
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // count + frequency encoding dictionary
+    "count_encode_priority" -> ((s, dir) =>
+      Features.countEncode(Tables.orders(s, dir), col("o_orderpriority"))
+        .orderBy(col("cat"))),
+
+    // smoothed target encoding (m = 50 virtual prior rows), label = cents
+    "target_encode_priority" -> ((s, dir) =>
+      Features.targetEncode(ordersCents(s, dir), col("o_orderpriority"),
+        col("y"), m = 50.0).orderBy(col("cat"))),
+
+    // LEAKAGE-SAFE out-of-fold encoding table: 5 categories × 4 md5 folds
+    "target_encode_oof" -> ((s, dir) =>
+      Features.targetEncodeOOF(ordersCents(s, dir), col("o_orderpriority"),
+          col("y"), col("o_orderkey"), k = 4, m = 20.0)
+        .orderBy(col("cat"), col("fold"))),
+
+    // weight of evidence vs the global log-odds, target = finished orders
+    "woe_encode_priority" -> ((s, dir) =>
+      Features.woeEncode(Tables.orders(s, dir), col("o_orderpriority"),
+        col("o_orderstatus") === "F", alpha = 0.5).orderBy(col("cat"))),
+
+    // signed hashing trick: 16-bucket signed sums over two categorical
+    // columns (linear readout — per-row vectors sum bucket-wise)
+    "feature_hash_buckets" -> ((s, dir) =>
+      Features.featureHash16(Tables.documents(s, dir),
+          Seq(col("lang"), col("source")))
+        .select(posexplode(col("fh")).as(Seq("b", "v")))
+        .groupBy(col("b"))
+        .agg(sum(col("v")).cast("long").as("signed_sum"))
+        .orderBy(col("b"))))
+
+  def oracles: Map[String, String] = Map(
+    "count_encode_priority" ->
+      """SELECT o_orderpriority AS cat, count(*) AS n,
+        |       round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS freq
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "target_encode_priority" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS y FROM orders),
+        |g AS (SELECT sum(y) * 1.0 / count(*) AS prior FROM o)
+        |SELECT cat, count(*) AS n,
+        |       round((sum(y) + 50.0 * (SELECT prior FROM g)) / (count(*) + 50.0), 6) AS enc
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "target_encode_oof" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS cat,
+        |         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+        |         CAST((strpos('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), 1, 1)) - 1) % 4 AS INT) AS fold
+        |  FROM orders),
+        |cf AS (SELECT cat, fold, sum(y) AS s_cf, count(*) AS n_cf FROM o GROUP BY 1, 2),
+        |bycat AS (SELECT cat, sum(s_cf) AS s_c, sum(n_cf) AS n_c FROM cf GROUP BY 1),
+        |byfold AS (SELECT fold, sum(s_cf) AS s_f, sum(n_cf) AS n_f FROM cf GROUP BY 1),
+        |g AS (SELECT sum(s_cf) AS s, sum(n_cf) AS n FROM cf),
+        |grid AS (SELECT cat, CAST(unnest(range(4)) AS INT) AS fold FROM bycat)
+        |SELECT grid.cat AS cat, grid.fold AS fold,
+        |       CAST(bycat.n_c AS BIGINT) AS n_c,
+        |       CAST(coalesce(cf.n_cf, 0) AS BIGINT) AS n_cf,
+        |       round((bycat.s_c - coalesce(cf.s_cf, 0)
+        |              + (20.0 * (g.s - coalesce(byfold.s_f, 0)))
+        |                / (g.n - coalesce(byfold.n_f, 0)))
+        |             / (bycat.n_c - coalesce(cf.n_cf, 0) + 20.0), 6) AS enc
+        |FROM grid JOIN bycat USING (cat)
+        |LEFT JOIN cf USING (cat, fold)
+        |LEFT JOIN byfold USING (fold) CROSS JOIN g
+        |ORDER BY 1, 2""".stripMargin,
+
+    "woe_encode_priority" ->
+      """WITH o AS (SELECT o_orderpriority AS cat,
+        |                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS p FROM orders),
+        |g AS (SELECT ln((sum(p) + 0.5) / (count(*) - sum(p) + 0.5)) AS glo FROM o)
+        |SELECT cat, CAST(sum(p) AS BIGINT) AS pos,
+        |       CAST(count(*) - sum(p) AS BIGINT) AS neg,
+        |       round(ln((sum(p) + 0.5) / (count(*) - sum(p) + 0.5))
+        |             - (SELECT glo FROM g), 6) AS woe
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "feature_hash_buckets" ->
+      """WITH c AS (
+        |  SELECT strpos('0123456789abcdef', substr(md5(lang), 1, 1)) - 1 AS b,
+        |         CASE WHEN strpos('0123456789abcdef', substr(md5(lang), 2, 1)) - 1 < 8
+        |              THEN 1 ELSE -1 END AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1 AS b,
+        |         CASE WHEN strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1 < 8
+        |              THEN 1 ELSE -1 END AS v
+        |  FROM documents),
+        |buckets AS (SELECT CAST(unnest(range(16)) AS INT) AS b)
+        |SELECT buckets.b AS b, CAST(coalesce(sum(c.v), 0) AS BIGINT) AS signed_sum
+        |FROM buckets LEFT JOIN c USING (b)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Features
+import org.apache.spark.sql.functions._
+
+class FeatureSpec extends GraftSuite {
+
+  test("countEncode dictionary matches a hand count") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq("a", "a", "a", "b").toDF("c")
+    val got = Features.countEncode(df, col("c")).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == Map("a" -> ((3L, 0.75)), "b" -> ((1L, 0.25))))
+  }
+
+  test("targetEncode shrinks toward the prior with smoothing") {
+    val s2 = spark; import s2.implicits._
+    // prior = 50; category 'a' mean 10 (n=2), 'b' mean 90 (n=2)
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 90L), ("b", 90L)).toDF("c", "y")
+    val got = Features.targetEncode(df, col("c"), col("y"), m = 2.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    // enc(a) = (20 + 2*50)/(2+2) = 30; enc(b) = (180 + 100)/4 = 70
+    assert(got("a") == 30.0 && got("b") == 70.0)
+    // m = 0 -> raw category means
+    val raw = Features.targetEncode(df, col("c"), col("y"), m = 0.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(raw("a") == 10.0 && raw("b") == 90.0)
+  }
+
+  test("targetEncodeOOF excludes the fold's own labels (leakage proof)") {
+    val s2 = spark; import s2.implicits._
+    // ids chosen so md5 first-nibble % 2 splits them into both folds;
+    // poison fold-f labels: the fold-f encoding must NOT move
+    val ids = (1L to 200L)
+    val fold = udf((id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val c = "%02x".format(h(0)).charAt(0)
+      (if (c <= '9') c - '0' else c - 'a' + 10) % 2
+    })
+    val base = ids.map(i => ("x", i)).toDF("c", "id")
+      .withColumn("f", fold(col("id")))
+    // labels: fold 0 rows get 1000, fold 1 rows get 0
+    val df = base.withColumn("y", when(col("f") === 0, 1000L).otherwise(0L))
+    val enc = Features.targetEncodeOOF(df, col("c"), col("y"), col("id"),
+        k = 2, m = 0.0001)
+      .collect().map(r => (r.getInt(1), r.getDouble(4))).toMap
+    // fold 0's encoding sees only fold-1 labels (all 0) and vice versa
+    assert(enc(0) < 1.0, s"fold 0 leaked its own labels: ${enc(0)}")
+    assert(enc(1) > 999.0, s"fold 1 leaked its own labels: ${enc(1)}")
+  }
+
+  test("targetEncodeOOF grid covers categories absent from a fold") {
+    val s2 = spark; import s2.implicits._
+    // a category whose every row hashes to one fold still gets k rows
+    val df = Seq(("solo", 5L, 7L), ("other", 1L, 8L), ("other", 3L, 9L),
+      ("other", 2L, 10L), ("other", 4L, 11L)).toDF("c", "y", "id")
+    val rows = Features.targetEncodeOOF(df, col("c"), col("y"), col("id"),
+      k = 4, m = 1.0).collect()
+    assert(rows.length == 8) // 2 categories × 4 folds, dense
+    assert(rows.forall(r => !r.isNullAt(4)))
+  }
+
+  test("woeEncode separates classes with the documented smoothing") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(("a", true), ("a", true), ("a", false), ("b", false),
+      ("b", false), ("b", true)).toDF("c", "p")
+    val got = Features.woeEncode(df, col("c"), col("p"), alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toMap
+    val glo = math.log((3 + 0.5) / (3 + 0.5))
+    val wa = math.log((2 + 0.5) / (1 + 0.5)) - glo
+    val wb = math.log((1 + 0.5) / (2 + 0.5)) - glo
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == r6(wa) && got("b") == r6(wb))
+    assert(got("a") > 0 && got("b") < 0)
+  }
+
+  test("featureHash16 buckets and signs follow the md5 nibbles; no shuffle") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq(("en", "src1"), ("fr", "src2")).toDF("a", "b")
+    val out = Features.featureHash16(df, Seq(col("a"), col("b")))
+    // plan shape: pure projection — no exchange at all
+    val phys = out.queryExecution.executedPlan.toString
+    assert(!phys.contains("Exchange"), s"hashing trick shuffled:\n$phys")
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def nib(s: String, n: Int) = {
+      val c = md5hex(s).charAt(n - 1)
+      if (c <= '9') c - '0' else c - 'a' + 10
+    }
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1),
+      r.getSeq[Double](2)))
+    rows.foreach { case (a, b, v) =>
+      assert(v.length == 16)
+      val want = Array.fill(16)(0.0)
+      Seq(a, b).foreach { s =>
+        want(nib(s, 1)) += (if (nib(s, 2) < 8) 1.0 else -1.0)
+      }
+      assert(v.toArray.toSeq == want.toSeq, s"row ($a, $b)")
+    }
+  }
+}
