@@ -24,7 +24,8 @@ object SparkEntry {
       TextOps.defs ++ DedupOps.defs ++ VectorOps.defs ++ Extras.defs ++
       SamplingOps.defs ++ Extras2.defs ++ CurationOps.defs ++
       StoreOps.defs ++ PackingOps.defs ++ SketchOps.defs ++
-      TraceQualityOps.defs ++ RankProjOps.defs ++ FeatureOps.defs
+      TraceQualityOps.defs ++ RankProjOps.defs ++ FeatureOps.defs ++
+      EvalOps.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
@@ -34,5 +35,5 @@ object SparkEntry {
       Extras.oracles ++ SamplingOps.oracles ++ Extras2.oracles ++
       CurationOps.oracles ++ StoreOps.oracles ++ PackingOps.oracles ++
       SketchOps.oracles ++ TraceQualityOps.oracles ++ RankProjOps.oracles ++
-      FeatureOps.oracles
+      FeatureOps.oracles ++ EvalOps.oracles
 }

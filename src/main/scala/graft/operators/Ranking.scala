@@ -78,6 +78,37 @@ object Ranking {
     (parted, ranked)
   }
 
+  /** Global running (inclusive) prefix sum of a LONG column under a
+    * total order — `sum(v) OVER (ORDER BY …)` without the
+    * single-partition window, same decomposition as [[globalRowNumber]]:
+    * range partition, in-partition window cumsum, per-partition sum
+    * offsets through the driver (≤ `parts` longs). Longs only: a double
+    * prefix sum is aggregation-order-dependent and would not be
+    * engine-reproducible. */
+  def globalRunningSum(df: DataFrame, sortCols: Seq[Column], value: Column,
+                       outCol: String = "cum", parts: Int = 32): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningSum needs at least one sort column")
+    val parted = df.withColumn("_v", value.cast("long"))
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    parted.persist()
+    try {
+      val sums = parted.groupBy(col("_pid")).agg(sum(col("_v")).as("s"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offsets = sums.map { case (p, s) => val o = acc; acc += s; (p, o) }
+      val offMap =
+        if (offsets.isEmpty) map(lit(0), lit(0L))
+        else map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+      val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      parted
+        .withColumn(outCol, sum(col("_v")).over(w) + element_at(offMap, col("_pid")))
+        .drop("_pid", "_v")
+        .localCheckpoint() // same two-pass pinning contract as globalRowNumber
+    } finally parted.unpersist(false)
+  }
+
   /** SQL `NTILE(k)` semantics over a global order, scalably: bucket
     * 1..k, the first `n % k` buckets get `n/k + 1` rows, the rest
     * `n/k` — bit-identical to DuckDB/PostgreSQL `ntile(k) OVER (ORDER BY
