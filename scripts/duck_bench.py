@@ -22,7 +22,9 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
             "q13_customer_distribution", "q19_discounted_revenue",
             "entity_resolution",
             "q2_min_cost_supplier", "q11_important_stock", "funnel_steps",
-            "pagerank_trade", "ema_daily_revenue", "dq_constraints"]
+            "pagerank_trade", "ema_daily_revenue", "dq_constraints",
+            "global_rank_agg", "ntile_deciles", "auc_exact",
+            "target_encode_oof", "pca_covariance"]
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",

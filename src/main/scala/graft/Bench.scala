@@ -55,7 +55,14 @@ object Bench {
     // HAVING) + analytics family (ordered funnel, iterative PageRank,
     // EW trailing window, constraint suite)
     "q2_min_cost_supplier", "q11_important_stock", "funnel_steps",
-    "pagerank_trade", "ema_daily_revenue", "dq_constraints")
+    "pagerank_trade", "ema_daily_revenue", "dq_constraints",
+    // round-11 second wave: distributed global rank (range-partitioned,
+    // no SinglePartition window), exact tie-corrected AUC (distinct-score
+    // agg + global running sum), out-of-fold target encoding (one fact
+    // aggregate + dictionary rollups), one-pass covariance over the
+    // graft_vec_sum array aggregate
+    "global_rank_agg", "ntile_deciles", "auc_exact", "target_encode_oof",
+    "pca_covariance")
 
   /** Manifest-bloom point-lookup micro-bench: events loaded once into a
     * bloomed 12-file commit-log table, then 20 hit + 20 miss probes via

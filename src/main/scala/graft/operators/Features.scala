@@ -104,6 +104,25 @@ object Features {
     }
   }
 
+  /** Smoothed target-encoding dictionary read from MAINTAINED aggregate
+    * state ([[IncrementalAgg]]'s (bucket × dims) count/sum table): the
+    * state rows collapse to per-category sufficient statistics, so the
+    * encoder refreshes at O(changed rows) — and retention deletes make
+    * it FORGET dropped months, which a from-scratch encoder over the
+    * retained facts must reproduce exactly (gate
+    * `incremental_target_encode`). */
+  def encodeFromAgg(agg: DataFrame, catCol: String, m: Double): DataFrame = {
+    val byCat = agg.groupBy(col(catCol).as("cat"))
+      .agg(sum(col("sum_value")).as("s"), sum(col("count")).as("n"))
+    graft.core.Caching.withCached(byCat) {
+      val g = byCat.agg(sum(col("s")).as("s"), sum(col("n")).as("n")).head()
+      val prior = g.getLong(0).toDouble / g.getLong(1)
+      byCat.select(col("cat"), col("n"),
+          round((col("s") + lit(m * prior)) / (col("n") + lit(m)), 6).as("enc"))
+        .localCheckpoint()
+    }
+  }
+
   /** Weight-of-evidence dictionary for a boolean target with Laplace
     * smoothing α: woe(c) = ln((pos_c+α)/(neg_c+α)) − ln((pos+α)/(neg+α)). */
   def woeEncode(df: DataFrame, cat: Column, positive: Column, alpha: Double,

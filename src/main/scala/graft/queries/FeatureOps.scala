@@ -37,6 +37,31 @@ object FeatureOps {
       Features.woeEncode(Tables.orders(s, dir), col("o_orderpriority"),
         col("o_orderstatus") === "F", alpha = 0.5).orderBy(col("cat"))),
 
+    // INCREMENTALLY-MAINTAINED target encoding: the dictionary reads off
+    // IncrementalAgg state kept in sync across three fact appends and a
+    // retention drop — the encoder "forgets" the dropped month; DuckDB
+    // recomputes from scratch over the retained facts.
+    "incremental_target_encode" -> ((s, dir) => {
+      import graft.operators.{CommitLog, Features, IncrementalAgg}
+      val base = java.nio.file.Files.createTempDirectory("graft_ite").toString
+      val (fact, agg) = (s"$base/fact", s"$base/agg")
+      val ev = Tables.events(s, dir).select(
+        col("event_id"),
+        expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+        col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+      val spec = IncrementalAgg.Spec("ts", "cents", Seq("event_type"), "1d")
+      (0 until 3).foreach { b =>
+        CommitLog.append(ev.filter(pmod(col("event_id"), lit(3)) === b), fact,
+          idCol = "event_id", tsCol = "ts", token = Some(s"b$b"))
+        IncrementalAgg.refresh(s, fact, agg, spec)
+      }
+      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
+      IncrementalAgg.refresh(s, fact, agg, spec)
+      Features.encodeFromAgg(IncrementalAgg.readAgg(s, agg), "event_type",
+        m = 100.0).orderBy(col("cat"))
+    }),
+
     // signed hashing trick: 16-bucket signed sums over two categorical
     // columns (linear readout — per-row vectors sum bucket-wise)
     "feature_hash_buckets" -> ((s, dir) =>
@@ -93,6 +118,19 @@ object FeatureOps {
         |       round(ln((sum(p) + 0.5) / (count(*) - sum(p) + 0.5))
         |             - (SELECT glo FROM g), 6) AS woe
         |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "incremental_target_encode" ->
+      """WITH ev AS (
+        |  SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts, event_type,
+        |         CAST(round(value * 100.0) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT event_type, cents FROM ev
+        |      WHERE strftime(ts::TIMESTAMP, '%Y-%m') >= '2024-02'),
+        |g AS (SELECT sum(cents) * 1.0 / count(*) AS prior FROM r)
+        |SELECT event_type AS cat, count(*) AS n,
+        |       round((sum(cents) + 100.0 * (SELECT prior FROM g))
+        |             / (count(*) + 100.0), 6) AS enc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "feature_hash_buckets" ->
       """WITH c AS (

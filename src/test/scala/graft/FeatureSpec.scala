@@ -61,6 +61,20 @@ class FeatureSpec extends GraftSuite {
     assert(rows.forall(r => !r.isNullAt(4)))
   }
 
+  test("encodeFromAgg over maintained state equals targetEncode over facts") {
+    val s2 = spark; import s2.implicits._
+    val facts = Seq(("a", 10L, 1), ("a", 20L, 1), ("b", 30L, 2), ("b", 50L, 3))
+      .toDF("c", "y", "bucket_ts")
+    // simulate IncrementalAgg state: count+sum per (bucket, category)
+    val state = facts.groupBy(col("bucket_ts"), col("c"))
+      .agg(count(lit(1)).as("count"), sum(col("y")).as("sum_value"))
+    val fromState = graft.operators.Features.encodeFromAgg(state, "c", m = 3.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    val direct = graft.operators.Features.targetEncode(facts, col("c"), col("y"), m = 3.0)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    assert(fromState == direct)
+  }
+
   test("woeEncode separates classes with the documented smoothing") {
     val s2 = spark; import s2.implicits._
     val df = Seq(("a", true), ("a", true), ("a", false), ("b", false),
