@@ -64,4 +64,28 @@ object SketchStream {
       new java.sql.Timestamp(System.currentTimeMillis()),
       token = Some(s"rollup-$batchId"))
   }
+
+  /** Maintain a Misra–Gries heavy-hitter rollup from a stream — the live
+    * dominant-token/boilerplate detector; completes the streaming story
+    * for the sketch family (distinct, quantile, top-k all intake-fed). */
+  def topKRollupIntake(facts: DataFrame, table: String,
+                       groupCols: Seq[String], itemCol: String,
+                       checkpoint: String, k: Int = 64): StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        topKRollupBatch(batch, batchId, table, groupCols, itemCol, k)
+      }
+      .start()
+
+  /** One micro-batch of [[topKRollupIntake]]. */
+  def topKRollupBatch(batch: DataFrame, batchId: Long, table: String,
+                      groupCols: Seq[String], itemCol: String,
+                      k: Int = 64): Unit = {
+    if (batch.isEmpty) return
+    Sketches.updateTopKRollup(batch, table, groupCols, itemCol,
+      new java.sql.Timestamp(System.currentTimeMillis()), k = k,
+      token = Some(s"rollup-$batchId"))
+  }
 }

@@ -84,6 +84,32 @@ class RankProjSpec extends GraftSuite {
     case _ => () }
   }
 
+  test("randomized: globalRowNumber is the exact permutation; ntile sizes legal") {
+    val s2 = sparkI; import s2.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      val n = rnd.nextInt(180) + 1
+      val k = rnd.nextInt(9) + 1
+      val parts = rnd.nextInt(7) + 1
+      // duplicate-heavy values force cross-partition tie handling
+      val df = (1 to n).map(i => (rnd.nextInt(12), i)).toDF("v", "id")
+      val ranked = Ranking.globalRowNumber(df, Seq(col("v"), col("id")), parts)
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+      assert(ranked.map(_._2).sorted.toSeq == (1L to n).toSeq,
+        s"trial $trial: ranks are not a permutation of 1..$n")
+      val byOrder = ranked.sortBy(_._1).map(_._2).toSeq
+      assert(byOrder == (1L to n).toSeq,
+        s"trial $trial: rank order disagrees with the sort order")
+      val sizes = Ranking.ntile(df, k, Seq(col("v"), col("id")))
+        .groupBy(col("bucket")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val expected = (1 to k).map(b =>
+        n / k + (if (b <= n % k) 1 else 0)).filter(_ > 0)
+      assert(sizes.map(_._2).toSeq == expected,
+        s"trial $trial (n=$n k=$k): sizes ${sizes.toSeq} vs $expected")
+    }
+  }
+
   // ---------- VecSumAgg ----------
 
   test("graft_vec_sum sums element-wise across partitions with a partial stage") {

@@ -359,6 +359,53 @@ class SketchSpec extends GraftSuite {
       s"streamed state diverged from one-shot: ${state(t)} vs ${state(once)}")
   }
 
+  test("streaming top-k intake: MG heavy-hitter state streams in, a " +
+      "replayed epoch no-ops, and the readout matches a one-shot build") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val t = mkTable()
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_sketchstream_topk").toString
+    // skewed token stream: "hot" dominates, tail of 50 others
+    def epoch(seed: Int) = (1 to 300).map(i =>
+      (s"g${i % 2}", if (i % 3 != 0) "hot" else s"tok${(i + seed) % 50}"))
+    val q = graft.streaming.SketchStream.topKRollupIntake(
+      mem.toDF().toDF("grp", "tok"), t, Seq("grp"), "tok", chk, k = 16)
+    try {
+      mem.addData(epoch(0)); q.processAllAvailable()
+      mem.addData(epoch(7)); q.processAllAvailable()
+    } finally q.stop()
+    val verBefore = CommitLog.snapshot(t).version
+    graft.streaming.SketchStream.topKRollupBatch(
+      Seq(("g0", "hot")).toDF("grp", "tok"), 1L, t, Seq("grp"), "tok", k = 16)
+    assert(CommitLog.snapshot(t).version == verBefore, "replayed epoch moved state")
+
+    val once = mkTable()
+    Sketches.updateTopKRollup((epoch(0) ++ epoch(7)).toDF("grp", "tok"),
+      once, Seq("grp"), "tok", at(0), k = 16)
+    // MG surviving-counter SETS are merge-tree-dependent for sub-threshold
+    // items — the deterministic contract is the BOUND, not set equality:
+    // est <= true <= est + bound for every survivor, and the dominant
+    // token (far above the (n-m)/(k+1) threshold) survives in every build.
+    val truth = (epoch(0) ++ epoch(7)).groupBy(identity)
+      .map { case (kk, xs) => kk -> xs.size.toLong }
+    // topK schema: (grp, n_rows, item, est, n, bound)
+    def rows(tbl: String) = Sketches.topK(spark, tbl, Seq("grp")).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(5)))
+    Seq(t -> "streamed", once -> "one-shot").foreach { case (tbl, tag) =>
+      val hh = rows(tbl)
+      assert(hh.count(_._2 == "hot") == 2, s"$tag: hot missing: ${hh.toSeq}")
+      hh.foreach { case (g, item, est, bound) =>
+        val tc = truth.getOrElse((g, item), 0L)
+        assert(est <= tc && tc <= est + bound,
+          s"$tag: ($g,$item) est=$est bound=$bound true=$tc violates MG contract")
+      }
+    }
+  }
+
   test("concurrent writers: racing rollup updates serialize through the " +
       "version CAS -- no lost sketch mass, no duplicate state rows") {
     val spark2 = spark
