@@ -43,18 +43,27 @@ object Ranking {
     * offsets would be attributed to the wrong partitions. Pinning one
     * materialization makes both passes read the same assignment. */
   def globalRowNumber(df: DataFrame, sortCols: Seq[Column], parts: Int = 32,
-                      rankCol: String = "rank"): DataFrame = {
-    val (parted, ranked) = rankedFrames(df, sortCols, parts, rankCol)
-    try ranked.localCheckpoint()
+                      rankCol: String = "rank"): DataFrame =
+    rankedPinned(df, sortCols, parts, rankCol)._1
+
+  /** The checkpoint-then-unpersist pinning contract in ONE place:
+    * materialize the ranked frame while `parted` is still persisted, then
+    * release the cache. Returns (pinned ranked frame, total row count). */
+  private def rankedPinned(df: DataFrame, sortCols: Seq[Column], parts: Int,
+                           rankCol: String): (DataFrame, Long) = {
+    val (parted, ranked, n) = rankedFrames(df, sortCols, parts, rankCol)
+    try (ranked.localCheckpoint(), n)
     finally parted.unpersist(false)
   }
 
   /** Internal split of [[globalRowNumber]]: returns (pinned partitioned
-    * frame, LAZY ranked frame). The ranked frame's offsets are only valid
-    * while `parted` stays persisted — callers must localCheckpoint before
-    * unpersisting (tests use the lazy half for plan-shape assertions). */
+    * frame, LAZY ranked frame, total row count — free from the offset
+    * pass, so NTILE needs no extra scan). The ranked frame's offsets are
+    * only valid while `parted` stays persisted — callers must
+    * localCheckpoint before unpersisting (tests use the lazy half for
+    * plan-shape assertions). */
   private[graft] def rankedFrames(df: DataFrame, sortCols: Seq[Column],
-                                  parts: Int, rankCol: String): (DataFrame, DataFrame) = {
+                                  parts: Int, rankCol: String): (DataFrame, DataFrame, Long) = {
     require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
     val parted = df.repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
@@ -75,7 +84,7 @@ object Ranking {
       .withColumn(rankCol,
         row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
       .drop("_pid")
-    (parted, ranked)
+    (parted, ranked, acc)
   }
 
   /** Global running (inclusive) prefix sum of a LONG column under a
@@ -116,9 +125,8 @@ object Ranking {
   def ntile(df: DataFrame, k: Int, sortCols: Seq[Column],
             bucketCol: String = "bucket"): DataFrame = {
     require(k > 0, s"ntile needs k > 0, got $k")
-    val ranked = globalRowNumber(df, sortCols, rankCol = "_grank")
-    // localCheckpoint'ed → count() is a cheap cached-scan, not a re-run
-    val n = ranked.count()
+    // n comes free from the rank pass's offset collection — no extra scan
+    val (ranked, n) = rankedPinned(df, sortCols, parts = 32, "_grank")
     val q = n / k
     val rem = n % k
     val threshold = (q + 1) * rem // ranks ≤ threshold land in the wide buckets
@@ -141,4 +149,38 @@ object Ranking {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
       .orderBy(col("bucket"))
+
+  /** The SKETCH path to equi-depth binning — when even one range
+    * exchange + sort is too much (wide-fact 100 TB discretization), trade
+    * exactness for a deterministic GK rank bound: boundaries come from
+    * ONE mergeable quantile-sketch aggregate
+    * ([[graft.plans.QuantileExprs]], ε worst-case rank error), bucket
+    * assignment is then a pure codegen comparison against k−1 broadcast
+    * literals — NO sort, NO range exchange, two scans total. Bucket
+    * populations deviate from n/k by at most 2εn per boundary —
+    * deterministic, any data order, any merge tree (gate
+    * `equidepth_gk_check` pins it). Exact form: [[equidepthHistogram]]. */
+  def equidepthApprox(df: DataFrame, valueCol: Column, k: Int,
+                      eps: Double = 0.01): DataFrame = {
+    require(k >= 2, s"equidepthApprox needs k >= 2, got $k")
+    graft.plans.QuantileRegistry.install(df.sparkSession)
+    val v = df.select(valueCol.cast("double").as("_v"))
+    val ps = (1 until k).map(_.toDouble / k)
+    val sketch = v.agg(graft.plans.QuantileRegistry
+      .gkAgg(col("_v"), eps).as("gk"))
+    val bounds = sketch.select(graft.plans.QuantileRegistry
+        .gkQuantiles(col("gk"), ps).as("q"))
+      .head().getSeq[Double](0).toArray
+    // assignment: bucket b = 1 + #(boundaries < value); boundary ties go
+    // right (value == boundary lands in the higher bucket) — fixed rule,
+    // engine-free determinism given the same boundaries
+    val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("_v") >= b, 1).otherwise(0)
+    }
+    // unordered (k rows): an orderBy here would add a range exchange to a
+    // plan whose point is having none — consumers sort the k rows
+    v.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+  }
 }

@@ -37,6 +37,26 @@ object RankProjOps {
         tiebreak = Seq(col("l_orderkey"), col("l_linenumber")))
     }),
 
+    // SKETCH-path equi-depth: GK boundaries (ε = 0.005, deterministic
+    // worst-case rank bound) + codegen assignment — no sort, no range
+    // exchange. The contract gate: exact total (oracled), 10 non-empty
+    // buckets, every population within the 2εn bound, non-overlapping
+    // bounds.
+    "equidepth_gk_check" -> ((s, dir) => {
+      val (k, eps) = (10, 0.005)
+      val rows = Ranking.equidepthApprox(Tables.lineitem(s, dir),
+        col("l_extendedprice"), k, eps).collect().sortBy(_.getInt(0))
+      val n = rows.map(_.getLong(1)).sum
+      val target = n.toDouble / k
+      val maxDevOk = rows.map(r => math.abs(r.getLong(1) - target)).max <= 2 * eps * n + 1
+      val monotone = rows.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) <= b.getDouble(2) + 1e-9
+        case _ => true
+      }
+      s.createDataFrame(Seq((n, rows.length, maxDevOk, monotone)))
+        .toDF("n_total", "k_buckets", "max_dev_ok", "bounds_monotone")
+    }),
+
     // One-pass covariance of the first 8 embedding dims via the
     // graft_vec_sum moments aggregate — DuckDB recomputes with covar_pop.
     "pca_covariance" -> ((s, dir) =>
@@ -98,6 +118,11 @@ object RankProjOps {
         |SELECT bucket, count(*) AS n, min(l_extendedprice) AS lo,
         |       max(l_extendedprice) AS hi
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "equidepth_gk_check" ->
+      """SELECT count(*) AS n_total, CAST(10 AS INT) AS k_buckets,
+        |       true AS max_dev_ok, true AS bounds_monotone
+        |FROM lineitem""".stripMargin,
 
     "pca_covariance" ->
       """WITH x AS (

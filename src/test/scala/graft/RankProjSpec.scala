@@ -26,7 +26,7 @@ class RankProjSpec extends GraftSuite {
 
   test("globalRowNumber plan has no SinglePartition exchange") {
     val orders = graft.core.Tables.orders(spark, sf)
-    val (parted, ranked) = Ranking.rankedFrames(orders,
+    val (parted, ranked, _) = Ranking.rankedFrames(orders,
       Seq(col("o_totalprice").desc, col("o_orderkey")), parts = 7, rankCol = "rank")
     try {
       val phys = ranked.queryExecution.executedPlan.toString
@@ -82,6 +82,31 @@ class RankProjSpec extends GraftSuite {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getDouble(3) <= b.getDouble(2) + 1e-9)
     case _ => () }
+  }
+
+  test("equidepthApprox: GK buckets honor the 2-epsilon-n bound, no range exchange") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val (k, eps) = (8, 0.01)
+    val rows = graft.operators.Ranking
+      .equidepthApprox(li, col("l_extendedprice"), k, eps)
+      .collect().sortBy(_.getInt(0))
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == li.count())
+    val target = n.toDouble / k
+    rows.foreach(r => assert(math.abs(r.getLong(1) - target) <= 2 * eps * n + 1,
+      s"bucket ${r.getInt(0)} population ${r.getLong(1)} outside the GK bound"))
+    // non-overlapping bounds (ties go right)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 1e-9)
+      case _ => ()
+    }
+    // the assignment+histogram plan must contain NO range exchange (the
+    // whole point of the sketch path) — only the groupBy hash exchange
+    val plan = graft.operators.Ranking
+      .equidepthApprox(li, col("l_extendedprice"), k, eps)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"sketch path grew a range exchange:\n$plan")
   }
 
   test("randomized: globalRowNumber is the exact permutation; ntile sizes legal") {
