@@ -21,12 +21,26 @@ object Explain {
         "topk_orders_by_price", "metrics_count_hourly", "json_filter_gte")
     names.foreach { n =>
       println(s"\n========== $n ==========")
-      val df = if (n == "joinview_delta") joinViewDelta(spark) else
-        SparkEntry.queries(n)(spark, sfDir)
+      val df = if (n == "joinview_delta") joinViewDelta(spark)
+        else if (n == "rank_internal") rankInternal(spark, sfDir)
+        else SparkEntry.queries(n)(spark, sfDir)
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
     spark.stop()
+  }
+
+  /** The global-rank interior is hidden behind the pinning localCheckpoint
+    * in the gate's plan — surface the LAZY ranked frame for audit: one
+    * range exchange on the sort key, a partitioned (parallel) window, and
+    * NO SinglePartition anywhere. */
+  private def rankInternal(spark: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions.col
+    val (_, ranked, _) = graft.operators.Ranking.rankedFrames(
+      graft.core.Tables.orders(spark, dir),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), parts = 32,
+      rankCol = "rank")
+    ranked // parted stays persisted — fine in a print-and-exit tool
   }
 
   /** The JoinView maintenance plan is internal to refresh() (the gate's

@@ -65,25 +65,33 @@ object Ranking {
   private[graft] def rankedFrames(df: DataFrame, sortCols: Seq[Column],
                                   parts: Int, rankCol: String): (DataFrame, DataFrame, Long) = {
     require(sortCols.nonEmpty, "globalRowNumber needs at least one sort column")
+    // The in-partition sequence comes from monotonically_increasing_id
+    // over the ALREADY-SORTED partition: mid = (partitionId << 33) +
+    // row-order counter, so pid and sequence are bit fields of one
+    // materialized column. A `Window.partitionBy(pid)` would compute the
+    // same thing but costs a SECOND full shuffle (Spark can't see that
+    // _pid ≡ physical partition) — at 100 TB that exchange dominates.
+    // Bound: ≤ 2³³ rows per partition (size `parts` accordingly).
     val parted = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_mid", monotonically_increasing_id())
     parted.persist()
+    val pid = shiftright(col("_mid"), 33).cast("int")
+    val seq = col("_mid").bitwiseAND(lit((1L << 33) - 1))
     // pass 1: per-partition row counts → prefix offsets (driver-bounded:
     // one (pid, count) pair per partition, NOT per row)
-    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
+    val counts = parted.groupBy(pid.as("_pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (p, n) => val o = acc; acc += n; (p, o) }
     val offMap = // empty input: typed dummy entry so analysis succeeds (no rows read it)
       if (offsets.isEmpty) map(lit(0), lit(0L))
       else map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
-    // pass 2: in-partition row_number + the offset. The window's
-    // PARTITION BY _pid keeps it parallel — no SinglePartition exchange.
-    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    // pass 2: offset + in-partition sequence — a pure projection over the
+    // pinned frame: no window, no second exchange, no SinglePartition.
     val ranked = parted
-      .withColumn(rankCol,
-        row_number().over(w).cast("long") + element_at(offMap, col("_pid")))
-      .drop("_pid")
+      .withColumn(rankCol, element_at(offMap, pid) + seq + lit(1L))
+      .drop("_mid")
     (parted, ranked, acc)
   }
 

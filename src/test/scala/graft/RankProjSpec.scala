@@ -34,6 +34,11 @@ class RankProjSpec extends GraftSuite {
         s"global rank collapsed to one partition:\n$phys")
       assert(phys.contains("rangepartitioning") || phys.contains("RangePartitioning"),
         s"expected a range exchange:\n$phys")
+      // the rank must be a projection over the pinned frame: a Window or
+      // a hash exchange here means the second full shuffle came back
+      assert(!phys.contains("Window"), s"rank grew a window stage:\n$phys")
+      assert(!phys.contains("hashpartitioning(_pid"),
+        s"rank re-shuffled on _pid:\n$phys")
     } finally parted.unpersist(false)
   }
 
