@@ -35,10 +35,16 @@ object Evaluation {
       outCol = "cum_neg")
     cum
       .select(col("pos"), col("neg"), (col("cum_neg") - col("neg")).as("neg_lt"))
+      // 2U ≤ 2·n⁺·n⁻ overflows a long past ~3×10⁹ balanced rows — and
+      // Spark's non-ANSI sum would WRAP silently. decimal(38,0) keeps the
+      // statistic exact to ~10¹⁹ rows; the one cast to double at the end
+      // is exact for any gate-scale value (< 2⁵³)
       .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
-        sum(col("pos") * (lit(2L) * col("neg_lt") + col("neg"))).as("u2"))
+        sum(col("pos").cast("decimal(38,0)") *
+          (lit(2L) * col("neg_lt") + col("neg")).cast("decimal(38,0)")).as("u2"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("u2") / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        round(col("u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg")), 6)
+          .as("auc"))
   }
 
   /** Calibration table: k equal-population score bins (exact NTILE via

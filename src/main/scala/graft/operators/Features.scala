@@ -41,16 +41,26 @@ object Features {
     when(ch <= "9", ascii(ch) - 48).otherwise(ascii(ch) - 87)
   }
 
-  /** md5-derived fold id in [0, k): firstHexNibble % k — deterministic,
-    * engine-replayable, stable under repartitioning and backfills. */
-  def foldOf(id: Column, k: Int): Column = (md5Nibble(id, 1) % k).cast("int")
+  /** md5-derived fold id in [0, k): the first 32 hash bits mod k —
+    * deterministic, engine-replayable, stable under repartitioning and
+    * backfills, and unbiased to ~2⁻³² for any practical k (a single-
+    * nibble mod would skew folds whenever k ∤ 16 and break k > 16).
+    * DuckDB mirror: `('0x' || substr(md5(x), 1, 8))::UBIGINT % k`. */
+  def foldOf(id: Column, k: Int): Column = {
+    require(k >= 1 && k <= (1 << 20), s"foldOf needs 1 <= k <= 2^20, got $k")
+    (conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long") % k)
+      .cast("int")
+  }
 
-  /** Count + frequency encoding: one dictionary row per category. */
+  /** Count + frequency encoding: one dictionary row per category. ONE
+    * scan of the facts — the total for the frequency comes from summing
+    * the dictionary itself (|categories| rows), not a second count job. */
   def countEncode(df: DataFrame, cat: Column, outCat: String = "cat"): DataFrame = {
-    val total = df.count().toDouble
-    df.groupBy(cat.as(outCat))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("freq", round(col("n") / total, 6))
+    val dict = df.groupBy(cat.as(outCat)).agg(count(lit(1)).as("n"))
+    graft.core.Caching.withCached(dict) {
+      val total = dict.agg(sum(col("n"))).head().getLong(0).toDouble
+      dict.withColumn("freq", round(col("n") / total, 6)).localCheckpoint()
+    }
   }
 
   /** Smoothed target-encoding dictionary: enc(c) = (Σ label_c + m·prior)
@@ -140,12 +150,17 @@ object Features {
   }
 
   /** Signed hashing trick over string columns: k=16 buckets, bucket from
-    * the 1st md5 nibble, sign from the 2nd (< 8 → +1 else −1). Appends
-    * array<double> `outCol` of width 16 — pure per-row codegen. */
+    * the 1st md5 nibble, sign from the 2nd (< 8 → +1 else −1). The hash
+    * input is `"<position>:<value>"` — hashing the VALUE alone would send
+    * two features that share a value (lang="en", src_lang="en") to the
+    * same bucket with the same sign on every row, a systematic confound;
+    * Weinberger et al. 2009 hash the feature id precisely to avoid it.
+    * Appends array<double> `outCol` of width 16 — pure per-row codegen. */
   def featureHash16(df: DataFrame, cols: Seq[Column], outCol: String = "fh"): DataFrame = {
     require(cols.nonEmpty, "featureHash16 needs at least one input column")
-    val parts = cols.map { c =>
-      (md5Nibble(c, 1), when(md5Nibble(c, 2) < 8, 1.0).otherwise(-1.0))
+    val parts = cols.zipWithIndex.map { case (c, i) =>
+      val tagged = concat(lit(s"${i + 1}:"), c.cast("string"))
+      (md5Nibble(tagged, 1), when(md5Nibble(tagged, 2) < 8, 1.0).otherwise(-1.0))
     }
     val vec = array((0 until 16).map { b =>
       parts.map { case (bucket, sign) =>

@@ -44,10 +44,11 @@ object Projection {
         VecAggExprs.vecSum(col("xx")).as("sxx"),
         count(lit(1)).as("n"))
       .head()
+    val n = row.getLong(2)
+    require(n > 0, "covariance over an empty frame") // before the buffer
+    // reads: graft_vec_sum over zero rows is null, getSeq would NPE first
     val sx = row.getSeq[Double](0).toArray
     val sxx = row.getSeq[Double](1).toArray
-    val n = row.getLong(2)
-    require(n > 0, "covariance over an empty frame")
     val mean = sx.map(_ / n)
     val cov = Array.tabulate(dim, dim)((i, j) => sxx(i * dim + j) / n - mean(i) * mean(j))
     (n, mean, cov)

@@ -105,7 +105,10 @@ object Ranking {
   def globalRunningSum(df: DataFrame, sortCols: Seq[Column], value: Column,
                        outCol: String = "cum", parts: Int = 32): DataFrame = {
     require(sortCols.nonEmpty, "globalRunningSum needs at least one sort column")
-    val parted = df.withColumn("_v", value.cast("long"))
+    // nulls contribute 0 (folded at entry, not skipped SQL-style): an
+    // all-null partition must yield offset 0, not a driver NPE, and the
+    // running column must stay non-null for downstream arithmetic
+    val parted = df.withColumn("_v", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
     parted.persist()
@@ -131,10 +134,10 @@ object Ranking {
     * `n/k` — bit-identical to DuckDB/PostgreSQL `ntile(k) OVER (ORDER BY
     * sortCols)` when `sortCols` is total. */
   def ntile(df: DataFrame, k: Int, sortCols: Seq[Column],
-            bucketCol: String = "bucket"): DataFrame = {
+            bucketCol: String = "bucket", parts: Int = 32): DataFrame = {
     require(k > 0, s"ntile needs k > 0, got $k")
     // n comes free from the rank pass's offset collection — no extra scan
-    val (ranked, n) = rankedPinned(df, sortCols, parts = 32, "_grank")
+    val (ranked, n) = rankedPinned(df, sortCols, parts, "_grank")
     val q = n / k
     val rem = n % k
     val threshold = (q + 1) * rem // ranks ≤ threshold land in the wide buckets
@@ -151,9 +154,9 @@ object Ranking {
     * data-profiling primitive. `tiebreak` makes the order total so the
     * bucket boundaries are engine-reproducible. */
   def equidepthHistogram(df: DataFrame, valueCol: Column, k: Int,
-                         tiebreak: Seq[Column]): DataFrame =
+                         tiebreak: Seq[Column], parts: Int = 32): DataFrame =
     ntile(df.select(valueCol.as("_v"), struct(tiebreak: _*).as("_tb")),
-        k, Seq(col("_v"), col("_tb")))
+        k, Seq(col("_v"), col("_tb")), parts = parts)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
       .orderBy(col("bucket"))
@@ -172,7 +175,12 @@ object Ranking {
                       eps: Double = 0.01): DataFrame = {
     require(k >= 2, s"equidepthApprox needs k >= 2, got $k")
     graft.plans.QuantileRegistry.install(df.sparkSession)
+    // nulls are excluded OUTRIGHT: the GK aggregate skips them when
+    // sketching boundaries, so letting them fall through the assignment
+    // (where every `>= boundary` is null → bucket 1) would inflate the
+    // first bucket past the 2εn contract the gate pins
     val v = df.select(valueCol.cast("double").as("_v"))
+      .where(col("_v").isNotNull)
     val ps = (1 until k).map(_.toDouble / k)
     val sketch = v.agg(graft.plans.QuantileRegistry
       .gkAgg(col("_v"), eps).as("gk"))

@@ -83,10 +83,30 @@ case class VecSumAgg(child: Expression,
       buffer
     }
 
+  // only scan for element nulls when the child's type admits them —
+  // toDoubleArray would otherwise turn a null element into a silent 0.0
+  // (UnsafeArrayData) or a bare NPE (GenericArrayData)
+  private val elementsNullable = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+
   override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v == null) buffer
-    else add(buffer, v.asInstanceOf[ArrayData].toDoubleArray())
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      if (elementsNullable) {
+        var i = 0
+        while (i < arr.numElements()) {
+          require(!arr.isNullAt(i),
+            s"graft_vec_sum: null element at index $i (null vector rows are " +
+              "skipped, but a null ELEMENT inside a vector is a data error)")
+          i += 1
+        }
+      }
+      add(buffer, arr.toDoubleArray())
+    }
   }
 
   override def merge(buffer: Array[Double], other: Array[Double]): Array[Double] =

@@ -90,7 +90,7 @@ object FeatureOps {
       """WITH o AS (
         |  SELECT o_orderpriority AS cat,
         |         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
-        |         CAST((strpos('0123456789abcdef', substr(md5(o_orderkey::VARCHAR), 1, 1)) - 1) % 4 AS INT) AS fold
+        |         CAST(('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::UBIGINT % 4 AS INT) AS fold
         |  FROM orders),
         |cf AS (SELECT cat, fold, sum(y) AS s_cf, count(*) AS n_cf FROM o GROUP BY 1, 2),
         |bycat AS (SELECT cat, sum(s_cf) AS s_c, sum(n_cf) AS n_c FROM cf GROUP BY 1),
@@ -134,13 +134,13 @@ object FeatureOps {
 
     "feature_hash_buckets" ->
       """WITH c AS (
-        |  SELECT strpos('0123456789abcdef', substr(md5(lang), 1, 1)) - 1 AS b,
-        |         CASE WHEN strpos('0123456789abcdef', substr(md5(lang), 2, 1)) - 1 < 8
+        |  SELECT strpos('0123456789abcdef', substr(md5('1:' || lang), 1, 1)) - 1 AS b,
+        |         CASE WHEN strpos('0123456789abcdef', substr(md5('1:' || lang), 2, 1)) - 1 < 8
         |              THEN 1 ELSE -1 END AS v
         |  FROM documents
         |  UNION ALL
-        |  SELECT strpos('0123456789abcdef', substr(md5(source), 1, 1)) - 1 AS b,
-        |         CASE WHEN strpos('0123456789abcdef', substr(md5(source), 2, 1)) - 1 < 8
+        |  SELECT strpos('0123456789abcdef', substr(md5('2:' || source), 1, 1)) - 1 AS b,
+        |         CASE WHEN strpos('0123456789abcdef', substr(md5('2:' || source), 2, 1)) - 1 < 8
         |              THEN 1 ELSE -1 END AS v
         |  FROM documents),
         |buckets AS (SELECT CAST(unnest(range(16)) AS INT) AS b)

@@ -22,17 +22,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object SketchStream {
 
+  /** The shared intake shape: one foreachBatch stream whose every epoch
+    * is a token-idempotent rollup update (empty epochs skip; a replayed
+    * epoch no-ops on its token inside the update itself). The three
+    * rollup families differ ONLY in the batch update they apply. */
+  private def intake(facts: DataFrame, checkpoint: String)
+                    (batchFn: (DataFrame, Long) => Unit): StreamingQuery =
+    facts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) => batchFn(batch, batchId) }
+      .start()
+
   /** Maintain an HLL distinct-count rollup from a stream. */
   def distinctRollupIntake(facts: DataFrame, table: String,
                            groupCols: Seq[String], valueCol: String,
                            checkpoint: String): StreamingQuery =
-    facts.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        distinctRollupBatch(batch, batchId, table, groupCols, valueCol)
-      }
-      .start()
+    intake(facts, checkpoint)(distinctRollupBatch(_, _, table, groupCols, valueCol))
 
   /** One micro-batch of [[distinctRollupIntake]] (separable for direct
     * testing and foreachBatch reuse). */
@@ -48,13 +54,7 @@ object SketchStream {
   def quantileRollupIntake(facts: DataFrame, table: String,
                            groupCols: Seq[String], valueCol: String,
                            checkpoint: String): StreamingQuery =
-    facts.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        quantileRollupBatch(batch, batchId, table, groupCols, valueCol)
-      }
-      .start()
+    intake(facts, checkpoint)(quantileRollupBatch(_, _, table, groupCols, valueCol))
 
   /** One micro-batch of [[quantileRollupIntake]]. */
   def quantileRollupBatch(batch: DataFrame, batchId: Long, table: String,
@@ -71,13 +71,7 @@ object SketchStream {
   def topKRollupIntake(facts: DataFrame, table: String,
                        groupCols: Seq[String], itemCol: String,
                        checkpoint: String, k: Int = 64): StreamingQuery =
-    facts.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        topKRollupBatch(batch, batchId, table, groupCols, itemCol, k)
-      }
-      .start()
+    intake(facts, checkpoint)(topKRollupBatch(_, _, table, groupCols, itemCol, k))
 
   /** One micro-batch of [[topKRollupIntake]]. */
   def topKRollupBatch(batch: DataFrame, batchId: Long, table: String,

@@ -20,6 +20,17 @@ class EvalSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("globalRunningSum: null values fold to 0, all-null partitions don't NPE") {
+    val s2 = spark; import s2.implicits._
+    // low sort-key range = all-null values -> that partition's sum is null
+    // without the coalesce, and the driver offset collection NPEs
+    val df = Seq((1, None: Option[Long]), (2, None), (3, Some(5L)),
+      (4, Some(7L)), (5, None), (6, Some(1L))).toDF("k", "v")
+    val got = Ranking.globalRunningSum(df, Seq(col("k")), col("v"), parts = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(got == Map(1 -> 0L, 2 -> 0L, 3 -> 5L, 4 -> 12L, 5 -> 12L, 6 -> 13L))
+  }
+
   test("aucExact: separable, all-tied, and hand-scored cases") {
     val s2 = spark; import s2.implicits._
     // perfectly separable -> AUC 1

@@ -33,10 +33,10 @@ class FeatureSpec extends GraftSuite {
     // poison fold-f labels: the fold-f encoding must NOT move
     val ids = (1L to 200L)
     val fold = udf((id: Long) => {
-      val h = java.security.MessageDigest.getInstance("MD5")
+      val hex = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
-      val c = "%02x".format(h(0)).charAt(0)
-      (if (c <= '9') c - '0' else c - 'a' + 10) % 2
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 2).toInt
     })
     val base = ids.map(i => ("x", i)).toDF("c", "id")
       .withColumn("f", fold(col("id")))
@@ -75,6 +75,29 @@ class FeatureSpec extends GraftSuite {
     assert(fromState == direct)
   }
 
+  test("foldOf: k beyond 16 is reachable and folds are near-balanced for k=3") {
+    val s2 = spark; import s2.implicits._
+    val df = (1L to 4000L).toDF("id")
+    val f20 = df.select(Features.foldOf(col("id"), 20).as("f"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(f20.size == 20, s"k=20 reached only ${f20.size} folds: $f20")
+    val sizes3 = df.groupBy(Features.foldOf(col("id"), 3).as("f")).count()
+      .collect().map(_.getLong(1))
+    // 32-bit-hash mod 3 is unbiased to ~2^-32; sample noise only
+    assert(sizes3.max - sizes3.min < 300, s"k=3 folds skewed: ${sizes3.toSeq}")
+  }
+
+  test("featureHash16 separates two columns sharing the same value") {
+    val s2 = spark; import s2.implicits._
+    val v = Features.featureHash16(Seq(("en", "en")).toDF("a", "b"),
+        Seq(col("a"), col("b"))).head().getSeq[Double](2)
+    // value-only hashing would pile both features on ONE bucket with one
+    // sign; position tags split them: md5("1:en") → bucket 4 sign +,
+    // md5("2:en") → bucket 7 sign −
+    assert(v(4) == 1.0 && v(7) == -1.0 && v.map(math.abs).sum == 2.0,
+      s"columns sharing a value collided systematically: $v")
+  }
+
   test("woeEncode separates classes with the documented smoothing") {
     val s2 = spark; import s2.implicits._
     val df = Seq(("a", true), ("a", true), ("a", false), ("b", false),
@@ -107,8 +130,9 @@ class FeatureSpec extends GraftSuite {
     rows.foreach { case (a, b, v) =>
       assert(v.length == 16)
       val want = Array.fill(16)(0.0)
-      Seq(a, b).foreach { s =>
-        want(nib(s, 1)) += (if (nib(s, 2) < 8) 1.0 else -1.0)
+      Seq(a, b).zipWithIndex.foreach { case (s, i) =>
+        val tagged = s"${i + 1}:$s" // column position is part of the hash
+        want(nib(tagged, 1)) += (if (nib(tagged, 2) < 8) 1.0 else -1.0)
       }
       assert(v.toArray.toSeq == want.toSeq, s"row ($a, $b)")
     }

@@ -158,6 +158,31 @@ class RankProjSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("equidepthApprox excludes null values from buckets entirely") {
+    val s2 = sparkI; import s2.implicits._
+    val df = ((1 to 80).map(i => Some(i.toDouble)) ++ Seq.fill(40)(None))
+      .toDF("x")
+    val rows = graft.operators.Ranking.equidepthApprox(df, col("x"), 4, 0.01)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getLong(1)).sum == 80,
+      s"nulls leaked into the histogram: ${rows.toSeq}")
+    assert(rows.map(_.getLong(1)).forall(n => n >= 15 && n <= 25))
+  }
+
+  test("graft_vec_sum rejects null ELEMENTS loudly (null rows still skip)") {
+    val s2 = sparkI; import s2.implicits._
+    VecAggExprs.install(spark)
+    val bad = Seq(Seq(Some(1.0), None, Some(3.0))).toDF("v")
+    val e = intercept[Exception] {
+      bad.agg(VecAggExprs.vecSum(col("v"))).collect()
+    }
+    assert(e.getMessage != null)
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("null element")),
+      s"expected the loud null-element error, got: ${rootMessages(e)}")
+  }
+
   test("graft_vec_sum skips null rows and yields null for all-null groups") {
     val s2 = sparkI; import s2.implicits._
     VecAggExprs.install(spark)
