@@ -152,6 +152,39 @@ object Projection {
     df.withColumn(outCol, array(comps: _*))
   }
 
+  /** Covariance read off MAINTAINED moments state
+    * ([[Sketches.updateMomentsRollup]]): one row per (group, i, j) with
+    * 1-based indices, cov rounded at the cross-engine fixed point. The
+    * state is |groups| rows of d + d² doubles — this readout (and any
+    * [[jacobiEigen]] over it) is driver-bounded and never re-reads
+    * facts. */
+  def covarianceFromState(spark: org.apache.spark.sql.SparkSession,
+                          table: String, groupCols: Seq[String], dim: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val rows = CommitLog.scan(spark, table)
+      .select(groupCols.map(col) ++ Seq(col("n_rows"), col("sx"), col("sxx")): _*)
+      .collect()
+    val out = rows.flatMap { r =>
+      val g = groupCols.indices.map(r.get)
+      val n = r.getLong(groupCols.size)
+      val sx = r.getSeq[Double](groupCols.size + 1)
+      val sxx = r.getSeq[Double](groupCols.size + 2)
+      for (i <- 0 until dim; j <- 0 until dim) yield
+        // Seq[Any]: a bare Seq(int, int, double) would WIDEN the ints to
+        // Double (weak conformance) and break the IntegerType schema
+        org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](i + 1, j + 1,
+          BigDecimal(sxx(i * dim + j) / n - (sx(i) / n) * (sx(j) / n))
+            .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val base = CommitLog.scan(spark, table).select(groupCols.map(col): _*).schema
+    val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("cov", org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toList.asJava, schema)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -154,6 +154,35 @@ object Sketches {
       stateCols = Seq("bsketch", "n_rows"), at = at, token = token)
   }
 
+  /** Second-moment rollup — incremental LINEAR ALGEBRA state: per group,
+    * (n, Σx as array[d], Σxxᵀ flattened as array[d²]) over the first
+    * `dim` coordinates of a vector column. Moments are exactly mergeable
+    * (element-wise add — [[graft.plans.VecSumAgg]]), so a covariance or
+    * PCA model over a growing corpus refreshes at O(batch): new vectors
+    * fold into the state row; the d×d eigen-solve on the readout side
+    * ([[Projection.covarianceFromState]] → [[Projection.jacobiEigen]])
+    * never touches the facts again. */
+  def updateMomentsRollup(batch: DataFrame, table: String,
+                          groupCols: Seq[String], vecCol: String, dim: Int,
+                          at: java.sql.Timestamp,
+                          token: Option[String] = None): Unit = {
+    graft.plans.VecAggExprs.install(batch.sparkSession)
+    val x = transform(slice(col(vecCol), 1, dim), _.cast("double"))
+    val outer = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    updateRollup(
+      batch.withColumn("_x", x).withColumn("_xx", outer),
+      table, groupCols,
+      batchAggs = Seq(
+        graft.plans.VecAggExprs.vecSum(col("_x")).as("sx"),
+        graft.plans.VecAggExprs.vecSum(col("_xx")).as("sxx"),
+        count(col("_x")).as("n_rows")),
+      mergeAggs = Seq(
+        graft.plans.VecAggExprs.vecSum(col("sx")).as("sx"),
+        graft.plans.VecAggExprs.vecSum(col("sxx")).as("sxx"),
+        sum(col("n_rows")).as("n_rows")),
+      stateCols = Seq("sx", "sxx", "n_rows"), at = at, token = token)
+  }
+
   /** The sample at its stored grain: one row per sampled item —
     * (group cols..., n_rows, sample_rank, item), rank hash-ascending. */
   def sampleItems(spark: SparkSession, table: String,

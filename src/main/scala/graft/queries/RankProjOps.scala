@@ -63,6 +63,25 @@ object RankProjOps {
       Projection.covarianceDF(Tables.embeddings(s, dir), "embedding", dim = 8)
         .orderBy(col("i"), col("j"))),
 
+    // INCREMENTAL covariance: per-label moments state maintained across
+    // three appends (one replayed — token no-op), covariance read from
+    // state alone; DuckDB recomputes covar_pop from scratch over ALL rows.
+    "incremental_pca_covariance" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val table = java.nio.file.Files.createTempDirectory("graft_ipca").toString
+      val emb = Tables.embeddings(s, dir)
+      val at = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+      (0 until 3).foreach { b =>
+        Sketches.updateMomentsRollup(emb.filter(pmod(col("vec_id"), lit(3)) === b),
+          table, Seq("label"), "embedding", dim = 6, at = at, token = Some(s"m$b"))
+      }
+      // replayed batch: the token must no-op or the moments double-count
+      Sketches.updateMomentsRollup(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+        table, Seq("label"), "embedding", dim = 6, at = at, token = Some("m1"))
+      Projection.covarianceFromState(s, table, Seq("label"), dim = 6)
+        .orderBy(col("label"), col("i"), col("j"))
+    }),
+
     // PCA contract check over 16 dims / top-4 components: the eigenvalue
     // mass is DuckDB-verified (Σλ = Σ var_pop — the trace), the
     // eigen-structure invariants (orthonormality, residuals, ordering,
@@ -132,6 +151,15 @@ object RankProjOps {
         |       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov  -- +0.0: fold -0.0 → 0.0 (Spark's HALF_UP never emits -0.0)
         |FROM x a JOIN x b USING (vec_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "incremental_pca_covariance" ->
+      """WITH x AS (
+        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 6) AS t(i))
+        |SELECT a.label AS label, CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
+        |       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
+        |FROM x a JOIN x b USING (vec_id)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "pca_check" ->
       """WITH x AS (

@@ -210,6 +210,36 @@ class RankProjSpec extends GraftSuite {
     }
   }
 
+  test("moments rollup: merged state covariance equals the one-shot pass") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val table = java.nio.file.Files.createTempDirectory("graft_ipca_spec").toString
+    val at = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    (0 until 3).foreach { b =>
+      graft.operators.Sketches.updateMomentsRollup(
+        emb.filter(pmod(col("vec_id"), lit(3)) === b), table,
+        Seq("label"), "embedding", dim = 4, at = at, token = Some(s"m$b"))
+    }
+    val verBefore = graft.operators.CommitLog.snapshot(table).version
+    graft.operators.Sketches.updateMomentsRollup( // replay: token no-ops
+      emb.filter(pmod(col("vec_id"), lit(3)) === 0), table,
+      Seq("label"), "embedding", dim = 4, at = at, token = Some("m0"))
+    assert(graft.operators.CommitLog.snapshot(table).version == verBefore)
+    val fromState = Projection.covarianceFromState(spark, table, Seq("label"), dim = 4)
+      .collect().map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)), r.getDouble(3))).toMap
+    // one-shot per label over the same rows
+    val labels = emb.select(col("label")).distinct().collect().map(_.getInt(0))
+    labels.foreach { l =>
+      val (_, _, cov) = Projection.covariance(
+        emb.filter(col("label") === l), "embedding", dim = 4)
+      for (i <- 0 until 4; j <- 0 until 4) {
+        val want = BigDecimal(cov(i)(j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(fromState((l, i + 1, j + 1)) - want) <= 1e-6,
+          s"label $l cov($i)($j): state ${fromState((l, i + 1, j + 1))} vs $want")
+      }
+    }
+  }
+
   test("jacobiEigen solves a known 2x2 and a random symmetric 6x6") {
     val (e2, v2) = Projection.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
     assert(math.abs(e2(0) - 3.0) < 1e-12 && math.abs(e2(1) - 1.0) < 1e-12)
