@@ -39,10 +39,12 @@ object Projection {
     VecAggExprs.install(df.sparkSession)
     val x = transform(slice(col(vecCol), 1, dim), _.cast("double"))
     val outer = flatten(transform(x, xi => transform(x, xj => xi * xj)))
+    // count(x), not count(*): graft_vec_sum skips null-vector rows, so the
+    // divisor must too or every covariance deflates when nulls exist
     val row = df.select(x.as("x"), outer.as("xx"))
       .agg(VecAggExprs.vecSum(col("x")).as("sx"),
         VecAggExprs.vecSum(col("xx")).as("sxx"),
-        count(lit(1)).as("n"))
+        count(col("x")).as("n"))
       .head()
     val n = row.getLong(2)
     require(n > 0, "covariance over an empty frame") // before the buffer
@@ -161,22 +163,31 @@ object Projection {
   def covarianceFromState(spark: org.apache.spark.sql.SparkSession,
                           table: String, groupCols: Seq[String], dim: Int,
                           roundTo: Int = 6): DataFrame = {
-    val rows = CommitLog.scan(spark, table)
+    val scanned = CommitLog.scan(spark, table)
       .select(groupCols.map(col) ++ Seq(col("n_rows"), col("sx"), col("sxx")): _*)
-      .collect()
+    val rows = scanned.collect()
     val out = rows.flatMap { r =>
       val g = groupCols.indices.map(r.get)
       val n = r.getLong(groupCols.size)
+      // a group whose every vector was null has no moments (n=0, null
+      // arrays) — it has no covariance either: skip, don't NPE/NaN
+      if (n == 0 || r.isNullAt(groupCols.size + 1)) Nil
+      else {
       val sx = r.getSeq[Double](groupCols.size + 1)
       val sxx = r.getSeq[Double](groupCols.size + 2)
+      require(sx.length == dim && sxx.length == dim * dim,
+        s"state width ${sx.length} does not match dim=$dim — read with the " +
+          "dim the rollup was maintained with")
       for (i <- 0 until dim; j <- 0 until dim) yield
         // Seq[Any]: a bare Seq(int, int, double) would WIDEN the ints to
         // Double (weak conformance) and break the IntegerType schema
         org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](i + 1, j + 1,
           BigDecimal(sxx(i * dim + j) / n - (sx(i) / n) * (sx(j) / n))
             .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
     }
-    val base = CommitLog.scan(spark, table).select(groupCols.map(col): _*).schema
+    val base = org.apache.spark.sql.types.StructType(
+      scanned.schema.fields.take(groupCols.size))
     val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
       org.apache.spark.sql.types.StructField("i", org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("j", org.apache.spark.sql.types.IntegerType),

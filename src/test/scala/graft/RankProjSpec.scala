@@ -240,6 +240,31 @@ class RankProjSpec extends GraftSuite {
     }
   }
 
+  test("covariance divides by the non-null vector count; state readout " +
+      "skips all-null groups and rejects a wrong dim") {
+    val s2 = sparkI; import s2.implicits._
+    val withNulls = Seq(Option(Seq(1.0, 2.0)), None, Option(Seq(3.0, 6.0)), None)
+      .toDF("v")
+    val (n, mean, cov) = graft.operators.Projection.covariance(withNulls, "v", 2)
+    assert(n == 2 && mean.toSeq == Seq(2.0, 4.0)) // nulls excluded from n
+    assert(math.abs(cov(0)(0) - 1.0) < 1e-12)
+
+    val table = java.nio.file.Files.createTempDirectory("graft_ipca_null").toString
+    val at = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val grouped = Seq(("a", Option(Seq(1.0, 2.0))), ("a", Option(Seq(3.0, 6.0))),
+      ("b", None: Option[Seq[Double]])).toDF("g", "v")
+    graft.operators.Sketches.updateMomentsRollup(grouped, table, Seq("g"), "v",
+      dim = 2, at = at, token = Some("t0"))
+    val rows = graft.operators.Projection
+      .covarianceFromState(spark, table, Seq("g"), dim = 2).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a"),
+      s"all-null group leaked into the readout: ${rows.toSeq}")
+    val e = intercept[Exception] {
+      graft.operators.Projection.covarianceFromState(spark, table, Seq("g"), dim = 3)
+    }
+    assert(e.getMessage.contains("does not match dim"), e.getMessage)
+  }
+
   test("jacobiEigen solves a known 2x2 and a random symmetric 6x6") {
     val (e2, v2) = Projection.jacobiEigen(Array(Array(2.0, 1.0), Array(1.0, 2.0)))
     assert(math.abs(e2(0) - 3.0) < 1e-12 && math.abs(e2(1) - 1.0) < 1e-12)
