@@ -607,6 +607,17 @@ object Bench {
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     println(json)
+    // COMPACT summary LAST (r11 postmortem): the driver keeps only a
+    // 2000-char tail of stdout, and the full line above (~10 KB with raw
+    // runs + stream sections) always overflows it — every round's driver
+    // artifact parsed to null. This line carries metric/value/queries in
+    // the contract shape at ~1.5 KB so the LAST json line always fits the
+    // tail; per-run detail stays in the full line and the committed file.
+    val compactQ = results.map { case (k, v) => "\"" + k + f"""\":$v%.2f""" }
+      .mkString("{", ",", "}")
+    println()
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$compactQ,"sf":"$sfDir","contended":$anyContended,"detail":"$outPath"}""")
+    Console.flush()
     spark.stop()
   }
 }

@@ -26,9 +26,12 @@ object Evaluation {
 
   /** Exact tie-corrected AUC of `score` predicting boolean `positive`.
     * Returns one row: (n_pos, n_neg, auc). Score may be any orderable
-    * numeric; ties get the standard ½ credit. */
+    * numeric; ties get the standard ½ credit. NULL scores are EXCLUDED:
+    * an unscored row is not rankable, and standard AUC drops it — letting
+    * it through would also diverge from SQL engines that sort NULLS LAST
+    * (Spark ASC ranks nulls first), silently biasing the statistic. */
   def aucExact(df: DataFrame, score: Column, positive: Column): DataFrame = {
-    val perScore = df.groupBy(score.as("s"))
+    val perScore = df.where(score.isNotNull).groupBy(score.as("s"))
       .agg(sum(when(positive, 1L).otherwise(0L)).as("pos"),
         sum(when(positive, 0L).otherwise(1L)).as("neg"))
     val cum = Ranking.globalRunningSum(perScore, Seq(col("s")), col("neg"),

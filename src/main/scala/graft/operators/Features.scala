@@ -85,6 +85,11 @@ object Features {
   def targetEncodeOOF(df: DataFrame, cat: Column, label: Column, id: Column,
                       k: Int, m: Double, outCat: String = "cat"): DataFrame = {
     require(k >= 2, s"out-of-fold encoding needs k >= 2 folds, got $k")
+    // m > 0 keeps the encoding denominator n_c − n_cf + m strictly positive
+    // even when a category lives entirely in one fold (n_c == n_cf) —
+    // m == 0 there would divide by zero, which Spark's non-ANSI mode turns
+    // into a SILENT null encoding rather than an error
+    require(m > 0, s"out-of-fold encoding needs smoothing m > 0, got $m")
     val cf = df.select(cat.as(outCat), label.as("_y"), foldOf(id, k).as("fold"))
       .groupBy(col(outCat), col("fold"))
       .agg(sum(col("_y")).as("s_cf"), count(lit(1)).as("n_cf"))
@@ -106,9 +111,13 @@ object Features {
         .join(broadcast(byFold), Seq("fold"), "left")
         .na.fill(0L, Seq("s_cf", "n_cf", "s_f", "n_f"))
         .select(col(outCat), col("fold"), col("n_c"), col("n_cf"),
+          // degenerate fold guard: if EVERY row hashed into fold f (tiny
+          // inputs), prior_{−f} = (s−s_f)/(n−n_f) is 0/0 → silent null;
+          // fall back to the global mean — the only estimate that exists
           round(
             (col("s_c") - col("s_cf") +
-              lit(m) * (lit(s) - col("s_f")) / (lit(n) - col("n_f"))) /
+              lit(m) * when(col("n_f") === n, lit(s.toDouble / n))
+                .otherwise((lit(s) - col("s_f")) / (lit(n) - col("n_f")))) /
               (col("n_c") - col("n_cf") + lit(m)), 6).as("enc"))
         .localCheckpoint() // materialize before the cf cache unpersists
     }

@@ -56,12 +56,38 @@ object Projection {
     (n, mean, cov)
   }
 
+  /** floor(x·scale + 0.5) per coordinate — quantizes a float vector to
+    * INTEGER-valued doubles with a formula every engine computes
+    * bit-identically (cast, multiply, add, floor: four IEEE ops, no
+    * rounding-mode ambiguity; DuckDB mirror:
+    * `floor(CAST(e[i] AS DOUBLE) * scale + 0.5)`). Sums of integers stay
+    * EXACT under any aggregation order below 2⁵³ — which is what makes a
+    * cross-engine gate independent of float summation order: a raw double
+    * sum folds left-to-right in one engine, pairwise in another, and a
+    * 6-dp rounding boundary can flip on a 1-ulp difference. */
+  def quantizeVec(vec: Column, scale: Double): Column =
+    transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("double"))
+
   /** Covariance as rows (i, j, cov) with 1-based indices — the
-    * DuckDB-oracle-friendly readout of [[covariance]]. */
-  def covarianceDF(df: DataFrame, vecCol: String, dim: Int, roundTo: Int = 6): DataFrame = {
-    val (_, _, cov) = covariance(df, vecCol, dim)
+    * DuckDB-oracle-friendly readout of [[covariance]].
+    *
+    * `quantScale = Some(s)`: coordinates are quantized via
+    * [[quantizeVec]] BEFORE the moments pass and the covariance divided
+    * by s² after — the whole statistic becomes exact-integer arithmetic
+    * until the final three divisions, so the gate comparison cannot
+    * depend on which order either engine summed 128k doubles. At scale s
+    * and row count n the exactness bound is s²·max|x|²·n < 2⁵³ (s = 10⁴,
+    * |x| ≤ 1, n ≤ 10⁹ — widen s down / shard up past that). */
+  def covarianceDF(df: DataFrame, vecCol: String, dim: Int, roundTo: Int = 6,
+                   quantScale: Option[Double] = None): DataFrame = {
+    val src = quantScale match {
+      case Some(s) => df.withColumn(vecCol, quantizeVec(col(vecCol), s))
+      case None => df
+    }
+    val (_, _, cov) = covariance(src, vecCol, dim)
+    val div = quantScale.map(s => s * s).getOrElse(1.0)
     val rows = for (i <- 0 until dim; j <- 0 until dim)
-      yield (i + 1, j + 1, BigDecimal(cov(i)(j)).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      yield (i + 1, j + 1, BigDecimal(cov(i)(j) / div).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble)
     df.sparkSession.createDataFrame(rows).toDF("i", "j", "cov")
   }
 
@@ -162,7 +188,12 @@ object Projection {
     * facts. */
   def covarianceFromState(spark: org.apache.spark.sql.SparkSession,
                           table: String, groupCols: Seq[String], dim: Int,
-                          roundTo: Int = 6): DataFrame = {
+                          roundTo: Int = 6,
+                          quantScale: Option[Double] = None): DataFrame = {
+    // quantScale: the state was maintained over quantizeVec(_, s) vectors
+    // (exact integer moments); divide the covariance back by s² here —
+    // same cross-engine-exactness contract as covarianceDF
+    val qdiv = quantScale.map(s => s * s).getOrElse(1.0)
     val scanned = CommitLog.scan(spark, table)
       .select(groupCols.map(col) ++ Seq(col("n_rows"), col("sx"), col("sxx")): _*)
     val rows = scanned.collect()
@@ -182,7 +213,7 @@ object Projection {
         // Seq[Any]: a bare Seq(int, int, double) would WIDEN the ints to
         // Double (weak conformance) and break the IntegerType schema
         org.apache.spark.sql.Row.fromSeq(g ++ Seq[Any](i + 1, j + 1,
-          BigDecimal(sxx(i * dim + j) / n - (sx(i) / n) * (sx(j) / n))
+          BigDecimal((sxx(i * dim + j) / n - (sx(i) / n) * (sx(j) / n)) / qdiv)
             .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble))
       }
     }
@@ -218,6 +249,27 @@ object Projection {
     val comps = m.map { rowI =>
       aggregate(zip_with(x, array(rowI.map(lit): _*), (a, b) => a * b),
         lit(0.0), (acc, t) => acc + t) / scale
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
+  /** [[jlProject]] over [[quantizeVec]]-quantized coordinates: each
+    * component accumulates Σⱼ qⱼ·rᵢⱼ as an exact LONG (r = ±1, so the fold
+    * is pure integer adds inside codegen), then divides by scale·√k once.
+    * Same projection to within quantization error (≤ d/(2·scale·√k) per
+    * entry), but the result is bit-identical across engines and
+    * aggregation orders — this is the variant gates compare against a
+    * DuckDB replay ([[graft.queries.RankProjOps]] `jl_projection`). */
+  def jlProjectQuantized(df: DataFrame, vecCol: String, dim: Int, k: Int,
+                         scale: Double, outCol: String = "proj"): DataFrame = {
+    val m = jlSignMatrix(k, dim)
+    val q = transform(slice(col(vecCol), 1, dim),
+      x => floor(x.cast("double") * scale + lit(0.5)))
+    val rootK = math.sqrt(k.toDouble)
+    val comps = m.map { rowI =>
+      val signs = array(rowI.map(r => lit(r.toLong)): _*)
+      (aggregate(zip_with(q, signs, (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t).cast("double") / scale) / rootK
     }
     df.withColumn(outCol, array(comps: _*))
   }

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * frame so the sampled range bounds are computed once; equal-key
   * straddling across a range boundary cannot reorder a total order.
   *
+  * Null ordering: Spark's ascending sort puts NULLS FIRST, while DuckDB/
+  * PostgreSQL default to NULLS LAST — so a nullable sort key ranks
+  * differently across engines even under a total order. Callers comparing
+  * cross-engine must filter nulls out or normalize with
+  * `asc_nulls_last`/`desc_nulls_first` on BOTH sides; the gates here use
+  * non-null keys, and [[Evaluation.aucExact]] filters null scores for
+  * exactly this reason.
+  *
   * Reference anchor: the reference pages every list endpoint by keyset
   * (logstore/driver/clickhouse/logstore.go:214-260) precisely because
   * OFFSET/global-rank is unbounded there; this operator is the analytics

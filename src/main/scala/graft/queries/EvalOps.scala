@@ -35,7 +35,7 @@ object EvalOps {
         |  SELECT n_chars AS sc,
         |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
         |         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
-        |  FROM documents GROUP BY 1),
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         |c AS (SELECT pos, neg, sum(neg) OVER (ORDER BY sc) - neg AS neg_lt FROM s)
         |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
         |       round(sum(pos * (2 * neg_lt + neg)) / (2.0 * sum(pos) * sum(neg)), 6) AS auc

@@ -58,9 +58,15 @@ object RankProjOps {
     }),
 
     // One-pass covariance of the first 8 embedding dims via the
-    // graft_vec_sum moments aggregate — DuckDB recomputes with covar_pop.
+    // graft_vec_sum moments aggregate. quantScale makes the GATE exact:
+    // coordinates quantize to integers (floor(x·10⁴ + 0.5) — identical in
+    // any engine), so both sides sum exact integers and the comparison
+    // cannot flake on float summation order (a raw-double sum folds
+    // left-to-right here, incrementally in DuckDB's covar_pop — a 1-ulp
+    // difference at a 0.5e-6 rounding boundary would flip the 6th dp).
     "pca_covariance" -> ((s, dir) =>
-      Projection.covarianceDF(Tables.embeddings(s, dir), "embedding", dim = 8)
+      Projection.covarianceDF(Tables.embeddings(s, dir), "embedding", dim = 8,
+          quantScale = Some(1e4))
         .orderBy(col("i"), col("j"))),
 
     // INCREMENTAL covariance: per-label moments state maintained across
@@ -69,7 +75,12 @@ object RankProjOps {
     "incremental_pca_covariance" -> ((s, dir) => {
       import graft.operators.Sketches
       val table = java.nio.file.Files.createTempDirectory("graft_ipca").toString
+      // quantized intake (same contract as pca_covariance): the maintained
+      // moments are exact integer sums, so state merged across batches is
+      // bit-identical to a from-scratch pass REGARDLESS of batch split —
+      // exactly the property an incremental-vs-rebuild gate should pin
       val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", Projection.quantizeVec(col("embedding"), 1e4))
       val at = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
       (0 until 3).foreach { b =>
         Sketches.updateMomentsRollup(emb.filter(pmod(col("vec_id"), lit(3)) === b),
@@ -78,7 +89,8 @@ object RankProjOps {
       // replayed batch: the token must no-op or the moments double-count
       Sketches.updateMomentsRollup(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
         table, Seq("label"), "embedding", dim = 6, at = at, token = Some("m1"))
-      Projection.covarianceFromState(s, table, Seq("label"), dim = 6)
+      Projection.covarianceFromState(s, table, Seq("label"), dim = 6,
+          quantScale = Some(1e4))
         .orderBy(col("label"), col("i"), col("j"))
     }),
 
@@ -110,9 +122,14 @@ object RankProjOps {
     }),
 
     // Johnson–Lindenstrauss ±1 projection 64 → 8, md5-sign matrix —
-    // DuckDB rebuilds the matrix from md5() and replays every entry.
+    // DuckDB rebuilds the matrix from md5() and replays every entry. The
+    // quantized variant keeps the 64-term per-component sum in exact LONG
+    // arithmetic so the replay is order-independent (same rationale as
+    // pca_covariance; the double-path jlProject is pinned against this one
+    // in RankProjSpec within quantization error).
     "jl_projection" -> ((s, dir) => {
-      Projection.jlProject(Tables.embeddings(s, dir), "embedding", dim = 64, k = 8)
+      Projection.jlProjectQuantized(Tables.embeddings(s, dir), "embedding",
+          dim = 64, k = 8, scale = 1e4)
         .select(col("vec_id"), posexplode(col("proj")).as(Seq("p", "v")))
         .select(col("vec_id"), (col("p") + 1).cast("long").as("comp"),
           round(col("v"), 6).as("proj"))
@@ -139,25 +156,40 @@ object RankProjOps {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "equidepth_gk_check" ->
-      """SELECT count(*) AS n_total, CAST(10 AS INT) AS k_buckets,
+      // count(col), not count(*): equidepthApprox excludes NULL values
+      // before bucketing, so the oracle total must pin the NON-NULL count
+      // or the gate would fail on a nullable column doing exactly what the
+      // operator documents
+      """SELECT count(l_extendedprice) AS n_total, CAST(10 AS INT) AS k_buckets,
         |       true AS max_dev_ok, true AS bounds_monotone
         |FROM lineitem""".stripMargin,
 
+    // Integer-scaled raw-moment replay (NOT covar_pop — its incremental
+    // double updates are order-dependent): quantize q = floor(v·10⁴+0.5),
+    // sum exact BIGINTs, and mirror the Scala association exactly —
+    // (Σqq/n − (Σqᵢ/n)(Σqⱼ/n)) / 10⁸ — so both engines perform the SAME
+    // four IEEE divisions on the SAME exact integers.
     "pca_covariance" ->
       """WITH x AS (
-        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  SELECT vec_id, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
         |  FROM embeddings, generate_series(1, 8) AS t(i))
         |SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
-        |       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov  -- +0.0: fold -0.0 → 0.0 (Spark's HALF_UP never emits -0.0)
+        |       round((CAST(sum(a.q * b.q) AS DOUBLE) / count(*)
+        |              - (CAST(sum(a.q) AS DOUBLE) / count(*)) * (CAST(sum(b.q) AS DOUBLE) / count(*)))
+        |             / 100000000.0, 6) + 0.0 AS cov  -- +0.0: fold -0.0 → 0.0 (Spark's HALF_UP never emits -0.0)
         |FROM x a JOIN x b USING (vec_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "incremental_pca_covariance" ->
       """WITH x AS (
-        |  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+        |  SELECT label, vec_id, i,
+        |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
         |  FROM embeddings, generate_series(1, 6) AS t(i))
         |SELECT a.label AS label, CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j,
-        |       round(covar_pop(a.v, b.v), 6) + 0.0 AS cov
+        |       round((CAST(sum(a.q * b.q) AS DOUBLE) / count(*)
+        |              - (CAST(sum(a.q) AS DOUBLE) / count(*)) * (CAST(sum(b.q) AS DOUBLE) / count(*)))
+        |             / 100000000.0, 6) + 0.0 AS cov
         |FROM x a JOIN x b USING (vec_id)
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
@@ -169,17 +201,20 @@ object RankProjOps {
         |       true AS residual_ok, true AS sorted_ok, true AS l1_ge_maxvar
         |FROM (SELECT var_pop(v) AS vp FROM x GROUP BY i)""".stripMargin,
 
+    // exact-LONG sum of q·(±1), then the SAME two divisions both sides:
+    // (Σ / 10⁴) / √8 — order-independent, engine-independent
     "jl_projection" ->
       """WITH m AS (
         |  SELECT i, j,
         |         CASE WHEN substr(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1) < '8'
-        |              THEN 1.0 ELSE -1.0 END AS r
+        |              THEN 1 ELSE -1 END AS r
         |  FROM generate_series(1, 8) AS s(i), generate_series(1, 64) AS t(j)),
         |x AS (
-        |  SELECT vec_id, j, CAST(embedding[j] AS DOUBLE) AS v
+        |  SELECT vec_id, j,
+        |         CAST(floor(CAST(embedding[j] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
         |  FROM embeddings, generate_series(1, 64) AS t(j))
         |SELECT x.vec_id AS vec_id, CAST(m.i AS BIGINT) AS comp,
-        |       round(sum(x.v * m.r) / sqrt(8.0), 6) + 0.0 AS proj
+        |       round((CAST(sum(x.q * m.r) AS DOUBLE) / 10000.0) / sqrt(8.0), 6) + 0.0 AS proj
         |FROM x JOIN m USING (j)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -72,6 +72,16 @@ class EvalSpec extends GraftSuite {
     assert(rows(0).getDouble(4) == 13.0) // mean of 1..25
   }
 
+  test("aucExact drops NULL scores (unscored rows are not rankable)") {
+    val s2 = spark; import s2.implicits._
+    val df = Seq((Some(3L), true), (Some(2L), true), (Some(1L), false),
+        (None: Option[Long], true), (None: Option[Long], false))
+      .toDF("s", "y")
+    val r = Evaluation.aucExact(df, col("s"), col("y")).head()
+    // only the 3 scored rows count: 2 pos / 1 neg, perfectly separated
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 1L, 1.0)))
+  }
+
   test("confusionAtThreshold counts and rates") {
     val s2 = spark; import s2.implicits._
     val df = Seq((10, true), (9, false), (4, true), (2, false)).toDF("s", "y")

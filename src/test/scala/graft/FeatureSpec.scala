@@ -61,6 +61,29 @@ class FeatureSpec extends GraftSuite {
     assert(rows.forall(r => !r.isNullAt(4)))
   }
 
+  test("targetEncodeOOF guards degenerate inputs (m = 0, single-fold data)") {
+    val s2 = spark; import s2.implicits._
+    // m == 0 would let the encoding denominator hit zero for single-fold
+    // categories — must fail loudly, not emit silent nulls
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L)).toDF("c", "y", "id")
+    intercept[IllegalArgumentException] {
+      Features.targetEncodeOOF(df, col("c"), col("y"), col("id"), k = 2, m = 0.0)
+    }
+    // all rows hashing into ONE fold: prior_{−f} for that fold is 0/0 —
+    // must fall back to the global mean, never null
+    val fold = Features.foldOf(col("id"), 2)
+    val ids = (1L to 50L).map(i => ("x", 10L, i))
+    val oneFold = ids.toDF("c", "y", "id")
+      .withColumn("f", fold).filter(col("f") === 0).drop("f")
+    val rows = Features.targetEncodeOOF(oneFold, col("c"), col("y"), col("id"),
+      k = 2, m = 1.0).collect()
+    assert(rows.nonEmpty && rows.forall(r => !r.isNullAt(4)),
+      "degenerate fold produced null encodings")
+    // the fold that holds every row encodes from the global-mean prior
+    val f0 = rows.find(_.getInt(1) == 0).get
+    assert(f0.getDouble(4) == 10.0, s"expected global-mean fallback, got $f0")
+  }
+
   test("encodeFromAgg over maintained state equals targetEncode over facts") {
     val s2 = spark; import s2.implicits._
     val facts = Seq(("a", 10L, 1), ("a", 20L, 1), ("b", 30L, 2), ("b", 50L, 3))

@@ -326,4 +326,20 @@ class RankProjSpec extends GraftSuite {
       .agg(avg(col("r"))).head().getDouble(0)
     assert(ratio > 0.7 && ratio < 1.3, s"mean norm ratio $ratio out of JL band")
   }
+
+  test("jlProjectQuantized matches the double path within quantization error") {
+    val emb = graft.core.Tables.embeddings(spark, sf).limit(500)
+    val (dim, k, scale) = (64, 8, 1e4)
+    val dbl = Projection.jlProject(emb, "embedding", dim, k, outCol = "pd")
+    val q = Projection.jlProjectQuantized(dbl, "embedding", dim, k, scale,
+      outCol = "pq")
+    // per-entry bound: each of the 64 coords quantizes within 1/(2·scale),
+    // so |Σ q/scale − Σ x| ≤ d/(2·scale); divided by √k
+    val bound = dim / (2.0 * scale) / math.sqrt(k.toDouble) + 1e-12
+    val maxDev = q.select(
+        aggregate(zip_with(col("pd"), col("pq"), (a, b) => abs(a - b)),
+          lit(0.0), (acc, t) => greatest(acc, t)).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(maxDev <= bound, s"quantized JL deviates $maxDev > bound $bound")
+  }
 }
