@@ -11,7 +11,12 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # tolerate ScaleData-generated dirs: partitioned layout, subset of tables
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 

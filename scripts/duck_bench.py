@@ -29,7 +29,14 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # ScaleData-generated dirs are partitioned (table.parquet/*.parquet) and
+    # may carry only the tables a subset bench needs
+    import os
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+    elif os.path.exists(p):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 oracles = json.load(open(f"{outdir}/oracle_sql.json"))
 
 out = {}

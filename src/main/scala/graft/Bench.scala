@@ -294,6 +294,11 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split files so a single big table fans out to ≥ the core count:
+      // the default 128 MB cuts a 2 GB fact scan into ~17 splits, idling
+      // half of local[32] through the scan stage (measured on the sfbig
+      // floor-amortization point: ema scan-stage parallelism 17 → 34)
+      .config("spark.sql.files.maxPartitionBytes", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       // FAIR job scheduling: the serving-path benches run CONCURRENT

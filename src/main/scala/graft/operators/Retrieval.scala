@@ -77,47 +77,63 @@ object Retrieval {
       .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
 
-  /** One-shot form: stats + per-term df in one corpus scan (driver-side
-    * 1-row collect), postings pruned inside the token array, one
-    * broadcast join, salted top-k. */
+  /** One-shot form: the corpus TEXT is scanned and tokenized exactly ONCE
+    * (r12 — previously the stats/df aggregate and the postings build each
+    * re-read and re-split every document, the dominant cost of the whole
+    * query): one pass produces the slim frame `(doc_id, dl, query-term
+    * tokens)`, which is persisted and feeds BOTH the scalar/df aggregate
+    * (driver-side 1-row collect → idf folds into the broadcast query
+    * relation) and the postings groupBy. The slim frame is narrow by
+    * construction — two longs plus only the tokens that match a query
+    * term — so caching it at corpus scale costs a fraction of the text
+    * column it replaced; the top-k result is materialized before the
+    * cache is released. */
   def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
                textCol: String, queries: Seq[(String, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queries.nonEmpty, "at least one query is required")
     require(k > 0, "k must be positive")
     val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
-    val padded = concat(lit(" "), col(textCol), lit(" "))
-    val aggs = Seq(
-      count(lit(1)).as("n_docs"),
-      avg(length(col(textCol)) -
-        length(translate(col(textCol), " ", "")) + lit(1)).as("avgdl")) ++
-      terms.zipWithIndex.map { case (t, i) =>
-        count(when(padded.contains(s" $t "), 1)).as(s"df_$i")
-      }
-    val g = docs.agg(aggs.head, aggs.tail: _*).head()
-    val nDocs = g.getAs[Long]("n_docs")
-    val avgdl = g.getAs[Double]("avgdl")
-    val idfOf = terms.zipWithIndex.map { case (t, i) =>
-      val df = g.getAs[Long](s"df_$i").toDouble
-      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
-    }.toMap
-    val qdf = spark.createDataFrame(queries.flatMap { case (qid, text) =>
-      text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t, idfOf(t)))
-    }).toDF("qid", "term", "idf")
-    val termsArr = array(terms.map(lit): _*)
-    val pruned = docs
+    // dl = size(split(text)) ≡ spaces + 1: same value the previous
+    // character-arithmetic form computed, now read off the one tokenization.
+    // isin (InSet past 10 terms): O(1) hash probe per token — an
+    // array_contains over the term literals would linear-scan |terms|
+    // strings per corpus token, the dominant cost at |terms| ≈ 30
+    val slim = docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"),
-        explode(filter(col("w"), x => array_contains(termsArr, x))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = pruned
-      .join(broadcast(qdf), Seq("term"))
-      .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
-    rankTopK(scored, k)
+        filter(col("w"), x => x.isin(terms: _*)).as("qw"))
+    graft.core.Caching.withCached(slim) {
+      // n_docs / avgdl / per-term df in ONE aggregate over the slim frame
+      // (df needs existence only: membership in the pruned token array)
+      val aggs = Seq(
+        count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          count(when(array_contains(col("qw"), t), 1)).as(s"df_$i")
+        }
+      val g = slim.agg(aggs.head, aggs.tail: _*).head()
+      val nDocs = g.getAs[Long]("n_docs")
+      val avgdl = g.getAs[Double]("avgdl")
+      val idfOf = terms.zipWithIndex.map { case (t, i) =>
+        val df = g.getAs[Long](s"df_$i").toDouble
+        t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+      }.toMap
+      val qdf = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+        text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t, idfOf(t)))
+      }).toDF("qid", "term", "idf")
+      val pruned = slim
+        .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      val scored = pruned
+        .join(broadcast(qdf), Seq("term"))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
+      rankTopK(scored, k).localCheckpoint()
+    }
   }
 
   /** HYBRID retrieval fusion: Reciprocal Rank Fusion (Cormack et al.
@@ -129,10 +145,13 @@ object Retrieval {
     * a list contribute nothing for it. Input frames need `(qid, rank,
     * doc_id)`; ranks are 1-based as [[rankTopK]] emits them.
     *
-    * Scale: each input list is already ≤ k rows per query (the retrievers
-    * did the heavy lifting), so fusion is a union of tiny frames + one
-    * (qid, doc_id) aggregate + the same salted two-phase top-k. The sum
-    * has ≤ `lists.size` terms, so double addition is exact under
+    * Scale: each input list is a RANK list — bounded per query by its
+    * retriever's own top-k by definition — so the fused per-query row
+    * count is ≤ Σ list bounds no matter the corpus size. That bound is
+    * what lets fusion skip the salted two-phase entirely (r12): one
+    * (qid, doc_id) aggregate + ONE per-query window, two fewer stages
+    * than routing tiny frames through the general skew-proof path. The
+    * sum has ≤ `lists.size` terms, so double addition is exact under
     * reordering for the common 2-retriever case and rounded to 9 dp
     * before ranking regardless. */
   def rrfFuse(lists: Seq[DataFrame], k: Int, rrfK: Int = 60): DataFrame = {
@@ -140,9 +159,13 @@ object Retrieval {
     val contrib = lists.map(_.select(col("qid"), col("doc_id"),
       (lit(1.0) / (lit(rrfK) + col("rank"))).as("c")))
       .reduce(_.unionByName(_))
-    rankTopK(
-      contrib.groupBy(col("qid"), col("doc_id"))
-        .agg(round(sum(col("c")), 9).as("score")), k)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    contrib.groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("c")), 9).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc_id"), col("score"))
   }
 
   /** BM25 over a pre-built postings table — the amortized path when many
