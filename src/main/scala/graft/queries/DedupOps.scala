@@ -148,6 +148,18 @@ object DedupOps {
       Dedup.connectedComponents(
           Dedup.jaccardPairs(Tables.documents(s, dir), threshold = 0.8))),
 
+    // ADVERSARIAL-DEPTH components: 50 chains of 100 nodes (diameter 99 —
+    // min-label propagation would need ~99 rounds; the alternating
+    // large-star/small-star operator converges in O(log² n)). The oracle
+    // is ANALYTIC: chain graphs have component = id − id % 100, so DuckDB
+    // pins the complete label table without a recursive CTE.
+    "cc_twostar_chains" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val pairs = ids.filter(col("doc_id") % 100 =!= 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") - 1).as("id_b"))
+      Dedup.connectedComponentsTwoStar(pairs)
+    }),
+
     // canonical selection: keep the LONGEST doc of each near-dup cluster
     // (score = n_chars), not the min-id one — one hash aggregate over a
     // (score, -id) struct, skew-proof via map-side partials.
@@ -430,6 +442,10 @@ object DedupOps {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+    "cc_twostar_chains" ->
+      """SELECT doc_id AS id, doc_id - doc_id % 100 AS component
+        |FROM documents""".stripMargin,
+
     "dedup_clusters" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks

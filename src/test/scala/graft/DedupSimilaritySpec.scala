@@ -264,6 +264,44 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got.keySet == (1L to 26L).toSet && got.values.forall(_ == 1L))
   }
 
+  test("two-star components: 10k-node path graph converges in <= 2*log2(n) rounds") {
+    val spark2 = spark
+    import spark2.implicits._
+    // THE adversarial case for min-label propagation (needs ~n rounds);
+    // the alternating large-star/small-star contract is O(log² n), and in
+    // practice a pure path collapses well inside 2·log₂ n
+    val n = 10000L
+    val chain = spark.range(1, n).select(col("id").as("id_a"),
+      (col("id") + 1).as("id_b"))
+    val (labels, rounds) = graft.operators.Dedup
+      .twoStarWithRounds(chain, "id_a", "id_b", maxIter = 40)
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"two-star took $rounds rounds > bound $bound")
+    val rows = labels.collect()
+    assert(rows.length == n.toInt)
+    assert(rows.forall(_.getLong(1) == 1L),
+      "path graph must collapse to component 1")
+  }
+
+  test("two-star components agree with min-label propagation (random graph)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // deterministic pseudo-random sparse graph + a self-pair singleton
+    val edges = (1 to 400).map { i =>
+      val a = (i * 2654435761L) % 300
+      val b = (i * 40503L + 7) % 300
+      (a, b)
+    }.toDF("id_a", "id_b")
+      .unionByName(Seq((999L, 999L)).toDF("id_a", "id_b"))
+    val viaProp = graft.operators.Dedup.connectedComponents(edges, maxIter = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = graft.operators.Dedup.connectedComponentsTwoStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp,
+      s"two-star and propagation disagree on ${viaStar.size}/${viaProp.size} nodes")
+    assert(viaStar(999L) == 999L, "self-pair singleton lost")
+  }
+
   test("cosinePairsLsh: verified subset of exact global pairs, recall >= 0.8") {
     val v = vecs.select(col("vec_id").as("id"), col("embedding").as("v"))
     val a = v.select(col("id").as("id_a"), col("v").as("v_a"))
