@@ -42,12 +42,14 @@ object Clustering {
       lit(0.0), (acc, x) => acc + x)
 
   /** Lloyd's k-means: `iters` assign/recompute rounds from a lowest-k-ids
-    * init, then a final assignment. Returns one row per input vector:
+    * init (or an explicit `init` — see [[kmeansParallelInit]]), then a
+    * final assignment. Returns one row per input vector:
     * (idCol, cluster, dist) with dist = round(L2 to its centroid, 6).
     * Empty clusters drop out of later iterations (ids keep their original
     * index — parity with a GROUP BY recompute on any engine). */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   init: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
 
@@ -57,9 +59,13 @@ object Clustering {
       }: _*))
 
     graft.core.Caching.withCached(v) {
-      // init: the k lowest-id vectors, cluster id = rank in id order
-      var cents: Seq[(Int, Seq[Double])] = v.orderBy("id").limit(k).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      // init: the k lowest-id vectors, cluster id = rank in id order —
+      // the DuckDB-replayable default; an explicit init (k-means‖) keeps
+      // the same (index, centroid) shape
+      var cents: Seq[(Int, Seq[Double])] = init
+        .map(_.zipWithIndex.map { case (c, i) => (i, c) })
+        .getOrElse(v.orderBy("id").limit(k).collect()
+          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq)
       var it = 0
       while (it < iters) {
         val dimAvgs = (0 until dim).map(j =>
@@ -77,6 +83,127 @@ object Clustering {
         .localCheckpoint() // pin: the cached `v` unpersists when this scope exits
     }
   }
+
+  /** Deterministic k-means‖ seeding (Bahmani et al. 2012) — the
+    * initialization that makes Lloyd's start from spread-out, density-
+    * weighted centers instead of whatever the k lowest ids happen to be
+    * (first-k is replayable but can seed all centers inside one dense
+    * region and strand Lloyd in a poor local optimum).
+    *
+    * The classic algorithm, with every random draw replaced by the repo's
+    * content-hash discipline so the result is reproducible across runs
+    * and partitionings:
+    *   1. C ← the minimum-id vector;
+    *   2. `rounds` times: each point samples itself into C when
+    *      u(id, round) < ℓ·d²(x,C)/φ — u is the md5-derived uniform
+    *      ([[Sampling.uniformOf]]), d²(x,C) a per-row codegen fold over
+    *      broadcast-literal centers, and φ the current total cost summed
+    *      in INTEGER-scaled units (a raw double Σ would make the sample
+    *      set depend on aggregation order);
+    *   3. weight each candidate by its nearest-point count (one
+    *      aggregate), then recluster the ≤ 1+ℓ·rounds-ish candidates to k
+    *      on the DRIVER: greedy farthest-point seeding by w·d², then
+    *      weighted Lloyd — all deterministic (ties break to lowest
+    *      candidate index).
+    * Every distributed step is one scan with map-side-combining
+    * aggregates; candidate count — not row count — bounds driver state.
+    * Output feeds [[kmeansAssign]]'s `init`; the `kmeans_parallel_check`
+    * gate pins inertia(k-means‖) ≤ inertia(first-k) at both gate SFs. */
+  def kmeansParallelInit(vectors: DataFrame, k: Int, dim: Int = 64,
+                         ell: Double = 0.0, rounds: Int = 5,
+                         idCol: String = "vec_id", vecCol: String = "embedding",
+                         maxCandidates: Int = 4096): Seq[Seq[Double]] =
+    parallelInitFrame(vectors.select(col(idCol).as("id"),
+        transform(slice(col(vecCol), 1, dim), _.cast("double")).as("v")),
+      k, ell, rounds, maxCandidates)
+
+  /** [[kmeansParallelInit]] over a prepared `(id, v)` frame — shared with
+    * [[Quantization.pqTrain]]'s per-subspace codebooks. */
+  private[operators] def parallelInitFrame(frame: DataFrame, k: Int,
+                                           ell: Double = 0.0, rounds: Int = 5,
+                                           maxCandidates: Int = 4096): Seq[Seq[Double]] = {
+    require(k >= 1, s"kmeansParallelInit needs k >= 1, got $k")
+    val oversample = if (ell > 0) ell else 2.0 * k
+    val v = frame
+    graft.core.Caching.withCached(v) {
+      var centers: Vector[Seq[Double]] =
+        Vector(v.orderBy("id").limit(1).collect()(0).getSeq[Double](1))
+      def dminExpr(cs: Seq[Seq[Double]]): Column =
+        array_min(array(cs.map(c => dist2(col("v"), c)): _*))
+      for (r <- 1 to rounds) {
+        val dmin = dminExpr(centers)
+        // φ in micro-units, summed as LONG — order-free exact
+        val phi = v.agg(sum(floor(dmin * 1e6)).as("s")).head().getLong(0) / 1e6
+        if (phi > 0) {
+          val u = Sampling.uniformOf(col("id"), s"kmpar_$r")
+          val sampled = v
+            .filter(u * lit(phi) < lit(oversample) * dmin)
+            // deterministic overflow guard: an adversarial φ spike could
+            // sample far more than ℓ — keep the lowest-u winners
+            .withColumn("_u", u).orderBy(col("_u"), col("id"))
+            .limit(maxCandidates)
+            .collect().map(_.getSeq[Double](1))
+          centers = (centers ++ sampled).distinct.take(maxCandidates)
+        }
+      }
+      // weights: nearest-candidate counts (one aggregate; candidate index
+      // by position, ties to the lowest index via struct ordering)
+      val cand = centers.zipWithIndex
+      val nearest = array_min(array(cand.map { case (c, i) =>
+        struct(dist2(col("v"), c).as("d"), lit(i).as("i"))
+      }: _*)).getField("i")
+      val wMap = v.groupBy(nearest.as("i")).agg(count(lit(1)).as("w"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val weights = cand.map { case (_, i) => wMap.getOrElse(i, 0L).toDouble }
+      reclusterWeighted(centers, weights, k)
+    }
+  }
+
+  /** Driver-side deterministic weighted k-means over the candidate set:
+    * greedy farthest-point seeding (first = max weight, then argmax
+    * w·d²(c, chosen), ties to lowest index), then 20 weighted Lloyd
+    * rounds. O(|candidates|²·dim) — candidates are ℓ·rounds-ish, never
+    * row-count. */
+  private[operators] def reclusterWeighted(cand: Seq[Seq[Double]],
+                                           w: Seq[Double], k: Int): Seq[Seq[Double]] = {
+    val n = cand.size
+    if (n <= k) return cand
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val first = w.indices.maxBy(i => (w(i), -i))
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.size < k) {
+      val next = (0 until n).filterNot(chosen.contains).maxBy { i =>
+        (w(i) * chosen.map(j => d2(cand(i), cand(j))).min, -i)
+      }
+      chosen += next
+    }
+    var cents = chosen.map(cand).toVector
+    for (_ <- 1 to 20) {
+      val assign = (0 until n).map(i =>
+        cents.indices.minBy(j => (d2(cand(i), cents(j)), j)))
+      cents = cents.indices.map { j =>
+        val members = (0 until n).filter(i => assign(i) == j && w(i) > 0)
+        if (members.isEmpty) cents(j)
+        else {
+          val tw = members.map(w).sum
+          cand.head.indices.map(d =>
+            members.map(i => w(i) * cand(i)(d)).sum / tw)
+        }
+      }.toVector
+    }
+    cents.map(_.toSeq)
+  }
+
+  /** Total within-cluster cost of a [[kmeansAssign]] result, in exact
+    * micro-units (LONG sum of floor(dist²·10⁶) — order-free, so the
+    * inertia comparison gate is deterministic). */
+  def inertiaMicros(assigned: DataFrame): Long =
+    assigned.agg(sum(floor(col("dist") * col("dist") * 1e6)).as("s"))
+      .head().getLong(0)
 
   /** The D4 pipeline composition (Tirumala et al. 2023): k-means-cluster
     * the embeddings, then semantic-dedup WITHIN each learned cluster —

@@ -61,17 +61,25 @@ object Quantization {
     }: _*)).getField("cluster")
 
   /** Train the M codebooks: for each subspace, `iters` Lloyd rounds from a
-    * lowest-k-ids init. Returns, per subspace, the (cid, centroid) list —
-    * driver-sized (M×K×(dim/M) doubles). */
+    * lowest-k-ids init (the DuckDB-replayable default) or, with
+    * `parallelInit`, from deterministic k-means‖ seeding
+    * ([[Clustering.parallelInitFrame]] per subspace — better spread, same
+    * determinism, not SQL-replayable). Returns, per subspace, the
+    * (cid, centroid) list — driver-sized (M×K×(dim/M) doubles). */
   def pqTrain(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[(Int, Seq[Double])]] = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              parallelInit: Boolean = false): Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     (0 until m).map { s =>
       val sv = vectors.select(col(idCol).as("id"), subCol(vecCol, s, sub).as("v"))
       graft.core.Caching.withCached(sv) {
-        var cents: Seq[(Int, Seq[Double])] = sv.orderBy("id").limit(k).collect()
-          .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+        var cents: Seq[(Int, Seq[Double])] =
+          if (parallelInit)
+            Clustering.parallelInitFrame(sv, k).zipWithIndex
+              .map { case (c, i) => (i, c) }
+          else sv.orderBy("id").limit(k).collect()
+            .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
         var it = 0
         while (it < iters) {
           val dimAvgs = (0 until sub).map(j =>

@@ -208,6 +208,22 @@ object VectorOps {
       graft.operators.Clustering.kmeansAssign(
         Tables.embeddings(s, dir), k = 10, iters = 3)),
 
+    // k-means‖ seeding (Bahmani et al. 2012, md5-deterministic draws) must
+    // BEAT OR MATCH the replayable first-k-by-id seeding after the same
+    // Lloyd budget — inertia compared in exact integer micro-units, so the
+    // verdict is order-free. The seeding itself is not SQL-replayable
+    // (iterated cost-proportional sampling); the oracle pins the scaffold
+    // and the spec pins determinism (same centroids on a re-run).
+    "kmeans_parallel_check" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val c = graft.operators.Clustering
+      val iPar = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3,
+        init = Some(c.kmeansParallelInit(emb, k = 10))))
+      val iFirst = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3))
+      s.createDataFrame(Seq((emb.count(), 10, iPar <= iFirst)))
+        .toDF("n_vectors", "k", "parallel_le_firstk")
+    }),
+
     // incremental EMBEDDING near-dup: four batches through the hyperplane-
     // bucket ledger (the vector sibling of incremental_minhash_dedup).
     // FULLY oracled: plane components are deterministic literals, so DuckDB
@@ -566,6 +582,10 @@ object VectorOps {
       .sqCheckOracleSql(topK = 20, queryId = 0, minHits = SqMinHits),
     "hybrid_rrf_topk" -> hybridRrfOracle,
     "kmeans_clusters" -> graft.operators.Clustering.kmeansOracleSql(k = 10, iters = 3),
+    "kmeans_parallel_check" ->
+      """SELECT count(*) AS n_vectors, CAST(10 AS INT) AS k,
+        |       true AS parallel_le_firstk
+        |FROM embeddings""".stripMargin,
     "incremental_embedding_dedup" -> incrementalEmbeddingOracle,
     "semdedup_kmeans" -> graft.operators.Clustering.semdedupOracleSql(k = 10, iters = 3, threshold = 0.4),
     "ann_ivf" -> annIvfOracle,

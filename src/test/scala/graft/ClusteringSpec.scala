@@ -48,6 +48,20 @@ class ClusteringSpec extends GraftSuite {
     assert(chained.count() === 0L)
   }
 
+  test("kmeansParallelInit: deterministic, k centroids, inertia <= first-k") {
+    val k = 10
+    val i1 = Clustering.kmeansParallelInit(vecs, k)
+    val i2 = Clustering.kmeansParallelInit(vecs, k)
+    assert(i1 == i2, "k-means‖ seeding must be reproducible run-to-run")
+    assert(i1.size == k && i1.forall(_.size == 64))
+    val iPar = Clustering.inertiaMicros(
+      Clustering.kmeansAssign(vecs, k, iters = 3, init = Some(i1)))
+    val iFirst = Clustering.inertiaMicros(
+      Clustering.kmeansAssign(vecs, k, iters = 3))
+    assert(iPar <= iFirst,
+      s"k-means‖ seeding lost to first-k: $iPar > $iFirst micro-units")
+  }
+
   test("clusters recover latent label structure better than the init") {
     // Purity against the generator's latent label: the trained assignment
     // should beat the iteration-0 (init-centroid) assignment.

@@ -21,6 +21,37 @@ class QuantizationSpec extends GraftSuite {
     assert(cb == cb2, "pq training is not deterministic")
   }
 
+  test("pq k-means‖ training: deterministic, quantization error <= first-k's") {
+    val cbPar = Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2,
+      parallelInit = true)
+    assert(cbPar == Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2,
+      parallelInit = true), "k-means‖ pq training is not deterministic")
+    // total quantization error (exact micro-unit sum of per-subspace d²)
+    def err(books: Seq[Seq[(Int, Seq[Double])]]): Long = {
+      val codes = Quantization.pqEncode(vecs, books)
+      val decoded = books.zipWithIndex.map { case (cents, s) =>
+        val m = cents.toMap
+        org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.map(m.toSeq.flatMap { case (cid, c) =>
+            Seq(lit(cid), array(c.map(lit): _*))
+          }: _*), col(s"c$s"))
+      }
+      val full = org.apache.spark.sql.functions.flatten(array(decoded: _*))
+      val x = org.apache.spark.sql.functions.transform(col("embedding"), _.cast("double"))
+      codes.join(vecs.select(col("vec_id"), col("embedding")), "vec_id")
+        .select(org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.zip_with(x, full, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, t) => acc + t).as("d2"))
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor(col("d2") * 1e6)))
+        .head().getLong(0)
+    }
+    val ePar = err(cbPar)
+    val eFirst = err(cb)
+    assert(ePar <= eFirst,
+      s"k-means‖ codebooks quantize worse than first-k: $ePar > $eFirst")
+  }
+
   test("pq encode: one shuffle-free projection, codes within codebook range") {
     val codes = Quantization.pqEncode(vecs, cb)
     val phys = codes.queryExecution.executedPlan.toString
