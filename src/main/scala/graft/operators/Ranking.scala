@@ -195,16 +195,49 @@ object Ranking {
     val bounds = sketch.select(graft.plans.QuantileRegistry
         .gkQuantiles(col("gk"), ps).as("q"))
       .head().getSeq[Double](0).toArray
-    // assignment: bucket b = 1 + #(boundaries < value); boundary ties go
-    // right (value == boundary lands in the higher bucket) — fixed rule,
-    // engine-free determinism given the same boundaries
+    boundsHistogram(v, bounds)
+  }
+
+  /** Histogram of a prepared `(_v)` frame (nulls already excluded) against
+    * fixed ascending boundaries: bucket b = 1 + #(boundaries ≤ value) —
+    * boundary ties go right, a fixed rule with engine-free determinism
+    * given the same boundaries. Pure codegen comparison against k−1
+    * broadcast literals; unordered output (k rows — an orderBy would add
+    * a range exchange to a plan whose point is having none). */
+  private[graft] def boundsHistogram(v: DataFrame, bounds: Seq[Double]): DataFrame = {
     val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col("_v") >= b, 1).otherwise(0)
     }
-    // unordered (k rows): an orderBy here would add a range exchange to a
-    // plan whose point is having none — consumers sort the k rows
     v.withColumn("bucket", bucket)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"), max(col("_v")).as("hi"))
+  }
+
+  /** INCREMENTAL equi-depth: boundaries read off MAINTAINED quantile-
+    * rollup state ([[Sketches.updateQuantileRollup]] — one mergeable GK
+    * sketch per rollup group, refreshed at O(batch) per commit), so the
+    * boundary refresh never re-reads facts; the assignment pass is the
+    * same k−1-literal codegen comparison over whatever fact slice the
+    * caller provides. Retention composes naturally: the state is stored
+    * at (e.g.) month grain, so dropping a month's state row FORGETS that
+    * month — the merged boundaries afterwards describe exactly the
+    * retained population (gate `incremental_equidepth_check` pins the
+    * 2εn bound and the state-vs-facts row-count agreement after a
+    * 3-batch + replay + retention-drop cycle).
+    *
+    * @return (histogram DataFrame (bucket, n, lo, hi), state row count —
+    *         the incremental-consistency witness: must equal the
+    *         non-null fact count of the same retained slice) */
+  def equidepthFromState(spark: org.apache.spark.sql.SparkSession,
+                         stateTable: String, facts: DataFrame,
+                         valueCol: Column, k: Int): (DataFrame, Long) = {
+    require(k >= 2, s"equidepthFromState needs k >= 2, got $k")
+    val ps = (1 until k).map(_.toDouble / k)
+    val row = Sketches.quantilesAcross(spark, stateTable, Nil, ps).head()
+    val bounds = row.getSeq[Double](0)
+    val nState = row.getLong(1)
+    val v = facts.select(valueCol.cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    (boundsHistogram(v, bounds), nState)
   }
 }

@@ -57,6 +57,52 @@ object RankProjOps {
         .toDF("n_total", "k_buckets", "max_dev_ok", "bounds_monotone")
     }),
 
+    // INCREMENTAL equi-depth (VERDICT r11 task #7): month-grain GK state
+    // maintained over 3 batches (one replayed — token no-op on both the
+    // fact log and the rollup), then RETENTION drops January from facts
+    // AND state; boundaries re-read from the merged remaining sketches at
+    // O(state) — no fact re-sketch — and must still bucket the retained
+    // facts within the 2εn population bound. n_total is DuckDB-oracled;
+    // state_matches_facts pins that the state's row count FORGOT exactly
+    // the dropped month.
+    "incremental_equidepth_check" -> ((s, dir) => {
+      import graft.operators.{CommitLog, Sketches}
+      val base = java.nio.file.Files.createTempDirectory("graft_ieq").toString
+      val (fact, state) = (s"$base/fact", s"$base/qstate")
+      val (k, eps) = (10, 0.005)
+      val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+          col("value"))
+        .withColumn("fmonth", date_format(col("ts"), "yyyy-MM"))
+      val at = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+      def feed(b: Int, tok: String): Unit = {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
+          token = Some(s"f$tok"))
+        Sketches.updateQuantileRollup(batch, state, Seq("fmonth"), "value",
+          at, eps = eps, token = Some(s"q$tok"))
+      }
+      (0 until 3).foreach(b => feed(b, b.toString))
+      feed(1, "1") // replayed batch: must no-op or the sketches double-count
+      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
+      CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
+        idCol = "rollup_id", tsCol = "updated_at")
+      val (hist, nState) = graft.operators.Ranking.equidepthFromState(
+        s, state, CommitLog.scan(s, fact), col("value"), k)
+      val rows = hist.collect().sortBy(_.getInt(0))
+      val n = rows.map(_.getLong(1)).sum
+      val target = n.toDouble / k
+      val maxDevOk = rows.map(r => math.abs(r.getLong(1) - target)).max <= 2 * eps * n + 1
+      val monotone = rows.sliding(2).forall {
+        case Array(a, b) => a.getDouble(3) <= b.getDouble(2) + 1e-9
+        case _ => true
+      }
+      s.createDataFrame(Seq((n, rows.length, maxDevOk, monotone, nState == n)))
+        .toDF("n_total", "k_buckets", "max_dev_ok", "bounds_monotone",
+          "state_matches_facts")
+    }),
+
     // One-pass covariance of the first 8 embedding dims via the
     // graft_vec_sum moments aggregate. quantScale makes the GATE exact:
     // coordinates quantize to integers (floor(x·10⁴ + 0.5) — identical in
@@ -163,6 +209,15 @@ object RankProjOps {
       """SELECT count(l_extendedprice) AS n_total, CAST(10 AS INT) AS k_buckets,
         |       true AS max_dev_ok, true AS bounds_monotone
         |FROM lineitem""".stripMargin,
+
+    "incremental_equidepth_check" ->
+      """SELECT count(*) AS n_total, CAST(10 AS INT) AS k_buckets,
+        |       true AS max_dev_ok, true AS bounds_monotone,
+        |       true AS state_matches_facts
+        |FROM (SELECT ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts2, value
+        |      FROM events)
+        |WHERE strftime(ts2::TIMESTAMP, '%Y-%m') >= '2024-02'
+        |  AND value IS NOT NULL""".stripMargin,
 
     // Integer-scaled raw-moment replay (NOT covar_pop — its incremental
     // double updates are order-dependent): quantize q = floor(v·10⁴+0.5),
