@@ -63,7 +63,7 @@ object KafkaWire {
 
   /** One wire record: (key, value, headers). Header values are bytes on
     * the wire (the reference writes metadata strings UTF-8). */
-  private[streaming] type Rec =
+  private[graft] type Rec =
     (Array[Byte], Array[Byte], Seq[(String, Array[Byte])])
 
   /** Encode a record-batch v2 (magic 2): baseOffset 0, producer fields
@@ -171,6 +171,23 @@ object KafkaWire {
       (key, value, headers)
     }
     (crcOk, recs)
+  }
+
+  /** Split a Fetch record set into its batches: each is baseOffset(8) +
+    * batchLength(4) + batchLength bytes. A truncated tail (brokers may
+    * cut the last batch at max_bytes) is dropped, per protocol. */
+  private[streaming] def splitBatches(set: Array[Byte]): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var pos = 0
+    while (set.length - pos >= 12) {
+      val len = java.nio.ByteBuffer.wrap(set, pos + 8, 4).getInt
+      if (len < 0 || pos + 12 + len > set.length) pos = set.length // truncated
+      else {
+        out += java.util.Arrays.copyOfRange(set, pos, pos + 12 + len)
+        pos += 12 + len
+      }
+    }
+    out.result()
   }
 
   // ---- request/response framing (pre-flexible versions) ----
@@ -500,7 +517,7 @@ final case class KafkaWireSink(topic: String, host: String, port: Int,
 
 /** One broker connection + cached topic partition counts, shared across
   * the tasks of one Spark partition (executor-side only). */
-private[streaming] final class KafkaWireConnHolder(host: String, port: Int,
+private[graft] final class KafkaWireConnHolder(host: String, port: Int,
                                                    timeoutMillis: Int) {
   private val sock = new java.net.Socket()
   sock.connect(new java.net.InetSocketAddress(host, port), timeoutMillis)
@@ -613,6 +630,52 @@ private[streaming] final class KafkaWireConnHolder(host: String, port: Int,
         Right(partOf.map(p0 => errByPart.getOrElse(p0, 2)))
     }
 
+  /** Fetch v4 from `offset` (r12 — closes the produce-only asymmetry with
+    * the reference's consume path, `internal/mqs`): one request, the
+    * response's record set split into batches, EVERY batch CRC32C-verified
+    * before a record is surfaced (a corrupt batch throws — consuming
+    * silently past a bad digest is how data loss hides), records below the
+    * fetch position skipped (brokers return whole batches).
+    *
+    * @return Left(partition error code) or
+    *         Right((high watermark, (offset, record) in offset order)) */
+  def fetchFrom(topic: String, partition: Int, offset: Long,
+                maxBytes: Int = 1 << 22): Either[Int, (Long, Seq[(Long, KafkaWire.Rec)])] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeInt(-1)          // replica_id: consumer
+    d.writeInt(0)           // max_wait_ms
+    d.writeInt(1)           // min_bytes
+    d.writeInt(maxBytes)
+    d.writeByte(0)          // isolation: read_uncommitted
+    d.writeInt(1); KafkaWire.writeString(d, topic)
+    d.writeInt(1)
+    d.writeInt(partition); d.writeLong(offset); d.writeInt(maxBytes)
+    d.flush()
+    val b = call(1, 4, body.toByteArray)
+    b.getInt // throttle
+    require(b.getInt == 1, "expected 1 topic in fetch response")
+    KafkaWire.readString(b)
+    require(b.getInt == 1, "expected 1 partition in fetch response")
+    require(b.getInt == partition, "partition mismatch in fetch response")
+    val err = b.getShort.toInt
+    val hw = b.getLong
+    b.getLong // last_stable_offset
+    val aborted = b.getInt
+    (0 until aborted).foreach(_ => { b.getLong; b.getLong })
+    val setLen = b.getInt
+    val set = new Array[Byte](math.max(setLen, 0)); b.get(set)
+    if (err != 0) Left(err)
+    else Right((hw, KafkaWire.splitBatches(set).flatMap { batch =>
+      val base = java.nio.ByteBuffer.wrap(batch).getLong
+      val (crcOk, recs) = KafkaWire.decodeBatch(batch)
+      if (!crcOk)
+        throw new IllegalStateException(
+          s"fetch: CRC32C mismatch in batch at offset $base")
+      recs.zipWithIndex.map { case (r, i) => (base + i, r) }
+    }.filter(_._1 >= offset)))
+  }
+
   def close(): Unit = try sock.close() catch { case _: Exception => () }
 }
 
@@ -646,6 +709,12 @@ object KafkaMockServer {
     val produceReqs = new java.util.concurrent.atomic.AtomicLong(0L)
     val offsets = new java.util.concurrent.ConcurrentHashMap[(String, Int),
       java.util.concurrent.atomic.AtomicLong]()
+    // the retained log per (topic, partition): (baseOffset, recordCount,
+    // raw batch REBASED to its assigned base) — what Fetch serves back.
+    // Rebasing rewrites only the first 8 bytes; the batch CRC covers
+    // attributes→end, so the stored bytes stay CRC-valid for the consumer.
+    val log = new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      java.util.concurrent.CopyOnWriteArrayList[(Long, Int, Array[Byte])]]()
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
 
     def serve(sock: java.net.Socket): Unit = {
@@ -675,8 +744,9 @@ object KafkaMockServer {
             case 18 => // ApiVersions v0
               require(version == 0, s"ApiVersions v$version unsupported")
               d.writeShort(0)
-              d.writeInt(3)
+              d.writeInt(4)
               d.writeShort(0); d.writeShort(0); d.writeShort(8)   // Produce
+              d.writeShort(1); d.writeShort(4); d.writeShort(11)  // Fetch
               d.writeShort(3); d.writeShort(0); d.writeShort(8)   // Metadata
               d.writeShort(18); d.writeShort(0); d.writeShort(2)  // ApiVersions
             case 3 => // Metadata v1
@@ -739,6 +809,12 @@ object KafkaMockServer {
                                      else new String(hv, "UTF-8"))
                             }.toMap, base + i))
                         }
+                        // retain for Fetch, rebased to the assigned base
+                        val stored = set.clone()
+                        java.nio.ByteBuffer.wrap(stored).putLong(0, base)
+                        log.computeIfAbsent((topic, pid), _ =>
+                            new java.util.concurrent.CopyOnWriteArrayList())
+                          .add((base, recs.size, stored))
                         0
                       }
                     }
@@ -757,6 +833,57 @@ object KafkaMockServer {
                 }
               }
               d.writeInt(0) // throttle_time_ms
+            case 1 => // Fetch v4 (first pre-flexible version serving
+              // record-batch v2 — the same format Produce v3 writes)
+              require(version == 4, s"Fetch v$version unsupported")
+              b.getInt                // replica_id
+              b.getInt; b.getInt      // max_wait_ms, min_bytes
+              b.getInt                // max_bytes
+              b.get()                 // isolation_level
+              val tn = b.getInt
+              val resp = (0 until tn).map { _ =>
+                val topic = KafkaWire.readString(b)
+                val pn = b.getInt
+                val parts = (0 until pn).map { _ =>
+                  val pid = b.getInt
+                  val fetchOffset = b.getLong
+                  b.getInt            // partition_max_bytes
+                  if (!topics.contains(topic) || pid < 0 || pid >= topics(topic))
+                    (pid, 3, 0L, Array.empty[Byte]) // UNKNOWN_TOPIC_OR_PARTITION
+                  else {
+                    val hw = Option(offsets.get((topic, pid)))
+                      .map(_.get()).getOrElse(0L)
+                    // serve every retained batch whose LAST offset is at or
+                    // past the fetch position (a mid-batch fetch returns the
+                    // whole batch; the consumer skips below-position records
+                    // — real broker semantics)
+                    val batches = Option(log.get((topic, pid)))
+                      .map(l => {
+                        import scala.jdk.CollectionConverters._
+                        l.asScala.filter { case (base, n, _) =>
+                          base + n - 1 >= fetchOffset
+                        }.map(_._3).toSeq
+                      }).getOrElse(Seq.empty)
+                    val set = new java.io.ByteArrayOutputStream()
+                    batches.foreach(set.write)
+                    (pid, 0, hw, set.toByteArray)
+                  }
+                }
+                (topic, parts)
+              }
+              d.writeInt(0) // throttle_time_ms
+              d.writeInt(resp.size)
+              resp.foreach { case (topic, parts) =>
+                KafkaWire.writeString(d, topic)
+                d.writeInt(parts.size)
+                parts.foreach { case (pid, err, hw, set) =>
+                  d.writeInt(pid); d.writeShort(err)
+                  d.writeLong(hw)   // high_watermark
+                  d.writeLong(hw)   // last_stable_offset (no transactions)
+                  d.writeInt(0)     // aborted_transactions: none
+                  d.writeInt(set.length); d.write(set)
+                }
+              }
             case other =>
               throw new IllegalArgumentException(s"unsupported api $other")
           }

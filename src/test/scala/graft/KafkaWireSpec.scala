@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{KafkaMockServer, KafkaWire, KafkaWireSink, Sinks}
+import graft.streaming.{KafkaMockServer, KafkaWire, KafkaWireConnHolder, KafkaWireSink, Sinks}
 import org.apache.spark.sql.functions._
 
 /** Wire-level Kafka round-trip with NO broker and NO client library: the
@@ -77,6 +77,49 @@ class KafkaWireSpec extends GraftSuite {
         assert(rs.map(_.baseOffset).sorted == (0L until rs.size).toSeq)
       }
     } finally server.stop()
+  }
+
+  test("Fetch round-trips produced records: CRC-verified batches, offsets, " +
+      "mid-offset resume, per-partition isolation") {
+    val server = KafkaMockServer.start(Map("orders" -> 2))
+    val conn = new KafkaWireConnHolder("127.0.0.1", server.port, 5000)
+    try {
+      def rec(i: Int): KafkaWire.Rec =
+        (s"k$i".getBytes("UTF-8"), s"v$i-payload".getBytes("UTF-8"),
+          Seq("h" -> s"m$i".getBytes("UTF-8"), "null-h" -> null))
+      val recs = (0 until 12).map(rec)
+      // two produce rounds so partitions hold MULTIPLE batches each
+      assert(conn.produceMany("orders", recs.take(6)).toOption.get.forall(_ == 0))
+      assert(conn.produceMany("orders", recs.drop(6)).toOption.get.forall(_ == 0))
+      val partOf = recs.map { case (k, _, _) =>
+        KafkaWire.fnv1aPartition(k, 2)
+      }
+      (0 until 2).foreach { p =>
+        val sent = recs.zip(partOf).filter(_._2 == p).map(_._1)
+        val Right((hw, got)) = conn.fetchFrom("orders", p, 0L)
+        assert(hw == sent.size.toLong, s"partition $p watermark $hw")
+        assert(got.map(_._1) == sent.indices.map(_.toLong),
+          s"partition $p offsets not contiguous from 0: ${got.map(_._1)}")
+        // byte-exact round trip in produce order (hash routing preserves
+        // per-partition input order; the broker assigned ascending offsets)
+        got.map(_._2).zip(sent).foreach { case ((gk, gv, gh), (sk, sv, sh)) =>
+          assert(java.util.Arrays.equals(gk, sk) &&
+            java.util.Arrays.equals(gv, sv))
+          assert(gh.map(_._1) == sh.map(_._1))
+          gh.zip(sh).foreach { case ((_, gb), (_, sb)) =>
+            assert((gb == null && sb == null) || java.util.Arrays.equals(gb, sb))
+          }
+        }
+        // resume mid-stream: fetching from offset 2 returns exactly the
+        // suffix even when offset 2 sits inside a retained batch
+        if (sent.size > 3) {
+          val Right((_, tail)) = conn.fetchFrom("orders", p, 2L)
+          assert(tail.map(_._1) == (2L until sent.size.toLong))
+        }
+      }
+      // unknown partition surfaces the protocol error, not an empty list
+      assert(conn.fetchFrom("orders", 7, 0L) == Left(3))
+    } finally { conn.close(); server.stop() }
   }
 
   test("corrupted CRC32C is rejected with CORRUPT_MESSAGE and stores " +
