@@ -135,13 +135,23 @@ object Dedup {
   def removeDuplicateSpansFromGrams(docs: DataFrame, grams: DataFrame,
                                     n: Int = 10, minDocs: Int = 2,
                                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    graft.plans.TextExprs.install(docs.sparkSession)
     val crossDoc = grams.groupBy(col("g"))
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs).select("g")
-    // sorted duplicated-gram start positions per affected doc (small: one
-    // int-array row per doc that HAS duplication)
-    val dupArr = grams.join(crossDoc, Seq("g"), "left_semi")
+    scrubWithDupPositions(docs,
+      grams.join(crossDoc, Seq("g"), "left_semi").select(col("id"), col("gpos")),
+      n, idCol, textCol)
+  }
+
+  /** The rewrite tail shared by the gram-census and suffix-rank span
+    * paths: duplicated start positions aggregate to one sorted int array
+    * per AFFECTED doc (small rows), joined back onto the documents, and
+    * the span cut is the codegen'd [[graft.plans.SpanScrub]] two-pointer
+    * pass — words are never exploded and never reassembled via shuffle. */
+  private def scrubWithDupPositions(docs: DataFrame, dupPos: DataFrame,
+                                    n: Int, idCol: String, textCol: String): DataFrame = {
+    graft.plans.TextExprs.install(docs.sparkSession)
+    val dupArr = dupPos
       .groupBy(col("id"))
       .agg(sort_array(collect_set(col("gpos"))).as("gps"))
     val scrub = graft.plans.TextExprs.spanScrub(col(textCol),
@@ -154,6 +164,106 @@ object Dedup {
         col("r.n_words").cast("long").as("n_words"),
         col("r.n_removed").cast("long").as("n_removed"))
   }
+
+  /** EXACT duplicated n-gram positions by DISTRIBUTED SUFFIX RANKING —
+    * the hash-free companion to the gram census (VERDICT r11 task #3;
+    * Lee et al. 2022's exact-substring pass, re-expressed as Manber–Myers
+    * prefix doubling over the corpus):
+    *
+    *   1. rank₁ = order-rank of each distinct TOKEN (one range exchange
+    *      over the vocabulary — [[Ranking.globalRowNumber]]);
+    *   2. double: rank₂ₕ(p) = rank of the pair (rankₕ(p), rankₕ(p+h)) —
+    *      one shifted self-join + one range exchange over the DISTINCT
+    *      pairs, ⌈log₂ n⌉ rounds;
+    *   3. the exact length-n window rank comes from the overlapping-block
+    *      trick: (rankₕ(p), rankₕ(p+n−h)) with h the largest power of two
+    *      below n — the two blocks cover the window, so pair equality ⟺
+    *      n-token equality EXACTLY (no hash, no collisions);
+    *   4. flag every full-window position whose rank occurs in ≥ minDocs
+    *      distinct docs.
+    *
+    * Scale shape vs the census: both shuffle one row per corpus word
+    * position, but the census's keys are n-gram strings (or 8-byte hashes
+    * with 2⁻⁶⁴ collisions — the default); here every shuffled key is a
+    * fixed-width LONG and the answer is exact. Cost is ⌈log₂ n⌉ range
+    * exchanges instead of one gram shuffle — the classic exactness/pass
+    * trade. Truncated tail windows never corrupt full-window ranks: a
+    * full window's pair components are themselves full by induction, and
+    * the final combine reads full windows only.
+    *
+    * Docs shorter than n tokens reproduce [[TextFunctions.shingles]]'s
+    * contract (the whole doc as one position-0 pseudo-gram, exact string
+    * grouping); cross-branch equality is impossible (different token
+    * counts), so the branches are independent.
+    *
+    * @return (id, gpos) — exactly the census's duplicated-position set
+    */
+  def suffixRankDupPositions(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                             idCol: String = "doc_id", textCol: String = "text",
+                             parts: Int = 32): DataFrame = {
+    require(n >= 1 && minDocs >= 1, s"need n >= 1, minDocs >= 1; got $n, $minDocs")
+    val toksAll = docs.select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).as("len"),
+        posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "w")
+    val toks = toksAll.filter(col("len") >= n)
+
+    def rankPairs(paired: DataFrame, keyCols: Seq[String]): DataFrame = {
+      val keys = paired.select(keyCols.map(col): _*).distinct()
+      val ranked = Ranking.globalRowNumber(keys, keyCols.map(col), parts, "_nr")
+      paired.join(ranked, keyCols)
+        .select(col("id"), col("p"), col("len"), col("_nr").as("r"))
+    }
+    def combined(ranks: DataFrame, shift: Int): DataFrame = {
+      val right = ranks.select(col("id"), (col("p") - shift).as("p"),
+        col("r").as("r2"))
+      // left join: positions whose shifted partner falls off the doc end
+      // carry a −1 sentinel — they only ever rank TRUNCATED windows,
+      // which the final full-window filter discards
+      ranks.join(right, Seq("id", "p"), "left")
+        .withColumn("r2", coalesce(col("r2"), lit(-1L)))
+    }
+
+    var ranks = rankPairs(toks.select(col("id"), col("p"), col("len"),
+      col("w").as("k1")), Seq("k1"))
+    var h = 1
+    while (2 * h < n) {
+      ranks = rankPairs(combined(ranks, h)
+        .select(col("id"), col("p"), col("len"),
+          col("r").as("k1"), col("r2").as("k2")), Seq("k1", "k2"))
+      h *= 2
+    }
+    val rn =
+      if (n == 1) ranks
+      else rankPairs(combined(ranks, n - h)
+        .select(col("id"), col("p"), col("len"),
+          col("r").as("k1"), col("r2").as("k2")), Seq("k1", "k2"))
+    val full = rn.filter(col("p") <= col("len") - n)
+    val dupKeys = full.groupBy(col("r"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("r")
+    val flagged = full.join(dupKeys, Seq("r"), "left_semi")
+      .select(col("id"), col("p").as("gpos"))
+
+    // short docs: shingles' whole-text pseudo-gram at position 0
+    val short = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .filter(size(split(col("t"), " ")) < n)
+    val shortDup = short.groupBy(col("t"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("t")
+    val shortFlagged = short.join(shortDup, Seq("t"), "left_semi")
+      .select(col("id"), lit(0).as("gpos"))
+    flagged.unionByName(shortFlagged)
+  }
+
+  /** Span removal driven by the EXACT suffix-rank position set — same
+    * output contract as [[removeDuplicateSpans]], zero hash collisions. */
+  def removeDuplicateSpansExact(docs: DataFrame, n: Int = 10, minDocs: Int = 2,
+                                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scrubWithDupPositions(docs,
+      suffixRankDupPositions(docs, n, minDocs, idCol, textCol),
+      n, idCol, textCol)
 
   /** Incremental exact dedup for a corpus ingested batch-by-batch — the
     * operational reality of a growing 100 TB crawl: each increment must

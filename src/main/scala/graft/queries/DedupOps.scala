@@ -202,6 +202,14 @@ object DedupOps {
     "dedup_span_removal" -> ((s, dir) =>
       Dedup.removeDuplicateSpans(Tables.documents(s, dir), n = 10)),
 
+    // EXACT duplicated-position set by distributed suffix ranking
+    // (prefix doubling — ⌈log₂ n⌉ range exchanges, fixed-width long keys,
+    // zero hash collisions). DuckDB replays the span set with literal
+    // n-gram strings; the spec pins set-equality with the gram census.
+    "suffix_rank_spans" -> ((s, dir) =>
+      Dedup.suffixRankDupPositions(Tables.documents(s, dir), n = 10)
+        .orderBy(col("id"), col("gpos"))),
+
     // sketch stats (HLL distinct + KLL-style percentile) — approximate by
     // design, rows-only driver check; exactness bounds pinned in ScalaTest.
     // table profile: the trust-anchor scan before using a new data drop —
@@ -445,6 +453,24 @@ object DedupOps {
     "cc_twostar_chains" ->
       """SELECT doc_id AS id, doc_id - doc_id % 100 AS component
         |FROM documents""".stripMargin,
+
+    "suffix_rank_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  -- constant-bound series (this DuckDB accepts only CONSTANT
+        |  -- generate_series params) + a length filter; 8192 comfortably
+        |  -- bounds the corpus's max token count
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS gpos,
+        |         array_to_string(ws[i:i+9], ' ') AS gram
+        |  FROM t, generate_series(1, 8192) s(i)
+        |  WHERE i <= len(ws) - 9
+        |  UNION ALL
+        |  SELECT doc_id, 0 AS gpos, array_to_string(ws, ' ') AS gram
+        |  FROM t WHERE len(ws) < 10),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id AS id, g.gpos AS gpos
+        |FROM g JOIN d USING (gram)
+        |ORDER BY 1, 2""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE tok AS (

@@ -264,6 +264,34 @@ class DedupSimilaritySpec extends GraftSuite {
     assert(got.keySet == (1L to 26L).toSet && got.values.forall(_ == 1L))
   }
 
+  test("suffix-rank duplicated positions equal the gram census (both key forms)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val exact = graft.operators.Dedup.suffixRankDupPositions(docs, n = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    Seq(true, false).foreach { hashed =>
+      val grams = graft.operators.Dedup.gramFrame(docs, 10, hashGrams = hashed)
+      val crossDoc = grams.groupBy(col("g"))
+        .agg(countDistinct(col("id")).as("nd"))
+        .filter(col("nd") >= 2).select("g")
+      val census = grams.join(crossDoc, Seq("g"), "left_semi")
+        .select(col("id"), col("gpos"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(exact == census,
+        s"suffix-rank vs census (hashGrams=$hashed): " +
+          s"only-exact=${(exact -- census).take(5)} only-census=${(census -- exact).take(5)}")
+    }
+  }
+
+  test("removeDuplicateSpansExact rewrites identically to the census path") {
+    val docs = graft.core.Tables.documents(spark, sf).limit(800)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val viaCensus = rows(graft.operators.Dedup.removeDuplicateSpans(docs, n = 10))
+    val viaExact = rows(graft.operators.Dedup.removeDuplicateSpansExact(docs, n = 10))
+    assert(viaExact == viaCensus)
+  }
+
   test("two-star components: 10k-node path graph converges in <= 2*log2(n) rounds") {
     val spark2 = spark
     import spark2.implicits._
