@@ -62,6 +62,37 @@ object FeatureOps {
         m = 100.0).orderBy(col("cat"))
     }),
 
+    // TRAINED quality classifier (VERDICT r11 task #5): logistic-family
+    // GD over hashed-source + token-stat integer features, one exact
+    // integer-gradient aggregate per epoch — DuckDB replays the ENTIRE
+    // 6-epoch weight trajectory (engine-exact fast sigmoid, no exp()).
+    "quality_classifier_coeffs" -> ((s, dir) => {
+      import graft.operators.{Features, QualityModel}
+      val feats = QualityModel.documentFeatures
+      val train = Tables.documents(s, dir)
+        .filter(Features.foldOf(col("doc_id"), 5) =!= 0)
+      val w = QualityModel.trainLogistic(train, feats,
+        QualityModel.documentQualityLabel, lr = 0.5, epochs = 6)
+      s.createDataFrame(feats.map(_._1).zip(w).map { case (nm, wi) =>
+          (nm, BigDecimal(wi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }).toDF("feature", "weight").orderBy("feature")
+    }),
+
+    // held-out evaluation of the same trained scorer: exact tie-corrected
+    // AUC over the test fold, score quantized to floor(z·10⁶) so ranking
+    // is engine-exact (composes trainLogistic + Evaluation.aucExact).
+    "quality_classifier_auc" -> ((s, dir) => {
+      import graft.operators.{Evaluation, Features, QualityModel}
+      val docs = Tables.documents(s, dir)
+      val feats = QualityModel.documentFeatures
+      val fold = Features.foldOf(col("doc_id"), 5)
+      val w = QualityModel.trainLogistic(docs.filter(fold =!= 0), feats,
+        QualityModel.documentQualityLabel, lr = 0.5, epochs = 6)
+      val zq = floor(QualityModel.scoreExpr(feats, w) * lit(1000000.0))
+      Evaluation.aucExact(docs.filter(fold === 0).withColumn("zq", zq),
+        col("zq"), QualityModel.documentQualityLabel)
+    }),
+
     // signed hashing trick: 16-bucket signed sums over two categorical
     // columns (linear readout — per-row vectors sum bucket-wise)
     "feature_hash_buckets" -> ((s, dir) =>
@@ -73,6 +104,11 @@ object FeatureOps {
         .orderBy(col("b"))))
 
   def oracles: Map[String, String] = Map(
+    "quality_classifier_coeffs" -> graft.operators.QualityModel
+      .coeffsOracleSql(graft.operators.QualityModel.documentFeatures.map(_._1),
+        lr = 0.5, epochs = 6, folds = 5, testFold = 0),
+    "quality_classifier_auc" -> graft.operators.QualityModel
+      .aucOracleSql(lr = 0.5, epochs = 6, folds = 5, testFold = 0),
     "count_encode_priority" ->
       """SELECT o_orderpriority AS cat, count(*) AS n,
         |       round(count(*) * 1.0 / (SELECT count(*) FROM orders), 6) AS freq
