@@ -62,7 +62,14 @@ object Bench {
     // aggregate + dictionary rollups), one-pass covariance over the
     // graft_vec_sum array aggregate
     "global_rank_agg", "ntile_deciles", "auc_exact", "target_encode_oof",
-    "pca_covariance")
+    "pca_covariance",
+    // round-12 wave: exact suffix-rank span set (log n range exchanges),
+    // O(log² n) two-star components on an adversarial chain graph, the
+    // 6-epoch distilled quality classifier (one integer-gradient
+    // aggregate per epoch), and the month-grain incremental equi-depth
+    // maintenance cycle (3 commits + replay + retention drop)
+    "suffix_rank_spans", "cc_twostar_chains", "quality_classifier_coeffs",
+    "incremental_equidepth_check")
 
   /** Manifest-bloom point-lookup micro-bench: events loaded once into a
     * bloomed 12-file commit-log table, then 20 hit + 20 miss probes via
