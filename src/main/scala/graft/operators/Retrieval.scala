@@ -91,6 +91,20 @@ object Retrieval {
   def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
                textCol: String, queries: Seq[(String, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (slim, lazyTopK) = bm25Frames(spark, docs, idCol, textCol, queries, k, k1, b)
+    // materialize the (tiny) top-k before releasing the shared scan cache
+    try lazyTopK.localCheckpoint() finally slim.unpersist(false)
+  }
+
+  /** Interior of [[bm25TopK]]: returns (the PERSISTED slim frame, the
+    * LAZY top-k) — the lazy half is only valid while `slim` stays
+    * persisted; callers localCheckpoint before unpersisting. Exposed so
+    * plan-shape specs can assert on the pre-checkpoint tree. */
+  private[graft] def bm25Frames(spark: SparkSession, docs: DataFrame,
+                                idCol: String, textCol: String,
+                                queries: Seq[(String, String)], k: Int,
+                                k1: Double = 1.2,
+                                b: Double = 0.75): (DataFrame, DataFrame) = {
     require(queries.nonEmpty, "at least one query is required")
     require(k > 0, "k must be positive")
     val terms = queries.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct
@@ -103,37 +117,36 @@ object Retrieval {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), size(col("w")).as("dl"),
         filter(col("w"), x => x.isin(terms: _*)).as("qw"))
-    graft.core.Caching.withCached(slim) {
-      // n_docs / avgdl / per-term df in ONE aggregate over the slim frame
-      // (df needs existence only: membership in the pruned token array)
-      val aggs = Seq(
-        count(lit(1)).as("n_docs"),
-        avg(col("dl")).as("avgdl")) ++
-        terms.zipWithIndex.map { case (t, i) =>
-          count(when(array_contains(col("qw"), t), 1)).as(s"df_$i")
-        }
-      val g = slim.agg(aggs.head, aggs.tail: _*).head()
-      val nDocs = g.getAs[Long]("n_docs")
-      val avgdl = g.getAs[Double]("avgdl")
-      val idfOf = terms.zipWithIndex.map { case (t, i) =>
-        val df = g.getAs[Long](s"df_$i").toDouble
-        t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
-      }.toMap
-      val qdf = spark.createDataFrame(queries.flatMap { case (qid, text) =>
-        text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t, idfOf(t)))
-      }).toDF("qid", "term", "idf")
-      val pruned = slim
-        .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      val tfNorm = (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-      val scored = pruned
-        .join(broadcast(qdf), Seq("term"))
-        .groupBy(col("qid"), col("doc_id"))
-        .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
-      rankTopK(scored, k).localCheckpoint()
-    }
+    slim.persist()
+    // n_docs / avgdl / per-term df in ONE aggregate over the slim frame
+    // (df needs existence only: membership in the pruned token array)
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl")) ++
+      terms.zipWithIndex.map { case (t, i) =>
+        count(when(array_contains(col("qw"), t), 1)).as(s"df_$i")
+      }
+    val g = slim.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = g.getAs[Long]("n_docs")
+    val avgdl = g.getAs[Double]("avgdl")
+    val idfOf = terms.zipWithIndex.map { case (t, i) =>
+      val df = g.getAs[Long](s"df_$i").toDouble
+      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }.toMap
+    val qdf = spark.createDataFrame(queries.flatMap { case (qid, text) =>
+      text.split(" ").filter(_.nonEmpty).distinct.map(t => (qid, t, idfOf(t)))
+    }).toDF("qid", "term", "idf")
+    val pruned = slim
+      .select(col("doc_id"), col("dl"), explode(col("qw")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = pruned
+      .join(broadcast(qdf), Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(col("idf") * tfNorm), 6).as("score"))
+    (slim, rankTopK(scored, k))
   }
 
   /** HYBRID retrieval fusion: Reciprocal Rank Fusion (Cormack et al.

@@ -347,38 +347,46 @@ object Analytics {
     // to the day grain FIRST; the range self-join then runs on a
     // dimension whose size is fixed by the calendar, not the SF.
     "ema_daily_revenue" -> ((s, dir) => {
-      // floor(x·100 + 0.5), not round(x·100): Spark's Round on DoubleType
-      // allocates a BigDecimal PER ROW (measured: the dominant per-row
-      // cost of the 105M-row bench point); floor is a native double op
-      // returning LONG, and agrees with both Spark round (HALF_UP) and
-      // DuckDB round (half-away) on positive near-integer cent values —
-      // prices carry 2 decimals, so x·100 is never near a half boundary
-      val daily = Tables.orders(s, dir)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
-        .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5)).as("rev_cents"))
+      val daily = emaDaily(s, dir)
       // cache the day-grain frame (|days| rows): the self range join
       // otherwise compiles TWO subtrees that each re-aggregate the whole
-      // fact table — at the 105M-row bench point that one duplicate scan
-      // was the entire gap to DuckDB (2.5 s → 1.4 s)
+      // fact table -- at the 105M-row bench point that one duplicate scan
+      // was the entire gap to DuckDB (2.5 s -> 1.4 s)
       graft.core.Caching.withCached(daily) {
-        val a = daily.select(col("day"), col("rev_cents"))
-        val b = daily.select(col("day").as("bday"), col("rev_cents").as("brev"))
-        a.join(b, datediff(col("day"), col("bday")).between(0, 29))
-          .groupBy(col("day"), col("rev_cents"))
-          // round() before the long cast: Spark's double→long cast truncates
-          // while DuckDB's rounds — the explicit round makes both exact on
-          // the already-exact product (cents × a power of two)
-          .agg(sum(round(col("brev") *
-              pow(lit(0.5), datediff(col("day"), col("bday")).cast("double")), 0)
-            .cast("long")).as("ew_cents"))
-          .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
-            (col("rev_cents") / 100.0).as("revenue"),
-            (col("ew_cents") / 100.0).as("ew_revenue"))
-          .orderBy(col("day_ms"))
-          .localCheckpoint()
+        emaJoined(daily).localCheckpoint()
       }
     })
   )
+
+  /** ema interior, split so plan-shape specs can assert on the
+    * pre-checkpoint tree (the gate wraps it in withCached +
+    * localCheckpoint). floor(x*100 + 0.5), not round(x*100): Spark's
+    * Round on DoubleType allocates a BigDecimal PER ROW (measured: the
+    * dominant per-row cost of the 105M-row bench point); floor is a
+    * native op returning LONG and agrees with both Spark round (HALF_UP)
+    * and DuckDB round (half-away) on positive near-integer cent values
+    * -- prices carry 2 decimals, so x*100 is never near a half boundary. */
+  private[graft] def emaDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100.0 + 0.5)).as("rev_cents"))
+
+  private[graft] def emaJoined(daily: DataFrame): DataFrame = {
+    val a = daily.select(col("day"), col("rev_cents"))
+    val b = daily.select(col("day").as("bday"), col("rev_cents").as("brev"))
+    a.join(b, datediff(col("day"), col("bday")).between(0, 29))
+      .groupBy(col("day"), col("rev_cents"))
+      // round() before the long cast: Spark's double->long cast truncates
+      // while DuckDB's rounds -- the explicit round makes both exact on
+      // the already-exact product (cents x a power of two)
+      .agg(sum(round(col("brev") *
+          pow(lit(0.5), datediff(col("day"), col("bday")).cast("double")), 0)
+        .cast("long")).as("ew_cents"))
+      .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
+        (col("rev_cents") / 100.0).as("revenue"),
+        (col("ew_cents") / 100.0).as("ew_revenue"))
+      .orderBy(col("day_ms"))
+  }
 
   def oracles: Map[String, String] = Map(
     "funnel_steps" ->

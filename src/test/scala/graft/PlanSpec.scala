@@ -121,16 +121,24 @@ class PlanSpec extends GraftSuite {
   }
 
   test("bm25 plan: broadcast query join, no exchange partitioned by term alone") {
-    val df = graft.operators.Retrieval.bm25TopK(spark,
+    // the gate's public form localCheckpoints (r12 shared-scan cache);
+    // assert on the pre-checkpoint interior
+    val (slim, df) = graft.operators.Retrieval.bm25Frames(spark,
       graft.core.Tables.documents(spark, sf), "doc_id", "text",
       Seq("q1" -> "hash join", "q2" -> "scan batch"), k = 5)
-    val phys = df.queryExecution.executedPlan.toString
-    assert(phys.contains("BroadcastHashJoin"), phys)
-    // the round-6 skew fix: df rides the stats scan, so NOTHING in the
-    // plan repartitions by the term column alone — a stop-word query term
-    // would otherwise pile one posting per document into one partition
-    assert(!phys.contains("hashpartitioning(term#"),
-      s"term-partitioned exchange reappeared:\n$phys")
+    try {
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin"), phys)
+      // the round-6 skew fix: df needs existence only, so NOTHING in the
+      // plan repartitions by the term column alone — a stop-word query term
+      // would otherwise pile one posting per document into one partition
+      assert(!phys.contains("hashpartitioning(term#"),
+        s"term-partitioned exchange reappeared:\n$phys")
+      // the r12 shared-scan shape: the postings side reads the CACHED slim
+      // frame, so the corpus text is tokenized exactly once per query batch
+      assert(phys.contains("InMemoryTableScan"),
+        s"postings no longer read the shared slim cache:\n$phys")
+    } finally slim.unpersist(false)
   }
 
   test("mixture-to-budget plan: one Window, and only the boundary bucket feeds it") {
@@ -412,7 +420,9 @@ class PlanSpec extends GraftSuite {
   }
 
   test("ema: facts collapse to the day grain BEFORE the range self-join") {
-    val df = graft.queries.Analytics.defs("ema_daily_revenue")(spark, sf)
+    // pre-checkpoint interior (the gate caches `daily` + localCheckpoints)
+    val df = graft.queries.Analytics.emaJoined(
+      graft.queries.Analytics.emaDaily(spark, sf))
     // the ≤30-day band join is non-equi, so it must be a nested-loop over
     // the CALENDAR-bounded aggregate — never over raw orders rows
     val opt = df.queryExecution.optimizedPlan
