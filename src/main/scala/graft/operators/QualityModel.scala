@@ -207,7 +207,7 @@ object QualityModel {
     val z = featureSql._1.indices.map(i => s"w.w$i * x$i").mkString(" + ")
     s"""WITH $ctes,
        |te AS (SELECT f.*, CAST(floor(($z) * 1000000.0) AS BIGINT) AS zq
-       |       FROM f, $wFin w WHERE fold = $testFold),
+       |       FROM f, $wFin w WHERE fold = $testFold AND ($z) IS NOT NULL),
        |s AS (SELECT zq,
        |             sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS pos,
        |             sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS neg

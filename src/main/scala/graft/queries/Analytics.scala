@@ -571,7 +571,10 @@ object Analytics {
     "ema_daily_revenue" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
-        |    sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS rev_cents
+        |    -- floor(x*100 + 0.5), bit-identical to the Spark side's
+        |    -- formula (round(x*100) can differ when x*100+0.5 rounds up
+        |    -- in double arithmetic though frac < 0.5)
+        |    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_cents
         |  FROM orders GROUP BY 1)
         |SELECT epoch_ms(a.day::TIMESTAMP) AS day_ms,
         |  a.rev_cents / 100.0 AS revenue,

@@ -466,7 +466,16 @@ object DedupOps {
         |  WHERE i <= len(ws) - 9
         |  UNION ALL
         |  SELECT doc_id, 0 AS gpos, array_to_string(ws, ' ') AS gram
-        |  FROM t WHERE len(ws) < 10),
+        |  FROM t WHERE len(ws) < 10
+        |  UNION ALL
+        |  -- loud guard: if any doc outgrows the constant series bound the
+        |  -- data-dependent cast below errors instead of silently dropping
+        |  -- that doc's tail grams on the oracle side only
+        |  SELECT doc_id,
+        |         CAST('suffix_rank_spans oracle: doc exceeds 8192 tokens: '
+        |              || len(ws) AS INT) AS gpos,
+        |         '' AS gram
+        |  FROM t WHERE len(ws) > 8192),
         |d AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
         |SELECT g.doc_id AS id, g.gpos AS gpos
         |FROM g JOIN d USING (gram)

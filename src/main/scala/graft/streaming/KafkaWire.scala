@@ -673,7 +673,10 @@ private[graft] final class KafkaWireConnHolder(host: String, port: Int,
         throw new IllegalStateException(
           s"fetch: CRC32C mismatch in batch at offset $base")
       recs.zipWithIndex.map { case (r, i) => (base + i, r) }
-    }.filter(_._1 >= offset)))
+      // sortBy offset: a broker (real or fake) may serve batches in
+      // append-completion order under concurrent producers; the documented
+      // "in offset order" contract is enforced here, on one fetch's worth
+    }.filter(_._1 >= offset).sortBy(_._1)))
   }
 
   def close(): Unit = try sock.close() catch { case _: Exception => () }

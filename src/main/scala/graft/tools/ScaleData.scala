@@ -52,9 +52,17 @@ object ScaleData {
     require(args.length >= 3, "usage: ScaleData <srcDir> <dstDir> <copies> [tables,..]")
     val Array(srcDir, dstDir, copiesS) = args.take(3)
     val copies = copiesS.toInt
-    val tables =
+    val requested =
       if (args.length > 3) args(3).split(",").toSeq
       else Seq("documents", "embeddings", "lineitem", "orders")
+    // Shifting a child's foreign key (o_custkey, l_orderkey) without
+    // regenerating the parent would leave copies 1..N-1 dangling and
+    // silently drop (N-1)/N of the join matches in any customer/order
+    // join — so pull in key parents transitively (ADVICE r12).
+    val parentOf = Map("orders" -> "customer", "lineitem" -> "orders")
+    val tables = Iterator.iterate(requested.distinct) { ts =>
+      (ts ++ ts.flatMap(parentOf.get)).distinct
+    }.sliding(2).collectFirst { case Seq(a, b) if a == b => a }.get
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scaledata")
