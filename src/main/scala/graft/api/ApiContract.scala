@@ -147,6 +147,12 @@ object ApiContract {
         "/api/v1/destination-types/carrier-pigeon")),
       examplePathQuery = "/api/v1/destination-types/webhook"),
 
+    Route("GET", "/healthz",
+      "Liveness (reference healthz: 200 while workers are healthy; this " +
+        "single-process engine is alive iff it answers)",
+      responseFields = Seq(Field("status", "string", required = true)),
+      examplePathQuery = "/healthz"),
+
     Route("GET", "/api/v1/openapi.json", "This contract, OpenAPI-shaped",
       responseFields = Seq(Field("openapi", "string"), Field("info", "object"),
         Field("paths", "object")),
@@ -223,7 +229,8 @@ object ApiContract {
 
     Route("GET", "/api/v1/{tenant_id}/metrics/events",
       "Event metrics matrix: dense buckets, allowlisted measures/dimensions",
-      queryParams = metricsParams,
+      queryParams = metricsParams ++ Seq(Param("event_type[]"),
+        Param("user_id[]")),
       responseFields = metricsFields,
       errors = Seq(
         ErrorCase(400, "unknown measure", "GET",
@@ -235,7 +242,9 @@ object ApiContract {
 
     Route("GET", "/api/v1/{tenant_id}/metrics/attempts",
       "Attempt metrics matrix over the denormalized log, tenant-scoped",
-      queryParams = metricsParams,
+      queryParams = metricsParams ++ Seq(Param("destination_id[]"),
+        Param("destination_type[]"), Param("topic[]"), Param("status[]"),
+        Param("code[]"), Param("manual[]"), Param("attempt_number[]")),
       responseFields = metricsFields,
       errors = Seq(ErrorCase(400, "unknown measure", "GET",
         "/api/v1/t1/metrics/attempts?measures[]=bogus&granularity=1h&start=2024-03-01T00:00:00Z&end=2024-03-02T00:00:00Z")),
@@ -245,7 +254,8 @@ object ApiContract {
     Route("GET", "/api/v1/{tenant_id}/attempts",
       "List delivery attempts, tenant-scoped",
       queryParams = listParams ++ Seq(Param("event_id[]"),
-        Param("destination_id[]"), Param("status[]")),
+        Param("destination_id[]"), Param("destination_type[]"),
+        Param("status[]"), Param("topic[]")),
       responseKind = "list-page",
       responseFields = attemptFields,
       examplePathQuery = "/api/v1/t1/attempts?limit=2&order=asc"),
@@ -259,7 +269,8 @@ object ApiContract {
 
     Route("GET", "/api/v1/{tenant_id}/destinations/{destination_id}/attempts",
       "List attempts scoped to one destination",
-      queryParams = listParams,
+      queryParams = listParams ++ Seq(Param("event_id[]"),
+        Param("status[]"), Param("topic[]")),
       responseKind = "list-page",
       responseFields = attemptFields,
       examplePathQuery = "/api/v1/t1/destinations/dres/attempts?order=asc"),
@@ -296,6 +307,9 @@ object ApiContract {
           """{"topics":["order.*"]}"""),
         ErrorCase(409, "duplicate destination id", "PUT",
           "/api/v1/t1/destinations/dres",
+          """{"type":"webhook","topics":["order.*"],"config":{"url":"https://x.test/h"}}"""),
+        ErrorCase(422, "schema validation failure (missing config.url)",
+          "PUT", "/api/v1/t1/destinations/dinvalid",
           """{"type":"webhook","topics":["order.*"]}""")),
       examplePathQuery = "/api/v1/t1/destinations/dnew",
       exampleBody =

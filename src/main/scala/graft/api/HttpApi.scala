@@ -154,6 +154,11 @@ object HttpApi {
     val t0 = System.nanoTime()
     try {
       (method, path) match {
+        case ("GET", "/healthz") =>
+          // reference healthz: 200 while workers are healthy (503 on a
+          // failed worker — this single-process engine is alive iff it
+          // can answer, so serving the route IS the health check)
+          sendJson(ex, 200, nf.objectNode().put("status", "healthy"))
         case ("GET", "/metrics") => metricsScrape(spark, cfg, ex)
         case ("GET", "/api/v1/openapi.json") =>
           // self-describing surface: the compiled-in contract, rendered
@@ -229,8 +234,8 @@ object HttpApi {
   /** The route TEMPLATE a concrete path matched — the bounded label the
     * metrics counters key on. Unmatched paths fold into one bucket. */
   private def routeTemplate(path: String): String = path match {
-    case "/api/v1/openapi.json" | "/api/v1/publish" | "/api/v1/retry" |
-         "/api/v1/topics" | "/api/v1/destination-types" |
+    case "/healthz" | "/api/v1/openapi.json" | "/api/v1/publish" |
+         "/api/v1/retry" | "/api/v1/topics" | "/api/v1/destination-types" |
          "/api/v1/tenants" => path
     case DestTypeOne(_) => "/api/v1/destination-types/{type}"
     case TenantToken(_) => "/api/v1/tenants/{tenant}/token"
@@ -518,11 +523,17 @@ object HttpApi {
     require(topicsNode != null && topicsNode.isArray && topicsNode.size > 0,
       "topics must be a non-empty array")
     val topics = (0 until topicsNode.size).map(topicsNode.get(_).asText)
+    val config = strMapOf(body, "config")
+    val credentials = strMapOf(body, "credentials")
+    // fail fast at create time (reference registry.ValidateDestination in
+    // the Create handler): a malformed webhook URL or a Kafka destination
+    // missing brokers must 422 here, not surface as delivery failures
+    if (!validateDestOr422(ex, typ, config, credentials)) return
     val now = new Timestamp(System.currentTimeMillis())
     val rec = DestinationStore.DestinationRecord(
       tenant, id, typ, topics,
       Option(body.get("filter")).filterNot(_.isNull).map(_.toString),
-      strMapOf(body, "config"), strMapOf(body, "credentials"),
+      config, credentials,
       strMapOf(body, "delivery_metadata"),
       strMapOf(body, "metadata"), now, now, None, None)
     DestinationStore.create(spark, cfg.destTable, rec, cfg.storeSecret,
@@ -597,12 +608,19 @@ object HttpApi {
     val filter =
       if (!body.has("filter")) orig.filter_json
       else Option(body.get("filter")).filterNot(_.isNull).map(_.toString)
+    val mergedConfig = mergePatch(orig.config, "config")
+    val mergedCreds = mergePatch(orig.credentials, "credentials")
+    // the MERGED maps are what delivery will see — validate those, so a
+    // patch can't null out a required field (reference Update handler
+    // validates the merged destination too)
+    if (!validateDestOr422(ex, orig.dest_type, mergedConfig, mergedCreds))
+      return
     val now = new Timestamp(System.currentTimeMillis())
     val rec = orig.copy(
       topics = topics,
       filter_json = filter,
-      config = mergePatch(orig.config, "config"),
-      credentials = mergePatch(orig.credentials, "credentials"),
+      config = mergedConfig,
+      credentials = mergedCreds,
       delivery_metadata = mergePatch(orig.delivery_metadata, "delivery_metadata"),
       metadata = mergePatch(orig.metadata, "metadata"),
       updated_at = now)
@@ -648,19 +666,49 @@ object HttpApi {
     sendJson(ex, 200, arr)
   }
 
-  /** `GET /api/v1/destination-types` (reference ListProviderMetadata —
-    * full field schemas there come from packaged JSON metadata files; the
-    * honest equivalent here is the registered sink types). */
+  /** One provider's served metadata payload (reference
+    * `metadata/providers/<type>/metadata.json` shape: type, label,
+    * config_fields, credential_fields with the validation attributes). */
+  private def destTypeJson(t: String): com.fasterxml.jackson.databind.node.ObjectNode = {
+    val o = nf.objectNode().put("type", t)
+    DestMetadata.providers.get(t).foreach { p =>
+      o.put("label", p.label)
+      def fieldArr(name: String, fs: Seq[DestMetadata.FieldSpec]): Unit = {
+        val arr = o.putArray(name)
+        fs.foreach { f =>
+          val fo = nf.objectNode()
+            .put("key", f.key).put("type", f.ftype)
+            .put("label", f.label).put("required", f.required)
+          f.default.foreach(fo.put("default", _))
+          if (f.sensitive) fo.put("sensitive", true)
+          f.pattern.foreach(fo.put("pattern", _))
+          f.min.foreach(fo.put("min", _)); f.max.foreach(fo.put("max", _))
+          f.minLength.foreach(fo.put("minlength", _))
+          f.maxLength.foreach(fo.put("maxlength", _))
+          if (f.options.nonEmpty) {
+            val oa = fo.putArray("options"); f.options.foreach(oa.add)
+          }
+          arr.add(fo)
+        }
+      }
+      fieldArr("config_fields", p.configFields)
+      fieldArr("credential_fields", p.credentialFields)
+    }
+    o
+  }
+
+  /** `GET /api/v1/destination-types` (reference ListProviderMetadata,
+    * `destination_handlers.go`): the registered sink types, each carrying
+    * its full field schema from [[DestMetadata]]. */
   private def listDestTypes(cfg: Config, ex: HttpExchange): Unit = {
     val arr = nf.arrayNode()
-    cfg.registry.map(_.types).getOrElse(Nil)
-      .foreach(t => arr.add(nf.objectNode().put("type", t)))
+    cfg.registry.map(_.types).getOrElse(Nil).foreach(t => arr.add(destTypeJson(t)))
     sendJson(ex, 200, arr)
   }
 
   private def getDestType(cfg: Config, t: String, ex: HttpExchange): Unit =
     if (cfg.registry.exists(_.types.contains(t)))
-      sendJson(ex, 200, nf.objectNode().put("type", t))
+      sendJson(ex, 200, destTypeJson(t))
     else sendError(ex, 404, s"no such destination type: $t")
 
   // ------------------------------------------------------------- tenants --
@@ -824,7 +872,8 @@ object HttpApi {
     val df = attemptsOr404(cfg, ex).getOrElse(return)
     val inFilters: Map[String, Seq[Any]] =
       Map("tenant_id" -> Seq[Any](tenant)) ++
-        Seq("event_id", "destination_id", "status").flatMap { c =>
+        Seq("event_id", "destination_id", "destination_type", "status",
+            "topic").flatMap { c =>
           val vs = q.getOrElse(s"$c[]", q.getOrElse(c, Nil))
           if (vs.isEmpty) None else Some(c -> vs.map(identity[Any]))
         } ++
@@ -1063,4 +1112,27 @@ object HttpApi {
 
   private def sendError(ex: HttpExchange, code: Int, msg: String): Unit =
     sendJson(ex, code, nf.objectNode().put("error", msg))
+
+  /** 422 with the per-field detail list (reference
+    * `errorhandler_middleware.go:70-79`: StatusUnprocessableEntity,
+    * message "validation error", data = the formatted details). */
+  private def sendValidationError(
+      ex: HttpExchange,
+      errs: Seq[DestMetadata.ValidationError]): Unit = {
+    val o = nf.objectNode().put("error", "validation error")
+    val arr = o.putArray("data")
+    errs.foreach(e =>
+      arr.add(nf.objectNode().put("field", e.field).put("type", e.errType)))
+    sendJson(ex, 422, o)
+  }
+
+  /** Run the provider field-schema validation for a destination about to
+    * be written; true = valid, false = a 422 was already sent. */
+  private def validateDestOr422(
+      ex: HttpExchange, tpe: String, config: Map[String, String],
+      credentials: Map[String, String]): Boolean = {
+    val errs = DestMetadata.validate(tpe, config, credentials)
+    if (errs.nonEmpty) sendValidationError(ex, errs)
+    errs.isEmpty
+  }
 }

@@ -117,67 +117,116 @@ object Clustering {
         transform(slice(col(vecCol), 1, dim), _.cast("double")).as("v")),
       k, ell, rounds, maxCandidates)
 
+  /** Micro-unit quantization scale for the seeding phase (coordinates →
+    * exact integers). 10⁶ keeps full float32 precision for unit-ish
+    * embedding coordinates while (4·10⁶)²·dim stays far inside a LONG. */
+  private[operators] val Micro = 1e6
+
+  /** 2⁴⁸ — the md5 draw's integer range ([[Sampling.uniformOf]] reads 12
+    * hex chars); the sampling predicate compares in this scale. */
+  private[operators] val U48 = 281474976710656.0
+
+  /** Integer squared distance between micro-quantized vectors (LONG fold
+    * — exact, any engine). */
+  private def dist2q(v: Column, c: Seq[Long]): Column =
+    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
   /** [[kmeansParallelInit]] over a prepared `(id, v)` frame — shared with
-    * [[Quantization.pqTrain]]'s per-subspace codebooks. */
+    * [[Quantization.pqTrain]]'s per-subspace codebooks.
+    *
+    * EVERY arithmetic step runs in exact integer space (round 13; the
+    * r12 version compared raw doubles in the sampling predicate, which
+    * was deterministic per-engine but not REPLAYABLE across engines):
+    * coordinates quantize once to micro-units (floor(x·10⁶ + 0.5) — one
+    * multiply+add+floor, bit-identical in any engine), distances are
+    * LONG sums of integer squares, φ is a Decimal(38) sum, and the
+    * sampling predicate u·φ < ℓ·d²(x,C) is evaluated as
+    * uq·φq < ℓ·2⁴⁸·dq on integers — uq being the RAW 48-bit md5 draw.
+    * The result is a pure function of the id/value SETS: aggregation
+    * order, partitioning, and engine all cancel out, which is what lets
+    * DuckDB replay the whole seeding ([[kmeansParallelOracleCtes]]) and
+    * makes the seeded gates (`kmeans_clusters`, `semdedup_kmeans`,
+    * `pq_*`) hash-comparable. */
   private[operators] def parallelInitFrame(frame: DataFrame, k: Int,
                                            ell: Double = 0.0, rounds: Int = 5,
                                            maxCandidates: Int = 4096): Seq[Seq[Double]] = {
     require(k >= 1, s"kmeansParallelInit needs k >= 1, got $k")
-    val oversample = if (ell > 0) ell else 2.0 * k
-    val v = frame
+    // integral oversampling keeps the predicate's RHS an exact integer
+    val oversample = math.max(1L, math.round(if (ell > 0) ell else 2.0 * k))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = frame.select(col("id"),
+      transform(col("v"), x => floor(x * Micro + 0.5).cast("long")).as("vq"))
     graft.core.Caching.withCached(v) {
-      var centers: Vector[Seq[Double]] =
-        Vector(v.orderBy("id").limit(1).collect()(0).getSeq[Double](1))
-      def dminExpr(cs: Seq[Seq[Double]]): Column =
-        array_min(array(cs.map(c => dist2(col("v"), c)): _*))
+      var centers: Vector[Seq[Long]] =
+        Vector(v.orderBy("id").limit(1).collect()(0).getSeq[Long](1))
+      def dminExpr(cs: Seq[Seq[Long]]): Column =
+        array_min(array(cs.map(c => dist2q(col("vq"), c)): _*))
       for (r <- 1 to rounds) {
         val dmin = dminExpr(centers)
-        // φ in micro-units, summed as LONG — order-free exact
-        val phi = v.agg(sum(floor(dmin * 1e6)).as("s")).head().getLong(0) / 1e6
-        if (phi > 0) {
-          val u = Sampling.uniformOf(col("id"), s"kmpar_$r")
+        // φ = Σ dmin in Decimal(38) — exact at any corpus size (a LONG
+        // sum can overflow once n·d² passes 2⁶³)
+        val phiQ = v.agg(sum(dmin.cast(dec)).as("s")).head().getDecimal(0)
+        // loud ceiling: uq (15 digits) · φ must stay inside Decimal(38) or
+        // Spark's non-ANSI decimal multiply NULLs and samples silently
+        // vanish. 10²³ ≈ 10⁸ rows of unit-norm 64-dim vectors per seeding
+        // population — shard the seeding sample above that, don't widen ε.
+        require(phiQ.precision - phiQ.scale <= 23,
+          s"kmeansParallelInit: seeding cost $phiQ exceeds the exact-integer range")
+        if (phiQ.signum > 0) {
+          // uq·φ < ℓ·2⁴⁸·dmin — all Decimal(38): uq ≤ 2⁴⁸, φ ≤ 10²³,
+          // products ≤ ~10³⁸
+          val uq = conv(substring(md5(concat(col("id").cast("string"),
+            lit(s"kmpar_$r"))), 1, 12), 16, 10).cast(dec)
           val sampled = v
-            .filter(u * lit(phi) < lit(oversample) * dmin)
+            .filter(uq * lit(phiQ) <
+              lit(oversample) * lit(U48).cast(dec) * dmin.cast(dec))
             // deterministic overflow guard: an adversarial φ spike could
             // sample far more than ℓ — keep the lowest-u winners
-            .withColumn("_u", u).orderBy(col("_u"), col("id"))
+            .withColumn("_u", uq).orderBy(col("_u"), col("id"))
             .limit(maxCandidates)
-            .collect().map(_.getSeq[Double](1))
+            .collect().map(_.getSeq[Long](1))
           centers = (centers ++ sampled).distinct.take(maxCandidates)
         }
       }
       // weights: nearest-candidate counts (one aggregate; candidate index
-      // by position, ties to the lowest index via struct ordering)
+      // by position, ties to the lowest index via struct ordering on the
+      // exact integer distance)
       val cand = centers.zipWithIndex
       val nearest = array_min(array(cand.map { case (c, i) =>
-        struct(dist2(col("v"), c).as("d"), lit(i).as("i"))
+        struct(dist2q(col("vq"), c).as("d"), lit(i).as("i"))
       }: _*)).getField("i")
       val wMap = v.groupBy(nearest.as("i")).agg(count(lit(1)).as("w"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val weights = cand.map { case (_, i) => wMap.getOrElse(i, 0L).toDouble }
-      reclusterWeighted(centers, weights, k)
+      val weights = cand.map { case (_, i) => wMap.getOrElse(i, 0L) }
+      reclusterWeightedQ(centers, weights, k).map(_.map(_ / Micro))
     }
   }
 
-  /** Driver-side deterministic weighted k-means over the candidate set:
+  /** Driver-side deterministic weighted k-means over the candidate set,
+    * ALL-INTEGER (micro-unit coordinates in, micro-unit coordinates out):
     * greedy farthest-point seeding (first = max weight, then argmax
-    * w·d²(c, chosen), ties to lowest index), then 20 weighted Lloyd
-    * rounds. O(|candidates|²·dim) — candidates are ℓ·rounds-ish, never
-    * row-count. */
-  private[operators] def reclusterWeighted(cand: Seq[Seq[Double]],
-                                           w: Seq[Double], k: Int): Seq[Seq[Double]] = {
+    * w·d²(c, chosen) scored in BigInt, ties to lowest index), then 20
+    * weighted Lloyd rounds whose centroids are floor-divided back to
+    * micro-units each round — so the whole recluster is exact integer
+    * arithmetic a SQL engine replays bit-for-bit (the r12 version summed
+    * doubles in candidate order, deterministic here but dependent on
+    * Scala's fold order). O(|candidates|²·dim) — candidates are
+    * ℓ·rounds-ish, never row-count. */
+  private[operators] def reclusterWeightedQ(cand: Seq[Seq[Long]],
+                                            w: Seq[Long], k: Int): Seq[Seq[Long]] = {
     val n = cand.size
     if (n <= k) return cand
-    def d2(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    def d2(a: Seq[Long], b: Seq[Long]): BigInt = {
+      var s = BigInt(0); var i = 0
+      while (i < a.length) { val d = BigInt(a(i) - b(i)); s += d * d; i += 1 }
       s
     }
     val first = w.indices.maxBy(i => (w(i), -i))
     val chosen = scala.collection.mutable.ArrayBuffer(first)
     while (chosen.size < k) {
       val next = (0 until n).filterNot(chosen.contains).maxBy { i =>
-        (w(i) * chosen.map(j => d2(cand(i), cand(j))).min, -i)
+        (BigInt(w(i)) * chosen.map(j => d2(cand(i), cand(j))).min, -i)
       }
       chosen += next
     }
@@ -189,9 +238,15 @@ object Clustering {
         val members = (0 until n).filter(i => assign(i) == j && w(i) > 0)
         if (members.isEmpty) cents(j)
         else {
-          val tw = members.map(w).sum
-          cand.head.indices.map(d =>
-            members.map(i => w(i) * cand(i)(d)).sum / tw)
+          val tw = BigInt(members.map(w).sum)
+          cand.head.indices.map { d =>
+            // floor division of exact integers (BigInt division truncates
+            // toward zero; sums here are non-negative only if coords are —
+            // use floorDiv semantics explicitly for negative coordinates)
+            val num = members.map(i => BigInt(w(i)) * BigInt(cand(i)(d))).sum
+            val (q, r) = num /% tw
+            (if (r.signum < 0) q - 1 else q).toLong
+          }
         }
       }.toVector
     }

@@ -35,6 +35,39 @@ object Logstore {
   def scan(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Cross-table store batch: events + attempts committed as ONE logical
+    * ingest unit (the reference writes both fact tables in a single store
+    * batch — `logmq/batchprocessor.go:192-307`; on parquet they are two
+    * separate CommitLog commits, so a crash between them is possible and
+    * must be RECOVERABLE, not prevented).
+    *
+    * The recovery rule (also in DESIGN.md): commits run in FIXED order —
+    * events first, then attempts — and both carry the SAME batch token.
+    * The only crash window leaves "events committed, attempts not"; the
+    * at-least-once upstream (MQ redelivery / micro-batch replay) re-runs
+    * the whole batch under the same token, the events append no-ops on
+    * its token check and the attempts append applies — both tables
+    * converge to exactly-once with no coordinator and no cross-table
+    * manifest. Readers see only committed snapshots throughout (an
+    * attempt row's event is visible BEFORE the attempt, never after —
+    * the join direction the denormalized read path relies on).
+    *
+    * Contrast with a 2-phase scheme: at 100 TB a coordinator table would
+    * serialize every ingest worker through one lock; token-idempotent
+    * replay keeps appends blind (never conflicting) and recovery local
+    * to the failed batch. */
+  def insertBatchTx(events: DataFrame, attempts: DataFrame,
+                    eventsTable: String, attemptsTable: String, token: String,
+                    eventIdCol: String = "event_id", eventTsCol: String = "ts",
+                    attemptIdCol: String = "attempt_id",
+                    attemptTsCol: String = "attempt_time"): Unit = {
+    CommitLog.append(events, eventsTable, eventIdCol, eventTsCol,
+      token = Some(token))
+    CommitLog.append(attempts, attemptsTable, attemptIdCol, attemptTsCol,
+      token = Some(token))
+    ()
+  }
+
   /** Read-side dedup (the reference's read-repair, `chlogstore.go:46-112`):
     * at-least-once writers may append the same natural id twice across
     * batches — readers keep the latest row per id (ts desc, deterministic).

@@ -240,4 +240,40 @@ object Ranking {
       .where(col("_v").isNotNull)
     (boundsHistogram(v, bounds), nState)
   }
+
+  /** GROUPED incremental equi-depth: per-dimension discretization (the
+    * common feature case — one bucket scale per event_type / language /
+    * source) from the SAME maintained rollup state, which already carries
+    * its group columns. Boundaries per group come from one O(state)
+    * merge ([[Sketches.quantilesAcross]] over `groupCols`); the
+    * assignment pass broadcast-joins the (groups × k−1 boundaries)
+    * dimension — driver-bounded by the group count, never the fact count
+    * — onto the facts and folds the per-group boundary ARRAY in codegen
+    * (`functions.aggregate`), so the fact scan stays one pass with no
+    * sort and no range exchange, same as the global path.
+    *
+    * Output: one row per (group, bucket) — n/lo/hi plus the group's
+    * state row count `n_state`, the per-group incremental-consistency
+    * witness (must equal the group's non-null fact count). */
+  def equidepthFromStateBy(spark: org.apache.spark.sql.SparkSession,
+                           stateTable: String, groupCols: Seq[String],
+                           facts: DataFrame, valueCol: Column,
+                           k: Int): DataFrame = {
+    require(k >= 2, s"equidepthFromStateBy needs k >= 2, got $k")
+    require(groupCols.nonEmpty, "groupCols empty — use equidepthFromState")
+    val ps = (1 until k).map(_.toDouble / k)
+    val st = Sketches.quantilesAcross(spark, stateTable, groupCols, ps)
+      .withColumnRenamed("quantiles", "_bounds")
+      .withColumnRenamed("n_rows", "_n_state")
+    val v = facts
+      .select(groupCols.map(col) :+ valueCol.cast("double").as("_v"): _*)
+      .where(col("_v").isNotNull)
+    v.join(broadcast(st), groupCols)
+      .withColumn("bucket",
+        aggregate(col("_bounds"), lit(1),
+          (acc, b) => acc + when(col("_v") >= b, 1).otherwise(0)).cast("int"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"), min(col("_v")).as("lo"),
+        max(col("_v")).as("hi"), first(col("_n_state")).as("n_state"))
+  }
 }

@@ -106,11 +106,11 @@ class ApiContractSpec extends GraftSuite {
   /** World state the examples assume, built through the API itself. */
   private def seedFixtures(s: HttpApi.Server): Unit = {
     assert(call(s, "PUT", "/api/v1/t1/destinations/dres",
-      """{"type":"webhook","topics":["order.*"]}""")._1 == 201)
+      """{"type":"webhook","topics":["order.*"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
     assert(call(s, "PUT", "/api/v1/t1/destinations/ddel",
-      """{"type":"webhook","topics":["order.*"]}""")._1 == 201)
+      """{"type":"webhook","topics":["order.*"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
     assert(call(s, "PUT", "/api/v1/t1/destinations/ddis",
-      """{"type":"webhook","topics":["order.*"]}""")._1 == 201)
+      """{"type":"webhook","topics":["order.*"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
     assert(call(s, "PUT", "/api/v1/tenants/tdel", "{}")._1 == 201)
     // arm the publish idempotency probe: dup-1 is now inside the window
     assert(call(s, "POST", "/api/v1/publish",

@@ -146,4 +146,57 @@ class CommitLogCrashSpec extends GraftSuite {
     assert(deleted == Seq(staging.getFileName.toString), deleted)
     assert(!java.nio.file.Files.exists(staging))
   }
+
+  test("cross-table store batch: crash between events and attempts appends, token replay converges") {
+    // the reference writes events+attempts in ONE store batch
+    // (logmq/batchprocessor.go:192-307); on the commit log they are two
+    // commits, so the crash window "events committed, attempts not" is
+    // real — Logstore.insertBatchTx's recovery rule says replaying the
+    // whole batch under the same token converges both tables exactly-once
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_xtab").toString
+    val (evT, atT) = (s"$base/events", s"$base/attempts")
+    def events(ids: Range) = ids.map(i =>
+      (s"ev$i", java.sql.Timestamp.valueOf(s"2024-02-10 08:00:${i % 60}"), "order.created"))
+      .toDF("event_id", "ts", "topic")
+    def attempts(ids: Range) = ids.flatMap(i => Seq(1, 2).map(a =>
+      (s"at${i}_$a", s"ev$i", a,
+        java.sql.Timestamp.valueOf(s"2024-02-10 08:01:${i % 60}"))))
+      .toDF("attempt_id", "event_id", "attempt_number", "attempt_time")
+
+    // batch 0 lands clean (both commits)
+    graft.operators.Logstore.insertBatchTx(
+      events(0 until 10), attempts(0 until 10), evT, atT, token = "ingest-0")
+
+    // batch 1 CRASHES mid-batch: the events append commits, the process
+    // dies before the attempts append — replayed here by running only
+    // the first half of insertBatchTx's fixed commit order
+    CommitLog.append(events(10 until 20), evT, "event_id", "ts",
+      token = Some("ingest-1"))
+    // half-ingested state is visible as such: events there, attempts not
+    assert(CommitLog.scan(spark, evT).count() == 20)
+    assert(CommitLog.scan(spark, atT).count() == 20)
+
+    // recovery = the at-least-once upstream redelivers the WHOLE batch
+    // under the same token
+    graft.operators.Logstore.insertBatchTx(
+      events(10 until 20), attempts(10 until 20), evT, atT, token = "ingest-1")
+    assert(CommitLog.scan(spark, evT).count() == 20) // events: token no-op, no dup
+    assert(CommitLog.scan(spark, atT).count() == 40) // attempts: applied once
+    // and a SECOND full replay (redelivery storm) is a complete no-op
+    val (vE, vA) = (CommitLog.snapshot(evT).version, CommitLog.snapshot(atT).version)
+    graft.operators.Logstore.insertBatchTx(
+      events(10 until 20), attempts(10 until 20), evT, atT, token = "ingest-1")
+    assert(CommitLog.snapshot(evT).version == vE)
+    assert(CommitLog.snapshot(atT).version == vA)
+    assert(CommitLog.scan(spark, evT).count() == 20)
+    assert(CommitLog.scan(spark, atT).count() == 40)
+    // exactly-once CONTENT, not just counts: every attempt's event exists
+    // (the fixed order's read invariant) and ids are unique
+    val at = CommitLog.scan(spark, atT)
+    val ev = CommitLog.scan(spark, evT)
+    assert(at.select("attempt_id").distinct().count() == 40)
+    assert(at.join(ev, Seq("event_id"), "left_anti").count() == 0)
+  }
 }

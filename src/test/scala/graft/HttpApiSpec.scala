@@ -226,9 +226,9 @@ class HttpApiSpec extends GraftSuite {
 
       // destinations roll up into the view (count + union topics)
       assert(send(s, "PUT", "/api/v1/acme/destinations/d1",
-        """{"type":"webhook","topics":["order.created"]}""")._1 == 201)
+        """{"type":"webhook","topics":["order.created"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
       assert(send(s, "PUT", "/api/v1/acme/destinations/d2",
-        """{"type":"webhook","topics":["user.updated"]}""")._1 == 201)
+        """{"type":"webhook","topics":["user.updated"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
       val (_, view) = get(s, "/api/v1/tenants/acme")
       assert(view.get("destinations_count").asLong == 2)
       assert((0 until view.get("topics").size).map(view.get("topics").get(_).asText).toSet ==
@@ -371,13 +371,13 @@ class HttpApiSpec extends GraftSuite {
         """{"event_id":"e1","destination_id":"d1"}""")._1 == 404)
       // topic-mismatching destination → 400
       assert(send(s, "PUT", "/api/v1/t1/destinations/d1",
-        """{"type":"webhook","topics":["user.*"]}""")._1 == 201)
+        """{"type":"webhook","topics":["user.*"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
       assert(send(s, "POST", "/api/v1/retry",
         """{"event_id":"e1","destination_id":"d1"}""")._1 == 400)
       // disabled destination → 400
       assert(send(s, "DELETE", "/api/v1/t1/destinations/d1")._1 == 200)
       assert(send(s, "PUT", "/api/v1/t1/destinations/d1",
-        """{"type":"webhook","topics":["order.*"]}""")._1 == 201)
+        """{"type":"webhook","topics":["order.*"],"config":{"url":"http://example.test/hook"}}""")._1 == 201)
       assert(send(s, "PUT", "/api/v1/t1/destinations/d1/disable")._1 == 200)
       assert(send(s, "POST", "/api/v1/retry",
         """{"event_id":"e1","destination_id":"d1"}""")._1 == 400)

@@ -318,7 +318,7 @@ class HttpDeliverySpec extends GraftSuite {
               .build(),
             java.net.http.HttpResponse.BodyHandlers.ofString())
           assert(put("/api/v1/t1/destinations/d1",
-            """{"type":"webhook","topics":["order.*"]}""").statusCode() == 201)
+            """{"type":"webhook","topics":["order.*"],"config":{"url":"http://example.test/hook"}}""").statusCode() == 201)
           val resp = post("/api/v1/retry",
             """{"event_id":"e1","destination_id":"d1"}""")
           assert(resp.statusCode() == 202, resp.body())
