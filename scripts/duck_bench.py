@@ -25,8 +25,9 @@ HEADLINE = ["q1_pricing_summary", "q3_top_orders", "scan_project_filter",
             "pagerank_trade", "ema_daily_revenue", "dq_constraints",
             "global_rank_agg", "ntile_deciles", "auc_exact",
             "target_encode_oof", "pca_covariance",
-            "suffix_rank_spans", "cc_twostar_chains",
-            "quality_classifier_coeffs", "incremental_equidepth_check"]
+            "cc_twostar_chains",
+            "quality_classifier_coeffs", "incremental_equidepth_check",
+            "curation_scored_batch", "incremental_equidepth_by_type"]
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",

@@ -41,15 +41,22 @@ object Clustering {
     aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** Lloyd's k-means: `iters` assign/recompute rounds from a lowest-k-ids
-    * init (or an explicit `init` — see [[kmeansParallelInit]]), then a
-    * final assignment. Returns one row per input vector:
-    * (idCol, cluster, dist) with dist = round(L2 to its centroid, 6).
-    * Empty clusters drop out of later iterations (ids keep their original
-    * index — parity with a GROUP BY recompute on any engine). */
+  /** Lloyd's k-means: `iters` assign/recompute rounds, then a final
+    * assignment. Returns one row per input vector: (idCol, cluster, dist)
+    * with dist = round(L2 to its centroid, 6). Empty clusters drop out of
+    * later iterations (ids keep their original index — parity with a
+    * GROUP BY recompute on any engine).
+    *
+    * Seeding (round 13 — VERDICT r12 task #4): deterministic k-means‖
+    * ([[kmeansParallelInit]]) is the DEFAULT — spread-out, density-
+    * weighted and, since the integer rework, fully DuckDB-replayable
+    * ([[kmeansParallelInitCtes]]). `firstKSeed = true` keeps the legacy
+    * k-lowest-ids init (the `kmeans_parallel_check` gate's baseline
+    * side); an explicit `init` overrides both. */
   def kmeansAssign(vectors: DataFrame, k: Int, iters: Int, dim: Int = 64,
                    idCol: String = "vec_id", vecCol: String = "embedding",
-                   init: Option[Seq[Seq[Double]]] = None): DataFrame = {
+                   init: Option[Seq[Seq[Double]]] = None,
+                   firstKSeed: Boolean = false): DataFrame = {
     val v = vectors.select(col(idCol).as("id"),
       transform(col(vecCol), _.cast("double")).as("v"))
 
@@ -59,10 +66,10 @@ object Clustering {
       }: _*))
 
     graft.core.Caching.withCached(v) {
-      // init: the k lowest-id vectors, cluster id = rank in id order —
-      // the DuckDB-replayable default; an explicit init (k-means‖) keeps
-      // the same (index, centroid) shape
       var cents: Seq[(Int, Seq[Double])] = init
+        .orElse(if (firstKSeed) None
+          else Some(kmeansParallelInit(vectors, k, dim, idCol = idCol,
+            vecCol = vecCol)))
         .map(_.zipWithIndex.map { case (c, i) => (i, c) })
         .getOrElse(v.orderBy("id").limit(k).collect()
           .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq)
@@ -289,14 +296,116 @@ object Clustering {
         coalesce(col("component"), col("id")).as("keeper"))
   }
 
+  /** DuckDB replay of [[parallelInitFrame]] — the integer k-means‖
+    * seeding unrolled as CTEs (same discipline as the classifier's
+    * trajectory replay: every step exact integer arithmetic, so the SQL
+    * result is bit-identical to the Scala run).
+    *
+    * @param prefix CTE name prefix (per-subspace uniqueness for PQ)
+    * @param vSel   SQL producing `(id, v DOUBLE[])` rows
+    * @return (CTE chain, name of the final CTE holding one row per
+    *         seeded center: `(step INT 0..k-1, c BIGINT[] micro-units)`) */
+  def kmeansParallelInitCtes(prefix: String, vSel: String, k: Int,
+                             rounds: Int = 5, ell: Long = 0,
+                             cap: Int = 4096): (String, String) = {
+    val p = prefix
+    val os = if (ell > 0) ell else 2L * k
+    def d2q(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    def uq(idExpr: String, r: Int) =
+      s"('0x'||substr(md5(CAST($idExpr AS VARCHAR)||'kmpar_$r'),1,12))::UBIGINT"
+    val head = Seq(
+      s"""${p}vq AS MATERIALIZED (SELECT id,
+         |  list_transform(v, x -> CAST(floor(x*1000000.0 + 0.5) AS BIGINT)) AS vq
+         |  FROM ($vSel))""".stripMargin,
+      s"${p}s0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS ord, vq AS c FROM ${p}vq ORDER BY id LIMIT 1)")
+    val sampleRounds = (1 to rounds).flatMap { r =>
+      Seq(
+        // dmin to the CURRENT pool (exact integer); phi = its HUGEINT sum
+        s"""${p}d$r AS MATERIALIZED (SELECT q.id, min(${d2q("q.vq", "s.c")}) AS dmin
+           |  FROM ${p}vq q CROSS JOIN ${p}s${r - 1} s GROUP BY q.id)""".stripMargin,
+        // the sample set: uq·φ < ℓ·2⁴⁸·dmin on integers; lowest-u winners
+        // keep candidate order (ord = round·10⁹ + rank)
+        s"""${p}g$r AS MATERIALIZED (SELECT q.vq AS c,
+           |    ${r}000000000 + row_number() OVER (ORDER BY ${uq("d.id", r)}, d.id) AS ord
+           |  FROM ${p}d$r d JOIN ${p}vq q USING (id),
+           |       (SELECT sum(dmin) AS phi FROM ${p}d$r) f
+           |  WHERE ${uq("d.id", r)}::HUGEINT * f.phi
+           |        < $os * 281474976710656::HUGEINT * d.dmin
+           |  ORDER BY ${uq("d.id", r)}, d.id LIMIT $cap)""".stripMargin,
+        // pool ∪ sample, dedup keeping first occurrence, capped
+        s"""${p}s$r AS MATERIALIZED (SELECT c, min(ord) AS ord FROM (
+           |    SELECT ord, c FROM ${p}s${r - 1} UNION ALL SELECT ord, c FROM ${p}g$r)
+           |  GROUP BY c ORDER BY ord LIMIT $cap)""".stripMargin)
+    }
+    val weights = Seq(
+      s"""${p}cand AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY ord) - 1 AS INT) AS ci, c
+         |  FROM ${p}s$rounds)""".stripMargin,
+      s"""${p}asg AS MATERIALIZED (SELECT id, ci FROM (
+         |    SELECT q.id, c.ci, row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${d2q("q.vq", "c.c")}, c.ci) AS rn
+         |    FROM ${p}vq q CROSS JOIN ${p}cand c) WHERE rn = 1)""".stripMargin,
+      s"""${p}cw AS MATERIALIZED (SELECT c.ci, c.c, CAST(coalesce(w.w, 0) AS BIGINT) AS w
+         |  FROM ${p}cand c LEFT JOIN (
+         |    SELECT ci, count(*) AS w FROM ${p}asg GROUP BY ci) w USING (ci))""".stripMargin)
+    // greedy farthest-point: k unrolled argmax steps (max w·min-d², ties
+    // to the lowest candidate index)
+    val greedy =
+      s"${p}ch0 AS MATERIALIZED (SELECT 0 AS step, ci, c FROM ${p}cw ORDER BY w DESC, ci LIMIT 1)" +:
+      (1 until k).map { j =>
+        s"""${p}ch$j AS MATERIALIZED (SELECT * FROM ${p}ch${j - 1} UNION ALL
+           |  (SELECT $j AS step, x.ci, x.c FROM ${p}cw x
+           |   WHERE x.ci NOT IN (SELECT ci FROM ${p}ch${j - 1})
+           |   ORDER BY x.w::HUGEINT * (SELECT min(${d2q("x.c", "y.c")})
+           |                            FROM ${p}ch${j - 1} y) DESC, x.ci
+           |   LIMIT 1))""".stripMargin
+      }
+    // 20 weighted Lloyd rounds over the candidates, centroids floor-
+    // divided back to micro-units each round (DuckDB // truncates toward
+    // zero, so floor = // minus one when the remainder is negative)
+    val lloyd = s"${p}lc0 AS MATERIALIZED (SELECT step, c FROM ${p}ch${k - 1})" +:
+      (1 to 20).flatMap { t =>
+        Seq(
+          s"""${p}la$t AS MATERIALIZED (SELECT ci, step FROM (
+             |    SELECT x.ci, y.step, row_number() OVER (PARTITION BY x.ci
+             |      ORDER BY ${d2q("x.c", "y.c")}, y.step) AS rn
+             |    FROM ${p}cw x CROSS JOIN ${p}lc${t - 1} y) WHERE rn = 1)""".stripMargin,
+          s"""${p}lm$t AS MATERIALIZED (SELECT step, j, sum(w::HUGEINT * q) AS s, sum(w)::HUGEINT AS tw
+             |  FROM (SELECT a.step, x.w, generate_subscripts(x.c, 1) AS j, unnest(x.c) AS q
+             |        FROM ${p}la$t a JOIN ${p}cw x USING (ci) WHERE x.w > 0)
+             |  GROUP BY step, j)""".stripMargin,
+          s"""${p}lc$t AS MATERIALIZED (SELECT y.step, coalesce(m.c, y.c) AS c
+             |  FROM ${p}lc${t - 1} y LEFT JOIN (
+             |    SELECT step, list(CAST(s // tw - (CASE WHEN s % tw < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |                      ORDER BY j) AS c
+             |    FROM ${p}lm$t GROUP BY step) m USING (step))""".stripMargin)
+      }
+    ((head ++ sampleRounds ++ weights ++ greedy ++ lloyd).mkString(",\n"),
+      s"${p}lc20")
+  }
+
   /** The unrolled-run CTE list and the final-assignment subquery of the
     * DuckDB replication — exposed separately so composition gates
-    * (`semdedup_kmeans`) can build on the same replayed clustering. */
+    * (`semdedup_kmeans`) can build on the same replayed clustering.
+    *
+    * `parallelSeed = true` (the round-13 default, matching
+    * [[kmeansAssign]]) replays the k-means‖ seeding
+    * ([[kmeansParallelInitCtes]]) as c0; false replays the legacy
+    * first-k-by-id init. */
   def kmeansOracleCtes(k: Int, iters: Int, table: String = "embeddings",
-                       idCol: String = "vec_id", vecCol: String = "embedding"): (String, String) = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       parallelSeed: Boolean = true): (String, String) = {
+    val (seedCtes, seedFin) =
+      if (parallelSeed) kmeansParallelInitCtes("kp_", "SELECT id, v FROM v", k)
+      else ("", "")
     val init =
-      s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS c
-         |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $k))""".stripMargin
+      if (parallelSeed)
+        s"""$seedCtes,
+           |c0 AS (SELECT CAST(step AS INT) AS cluster,
+           |  list_transform(c, q -> CAST(q AS DOUBLE)/1000000.0) AS c FROM $seedFin)""".stripMargin
+      else
+        s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS c
+           |  FROM (SELECT id, v FROM v ORDER BY id LIMIT $k))""".stripMargin
     def assign(i: Int) =
       s"""(SELECT id, cluster, d FROM (
          |    SELECT v.id, c.cluster, list_distance(v.v, c.c) AS d,

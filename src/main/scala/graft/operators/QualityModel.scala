@@ -198,6 +198,23 @@ object QualityModel {
     s"WITH $ctes\n${rows.mkString("\nUNION ALL\n")}\nORDER BY feature"
   }
 
+  /** Oracle for `curation_scored_batch`: the replayed training run's
+    * weights applied to EVERY document — per-doc quantized score, keep
+    * verdict, and teacher label, with the epoch each doc arrived in
+    * (the gate feeds micro-batches by doc_id mod `batches`). */
+  def scoredBatchOracleSql(lr: Double, epochs: Int, folds: Int,
+                           testFold: Int, batches: Int): String = {
+    val (ctes, wFin) = trainingCtes(lr, epochs, folds, testFold)
+    val z = featureSql._1.indices.map(i => s"w.w$i * x$i").mkString(" + ")
+    s"""WITH $ctes
+       |SELECT f.doc_id, CAST(f.doc_id % $batches AS BIGINT) AS epoch,
+       |       CAST(floor(($z) * 1000000.0) AS BIGINT) AS zq,
+       |       CAST(floor(($z) * 1000000.0) AS BIGINT) >= 0 AS kept,
+       |       y = 1.0 AS teacher
+       |FROM f, $wFin w
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Oracle for `quality_classifier_auc`: score the HELD-OUT fold with
     * the replayed weights (zq = floor(z·10⁶) — monotone, engine-exact)
     * and run the exact tie-corrected AUC identity. */

@@ -60,15 +60,15 @@ object Quantization {
       struct(sqrt(dist2(v, c)).as("d"), lit(cid).as("cluster"))
     }: _*)).getField("cluster")
 
-  /** Train the M codebooks: for each subspace, `iters` Lloyd rounds from a
-    * lowest-k-ids init (the DuckDB-replayable default) or, with
-    * `parallelInit`, from deterministic k-means‖ seeding
-    * ([[Clustering.parallelInitFrame]] per subspace — better spread, same
-    * determinism, not SQL-replayable). Returns, per subspace, the
+  /** Train the M codebooks: for each subspace, `iters` Lloyd rounds from
+    * deterministic k-means‖ seeding ([[Clustering.parallelInitFrame]] per
+    * subspace — the round-13 default: better spread AND, since the
+    * integer rework, SQL-replayable) or, with `parallelInit = false`,
+    * from the legacy lowest-k-ids init. Returns, per subspace, the
     * (cid, centroid) list — driver-sized (M×K×(dim/M) doubles). */
   def pqTrain(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              parallelInit: Boolean = false): Seq[Seq[(Int, Seq[Double])]] = {
+              parallelInit: Boolean = true): Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
     (0 until m).map { s =>
@@ -281,7 +281,8 @@ object Quantization {
 
   /** Per-subspace replayed-k-means CTEs (the [[Clustering.kmeansOracleCtes]]
     * pattern with an `s{i}_` prefix and a list_slice source), plus the
-    * final-assignment subquery per subspace. */
+    * final-assignment subquery per subspace. Each subspace's c0 replays
+    * its own integer k-means‖ seeding (matching [[pqTrain]]'s default). */
   private def subspaceCtes(m: Int, k: Int, iters: Int, sub: Int,
                            table: String, idCol: String,
                            vecCol: String): (String, Seq[String]) = {
@@ -291,9 +292,12 @@ object Quantization {
       val p = s"s${s}_"
       val lo = s * sub + 1
       val hi = (s + 1) * sub
+      val (seedCtes, seedFin) = Clustering.kmeansParallelInitCtes(
+        s"${p}kp_", s"SELECT id, fv[$lo:$hi] AS v FROM base", k)
       val init =
-        s"""${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cluster, v AS c
-           |  FROM (SELECT id, fv[$lo:$hi] AS v FROM base ORDER BY id LIMIT $k))""".stripMargin
+        s"""$seedCtes,
+           |${p}c0 AS (SELECT CAST(step AS INT) AS cluster,
+           |  list_transform(c, q -> CAST(q AS DOUBLE)/1000000.0) AS c FROM $seedFin)""".stripMargin
       def assign(i: Int) =
         s"""(SELECT id, cluster, d FROM (
            |    SELECT b.id, c.cluster, list_distance(b.fv[$lo:$hi], c.c) AS d,

@@ -204,6 +204,34 @@ object CurationOps {
         .orderBy("lang")
     }),
 
+    // the TRAINED classifier scoring in the pipeline (VERDICT r12 task
+    // #6): train on folds ≠ 0 (same run the coeffs/auc gates replay),
+    // then drive three micro-batches + one replayed batch through the
+    // streaming scorer's batch function; the verdict TABLE is the gate
+    // output — per-doc quantized score, keep verdict, teacher parity —
+    // and DuckDB replays training + scoring + teacher end to end.
+    "curation_scored_batch" -> ((s, dir) => {
+      import graft.operators.{CommitLog, Features, QualityModel}
+      val docs = Tables.documents(s, dir)
+      val feats = QualityModel.documentFeatures
+      val w = QualityModel.trainLogistic(
+        docs.filter(Features.foldOf(col("doc_id"), 5) =!= 0), feats,
+        QualityModel.documentQualityLabel, lr = 0.5, epochs = 6)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_scored").toString + "/verdicts"
+      (0 until 3).foreach { b =>
+        graft.streaming.CurationStream.scoredIntakeBatch(
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b, w, table)
+      }
+      // replayed epoch: the token must no-op or doc rows double
+      graft.streaming.CurationStream.scoredIntakeBatch(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1, w, table)
+      CommitLog.scan(s, table)
+        .select(col("doc_id"), col("epoch"), col("zq"), col("kept"),
+          col("teacher"))
+        .orderBy(col("doc_id"))
+    }),
+
     "curation_pipeline" -> ((s, dir) => {
       val base = Tables.documents(s, dir)
         .withColumn("n_tok", size(split(col("text"), " ")))
@@ -221,6 +249,9 @@ object CurationOps {
   )
 
   def oracles: Map[String, String] = Map(
+    "curation_scored_batch" -> graft.operators.QualityModel
+      .scoredBatchOracleSql(lr = 0.5, epochs = 6, folds = 5, testFold = 0,
+        batches = 3),
     "unigram_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -103,6 +103,57 @@ object RankProjOps {
           "state_matches_facts")
     }),
 
+    // GROUPED incremental equi-depth (VERDICT r12 task #7): per-dimension
+    // discretization — one boundary scale per event_type — off the SAME
+    // maintained rollup state (the state already carries its group
+    // columns), same 3-batch + replay + retention-drop maintenance cycle.
+    // Verdicts per group: 2εn_g population bound, monotone bounds, and
+    // the per-group state-vs-facts count witness.
+    "incremental_equidepth_by_type" -> ((s, dir) => {
+      import graft.operators.{CommitLog, Sketches}
+      val base = java.nio.file.Files.createTempDirectory("graft_ieqg").toString
+      val (fact, state) = (s"$base/fact", s"$base/qstate")
+      val (k, eps) = (8, 0.005)
+      val ev = Tables.events(s, dir).select(
+          col("event_id"),
+          expr("timestampadd(DAY, CAST(pmod(event_id, 3) * 30 AS INT), ts)").as("ts"),
+          col("event_type"), col("value"))
+        .withColumn("fmonth", date_format(col("ts"), "yyyy-MM"))
+      val at = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
+      def feed(b: Int, tok: String): Unit = {
+        val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
+        CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
+          token = Some(s"f$tok"))
+        Sketches.updateQuantileRollup(batch, state,
+          Seq("event_type", "fmonth"), "value", at, eps = eps,
+          token = Some(s"q$tok"))
+      }
+      (0 until 3).foreach(b => feed(b, b.toString))
+      feed(1, "1") // replayed batch: must no-op or the sketches double-count
+      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
+      CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
+        idCol = "rollup_id", tsCol = "updated_at")
+      val hist = graft.operators.Ranking.equidepthFromStateBy(
+        s, state, Seq("event_type"), CommitLog.scan(s, fact),
+        col("value"), k).collect()
+      val out = hist.groupBy(_.getString(0)).toSeq.map { case (et, rows0) =>
+        val rows = rows0.sortBy(_.getInt(1))
+        val n = rows.map(_.getLong(2)).sum
+        val target = n.toDouble / k
+        val maxDevOk = rows.map(r => math.abs(r.getLong(2) - target)).max <= 2 * eps * n + 1
+        val monotone = rows.sliding(2).forall {
+          case Array(a, b) => a.getDouble(4) <= b.getDouble(3) + 1e-9
+          case _ => true
+        }
+        (et, n, rows.length, maxDevOk, monotone, rows.head.getLong(5) == n)
+      }
+      s.createDataFrame(out.sortBy(_._1))
+        .toDF("event_type", "n_total", "k_buckets", "max_dev_ok",
+          "bounds_monotone", "state_matches_facts")
+        .withColumn("k_buckets", col("k_buckets").cast("int"))
+        .orderBy(col("event_type"))
+    }),
+
     // One-pass covariance of the first 8 embedding dims via the
     // graft_vec_sum moments aggregate. quantScale makes the GATE exact:
     // coordinates quantize to integers (floor(x·10⁴ + 0.5) — identical in
@@ -209,6 +260,16 @@ object RankProjOps {
       """SELECT count(l_extendedprice) AS n_total, CAST(10 AS INT) AS k_buckets,
         |       true AS max_dev_ok, true AS bounds_monotone
         |FROM lineitem""".stripMargin,
+
+    "incremental_equidepth_by_type" ->
+      """SELECT event_type, count(*) AS n_total, CAST(8 AS INT) AS k_buckets,
+        |       true AS max_dev_ok, true AS bounds_monotone,
+        |       true AS state_matches_facts
+        |FROM (SELECT event_type, ts + to_days(CAST((event_id % 3) * 30 AS INT)) AS ts2, value
+        |      FROM events)
+        |WHERE strftime(ts2::TIMESTAMP, '%Y-%m') >= '2024-02'
+        |  AND value IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "incremental_equidepth_check" ->
       """SELECT count(*) AS n_total, CAST(10 AS INT) AS k_buckets,

@@ -217,9 +217,12 @@ object VectorOps {
     "kmeans_parallel_check" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val c = graft.operators.Clustering
-      val iPar = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3,
-        init = Some(c.kmeansParallelInit(emb, k = 10))))
-      val iFirst = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3))
+      // k-means‖ is the DEFAULT since r13; the gate still pins it
+      // never-worse than the legacy first-k seeding after the same
+      // Lloyd budget (exact integer micro-unit inertia)
+      val iPar = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3))
+      val iFirst = c.inertiaMicros(c.kmeansAssign(emb, k = 10, iters = 3,
+        firstKSeed = true))
       s.createDataFrame(Seq((emb.count(), 10, iPar <= iFirst)))
         .toDF("n_vectors", "k", "parallel_le_firstk")
     }),

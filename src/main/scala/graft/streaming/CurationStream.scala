@@ -134,4 +134,86 @@ object CurationStream {
     CommitLog.append(verdicts, corpusTable, idCol = idCol, tsCol = tsCol,
       token = Some(s"corpus-$batchId"))
   }
+
+  // -------------------------------------------------- trained scorer --
+
+  /** TRAINED-classifier intake (r13 — VERDICT r12 task #6): score every
+    * arriving document with [[graft.operators.QualityModel.scoreExpr]]
+    * under frozen trained weights and keep/drop on the score sign —
+    * the reference-shaped use of the gate-only `QualityModel`: the
+    * distilled scorer runs IN the pipeline, not just in a gate.
+    *
+    * Each verdict row carries the quantized score `zq = floor(z·10⁶)`
+    * (the engine-exact readout the AUC gate uses), the keep verdict, and
+    * the TEACHER rule's verdict on the same row — so classifier-vs-
+    * teacher parity is a query over the verdict table, not a separate
+    * experiment. Appends are token-idempotent per micro-batch epoch
+    * (same effectively-once contract as every other intake here). */
+  def scoredIntake(docs: DataFrame, weights: Seq[Double],
+                   verdictTable: String, checkpoint: String,
+                   idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scoredIntakeBatch(batch, batchId, weights, verdictTable, idCol)
+      }
+      .start()
+
+  /** One micro-batch of [[scoredIntake]] (separable for foreachBatch
+    * reuse, the `curation_scored_batch` gate, and direct testing). */
+  def scoredIntakeBatch(batch: DataFrame, batchId: Long,
+                        weights: Seq[Double], verdictTable: String,
+                        idCol: String = "doc_id"): Unit = {
+    import graft.operators.{CommitLog, QualityModel}
+    if (batch.isEmpty) return
+    val feats = QualityModel.documentFeatures
+    val scored = batch.select(
+        col(idCol),
+        lit(batchId).as("epoch"),
+        floor(QualityModel.scoreExpr(feats, weights) * lit(1000000.0))
+          .cast("long").as("zq"),
+        QualityModel.documentQualityLabel.as("teacher"))
+      .withColumn("kept", col("zq") >= 0L)
+      .withColumn("scored_at", current_timestamp())
+    CommitLog.append(scored, verdictTable, idCol = idCol,
+      tsCol = "scored_at", token = Some(s"score-$batchId"))
+    ()
+  }
+
+  /** Per-epoch accounting over the scored-verdict table: scored / kept /
+    * dropped / teacher-agreement counts, ordered by epoch. */
+  def scoredSeries(spark: org.apache.spark.sql.SparkSession,
+                   verdictTable: String): DataFrame =
+    graft.operators.CommitLog.scan(spark, verdictTable)
+      .groupBy(col("epoch"))
+      .agg(count(lit(1)).as("scored"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("dropped"),
+        sum(when(col("kept") === col("teacher"), 1L).otherwise(0L))
+          .as("teacher_agree"))
+      .orderBy(col("epoch"))
+
+  /** Epochs whose drop share exceeds `maxDropPct`, as operational ALERT
+    * rows on the SAME opevents rails as delivery and data-quality alerts
+    * ([[Opevents.toOperationalEvents]] → `alert.quality.constraint_failure`
+    * events): a classifier suddenly rejecting half a batch is a page,
+    * same as a failing constraint. `destination_id` carries the epoch
+    * (the actionable unit), `failure_count` the dropped-row count. */
+  def scoredAlerts(spark: org.apache.spark.sql.SparkSession,
+                   verdictTable: String, maxDropPct: Int = 50)
+      : org.apache.spark.sql.Dataset[Model.Alert] = {
+    import spark.implicits._
+    scoredSeries(spark, verdictTable)
+      .filter(col("dropped") * 100L > col("scored") * maxDropPct)
+      .select(
+        lit("quality-classifier").as("tenant_id"),
+        concat(lit("epoch-"), col("epoch")).as("destination_id"),
+        lit("quality_failure").as("kind"),
+        lit(maxDropPct).as("threshold_pct"),
+        col("dropped").cast("int").as("failure_count"),
+        current_timestamp().as("at"))
+      .as[Model.Alert]
+  }
 }

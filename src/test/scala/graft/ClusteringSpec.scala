@@ -57,16 +57,21 @@ class ClusteringSpec extends GraftSuite {
     val iPar = Clustering.inertiaMicros(
       Clustering.kmeansAssign(vecs, k, iters = 3, init = Some(i1)))
     val iFirst = Clustering.inertiaMicros(
-      Clustering.kmeansAssign(vecs, k, iters = 3))
+      Clustering.kmeansAssign(vecs, k, iters = 3, firstKSeed = true))
     assert(iPar <= iFirst,
       s"k-means‖ seeding lost to first-k: $iPar > $iFirst micro-units")
   }
 
-  test("clusters recover latent label structure better than the init") {
-    // Purity against the generator's latent label: the trained assignment
-    // should beat the iteration-0 (init-centroid) assignment.
-    def purity(iters: Int): Double = {
-      val joined = Clustering.kmeansAssign(vecs, k = 10, iters = iters)
+  test("clusters recover latent label structure better than a weak init") {
+    // Purity against the generator's latent label. Since r13 the default
+    // seeding is k-means‖, which starts near-converged — training can
+    // only jitter purity at the margin (purity is not Lloyd's
+    // objective), so the meaningful claims are (a) the trained default
+    // beats the WEAK first-k start point, and (b) training from the ‖
+    // seeds never collapses structure.
+    def purity(iters: Int, firstK: Boolean = false): Double = {
+      val joined = Clustering
+        .kmeansAssign(vecs, k = 10, iters = iters, firstKSeed = firstK)
         .join(vecs.select(col("vec_id"), col("label")), "vec_id")
       val n = joined.count().toDouble
       val top = joined.groupBy("cluster", "label").count()
@@ -74,8 +79,10 @@ class ClusteringSpec extends GraftSuite {
         .agg(sum("m")).head().getLong(0).toDouble
       top / n
     }
+    val pWeak = purity(0, firstK = true)
     val p0 = purity(0)
     val p3 = purity(3)
-    assert(p3 >= p0, s"purity fell with training: $p0 -> $p3")
+    assert(p3 >= pWeak, s"trained purity below the first-k start: $pWeak -> $p3")
+    assert(p3 >= p0 - 0.01, s"purity collapsed with training: $p0 -> $p3")
   }
 }

@@ -22,10 +22,11 @@ class QuantizationSpec extends GraftSuite {
   }
 
   test("pq k-means‖ training: deterministic, quantization error <= first-k's") {
-    val cbPar = Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2,
-      parallelInit = true)
-    assert(cbPar == Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2,
-      parallelInit = true), "k-means‖ pq training is not deterministic")
+    val cbPar = cb // ‖ is the default since r13
+    assert(cbPar == Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2),
+      "k-means‖ pq training is not deterministic")
+    val cbFirst = Quantization.pqTrain(vecs, m = 8, k = 32, iters = 2,
+      parallelInit = false)
     // total quantization error (exact micro-unit sum of per-subspace d²)
     def err(books: Seq[Seq[(Int, Seq[Double])]]): Long = {
       val codes = Quantization.pqEncode(vecs, books)
@@ -47,7 +48,7 @@ class QuantizationSpec extends GraftSuite {
         .head().getLong(0)
     }
     val ePar = err(cbPar)
-    val eFirst = err(cb)
+    val eFirst = err(cbFirst)
     assert(ePar <= eFirst,
       s"k-means‖ codebooks quantize worse than first-k: $ePar > $eFirst")
   }
