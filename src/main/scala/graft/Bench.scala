@@ -580,7 +580,17 @@ object Bench {
         val s10 =
           try s""","point_lookup_concurrent":${pointLookupConcurrentRun(spark, sfDir)}"""
           catch { case e: Throwable => s""","point_lookup_concurrent_error":"${e.getClass.getSimpleName}""""}
-        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8 + s9 + s10
+        // sustained soak with the maintenance ops in-loop (r12 task #8):
+        // digest dedup + minhash ledger + classifier scorer + quantile
+        // rollup concurrently for SPARK_GRAFT_SOAK_SEC (default 300) —
+        // state-growth series, watermark eviction, exact accounting
+        val s11 = {
+          val soakSec = sys.env.get("SPARK_GRAFT_SOAK_SEC")
+            .flatMap(_.toIntOption).getOrElse(300)
+          try s""","stream_soak":${StreamBench.soakRun(spark, soakSec)}"""
+          catch { case e: Throwable => s""","stream_soak_error":"${e.getClass.getSimpleName}""""}
+        }
+        s1 + s2 + s3 + s4 + s5 + s6 + s7 + s8 + s9 + s10 + s11
       }
 
     def toJson(rs: Seq[(String, Double)]): String =

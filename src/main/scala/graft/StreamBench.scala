@@ -627,6 +627,7 @@ object StreamBench {
     val json = args.headOption match {
       case Some("vectors") => vectorIntakeRun(spark, n)
       case Some("curation") => curationRun(spark, n)
+      case Some("soak") => soakRun(spark, if (args.size > 1) n else 300)
       case Some("alertscale") => alertScaleRun(spark, if (args.size > 1) n else 100000)
       case Some("retryscale") => retryScaleRun(spark, if (args.size > 1) n else 100000)
       case Some("joinview") => joinViewRun(spark, if (args.size > 1) n else 60000)
@@ -636,5 +637,185 @@ object StreamBench {
     println(json)
     spark.stop()
     if (args.isEmpty && !json.contains(""""accounting_exact":true""")) sys.exit(1)
+  }
+
+  /** Sustained SOAK with the r12/r13 maintenance ops in-loop (VERDICT r12
+    * task #8): three stateful pipelines run CONCURRENTLY for `seconds` of
+    * paced wall time —
+    *
+    *   1. digest dedup (`CurationStream.curate`'s
+    *      dropDuplicatesWithinWatermark) with event time ADVANCING, so
+    *      watermark eviction is actually exercised, not just configured;
+    *   2. the MinHash ledger intake (`fuzzyIntake`: per-batch band
+    *      commits + incremental verdicts against all history);
+    *   3. the trained classifier scorer (`scoredIntake`) with a GK
+    *      quantile-rollup update riding the same micro-batch.
+    *
+    * Every ~30 s a sample row records heap, the digest operator's state
+    * rows, and the ledger/verdict table sizes — the state-growth SERIES
+    * the single-cycle gates can't show. After the feed stops, exact
+    * accounting: every doc fed has exactly one fuzzy verdict and one
+    * score verdict; digest outputs equal the driver-tracked distinct
+    * text count (duplicates are constructed within the watermark window,
+    * so the expectation is exact); the rollup state's n_rows equals docs
+    * fed (the state-vs-facts witness); and the digest state must have
+    * EVICTED (final state rows well under total distincts) while staying
+    * bounded. `drift_zero` is the conjunction — the 100 TB operational
+    * claim for the maintenance ops, measured rather than inferred. */
+  def soakRun(spark: SparkSession, seconds: Int): String = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.{CommitLog, QualityModel, Sketches}
+    val base = java.nio.file.Files.createTempDirectory("graft_soak")
+    val (corpus, ledger) = (s"$base/corpus", s"$base/ledger")
+    val (verdicts, qstate) = (s"$base/verdicts", s"$base/qstate")
+
+    val vocab = (1 to 300).map(i => s"w$i")
+    def tokensOf(seed: Int, k: Int): Seq[String] = {
+      val r = new scala.util.Random(seed * 7919 + 13)
+      (0 until k).map(_ => vocab(r.nextInt(vocab.size)))
+    }
+    // step-local duplicate structure: 40% of a step's docs repeat a text
+    // from the SAME or PREVIOUS step's pool — always inside the 2-minute
+    // watermark at 30 s/step of event time, so "first occurrence" is a
+    // driver-computable exact expectation. Half the unique docs are
+    // "good" by the teacher rule (length ~200 tokens, stopword-rich) so
+    // the trained scorer exercises BOTH verdicts, not a degenerate
+    // reject-all
+    val stopFill = graft.functions.TextFunctions.EnglishStopwords.take(10)
+    def goodText(step: Int, i: Int): String =
+      (0 until 100).flatMap(j =>
+        Seq(vocab((step * 31 + i * 7 + j) % vocab.size), stopFill(j % 10)))
+        .mkString(" ") + s" u${step}_$i"
+    def text(step: Int, i: Int): String = (i % 10) match {
+      case 0 | 1 | 2 | 3 => tokensOf(step * 100 + i % 7, 25).mkString(" ")
+      case 4 =>
+        if (step > 0) tokensOf((step - 1) * 100 + i % 7, 25).mkString(" ")
+        else tokensOf(i % 7, 25).mkString(" ")
+      case _ if i % 2 == 0 => goodText(step, i)
+      case _ => (tokensOf(-(step * 10000 + i) - 1, 20) :+ s"u${step}_$i").mkString(" ")
+    }
+
+    // frozen trained weights: a tiny deterministic pre-train on the same
+    // generator (what a production scorer does — train offline, score in
+    // the stream)
+    val trainDocs = (0 until 400).map { i =>
+      val t = text(0, i); (i.toLong, t, t.length.toLong, s"src${i % 4}")
+    }.toDF("doc_id", "text", "n_chars", "source")
+    val weights = QualityModel.trainLogistic(trainDocs,
+      QualityModel.documentFeatures, QualityModel.documentQualityLabel,
+      lr = 0.5, epochs = 3)
+
+    val memDigest = MemoryStream[(Long, Timestamp, String)]
+    val memFuzzy = MemoryStream[(Long, Timestamp, String)]
+    val memScore = MemoryStream[(Long, Timestamp, String, Long, String)]
+
+    val digestOut = new java.util.concurrent.atomic.AtomicLong(0L)
+    val qDigest = graft.streaming.CurationStream.curate(
+        memDigest.toDF().toDF("doc_id", "event_time", "text"),
+        minQuality = 0.0, minTokens = 1, watermark = "2 minutes")
+      .writeStream.option("checkpointLocation", s"$base/ckpt_digest")
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        digestOut.addAndGet(b.count()); ()
+      }.start()
+    val qFuzzy = graft.streaming.CurationStream.fuzzyIntake(
+      memFuzzy.toDF().toDF("doc_id", "event_time", "text"),
+      corpus, ledger, s"$base/ckpt_fuzzy")
+    val rollupAt = new Timestamp(1704067200000L) // 2024-01-01T00:00Z
+    val qScore = memScore.toDF()
+      .toDF("doc_id", "event_time", "text", "n_chars", "source")
+      .writeStream.option("checkpointLocation", s"$base/ckpt_score")
+      .outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val pinned = b.localCheckpoint()
+        try {
+          graft.streaming.CurationStream.scoredIntakeBatch(
+            pinned, id, weights, verdicts)
+          // the quantile-rollup maintenance rides the same micro-batch
+          // (fmonth is a constant grain here: state stays 1 row per
+          // month × sketch, O(1) regardless of soak length)
+          Sketches.updateQuantileRollup(
+            pinned.withColumn("fmonth", lit("2024-01")), qstate,
+            Seq("fmonth"), "n_chars", rollupAt, token = Some(s"soak-q-$id"))
+        } finally { () }
+      }.start()
+
+    val perStep = 600
+    val seen = scala.collection.mutable.HashSet[String]()
+    var fed = 0L
+    var step = 0
+    val series = Seq.newBuilder[String]
+    def heapMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+    }
+    def digestStateRows: Long =
+      qDigest.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
+    var maxState = -1L
+    val t0 = System.nanoTime()
+    var lastSample = 0L
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < seconds) {
+        val evtTime = new Timestamp(1704067200000L + step.toLong * 30000L)
+        val docs = (0 until perStep).map { i =>
+          val t = text(step, i); seen += t
+          (step.toLong * perStep + i, evtTime, t)
+        }
+        memDigest.addData(docs)
+        memFuzzy.addData(docs)
+        memScore.addData(docs.map { case (id, ts, t) =>
+          (id, ts, t, t.length.toLong, s"src${id % 4}") })
+        fed += perStep
+        qDigest.processAllAvailable()
+        qFuzzy.processAllAvailable()
+        qScore.processAllAvailable()
+        maxState = math.max(maxState, digestStateRows)
+        val elapsed = ((System.nanoTime() - t0) / 1e9).toLong
+        if (elapsed - lastSample >= 30) {
+          lastSample = elapsed
+          series += s"""{"t_sec":$elapsed,"docs_fed":$fed,"heap_mb":$heapMb,""" +
+            s""""digest_state_rows":$digestStateRows,""" +
+            s""""ledger_rows":${CommitLog.scan(spark, ledger).count()},""" +
+            s""""verdict_rows":${CommitLog.scan(spark, verdicts).count()}}"""
+        }
+        step += 1
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drain + final accounting
+      qDigest.processAllAvailable(); qFuzzy.processAllAvailable()
+      qScore.processAllAvailable()
+      val fuzzyRows = CommitLog.scan(spark, corpus).count()
+      val ledgerRows = CommitLog.scan(spark, ledger).count()
+      val scoreTbl = CommitLog.scan(spark, verdicts)
+      val scoreRows = scoreTbl.count()
+      val keptRows = scoreTbl.filter(col("kept")).count()
+      val rollup = Sketches.quantilesAcross(spark, qstate, Nil, Seq(0.5)).head()
+      val rollupN = rollup.getLong(1)
+      val rollupGrains = CommitLog.scan(spark, qstate).count()
+      val stateFinal = digestStateRows
+      val digestExact = digestOut.get() == seen.size.toLong
+      val fuzzyExact = fuzzyRows == fed && ledgerRows == 10L * fed
+      val scoreExact = scoreRows == fed && rollupN == fed
+      // state boundedness: the digest state must track the WATERMARK
+      // HORIZON (~4 event-time steps + commit lag), not the corpus — the
+      // bound is a per-step multiple, so it is meaningful at any run
+      // length and gets tighter (relative to total) the longer the soak
+      val perStepDistinct = seen.size.toDouble / math.max(step, 1)
+      val evicted = stateFinal >= 0 && stateFinal <= 10 * perStepDistinct + 100
+      val drift = digestExact && fuzzyExact && scoreExact && evicted
+      s"""{"seconds":${math.round(sec)},"steps":$step,"docs_fed":$fed,""" +
+        s""""docs_per_sec":${(fed / sec).round},""" +
+        s""""digest_out":${digestOut.get()},"digest_distinct":${seen.size},""" +
+        s""""digest_state_final":$stateFinal,"digest_state_max":$maxState,""" +
+        s""""fuzzy_verdicts":$fuzzyRows,"ledger_rows":$ledgerRows,""" +
+        s""""score_verdicts":$scoreRows,"score_kept":$keptRows,""" +
+        s""""rollup_n_rows":$rollupN,"rollup_state_rows":$rollupGrains,""" +
+        s""""digest_exact":$digestExact,"fuzzy_exact":$fuzzyExact,""" +
+        s""""score_exact":$scoreExact,"state_evicted":$evicted,""" +
+        s""""drift_zero":$drift,""" +
+        s""""series":[${series.result().mkString(",")}]}"""
+    } finally { qDigest.stop(); qFuzzy.stop(); qScore.stop() }
   }
 }
