@@ -438,8 +438,16 @@ object Bench {
       case (t, s, o) => t >= 0 && s <= math.max(0.5, 0.25 * t) &&
         o <= math.max(1.0, 0.15 * nCpus * t)
     }
+    // the ±30% rule gets an ABSOLUTE companion (r13), mirroring
+    // isClean's 0.5 s/1 s floors: a multi-commit maintenance cycle
+    // (curation_scored_batch: 6 training epochs + 4 commit-log appends ≈
+    // a dozen small jobs) carries ~±0.7 s of legitimate commit/GC jitter
+    // at a ~4 s wall — a 1.4× ratio with ZERO steal and zero other-cpu
+    // is variance, not contention, and flagging it would leave every
+    // full run `contended` forever. Raw per-pass lists still ride the
+    // artifact, so the jitter stays auditable.
     def spreadOk(ts: Seq[Double]): Boolean =
-      ts.isEmpty || ts.max <= 1.3 * ts.min
+      ts.isEmpty || ts.max <= 1.3 * ts.min || ts.max - ts.min <= 1.5
 
     // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
     // carries the full per-run list behind each reported number so a reader

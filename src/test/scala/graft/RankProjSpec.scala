@@ -114,6 +114,38 @@ class RankProjSpec extends GraftSuite {
       s"sketch path grew a range exchange:\n$plan")
   }
 
+  test("equidepthFromStateBy: per-group buckets via broadcast, no range exchange") {
+    import graft.operators.{CommitLog, Ranking, Sketches}
+    val ev = graft.core.Tables.events(spark, sf)
+      .withColumn("fmonth", org.apache.spark.sql.functions
+        .date_format(col("ts"), "yyyy-MM"))
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_ieqg_plan").toString + "/qstate"
+    Sketches.updateQuantileRollup(ev, state, Seq("event_type", "fmonth"),
+      "value", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+      token = Some("p0"))
+    val hist = Ranking.equidepthFromStateBy(spark, state, Seq("event_type"),
+      ev, col("value"), k = 4)
+    val plan = hist.queryExecution.executedPlan.toString
+    // the scale contract: boundaries ride a BROADCAST dimension, the
+    // fact pass folds the per-group boundary array in codegen — no sort,
+    // no range exchange anywhere (only the histogram's hash exchange)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"boundary dimension not broadcast:\n$plan")
+    assert(!plan.toLowerCase.contains("rangepartitioning"),
+      s"grouped state path grew a range exchange:\n$plan")
+    // per-group accounting: every non-null fact lands in exactly one
+    // bucket of its own group, and the witness matches
+    val rows = hist.collect()
+    val nonNull = ev.filter(col("value").isNotNull)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      assert(rs.map(_.getLong(2)).sum == nonNull(et), s"$et row accounting")
+      assert(rs.forall(_.getLong(5) == nonNull(et)), s"$et state witness")
+    }
+  }
+
   test("randomized: globalRowNumber is the exact permutation; ntile sizes legal") {
     val s2 = sparkI; import s2.implicits._
     val rnd = new scala.util.Random(42)
