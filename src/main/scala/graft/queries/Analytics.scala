@@ -250,21 +250,32 @@ object Analytics {
             .as("recency_days"),
           count(lit(1)).as("frequency"),
           sum(round(col("value") * 100.0, 0).cast("long")).as("monetary_cents"))
-      def quart(c: String, ascBest: Boolean) = {
-        val o = if (ascBest) Seq(col(c).asc, col("user_id").asc)
-          else Seq(col(c).desc, col("user_id").asc)
-        ntile(4).over(org.apache.spark.sql.expressions.Window.orderBy(o: _*))
+      // r13: the three quartile passes ride the DISTRIBUTED ntile
+      // (range partition + driver offsets — Ranking.ntile), not an
+      // unpartitioned window: the per-user frame is user-cardinality
+      // sized, which at 100 TB is a 10⁸-row SinglePartition sort in the
+      // old shape. Three rank passes + hash joins back on user_id —
+      // more absolute work at toy SF, the only shape that scales.
+      graft.core.Caching.withCached(per) {
+        def quart(c: String, ascBest: Boolean, out: String) = {
+          val o = if (ascBest) Seq(col(c).asc, col("user_id").asc)
+            else Seq(col(c).desc, col("user_id").asc)
+          graft.operators.Ranking.ntile(per.select(col("user_id"), col(c)),
+              4, o, bucketCol = out)
+            .select(col("user_id"), col(out))
+        }
+        per
+          .join(quart("recency_days", ascBest = true, "r_q"), "user_id")
+          .join(quart("frequency", ascBest = false, "f_q"), "user_id")
+          .join(quart("monetary_cents", ascBest = false, "m_q"), "user_id")
+          .select(col("user_id"), col("recency_days").cast("long").as("recency_days"),
+            col("frequency"),
+            (col("monetary_cents") / 100.0).as("monetary"),
+            concat(col("r_q").cast("string"), col("f_q").cast("string"),
+              col("m_q").cast("string")).as("rfm"))
+          .orderBy(col("user_id"))
+          .localCheckpoint() // pin: `per` unpersists when this scope exits
       }
-      per
-        .withColumn("r_q", quart("recency_days", ascBest = true))
-        .withColumn("f_q", quart("frequency", ascBest = false))
-        .withColumn("m_q", quart("monetary_cents", ascBest = false))
-        .select(col("user_id"), col("recency_days").cast("long").as("recency_days"),
-          col("frequency"),
-          (col("monetary_cents") / 100.0).as("monetary"),
-          concat(col("r_q").cast("string"), col("f_q").cast("string"),
-            col("m_q").cast("string")).as("rfm"))
-        .orderBy(col("user_id"))
     }),
 
     // Time-series GAP FILL + linear interpolation: premium orders

@@ -36,6 +36,47 @@ object TextOps {
         .repartition(1).sortWithinPartitions("doc_id")
     }),
 
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1: the
+    // quality signals for machine-generated / boilerplate text that
+    // length and stopword mixes miss): per doc, the fraction of
+    // characters covered by the single most frequent 2-gram
+    // (count·len/chars, ties → lexicographically smallest gram) and the
+    // fraction covered by DUPLICATED 10-grams (Σ count·len over grams
+    // with count ≥ 2, capped at 1 — overlap-counted, the standard
+    // approximation). Short docs fall into shingles' whole-text branch
+    // (one gram ≈ the doc) — degenerate content flags itself.
+    // Scale shape: explode + per-(doc, gram) count — the shuffle carries
+    // (doc_id, gram) pairs, the same grain every dedup op here shuffles;
+    // the top-gram pick is a per-doc window, never global.
+    "repetition_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
+      def gramCounts(n: Int) = docs
+        .select(col("doc_id"), col("nc"),
+          explode(shingles(col("text"), n)).as("g"))
+        .groupBy(col("doc_id"), col("nc"), col("g"))
+        .agg(count(lit(1)).as("c"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)
+      val top2 = gramCounts(2)
+        .withColumn("rn", row_number().over(w2)).filter(col("rn") === 1)
+        .select(col("doc_id"),
+          round(col("c") * length(col("g")) / col("nc"), 6).as("top2_frac"))
+      val dup10 = gramCounts(10)
+        .filter(col("c") >= 2)
+        .groupBy(col("doc_id"), col("nc"))
+        .agg(sum(col("c") * length(col("g"))).as("dupchars"))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("dupchars") / col("nc")), 6).as("dup10_frac"))
+      docs.select(col("doc_id"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup10, Seq("doc_id"), "left")
+        .na.fill(0.0, Seq("top2_frac", "dup10_frac"))
+        .withColumn("gopher_flag",
+          col("top2_frac") > 0.2 || col("dup10_frac") > 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     // quality scoring (length/shape/stopword mix).
     "text_quality" -> ((s, dir) => {
       Tables.documents(s, dir).select(
@@ -296,6 +337,38 @@ object TextOps {
     LangMarkers.find(_._1 == lang).get._2.map(w => s"'$w'").mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    "repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+        |                  length(text) AS nc FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, nc, array_to_string(ws[i:i+1], ' ') AS g
+        |  FROM t, generate_series(1, 8192) s(i) WHERE i <= len(ws) - 1
+        |  UNION ALL
+        |  SELECT doc_id, nc, array_to_string(ws, ' ') AS g
+        |  FROM t WHERE len(ws) < 2
+        |  UNION ALL
+        |  SELECT doc_id, CAST('repetition oracle: doc exceeds 8192 tokens: '
+        |                      || len(ws) AS INT), '' FROM t WHERE len(ws) > 8192),
+        |g10 AS (
+        |  SELECT doc_id, nc, array_to_string(ws[i:i+9], ' ') AS g
+        |  FROM t, generate_series(1, 8192) s(i) WHERE i <= len(ws) - 9
+        |  UNION ALL
+        |  SELECT doc_id, nc, array_to_string(ws, ' ') AS g
+        |  FROM t WHERE len(ws) < 10),
+        |top2 AS (
+        |  SELECT doc_id, round(c * length(g) * 1.0 / nc, 6) AS top2_frac
+        |  FROM (SELECT doc_id, nc, g, count(*) AS c FROM g2 GROUP BY 1, 2, 3)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) = 1),
+        |dup10 AS (
+        |  SELECT doc_id, round(least(1.0, sum(c * length(g)) * 1.0 / nc), 6) AS dup10_frac
+        |  FROM (SELECT doc_id, nc, g, count(*) AS c FROM g10 GROUP BY 1, 2, 3)
+        |  WHERE c >= 2 GROUP BY doc_id, nc)
+        |SELECT t.doc_id, coalesce(top2.top2_frac, 0.0) AS top2_frac,
+        |       coalesce(dup10.dup10_frac, 0.0) AS dup10_frac,
+        |       coalesce(top2.top2_frac, 0.0) > 0.2
+        |         OR coalesce(dup10.dup10_frac, 0.0) > 0.3 AS gopher_flag
+        |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN dup10 USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
