@@ -154,7 +154,14 @@ object Clustering {
     * order, partitioning, and engine all cancel out, which is what lets
     * DuckDB replay the whole seeding ([[kmeansParallelOracleCtes]]) and
     * makes the seeded gates (`kmeans_clusters`, `semdedup_kmeans`,
-    * `pq_*`) hash-comparable. */
+    * `pq_*`) hash-comparable.
+    *
+    * Candidate distances ride a BROADCAST JOIN against a candidates
+    * frame, not an array-of-literals expression: the pool grows to
+    * ~1+ℓ·rounds centers, and a ~100-lambda array_min tree costs more
+    * in Catalyst analysis + codegen PER ROUND than the scan it drives
+    * (measured: the literal form added ~14 s to semdedup_kmeans at
+    * sf0.1; the join form keeps plan size O(1) in pool size). */
   private[operators] def parallelInitFrame(frame: DataFrame, k: Int,
                                            ell: Double = 0.0, rounds: Int = 5,
                                            maxCandidates: Int = 4096): Seq[Seq[Double]] = {
@@ -162,50 +169,62 @@ object Clustering {
     // integral oversampling keeps the predicate's RHS an exact integer
     val oversample = math.max(1L, math.round(if (ell > 0) ell else 2.0 * k))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = frame.sparkSession
+    import spark.implicits._
     val v = frame.select(col("id"),
       transform(col("v"), x => floor(x * Micro + 0.5).cast("long")).as("vq"))
+    // integer d² between the row vector and one CANDIDATE ROW's vector
+    // (two array columns — codegen zip_with fold, same bits as the
+    // literal form)
+    val d2Join = aggregate(zip_with(col("vq"), col("cq"),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    def candDf(cs: Seq[Seq[Long]]) =
+      broadcast(cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("ci", "cq"))
     graft.core.Caching.withCached(v) {
       var centers: Vector[Seq[Long]] =
         Vector(v.orderBy("id").limit(1).collect()(0).getSeq[Long](1))
-      def dminExpr(cs: Seq[Seq[Long]]): Column =
-        array_min(array(cs.map(c => dist2q(col("vq"), c)): _*))
       for (r <- 1 to rounds) {
-        val dmin = dminExpr(centers)
-        // φ = Σ dmin in Decimal(38) — exact at any corpus size (a LONG
-        // sum can overflow once n·d² passes 2⁶³)
-        val phiQ = v.agg(sum(dmin.cast(dec)).as("s")).head().getDecimal(0)
-        // loud ceiling: uq (15 digits) · φ must stay inside Decimal(38) or
-        // Spark's non-ANSI decimal multiply NULLs and samples silently
-        // vanish. 10²³ ≈ 10⁸ rows of unit-norm 64-dim vectors per seeding
-        // population — shard the seeding sample above that, don't widen ε.
-        require(phiQ.precision - phiQ.scale <= 23,
-          s"kmeansParallelInit: seeding cost $phiQ exceeds the exact-integer range")
-        if (phiQ.signum > 0) {
-          // uq·φ < ℓ·2⁴⁸·dmin — all Decimal(38): uq ≤ 2⁴⁸, φ ≤ 10²³,
-          // products ≤ ~10³⁸
-          val uq = conv(substring(md5(concat(col("id").cast("string"),
-            lit(s"kmpar_$r"))), 1, 12), 16, 10).cast(dec)
-          val sampled = v
-            .filter(uq * lit(phiQ) <
-              lit(oversample) * lit(U48).cast(dec) * dmin.cast(dec))
-            // deterministic overflow guard: an adversarial φ spike could
-            // sample far more than ℓ — keep the lowest-u winners
-            .withColumn("_u", uq).orderBy(col("_u"), col("id"))
-            .limit(maxCandidates)
-            .collect().map(_.getSeq[Long](1))
-          centers = (centers ++ sampled).distinct.take(maxCandidates)
+        // dmin per row against the current pool: one broadcast cross
+        // join + min — |pool| bounded by the cap, plan size constant
+        val dmin = v.crossJoin(candDf(centers))
+          .groupBy(col("id")).agg(min(d2Join).as("dmin"))
+        graft.core.Caching.withCached(dmin) {
+          // φ = Σ dmin in Decimal(38) — exact at any corpus size (a LONG
+          // sum can overflow once n·d² passes 2⁶³)
+          val phiQ = dmin.agg(sum(col("dmin").cast(dec)).as("s"))
+            .head().getDecimal(0)
+          // loud ceiling: uq (15 digits) · φ must stay inside Decimal(38)
+          // or Spark's non-ANSI decimal multiply NULLs and samples
+          // silently vanish. 10²³ ≈ 10⁸ rows of unit-norm 64-dim vectors
+          // per seeding population — shard the sample above that.
+          require(phiQ.precision - phiQ.scale <= 23,
+            s"kmeansParallelInit: seeding cost $phiQ exceeds the exact-integer range")
+          if (phiQ.signum > 0) {
+            // uq·φ < ℓ·2⁴⁸·dmin — all Decimal(38): uq ≤ 2⁴⁸, φ ≤ 10²³,
+            // products ≤ ~10³⁸
+            val uq = conv(substring(md5(concat(col("id").cast("string"),
+              lit(s"kmpar_$r"))), 1, 12), 16, 10).cast(dec)
+            val sampled = v.join(dmin, "id")
+              .filter(uq * lit(phiQ) <
+                lit(oversample) * lit(U48).cast(dec) * col("dmin").cast(dec))
+              // deterministic overflow guard: an adversarial φ spike could
+              // sample far more than ℓ — keep the lowest-u winners
+              .withColumn("_u", uq).orderBy(col("_u"), col("id"))
+              .limit(maxCandidates)
+              .select(col("vq")).collect().map(_.getSeq[Long](0))
+            centers = (centers ++ sampled).distinct.take(maxCandidates)
+          }
         }
       }
-      // weights: nearest-candidate counts (one aggregate; candidate index
-      // by position, ties to the lowest index via struct ordering on the
-      // exact integer distance)
-      val cand = centers.zipWithIndex
-      val nearest = array_min(array(cand.map { case (c, i) =>
-        struct(dist2q(col("vq"), c).as("d"), lit(i).as("i"))
-      }: _*)).getField("i")
-      val wMap = v.groupBy(nearest.as("i")).agg(count(lit(1)).as("w"))
+      // weights: nearest-candidate counts (argmin as a struct min over
+      // the broadcast-joined distances; candidate index by position,
+      // ties to the lowest index)
+      val wMap = v.crossJoin(candDf(centers))
+        .groupBy(col("id"))
+        .agg(min(struct(d2Join.as("d"), col("ci"))).getField("ci").as("i"))
+        .groupBy(col("i")).agg(count(lit(1)).as("w"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val weights = cand.map { case (_, i) => wMap.getOrElse(i, 0L) }
+      val weights = centers.indices.map(i => wMap.getOrElse(i, 0L))
       reclusterWeightedQ(centers, weights, k).map(_.map(_ / Micro))
     }
   }
