@@ -741,6 +741,25 @@ object StreamBench {
         } finally { () }
       }.start()
 
+    // drain with a DEADLINE, never bare processAllAvailable: a state-store
+    // commit interrupted mid-checkpoint (observed once in four full runs —
+    // HDFSBackedStateStore CANNOT_COMMIT with an InterruptedException
+    // inside the micro-batch) can leave the query neither progressing nor
+    // terminated, and processAllAvailable then parks FOREVER — which
+    // turns a flaky batch into a hung bench. A bounded drain converts
+    // that into a loud soak failure the artifact records.
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+              name: String, timeoutMs: Long = 180000L): Unit = {
+      val t = new Thread(() => try q.processAllAvailable() catch {
+        case _: Throwable => () // surfaced via q.exception below
+      })
+      t.setDaemon(true); t.start(); t.join(timeoutMs)
+      q.exception.foreach(e => throw new IllegalStateException(
+        s"soak: $name stream failed: ${e.getMessage}", e))
+      if (t.isAlive)
+        throw new IllegalStateException(s"soak: $name drain exceeded ${timeoutMs}ms")
+    }
+
     val perStep = 600
     val seen = scala.collection.mutable.HashSet[String]()
     var fed = 0L
@@ -768,9 +787,7 @@ object StreamBench {
         memScore.addData(docs.map { case (id, ts, t) =>
           (id, ts, t, t.length.toLong, s"src${id % 4}") })
         fed += perStep
-        qDigest.processAllAvailable()
-        qFuzzy.processAllAvailable()
-        qScore.processAllAvailable()
+        drain(qDigest, "digest"); drain(qFuzzy, "fuzzy"); drain(qScore, "score")
         maxState = math.max(maxState, digestStateRows)
         val elapsed = ((System.nanoTime() - t0) / 1e9).toLong
         if (elapsed - lastSample >= 30) {
@@ -783,9 +800,8 @@ object StreamBench {
         step += 1
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      // drain + final accounting
-      qDigest.processAllAvailable(); qFuzzy.processAllAvailable()
-      qScore.processAllAvailable()
+      // final drain + accounting
+      drain(qDigest, "digest"); drain(qFuzzy, "fuzzy"); drain(qScore, "score")
       val fuzzyRows = CommitLog.scan(spark, corpus).count()
       val ledgerRows = CommitLog.scan(spark, ledger).count()
       val scoreTbl = CommitLog.scan(spark, verdicts)
