@@ -710,55 +710,53 @@ object StreamBench {
     val memFuzzy = MemoryStream[(Long, Timestamp, String)]
     val memScore = MemoryStream[(Long, Timestamp, String, Long, String)]
 
-    val digestOut = new java.util.concurrent.atomic.AtomicLong(0L)
-    val qDigest = graft.streaming.CurationStream.curate(
-        memDigest.toDF().toDF("doc_id", "event_time", "text"),
-        minQuality = 0.0, minTokens = 1, watermark = "2 minutes")
-      .writeStream.option("checkpointLocation", s"$base/ckpt_digest")
-      .outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        digestOut.addAndGet(b.count()); ()
-      }.start()
-    val qFuzzy = graft.streaming.CurationStream.fuzzyIntake(
-      memFuzzy.toDF().toDF("doc_id", "event_time", "text"),
-      corpus, ledger, s"$base/ckpt_fuzzy")
+    // a wedged query's stop() must not park forever while we rebuild it
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30000")
+    // restart-from-checkpoint recovery (VERDICT r13 task #2 — see
+    // graft.streaming.Recovery for the cause analysis): every sink below
+    // is replay-idempotent, so a failed drain rebuilds the query from its
+    // own checkpoint instead of failing the soak. Budget shared across
+    // the three queries: recovery is for TRANSIENT interrupts only.
+    val restartBudget = new java.util.concurrent.atomic.AtomicInteger(3)
+    // digest accounting keyed by batchId — last-write-wins, so a batch
+    // replayed after a restart (same offsets, same pre-batch state
+    // version) cannot double-count
+    val digestBatches =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
+    def digestOut: Long =
+      digestBatches.values().stream().mapToLong(_.longValue()).sum()
+    val qDigest = new graft.streaming.Recovery.Restartable("digest", () =>
+      graft.streaming.CurationStream.curate(
+          memDigest.toDF().toDF("doc_id", "event_time", "text"),
+          minQuality = 0.0, minTokens = 1, watermark = "2 minutes")
+        .writeStream.option("checkpointLocation", s"$base/ckpt_digest")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          digestBatches.put(id, b.count()); ()
+        }.start(), restartBudget)
+    val qFuzzy = new graft.streaming.Recovery.Restartable("fuzzy", () =>
+      graft.streaming.CurationStream.fuzzyIntake(
+        memFuzzy.toDF().toDF("doc_id", "event_time", "text"),
+        corpus, ledger, s"$base/ckpt_fuzzy"), restartBudget)
     val rollupAt = new Timestamp(1704067200000L) // 2024-01-01T00:00Z
-    val qScore = memScore.toDF()
-      .toDF("doc_id", "event_time", "text", "n_chars", "source")
-      .writeStream.option("checkpointLocation", s"$base/ckpt_score")
-      .outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-        val pinned = b.localCheckpoint()
-        try {
-          graft.streaming.CurationStream.scoredIntakeBatch(
-            pinned, id, weights, verdicts)
-          // the quantile-rollup maintenance rides the same micro-batch
-          // (fmonth is a constant grain here: state stays 1 row per
-          // month × sketch, O(1) regardless of soak length)
-          Sketches.updateQuantileRollup(
-            pinned.withColumn("fmonth", lit("2024-01")), qstate,
-            Seq("fmonth"), "n_chars", rollupAt, token = Some(s"soak-q-$id"))
-        } finally { () }
-      }.start()
-
-    // drain with a DEADLINE, never bare processAllAvailable: a state-store
-    // commit interrupted mid-checkpoint (observed once in four full runs —
-    // HDFSBackedStateStore CANNOT_COMMIT with an InterruptedException
-    // inside the micro-batch) can leave the query neither progressing nor
-    // terminated, and processAllAvailable then parks FOREVER — which
-    // turns a flaky batch into a hung bench. A bounded drain converts
-    // that into a loud soak failure the artifact records.
-    def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
-              name: String, timeoutMs: Long = 180000L): Unit = {
-      val t = new Thread(() => try q.processAllAvailable() catch {
-        case _: Throwable => () // surfaced via q.exception below
-      })
-      t.setDaemon(true); t.start(); t.join(timeoutMs)
-      q.exception.foreach(e => throw new IllegalStateException(
-        s"soak: $name stream failed: ${e.getMessage}", e))
-      if (t.isAlive)
-        throw new IllegalStateException(s"soak: $name drain exceeded ${timeoutMs}ms")
-    }
+    val qScore = new graft.streaming.Recovery.Restartable("score", () =>
+      memScore.toDF()
+        .toDF("doc_id", "event_time", "text", "n_chars", "source")
+        .writeStream.option("checkpointLocation", s"$base/ckpt_score")
+        .outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val pinned = b.localCheckpoint()
+          try {
+            graft.streaming.CurationStream.scoredIntakeBatch(
+              pinned, id, weights, verdicts)
+            // the quantile-rollup maintenance rides the same micro-batch
+            // (fmonth is a constant grain here: state stays 1 row per
+            // month × sketch, O(1) regardless of soak length)
+            Sketches.updateQuantileRollup(
+              pinned.withColumn("fmonth", lit("2024-01")), qstate,
+              Seq("fmonth"), "n_chars", rollupAt, token = Some(s"soak-q-$id"))
+          } finally { () }
+        }.start(), restartBudget)
 
     val perStep = 600
     val seen = scala.collection.mutable.HashSet[String]()
@@ -770,7 +768,7 @@ object StreamBench {
       (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     }
     def digestStateRows: Long =
-      qDigest.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+      qDigest.query.recentProgress.reverse.find(_.stateOperators.nonEmpty)
         .map(_.stateOperators.apply(0).numRowsTotal).getOrElse(-1L)
     var maxState = -1L
     val t0 = System.nanoTime()
@@ -787,7 +785,7 @@ object StreamBench {
         memScore.addData(docs.map { case (id, ts, t) =>
           (id, ts, t, t.length.toLong, s"src${id % 4}") })
         fed += perStep
-        drain(qDigest, "digest"); drain(qFuzzy, "fuzzy"); drain(qScore, "score")
+        qDigest.drain(); qFuzzy.drain(); qScore.drain()
         maxState = math.max(maxState, digestStateRows)
         val elapsed = ((System.nanoTime() - t0) / 1e9).toLong
         if (elapsed - lastSample >= 30) {
@@ -801,7 +799,7 @@ object StreamBench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       // final drain + accounting
-      drain(qDigest, "digest"); drain(qFuzzy, "fuzzy"); drain(qScore, "score")
+      qDigest.drain(); qFuzzy.drain(); qScore.drain()
       val fuzzyRows = CommitLog.scan(spark, corpus).count()
       val ledgerRows = CommitLog.scan(spark, ledger).count()
       val scoreTbl = CommitLog.scan(spark, verdicts)
@@ -811,7 +809,7 @@ object StreamBench {
       val rollupN = rollup.getLong(1)
       val rollupGrains = CommitLog.scan(spark, qstate).count()
       val stateFinal = digestStateRows
-      val digestExact = digestOut.get() == seen.size.toLong
+      val digestExact = digestOut == seen.size.toLong
       val fuzzyExact = fuzzyRows == fed && ledgerRows == 10L * fed
       val scoreExact = scoreRows == fed && rollupN == fed
       // state boundedness: the digest state must track the WATERMARK
@@ -823,7 +821,8 @@ object StreamBench {
       val drift = digestExact && fuzzyExact && scoreExact && evicted
       s"""{"seconds":${math.round(sec)},"steps":$step,"docs_fed":$fed,""" +
         s""""docs_per_sec":${(fed / sec).round},""" +
-        s""""digest_out":${digestOut.get()},"digest_distinct":${seen.size},""" +
+        s""""restarts":${3 - restartBudget.get()},""" +
+        s""""digest_out":$digestOut,"digest_distinct":${seen.size},""" +
         s""""digest_state_final":$stateFinal,"digest_state_max":$maxState,""" +
         s""""fuzzy_verdicts":$fuzzyRows,"ledger_rows":$ledgerRows,""" +
         s""""score_verdicts":$scoreRows,"score_kept":$keptRows,""" +

@@ -119,10 +119,11 @@ object Clustering {
   def kmeansParallelInit(vectors: DataFrame, k: Int, dim: Int = 64,
                          ell: Double = 0.0, rounds: Int = 5,
                          idCol: String = "vec_id", vecCol: String = "embedding",
-                         maxCandidates: Int = 4096): Seq[Seq[Double]] =
+                         maxCandidates: Int = 4096,
+                         phiDigitsCeil: Int = 23): Seq[Seq[Double]] =
     parallelInitFrame(vectors.select(col(idCol).as("id"),
         transform(slice(col(vecCol), 1, dim), _.cast("double")).as("v")),
-      k, ell, rounds, maxCandidates)
+      k, ell, rounds, maxCandidates, phiDigitsCeil)
 
   /** Micro-unit quantization scale for the seeding phase (coordinates →
     * exact integers). 10⁶ keeps full float32 precision for unit-ish
@@ -132,12 +133,6 @@ object Clustering {
   /** 2⁴⁸ — the md5 draw's integer range ([[Sampling.uniformOf]] reads 12
     * hex chars); the sampling predicate compares in this scale. */
   private[operators] val U48 = 281474976710656.0
-
-  /** Integer squared distance between micro-quantized vectors (LONG fold
-    * — exact, any engine). */
-  private def dist2q(v: Column, c: Seq[Long]): Column =
-    aggregate(zip_with(v, array(c.map(lit): _*), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
 
   /** [[kmeansParallelInit]] over a prepared `(id, v)` frame — shared with
     * [[Quantization.pqTrain]]'s per-subspace codebooks.
@@ -152,81 +147,183 @@ object Clustering {
     * uq·φq < ℓ·2⁴⁸·dq on integers — uq being the RAW 48-bit md5 draw.
     * The result is a pure function of the id/value SETS: aggregation
     * order, partitioning, and engine all cancel out, which is what lets
-    * DuckDB replay the whole seeding ([[kmeansParallelOracleCtes]]) and
+    * DuckDB replay the whole seeding ([[kmeansParallelInitCtes]]) and
     * makes the seeded gates (`kmeans_clusters`, `semdedup_kmeans`,
     * `pq_*`) hash-comparable.
     *
-    * Candidate distances ride a BROADCAST JOIN against a candidates
-    * frame, not an array-of-literals expression: the pool grows to
-    * ~1+ℓ·rounds centers, and a ~100-lambda array_min tree costs more
-    * in Catalyst analysis + codegen PER ROUND than the scan it drives
-    * (measured: the literal form added ~14 s to semdedup_kmeans at
-    * sf0.1; the join form keeps plan size O(1) in pool size). */
+    * Round 14 (VERDICT r13 task #1) — dmin is INCREMENTAL across rounds:
+    * the per-row nearest-center distance frame carries over and each
+    * round min-s it against distances to that round's NEW admissions
+    * only (`dmin_r = min(dmin_{r−1}, d²(x, fresh))` — integer min is
+    * exact and order-free, so the decomposition cannot change a bit vs
+    * the full-pool recompute the oracle CTEs replay). Distances run in
+    * [[graft.plans.NearestCandidateQ]] — one codegen primitive loop per
+    * row against the pool as a single array literal — replacing r13's
+    * broadcast-join + per-id re-aggregation: the sampling loop now
+    * touches each row with ZERO shuffles and plan size stays O(1) in
+    * pool size (the property the join form bought, without its
+    * exchange). Per round that leaves two jobs over the cached frame:
+    * the φ aggregate (which also materializes the round's dmin) and the
+    * sample scan. */
   private[operators] def parallelInitFrame(frame: DataFrame, k: Int,
                                            ell: Double = 0.0, rounds: Int = 5,
-                                           maxCandidates: Int = 4096): Seq[Seq[Double]] = {
+                                           maxCandidates: Int = 4096,
+                                           phiDigitsCeil: Int = 23): Seq[Seq[Double]] = {
+    val (cand, w) = parallelCandidates(frame, k, ell, rounds, maxCandidates,
+      phiDigitsCeil, depth = 0)
+    reclusterWeightedQ(cand, w, k).map(_.map(_ / Micro))
+  }
+
+  /** The distributed phase of [[parallelInitFrame]]: the oversampled
+    * candidate pool and its nearest-point weights. Split out so the
+    * sharded route can union pools from several sub-populations before
+    * the one driver-side recluster. */
+  private def parallelCandidates(frame: DataFrame, k: Int, ell: Double,
+                                 rounds: Int, maxCandidates: Int,
+                                 phiDigitsCeil: Int,
+                                 depth: Int): (Vector[Seq[Long]], Seq[Long]) = {
     require(k >= 1, s"kmeansParallelInit needs k >= 1, got $k")
     // integral oversampling keeps the predicate's RHS an exact integer
     val oversample = math.max(1L, math.round(if (ell > 0) ell else 2.0 * k))
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val spark = frame.sparkSession
-    import spark.implicits._
+    graft.plans.VectorExprs.install(frame.sparkSession)
     val v = frame.select(col("id"),
       transform(col("v"), x => floor(x * Micro + 0.5).cast("long")).as("vq"))
-    // integer d² between the row vector and one CANDIDATE ROW's vector
-    // (two array columns — codegen zip_with fold, same bits as the
-    // literal form)
-    val d2Join = aggregate(zip_with(col("vq"), col("cq"),
-      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    def candDf(cs: Seq[Seq[Long]]) =
-      broadcast(cs.zipWithIndex.map { case (c, i) => (i, c) }.toDF("ci", "cq"))
     graft.core.Caching.withCached(v) {
-      var centers: Vector[Seq[Long]] =
-        Vector(v.orderBy("id").limit(1).collect()(0).getSeq[Long](1))
-      for (r <- 1 to rounds) {
-        // dmin per row against the current pool: one broadcast cross
-        // join + min — |pool| bounded by the cap, plan size constant
-        val dmin = v.crossJoin(candDf(centers))
-          .groupBy(col("id")).agg(min(d2Join).as("dmin"))
-        graft.core.Caching.withCached(dmin) {
-          // φ = Σ dmin in Decimal(38) — exact at any corpus size (a LONG
-          // sum can overflow once n·d² passes 2⁶³)
-          val phiQ = dmin.agg(sum(col("dmin").cast(dec)).as("s"))
-            .head().getDecimal(0)
-          // loud ceiling: uq (15 digits) · φ must stay inside Decimal(38)
-          // or Spark's non-ANSI decimal multiply NULLs and samples
-          // silently vanish. 10²³ ≈ 10⁸ rows of unit-norm 64-dim vectors
-          // per seeding population — shard the sample above that.
-          require(phiQ.precision - phiQ.scale <= 23,
-            s"kmeansParallelInit: seeding cost $phiQ exceeds the exact-integer range")
-          if (phiQ.signum > 0) {
-            // uq·φ < ℓ·2⁴⁸·dmin — all Decimal(38): uq ≤ 2⁴⁸, φ ≤ 10²³,
-            // products ≤ ~10³⁸
-            val uq = conv(substring(md5(concat(col("id").cast("string"),
-              lit(s"kmpar_$r"))), 1, 12), 16, 10).cast(dec)
-            val sampled = v.join(dmin, "id")
-              .filter(uq * lit(phiQ) <
-                lit(oversample) * lit(U48).cast(dec) * col("dmin").cast(dec))
-              // deterministic overflow guard: an adversarial φ spike could
-              // sample far more than ℓ — keep the lowest-u winners
-              .withColumn("_u", uq).orderBy(col("_u"), col("id"))
-              .limit(maxCandidates)
-              .select(col("vq")).collect().map(_.getSeq[Long](0))
-            centers = (centers ++ sampled).distinct.take(maxCandidates)
+      val headRow = v.orderBy("id").limit(1).collect()
+      if (headRow.isEmpty) (Vector.empty[Seq[Long]], Seq.empty[Long])
+      else {
+        var centers: Vector[Seq[Long]] = Vector(headRow(0).getSeq[Long](1))
+        // (id, vq, dmin) — dmin vs the CURRENT pool, carried across rounds
+        var cur = v.withColumn("dmin",
+          graft.plans.VectorExprs.nearestDistQ(col("vq"), centers))
+        cur.persist()
+        var prevCache: Option[DataFrame] = None
+        // φ that tripped the exact-integer ceiling, if any → sharded route
+        var overflowPhi: java.math.BigDecimal = null
+        try {
+          var r = 1
+          while (r <= rounds && overflowPhi == null) {
+            // φ = Σ dmin in Decimal(38) — exact at any corpus size (a LONG
+            // sum can overflow once n·d² passes 2⁶³). This job also
+            // materializes the round's dmin cache.
+            val phiQ = cur.agg(sum(col("dmin").cast(dec)).as("s"))
+              .head().getDecimal(0)
+            prevCache.foreach(_.unpersist(false)); prevCache = None
+            // ceiling: uq (15 digits) · φ must stay inside Decimal(38)
+            // or Spark's non-ANSI decimal multiply NULLs and samples
+            // silently vanish. 10²³ ≈ 10⁸ rows of unit-norm 64-dim
+            // vectors per seeding population — above that the seeding
+            // ROUTES to per-shard pools (r13 it was a hard require).
+            if (phiQ.precision - phiQ.scale > phiDigitsCeil) overflowPhi = phiQ
+            else if (phiQ.signum > 0) {
+              // uq·φ < ℓ·2⁴⁸·dmin — all Decimal(38): uq ≤ 2⁴⁸, φ ≤ 10²³,
+              // products ≤ ~10³⁸
+              val uq = conv(substring(md5(concat(col("id").cast("string"),
+                lit(s"kmpar_$r"))), 1, 12), 16, 10).cast(dec)
+              val sampled = cur
+                .filter(uq * lit(phiQ) <
+                  lit(oversample) * lit(U48).cast(dec) * col("dmin").cast(dec))
+                // deterministic overflow guard: an adversarial φ spike could
+                // sample far more than ℓ — keep the lowest-u winners
+                .withColumn("_u", uq).orderBy(col("_u"), col("id"))
+                .limit(maxCandidates)
+                .select(col("vq")).collect().map(_.getSeq[Long](0))
+              val before = centers.size
+              centers = (centers ++ sampled).distinct.take(maxCandidates)
+              val fresh = centers.drop(before)
+              // fold ONLY the fresh admissions into dmin (nothing to fold
+              // after the last sample — the weights pass re-argmins the
+              // full pool anyway)
+              if (fresh.nonEmpty && r < rounds) {
+                prevCache = Some(cur)
+                cur = cur.withColumn("dmin", least(col("dmin"),
+                  graft.plans.VectorExprs.nearestDistQ(col("vq"), fresh)))
+                cur.persist()
+              }
+            }
+            r += 1
           }
+        } finally {
+          prevCache.foreach(_.unpersist(false))
+          cur.unpersist(false)
+        }
+        if (overflowPhi != null)
+          shardedCandidates(frame, k, ell, rounds, maxCandidates,
+            phiDigitsCeil, overflowPhi, depth)
+        else {
+          // weights: nearest-candidate counts (codegen argmin over the
+          // full pool, ties to the lowest index — same order as r13's
+          // struct-min over (d, ci))
+          val wMap = v.select(graft.plans.VectorExprs
+              .nearestIdxQ(col("vq"), centers).as("i"))
+            .groupBy(col("i")).agg(count(lit(1)).as("w"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          (centers, centers.indices.map(i => wMap.getOrElse(i, 0L)))
         }
       }
-      // weights: nearest-candidate counts (argmin as a struct min over
-      // the broadcast-joined distances; candidate index by position,
-      // ties to the lowest index)
-      val wMap = v.crossJoin(candDf(centers))
-        .groupBy(col("id"))
-        .agg(min(struct(d2Join.as("d"), col("ci"))).getField("ci").as("i"))
-        .groupBy(col("i")).agg(count(lit(1)).as("w"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val weights = centers.indices.map(i => wMap.getOrElse(i, 0L))
-      reclusterWeightedQ(centers, weights, k).map(_.map(_ / Micro))
     }
+  }
+
+  /** Digit count (precision − scale) of the ROUND-1 seeding cost φ for a
+    * population — the quantity [[parallelCandidates]]'s exact-integer
+    * ceiling compares against. Exposed for capacity sizing (and the
+    * sharded-route spec, which sets the ceiling just below a corpus's
+    * actual φ to exercise the route at test scale): a population whose φ
+    * digits exceed the ceiling takes the sharded route. */
+  def seedingPhiDigits(vectors: DataFrame, dim: Int = 64,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Int = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    graft.plans.VectorExprs.install(vectors.sparkSession)
+    val vq = vectors.select(col(idCol).as("id"),
+      transform(slice(col(vecCol), 1, dim),
+        x => floor(x.cast("double") * Micro + 0.5).cast("long")).as("vq"))
+    val c0 = vq.orderBy("id").limit(1).collect()(0).getSeq[Long](1)
+    val phi = vq.agg(sum(graft.plans.VectorExprs
+        .nearestDistQ(col("vq"), Vector(c0)).cast(dec)).as("s"))
+      .head().getDecimal(0)
+    phi.precision - phi.scale
+  }
+
+  /** Sharded seeding route (VERDICT r13 task #6): when φ exceeds the
+    * exact-integer budget (~10⁸ unit-norm 64-dim vectors per population
+    * at the default ceiling), split the population by id-hash into the
+    * smallest shard count that brings per-shard φ back inside it (4×
+    * margin), seed each shard independently, then union the candidate
+    * pools — exact-duplicate candidates merge by summing their weights,
+    * first occurrence keeps its position — for the caller's single
+    * weighted recluster. Determinism: shard assignment is a pure hash of
+    * the id, each per-shard seeding is the usual pure function of its id
+    * /value set, and the union order is (shard, admission order). The
+    * per-shard md5 draws reuse the same round salts — different
+    * populations, so no draw is reused on the same id.
+    *
+    * One level only: a shard that still trips the ceiling (φ is not
+    * exactly n/S-additive — per-shard round-1 costs are measured against
+    * the shard's own first center) fails loudly rather than recursing
+    * unboundedly. */
+  private def shardedCandidates(frame: DataFrame, k: Int, ell: Double,
+                                rounds: Int, maxCandidates: Int,
+                                phiDigitsCeil: Int,
+                                phi: java.math.BigDecimal,
+                                depth: Int): (Vector[Seq[Long]], Seq[Long]) = {
+    require(depth < 1,
+      s"kmeansParallelInit: seeding cost $phi still exceeds the exact-integer " +
+        s"range (ceiling 10^$phiDigitsCeil) after sharding — reduce the population")
+    val budget = java.math.BigDecimal.TEN.pow(phiDigitsCeil)
+    require(phi.abs.compareTo(budget.multiply(new java.math.BigDecimal(256))) <= 0,
+      s"kmeansParallelInit: seeding cost $phi would need > 1024 shards (4× margin) — reduce the population")
+    val shards = phi.abs.multiply(new java.math.BigDecimal(4))
+      .divide(budget, 0, java.math.RoundingMode.CEILING).intValueExact()
+    val pooled = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Long]
+    for (s <- 0 until shards) {
+      val (cs, ws) = parallelCandidates(
+        frame.filter(pmod(hash(col("id")), lit(shards)) === s),
+        k, ell, rounds, maxCandidates, phiDigitsCeil, depth + 1)
+      for ((c, w) <- cs.zip(ws)) pooled(c) = pooled.getOrElse(c, 0L) + w
+    }
+    (pooled.keys.toVector, pooled.values.toSeq)
   }
 
   /** Driver-side deterministic weighted k-means over the candidate set,

@@ -65,13 +65,24 @@ object Quantization {
     * subspace — the round-13 default: better spread AND, since the
     * integer rework, SQL-replayable) or, with `parallelInit = false`,
     * from the legacy lowest-k-ids init. Returns, per subspace, the
-    * (cid, centroid) list — driver-sized (M×K×(dim/M) doubles). */
+    * (cid, centroid) list — driver-sized (M×K×(dim/M) doubles).
+    *
+    * The M subspace trainings are INDEPENDENT (disjoint coordinate
+    * slices, no shared state), so they run as concurrent driver threads
+    * sharing the scheduler — each training is a chain of small jobs
+    * whose per-job floor, not data volume, dominates at gate SFs, and
+    * overlapping the chains hides that floor (r14: pq_codes 15 s → the
+    * subspace chains overlap ~M-way). Result order and every per-
+    * subspace result are unchanged: concurrency only affects WHEN each
+    * independent pure computation runs. */
   def pqTrain(vectors: DataFrame, m: Int, k: Int, iters: Int, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding",
               parallelInit: Boolean = true): Seq[Seq[(Int, Seq[Double])]] = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
-    (0 until m).map { s =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val trained = (0 until m).map { s => Future {
       val sv = vectors.select(col(idCol).as("id"), subCol(vecCol, s, sub).as("v"))
       graft.core.Caching.withCached(sv) {
         var cents: Seq[(Int, Seq[Double])] =
@@ -93,7 +104,8 @@ object Quantization {
         }
         cents
       }
-    }
+    }}
+    trained.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
   }
 
   /** Encode every vector to its M codes in one projection: columns

@@ -62,6 +62,31 @@ class ClusteringSpec extends GraftSuite {
       s"k-means‖ seeding lost to first-k: $iPar > $iFirst micro-units")
   }
 
+  test("sharded seeding route: over-ceiling φ shards by id-hash, stays deterministic and usable") {
+    // Force the exact-integer φ ceiling far below the corpus's actual
+    // seeding cost so the routed path (seed per id-hash shard, union the
+    // candidate pools, one weighted recluster) exercises at test scale —
+    // the same code a real 100 TB population (> ~10⁸ vectors at the
+    // default 10²³ ceiling) would take. φ here is ~n·d²·10¹² ≈ 10¹⁶-ish,
+    // so a ceiling one digit below its magnitude yields a handful of
+    // shards (4× margin), not thousands.
+    val k = 10
+    val phi = Clustering.seedingPhiDigits(vecs)
+    val ceil = phi - 1
+    val s1 = Clustering.kmeansParallelInit(vecs, k, phiDigitsCeil = ceil)
+    val s2 = Clustering.kmeansParallelInit(vecs, k, phiDigitsCeil = ceil)
+    assert(s1 == s2, "sharded seeding must be reproducible run-to-run")
+    assert(s1.size == k && s1.forall(_.size == 64))
+    // the sharded seeds must remain a GOOD init: never worse than the
+    // weak first-k baseline after the same Lloyd budget
+    val iSharded = Clustering.inertiaMicros(
+      Clustering.kmeansAssign(vecs, k, iters = 3, init = Some(s1)))
+    val iFirst = Clustering.inertiaMicros(
+      Clustering.kmeansAssign(vecs, k, iters = 3, firstKSeed = true))
+    assert(iSharded <= iFirst,
+      s"sharded k-means‖ seeding lost to first-k: $iSharded > $iFirst micro-units")
+  }
+
   test("clusters recover latent label structure better than a weak init") {
     // Purity against the generator's latent label. Since r13 the default
     // seeding is k-means‖, which starts near-converged — training can
