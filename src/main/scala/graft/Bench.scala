@@ -441,13 +441,16 @@ object Bench {
     // the ±30% rule gets an ABSOLUTE companion (r13), mirroring
     // isClean's 0.5 s/1 s floors: a multi-commit maintenance cycle
     // (curation_scored_batch: 6 training epochs + 4 commit-log appends ≈
-    // a dozen small jobs) carries ~±0.7 s of legitimate commit/GC jitter
-    // at a ~4 s wall — a 1.4× ratio with ZERO steal and zero other-cpu
-    // is variance, not contention, and flagging it would leave every
-    // full run `contended` forever. Raw per-pass lists still ride the
-    // artifact, so the jitter stays auditable.
+    // a dozen small jobs) carries legitimate commit/GC jitter that a
+    // pure ratio misreads as contention at a small wall. r14 (VERDICT
+    // r13 task #5): the window is RELATIVE-CAPPED, not flat — a flat
+    // 1.5 s tolerated a 1.75× spread on a 2 s query. Sub-second floors
+    // still pass on the 0.5 s absolute term; above that the spread must
+    // stay within 40% of the fastest clean pass. Raw per-pass lists
+    // still ride the artifact, so the jitter stays auditable.
     def spreadOk(ts: Seq[Double]): Boolean =
-      ts.isEmpty || ts.max <= 1.3 * ts.min || ts.max - ts.min <= 1.5
+      ts.isEmpty || ts.max <= 1.3 * ts.min ||
+        ts.max - ts.min <= math.max(0.5, 0.4 * ts.min)
 
     // Every timed pass is kept raw (VERDICT r6 task #1): the artifact
     // carries the full per-run list behind each reported number so a reader

@@ -282,43 +282,40 @@ object Analytics {
     // (totalprice > 400k) land on ~half the calendar days; every missing
     // day gets prev + (next−prev)·(pos/len) between its observed
     // neighbors (exact-cent endpoints, one double expression both
-    // engines compute identically), edges forward/backward-fill. The
-    // single unpartitioned window is over the CALENDAR-bounded day grain
-    // (~2.4k rows at any SF — same argument as the EMA op); facts
-    // collapse to that grain first.
+    // engines compute identically). r14 (VERDICT r13 task #8): the
+    // prev/next scan is no longer an unpartitioned window — observed days
+    // get a distributed global rank, consecutive ranks pair by equi-join
+    // into [prev_d, next_d) intervals, and each interval EMITS its gap
+    // days via sequence-explode (which also generates the slot calendar,
+    // so the old slots×obs left join disappears too). Slots span
+    // min..max observed day, so every slot has both neighbors by
+    // construction — the old edge branches never fired and need no
+    // analog here.
     "gap_fill_interpolate" -> ((s, dir) => {
       val obs = Tables.orders(s, dir)
         .filter(col("o_totalprice") > 400000.0)
         .groupBy(to_date(col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long"))
           .as("rev_cents"))
-      val slots = obs
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
-      val wPrev = org.apache.spark.sql.expressions.Window
-        .orderBy(col("day"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val wNext = org.apache.spark.sql.expressions.Window
-        .orderBy(col("day"))
-        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
-      slots.join(obs, Seq("day"), "left")
-        .withColumn("prev_v", last(col("rev_cents"), ignoreNulls = true).over(wPrev))
-        .withColumn("prev_d", last(when(col("rev_cents").isNotNull, col("day")),
-          ignoreNulls = true).over(wPrev))
-        .withColumn("next_v", first(col("rev_cents"), ignoreNulls = true).over(wNext))
-        .withColumn("next_d", first(when(col("rev_cents").isNotNull, col("day")),
-          ignoreNulls = true).over(wNext))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+          obs, Seq(col("day")), rankCol = "rk")
+        .select(col("day").as("prev_d"), col("rev_cents").as("prev_v"), col("rk"))
+      val nxt = ranked.select((col("rk") - 1).as("rk"),
+        col("prev_d").as("next_d"), col("prev_v").as("next_v"))
+      ranked.join(nxt, Seq("rk"), "left") // last observed day: next_* null
+        .select(col("prev_d"), col("prev_v"), col("next_d"), col("next_v"),
+          explode(expr(
+            "sequence(prev_d, coalesce(date_sub(next_d, 1), prev_d), interval 1 day)"))
+            .as("day"))
         .withColumn("filled_cents",
-          when(col("rev_cents").isNotNull, col("rev_cents"))
-            .when(col("prev_v").isNull, col("next_v"))
-            .when(col("next_v").isNull, col("prev_v"))
+          when(col("day") === col("prev_d"), col("prev_v"))
             .otherwise(round(
               col("prev_v") + (col("next_v") - col("prev_v")) *
                 datediff(col("day"), col("prev_d")).cast("double") /
                 datediff(col("next_d"), col("prev_d")).cast("double"), 0)
               .cast("long")))
         .select(unix_millis(col("day").cast("timestamp")).as("day_ms"),
-          col("rev_cents").isNotNull.cast("int").as("observed"),
+          (col("day") === col("prev_d")).cast("int").as("observed"),
           (col("filled_cents") / 100.0).as("revenue"))
         .orderBy(col("day_ms"))
     }),

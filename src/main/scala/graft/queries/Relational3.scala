@@ -84,14 +84,26 @@ object Relational3 {
         .limit(50)
     }),
 
+    // 7-day trailing MA WITHOUT the single-partition window (r14, VERDICT
+    // r13 task #8): rank the day grain with the distributed
+    // Ranking.globalRowNumber, then each day contributes its cents to the
+    // 7 target ranks it trails (explode ×7 → groupBy rank → join back).
+    // sum-of-longs is order-free, so the ma7 double is bit-identical to
+    // the old rowsBetween(-6,0) frame; n7 = count of contributing rows
+    // reproduces the short leading frames (min(rk,7)).
     "moving_avg_revenue" -> ((s, dir) => {
       val daily = Tables.orders(s, dir)
         .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
         .agg(sum(round(col("o_totalprice") * 100.0, 0).cast("long")).as("cents"))
-      val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
-      daily
-        .withColumn("ma7", (sum(col("cents")).over(w).cast("double") /
-          (count(lit(1)).over(w) * 100).cast("double")))
+      val ranked = graft.operators.Ranking.globalRowNumber(
+        daily, Seq(col("day")), rankCol = "rk")
+      val contrib = ranked
+        .select((col("rk") + explode(expr("sequence(0, 6)"))).as("rk7"),
+          col("cents").as("c"))
+        .groupBy(col("rk7")).agg(sum(col("c")).as("s7"), count(lit(1)).as("n7"))
+      ranked.join(contrib, col("rk") === col("rk7"))
+        .withColumn("ma7", col("s7").cast("double") /
+          (col("n7") * 100).cast("double"))
         .select(unix_millis(col("day")).as("day_ms"),
           (col("cents") / 100.0).as("revenue"), round(col("ma7"), 6).as("ma7"))
         .orderBy(col("day_ms"))
