@@ -592,7 +592,14 @@ object HttpApi {
     }
     def mergePatch(cur: Map[String, String], field: String): Map[String, String] = {
       val n = body.get(field)
-      if (n == null || n.isNull) cur
+      // RFC 7396 distinction the SDK corpus pins
+      // (`spec-sdk-tests/tests/destinations/webhook-merge-patch.test.ts`):
+      // an ABSENT field is "no change", but a field PRESENT WITH null
+      // replaces — i.e. clears the whole map. (For config/credentials the
+      // merged result still passes provider schema validation, so nulling
+      // a required field 422s rather than corrupting the destination.)
+      if (n == null) cur
+      else if (n.isNull) Map.empty
       else {
         require(n.isObject, s"$field must be an object")
         val it = n.properties.iterator()

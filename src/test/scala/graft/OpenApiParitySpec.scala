@@ -114,6 +114,96 @@ class OpenApiParitySpec extends org.scalatest.funsuite.AnyFunSuite {
     ("/tenants", "get", "prev") ->
       "tenant list is a bounded catalog ({models, count}), not a keyset page")
 
+  // ------------------------------------------- response schemas (r14) --
+
+  /** The 8 core endpoints whose 2xx response schemas the gate covers
+    * (VERDICT r13 task #4): events/attempts list+retrieve, metrics ×2,
+    * publish, retry. */
+  private val coreResponses: Seq[(String, String)] = Seq(
+    ("/events", "get"), ("/events/{event_id}", "get"),
+    ("/attempts", "get"), ("/attempts/{attempt_id}", "get"),
+    ("/metrics/events", "get"), ("/metrics/attempts", "get"),
+    ("/publish", "post"), ("/retry", "post"))
+
+  /** Reference response field → served field candidates (ANY counts).
+    * Checked after [[respOverrides]]; a field in neither map and not in
+    * [[respAdaptations]] fails the gate loudly. */
+  private val respFieldMap: Map[String, Seq[String]] = Map(
+    "models" -> Seq("models"),
+    "pagination" -> Seq("next"), // cursors ride top-level next/prev
+    "time" -> Seq("ts", "attempt_time"),
+    "topic" -> Seq("event_type", "topic"),
+    "tenant_id" -> Seq("tenant_id"),
+    "event_id" -> Seq("event_id"),
+    "destination_id" -> Seq("destination_id"),
+    "attempt_number" -> Seq("attempt_number"),
+    "manual" -> Seq("manual"),
+    "status" -> Seq("status"),
+    "code" -> Seq("code"),
+    // included sub-objects ride the denormalized row (the `include`
+    // adaptation already on record for the query params)
+    "event" -> Seq("data"),
+    "destination" -> Seq("destination_type"))
+
+  /** Per-endpoint overrides where one reference name means different
+    * things on different endpoints (`data` = event payload on event
+    * rows, the bucket array on metrics). */
+  private val respOverrides: Map[(String, String), Seq[String]] = Map(
+    ("/events", "data") -> Seq("props"),
+    ("/events/{event_id}", "data") -> Seq("props"),
+    ("/metrics/events", "data") -> Seq("buckets"),
+    ("/metrics/attempts", "data") -> Seq("buckets"),
+    // `id` is the row's OWN identity per resource — per-path so a
+    // dropped attempt_id can't be masked by event_id on the same row
+    ("/events", "id") -> Seq("event_id"),
+    ("/events/{event_id}", "id") -> Seq("event_id"),
+    ("/attempts", "id") -> Seq("attempt_id"),
+    ("/attempts/{attempt_id}", "id") -> Seq("attempt_id"),
+    ("/publish", "id") -> Seq("id"))
+
+  /** Documented response-field adaptations: (refPath, refField) →
+    * reason. Same discipline as the query-param table: anything here is
+    * accepted without a served counterpart; staleness-checked below. */
+  private val respAdaptations: Map[(String, String), String] = Map(
+    ("/events", "tenant_id") ->
+      "tenant scope is the path segment; analytics event rows do not repeat it",
+    ("/events", "metadata") ->
+      "analytics events schema carries no per-event metadata column (engine fixture schema, adjudicated r3)",
+    ("/events", "matched_destination_ids") ->
+      "no destination fan-out column on the analytics events schema; attempts list by destination instead",
+    ("/events/{event_id}", "tenant_id") ->
+      "tenant scope is the path segment (see /events)",
+    ("/events/{event_id}", "metadata") ->
+      "analytics events schema carries no per-event metadata column",
+    ("/events/{event_id}", "matched_destination_ids") ->
+      "no destination fan-out column; attempts list by destination instead",
+    ("/attempts", "response_data") ->
+      "delivery response bodies are not retained by the analytics store; status + code pin the outcome",
+    ("/attempts/{attempt_id}", "response_data") ->
+      "delivery response bodies are not retained; status + code pin the outcome",
+    ("/metrics/events", "metadata") ->
+      "the truncation flag (top-level boolean) is the only response metadata the engine reports",
+    ("/metrics/events", "time_bucket") ->
+      "bucket rows are flat columns (bucket ts + one column per dimension/measure), not nested {time_bucket, dimensions, metrics}",
+    ("/metrics/events", "dimensions") ->
+      "flat bucket rows (see time_bucket)",
+    ("/metrics/events", "metrics") ->
+      "flat bucket rows (see time_bucket)",
+    ("/metrics/attempts", "metadata") ->
+      "the truncation flag is the only response metadata the engine reports",
+    ("/metrics/attempts", "time_bucket") ->
+      "flat bucket rows (see /metrics/events)",
+    ("/metrics/attempts", "dimensions") ->
+      "flat bucket rows (see /metrics/events)",
+    ("/metrics/attempts", "metrics") ->
+      "flat bucket rows (see /metrics/events)",
+    ("/publish", "duplicate") ->
+      "duplicate publishes answer 409 with the error envelope (idempotency window) instead of 202 {duplicate:true}",
+    ("/publish", "destination_ids") ->
+      "fan-out is resolved asynchronously by the delivery pipeline; the publish ack does not enumerate matches",
+    ("/retry", "success") ->
+      "202 + the scheduled attempt identity (event_id, destination_id, attempt) supersede a bare boolean")
+
   // ---------------------------------------------------------- machinery --
 
   private def loadRef(): Map[String, Map[String, Set[String]]] = {
@@ -174,6 +264,89 @@ class OpenApiParitySpec extends org.scalatest.funsuite.AnyFunSuite {
 
   private def available: Boolean = new java.io.File(refYaml).canRead
 
+  /** (refPath, method) → the union of the 2xx response schema's
+    * top-level property names and the item property names of its
+    * object-array members (models/data). `$ref`s resolved against
+    * components.schemas / components.responses. */
+  private def loadRefResponses(): Map[(String, String), Set[String]] = {
+    type JMap = java.util.Map[String, Object]
+    val yaml = new org.yaml.snakeyaml.Yaml(
+      new org.yaml.snakeyaml.LoaderOptions() {
+        setCodePointLimit(16 * 1024 * 1024)
+      })
+    val root = yaml.load[JMap](new java.io.FileInputStream(refYaml))
+    val comps = Option(root.get("components")).map(_.asInstanceOf[JMap])
+    def compSection(name: String): Map[String, Object] =
+      comps.flatMap(c => Option(c.get(name)))
+        .map(_.asInstanceOf[JMap].asScala.toMap).getOrElse(Map.empty)
+    val schemas = compSection("schemas")
+    val responses = compSection("responses")
+    def resolve(node: Object, depth: Int = 0): JMap = {
+      val m = node.asInstanceOf[JMap]
+      if (depth > 8) return m
+      Option(m.get("$ref")) match {
+        case Some(r) =>
+          val key = r.toString.split("/").last
+          resolve(schemas.getOrElse(key, responses(key)), depth + 1)
+        case None => m
+      }
+    }
+    def props(schema: JMap): Map[String, JMap] =
+      Option(schema.get("properties")).map(_.asInstanceOf[JMap].asScala.toMap
+        .map { case (k, v) => k -> resolve(v) }).getOrElse(Map.empty)
+    val paths = root.get("paths").asInstanceOf[JMap]
+    coreResponses.map { case (path, method) =>
+      val op = paths.get(path).asInstanceOf[JMap].get(method).asInstanceOf[JMap]
+      val resp2xx = op.get("responses").asInstanceOf[JMap].asScala.collectFirst {
+        case (code, r) if code.startsWith("2") => resolve(r)
+      }.getOrElse(sys.error(s"$method $path: no 2xx response in the yaml"))
+      val schema = resolve(resp2xx.get("content").asInstanceOf[JMap]
+        .get("application/json").asInstanceOf[JMap].get("schema"))
+      val top = props(schema)
+      val itemFields = top.collect {
+        case (_, p) if String.valueOf(p.get("type")) == "array" &&
+            Option(p.get("items")).exists(i =>
+              resolve(i).get("properties") != null) =>
+          props(resolve(p.get("items"))).keySet
+      }.flatten.toSet
+      (path, method) -> (top.keySet ++ itemFields)
+    }.toMap
+  }
+
+  /** Served response-field names per (refPath, method), from the
+    * compiled-in contract. list-page responses expose models + cursors
+    * on top of the row fields. */
+  private def servedResponseFields(): Map[(String, String), Set[String]] = {
+    val byTpl = ApiContract.routes.groupBy { r =>
+      (r.template.stripPrefix("/api/v1").replaceAll("\\{[a-z_]+\\}", "{}"),
+        r.method.toLowerCase)
+    }
+    coreResponses.map { case (path, method) =>
+      val rs = byTpl.getOrElse((pathMap(path), method),
+        sys.error(s"$method $path: no served route for template ${pathMap(path)}"))
+      val r = rs.head
+      val base = r.responseFields.map(_.name).toSet
+      (path, method) -> (r.responseKind match {
+        case "list-page" => base ++ Set("models", "next", "prev")
+        case _ => base
+      })
+    }.toMap
+  }
+
+  /** The checker both the gate and the injection self-test run:
+    * reference fields with no served candidate and no adaptation. */
+  private def unmappedRespFields(path: String, refFields: Set[String],
+                                 served: Set[String]): Seq[String] =
+    refFields.toSeq.sorted.filter { f =>
+      !respAdaptations.contains((path, f)) && {
+        val candidates = respOverrides.getOrElse((path, f),
+          respFieldMap.getOrElse(f, sys.error(
+            s"reference response field '$f' on $path is not in respFieldMap — " +
+              "new upstream field? map it or record an adaptation")))
+        !candidates.exists(served.contains)
+      }
+    }
+
   test("every reference endpoint is served or excluded with a reason") {
     assume(available, s"reference checkout not present at $refYaml")
     val ref = loadRef()
@@ -220,6 +393,41 @@ class OpenApiParitySpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(sp.contains("start") && sp.contains("end"),
         s"$method $path: reference time window needs served start+end, got $sp")
     }
+  }
+
+  test("every documented response field on the 8 core endpoints is served or adapted") {
+    assume(available, s"reference checkout not present at $refYaml")
+    val ref = loadRefResponses()
+    val served = servedResponseFields()
+    val drift = coreResponses.flatMap { case (path, method) =>
+      unmappedRespFields(path, ref((path, method)), served((path, method)))
+        .map(f => s"$method $path response field $f " +
+          s"(served has ${served((path, method)).toSeq.sorted})")
+    }
+    assert(drift.isEmpty, s"unserved reference response fields:\n${drift.mkString("\n")}")
+  }
+
+  test("response gate detects a dropped served field (injection self-test)") {
+    assume(available, s"reference checkout not present at $refYaml")
+    val ref = loadRefResponses()
+    val served = servedResponseFields()
+    // drop attempt_id from the served attempts row: the reference's `id`
+    // must become unmapped — proves the checker fails on real drift
+    // rather than vacuously passing
+    val broken = served(("/attempts", "get")) - "attempt_id"
+    val missing = unmappedRespFields("/attempts", ref(("/attempts", "get")), broken)
+    assert(missing == Seq("id"),
+      s"checker failed to flag the injected drop of attempt_id: $missing")
+  }
+
+  test("response adaptation/override tables stay live (no stale entries)") {
+    assume(available, s"reference checkout not present at $refYaml")
+    val ref = loadRefResponses()
+    val byPath = ref.map { case ((p, _), fs) => p -> fs }
+    for (((p, f), _) <- respAdaptations)
+      assert(byPath.get(p).exists(_.contains(f)), s"stale response adaptation: $p $f")
+    for (((p, f), _) <- respOverrides)
+      assert(byPath.get(p).exists(_.contains(f)), s"stale response override: $p $f")
   }
 
   test("adaptation and exclusion lists stay live (no stale entries)") {
