@@ -24,6 +24,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a failed query must DELETE its old dump: a stale result from a
+        // prior run would otherwise sail through the oracle compare and
+        // mask the failure (bit us in r14 — an analysis error hid behind
+        // a green check for two runs)
+        val dir = Paths.get(s"$outDir/$name")
+        if (Files.exists(dir)) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(Files.deleteIfExists(_))
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -98,8 +98,9 @@ object Relational3 {
       val ranked = graft.operators.Ranking.globalRowNumber(
         daily, Seq(col("day")), rankCol = "rk")
       val contrib = ranked
-        .select((col("rk") + explode(expr("sequence(0, 6)"))).as("rk7"),
-          col("cents").as("c"))
+        .select(col("rk"), col("cents").as("c"),
+          explode(expr("sequence(0, 6)")).as("_o")) // generator must be top-level
+        .select((col("rk") + col("_o")).as("rk7"), col("c"))
         .groupBy(col("rk7")).agg(sum(col("c")).as("s7"), count(lit(1)).as("n7"))
       ranked.join(contrib, col("rk") === col("rk7"))
         .withColumn("ma7", col("s7").cast("double") /
