@@ -492,9 +492,16 @@ object Dedup {
     // partition) would otherwise run the ENTIRE cached expression chain —
     // tokenize, md5 banding, every verification scan — single-threaded
     // (profiled: four concurrent 1-task ~7 s stages were the whole replay
-    // tail). Width follows the scoped shuffle conf; at scale a batch
-    // already arrives wide and this is a cheap batch-sized rebalance.
-    val width = spark.sessionState.conf.numShufflePartitions
+    // tail). Width is COMPUTE parallelism, not shuffle width: the scoped
+    // shuffle conf (8, sized for narrow digest exchanges) capped every
+    // tokenize/band/verify stage over the cached batch at 8 tasks on a
+    // 32-core host — the r14 profile showed the serial append phase and
+    // all 28 verification broadcast builds running ≤8-wide. Deriving from
+    // defaultParallelism (total cores, any deployment) lets the expensive
+    // per-row compute use the machine while the digest shuffles stay
+    // narrow.
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
     val keyed = batch.repartition(width)
       .select(col(idCol).as("id"),
         array_sort(TextFunctions.distinctTokens(col(textCol))).as("stoks"))
@@ -1181,7 +1188,11 @@ object Dedup {
         greatest(col(idA), col(idB)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    // edge count carried across rounds: this round's |step| is next
+    // round's |edges| — re-counting the checkpointed edges every round
+    // was one whole job per round for a number already in hand
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // LARGE-STAR: centers see the full (undirected) neighborhood
@@ -1192,12 +1203,19 @@ object Dedup {
       val mins = dir.groupBy(col("u"))
         .agg(min(col("v")).as("mv"))
         .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // large-star output stays a LAZY persisted frame inside the round:
+      // its old distinct+localCheckpoint was one extra shuffle AND one
+      // extra job per round for rows the small-star's own distinct
+      // removes anyway (min/groupBy are duplicate-insensitive). Both
+      // small-star consumers read the persisted frame inside the ONE
+      // materializing action below; lineage is still truncated once per
+      // round by the step checkpoint, so planning time stays constant.
       val afterLarge = dir.join(mins, Seq("u"))
         .where(col("v") > col("u"))
         .select(least(col("v"), col("m")).as("lo"),
           greatest(col("v"), col("m")).as("hi"))
         .filter(col("lo") =!= col("hi"))
-        .distinct().localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // SMALL-STAR: centers are the LARGER endpoint (v < u by
       // construction, so m = min(N) and every emitted edge is (bigger,
       // smaller) already)
@@ -1211,10 +1229,13 @@ object Dedup {
         .unionByName(mins2.select(col("u").as("hi"), col("m").as("lo")))
         .filter(col("lo") =!= col("hi"))
         .distinct().localCheckpoint()
+      afterLarge.unpersist(false)
       // fixpoint: the canonical edge set survived a full round unchanged
-      converged = step.count() == edges.count() &&
+      val stepCount = step.count()
+      converged = stepCount == edgeCount &&
         step.join(edges, Seq("lo", "hi"), "left_anti").isEmpty
       edges = step
+      edgeCount = stepCount
       iter += 1
     }
     if (!converged)

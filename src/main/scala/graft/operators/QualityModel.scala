@@ -95,17 +95,28 @@ object QualityModel {
       features.zipWithIndex.map { case ((_, c), i) => c.cast("long").as(s"x$i") } :+
         when(label, 1.0).otherwise(0.0).as("_y"): _*)
     graft.core.Caching.withCached(prepared) {
-      val n = prepared.count()
-      require(n > 0, "trainLogistic over an empty frame")
+      // the row count rides the FIRST epoch's aggregate (one pass fewer:
+      // that job doubles as the cache materialization; the maths are
+      // unchanged — epoch 1's gradient at w = 0 never reads n, and the
+      // update divides by the n returned by the same row)
+      var n = 0L
       var w = Array.fill(d)(0.0)
-      for (_ <- 1 to epochs) {
+      for (epoch <- 1 to epochs) {
         val z = (0 until d).map(i => lit(w(i)) * col(s"x$i")).reduceLeft(_ + _)
         val err = fastSigmoid(z) - col("_y")
         val aggs = (0 until d).map(i =>
           sum(floor(err * col(s"x$i") * lit(scale) + lit(0.5))).as(s"g$i"))
-        val g = prepared.agg(aggs.head, aggs.tail: _*).head()
+        val g =
+          if (epoch == 1)
+            prepared.agg(count(lit(1)).as("_n"), aggs: _*).head()
+          else prepared.agg(aggs.head, aggs.tail: _*).head()
+        if (epoch == 1) {
+          n = g.getLong(0)
+          require(n > 0, "trainLogistic over an empty frame")
+        }
+        val off = if (epoch == 1) 1 else 0
         w = Array.tabulate(d)(i =>
-          w(i) - lr * ((g.getLong(i).toDouble / scale) / n))
+          w(i) - lr * ((g.getLong(i + off).toDouble / scale) / n))
       }
       w.toSeq
     }

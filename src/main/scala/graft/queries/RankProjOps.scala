@@ -77,11 +77,17 @@ object RankProjOps {
         .withColumn("fmonth", date_format(col("ts"), "yyyy-MM"))
       val at = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
       def feed(b: Int, tok: String): Unit = {
+        // one scan per feed: the fact append and the rollup update are
+        // two consumers of the same batch (scan + timestampadd + month
+        // derivation ran twice per feed before — guide §1.2 "don't
+        // compute things twice")
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
-        CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
-          token = Some(s"f$tok"))
-        Sketches.updateQuantileRollup(batch, state, Seq("fmonth"), "value",
-          at, eps = eps, token = Some(s"q$tok"))
+        graft.core.Caching.withCached(batch) {
+          CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
+            token = Some(s"f$tok"))
+          Sketches.updateQuantileRollup(batch, state, Seq("fmonth"), "value",
+            at, eps = eps, token = Some(s"q$tok"))
+        }
       }
       (0 until 3).foreach(b => feed(b, b.toString))
       feed(1, "1") // replayed batch: must no-op or the sketches double-count
@@ -121,12 +127,16 @@ object RankProjOps {
         .withColumn("fmonth", date_format(col("ts"), "yyyy-MM"))
       val at = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
       def feed(b: Int, tok: String): Unit = {
+        // one scan per feed (same two-consumer caching as
+        // incremental_equidepth_check above)
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
-        CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
-          token = Some(s"f$tok"))
-        Sketches.updateQuantileRollup(batch, state,
-          Seq("event_type", "fmonth"), "value", at, eps = eps,
-          token = Some(s"q$tok"))
+        graft.core.Caching.withCached(batch) {
+          CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
+            token = Some(s"f$tok"))
+          Sketches.updateQuantileRollup(batch, state,
+            Seq("event_type", "fmonth"), "value", at, eps = eps,
+            token = Some(s"q$tok"))
+        }
       }
       (0 until 3).foreach(b => feed(b, b.toString))
       feed(1, "1") // replayed batch: must no-op or the sketches double-count

@@ -167,18 +167,25 @@ object CurationStream {
                         weights: Seq[Double], verdictTable: String,
                         idCol: String = "doc_id"): Unit = {
     import graft.operators.{CommitLog, QualityModel}
-    if (batch.isEmpty) return
-    val feats = QualityModel.documentFeatures
-    val scored = batch.select(
-        col(idCol),
-        lit(batchId).as("epoch"),
-        floor(QualityModel.scoreExpr(feats, weights) * lit(1000000.0))
-          .cast("long").as("zq"),
-        QualityModel.documentQualityLabel.as("teacher"))
-      .withColumn("kept", col("zq") >= 0L)
-      .withColumn("scored_at", current_timestamp())
-    CommitLog.append(scored, verdictTable, idCol = idCol,
-      tsCol = "scored_at", token = Some(s"score-$batchId"))
+    // batch-grain commit: same execution scope as every ledger/rollup
+    // append (AQE off, narrow digest-sized shuffles — the verdict rows
+    // are ~40 B each); the session-width shuffle and adaptive re-planning
+    // were pure per-commit overhead here (guide §2.4: remove exchanges
+    // sized for data that isn't there)
+    graft.core.Caching.narrowBatchScope(batch.sparkSession) {
+      if (batch.isEmpty) return ()
+      val feats = QualityModel.documentFeatures
+      val scored = batch.select(
+          col(idCol),
+          lit(batchId).as("epoch"),
+          floor(QualityModel.scoreExpr(feats, weights) * lit(1000000.0))
+            .cast("long").as("zq"),
+          QualityModel.documentQualityLabel.as("teacher"))
+        .withColumn("kept", col("zq") >= 0L)
+        .withColumn("scored_at", current_timestamp())
+      CommitLog.append(scored, verdictTable, idCol = idCol,
+        tsCol = "scored_at", token = Some(s"score-$batchId"))
+    }
     ()
   }
 
