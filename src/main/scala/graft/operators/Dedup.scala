@@ -745,10 +745,25 @@ object Dedup {
   }
 
   private def tokenSets(docs: DataFrame, blockCol: String, idCol: String,
-                        textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+                        textCol: String): DataFrame = {
+    // The cached token frame inherits the SOURCE's partitioning, and
+    // everything expensive downstream (the ordered-prefix transform —
+    // per-token hot-flag + xxhash + struct sort — and the candidate
+    // explode) runs at the CACHE's width: a sub-split-size corpus file
+    // arrives as ONE scan partition and serialized the whole chain
+    // (profiled: a 1-task ~1 s prefix stage at sf0.1, documents.parquet
+    // = 0.6 MB = one split). Widen ONLY when the scan is narrower than
+    // the machine — a petabyte corpus already arrives thousands of
+    // splits wide and must NOT pay a blanket text reshuffle.
+    val spark = docs.sparkSession
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val src =
+      if (docs.rdd.getNumPartitions < width) docs.repartition(width) else docs
+    src.select(col(idCol).as("id"), col(blockCol).as("block"),
         TextFunctions.distinctTokens(col(textCol)).as("toks"))
       .withColumn("sz", size(col("toks")))
+  }
 
   /** Candidate pairs for exact Jaccard via PPJoin-style prefix filtering.
     *
@@ -814,11 +829,23 @@ object Dedup {
         lit(1), prefixLen)).as("tok"))
     val a = pref.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = pref.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    // the dedup exchange keeps MACHINE width explicitly: its output bytes
+    // (two longs per surviving pair) are small enough that AQE's
+    // byte-based coalescing folds the aggregate to ~1 partition, but the
+    // reduce's WORK is proportional to its pre-dedup candidate input —
+    // profiled as a 1-task ~1 s stage at sf0.1. An explicit repartition
+    // on the dedup keys is reused by dropDuplicates (same keys → no
+    // second exchange) and is not coalesced away; width follows
+    // defaultParallelism, not a local constant.
+    val spark = toks.sparkSession
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
     a.join(b, Seq("block", "tok"))
       .filter(col("id_a") < col("id_b") &&
         col("sz_b") >= ceil(col("sz_a") * threshold) &&
         col("sz_a") >= ceil(col("sz_b") * threshold))
       .select("id_a", "id_b")
+      .repartition(width, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -837,17 +864,36 @@ object Dedup {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // one tokenization for the whole operator: candidates read this frame
     // three times and verification twice more
-    graft.plans.HashExprs.install(docs.sparkSession)
+    val spark = docs.sparkSession
+    graft.plans.HashExprs.install(spark)
     val toks = tokenSets(docs, blockCol, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the pair spine is read three times below (the verify
+    // spine + one semi-join prune per token side)
     val cands = candidatesFromToks(toks, threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The pair spine arrives machine-wide (candidatesFromToks pins its
+    // dedup exchange at defaultParallelism — see the width note there),
+    // and both token attachments broadcast, so the CPU-heavy
+    // verification (two-pointer merges over full token arrays) runs at
+    // machine width instead of the ~1 partition AQE's byte-based
+    // coalescing used to leave it (profiled: a 1-task 1.0 s stage inside
+    // dedup_clusters at sf0.1 — bytes are the wrong proxy for per-row
+    // intersect cost).
+    val spine = cands
+    // candidate-pruned token attachment: only candidate ids' arrays are
+    // sorted and moved (the unpruned form array_sorted and broadcast the
+    // ENTIRE corpus per side — strictly more rows of strictly wider
+    // payload than the candidate id set the prune broadcasts).
     // sorted once per DOC (not per pair): the verification intersect is a
     // zero-allocation two-pointer merge instead of a per-pair hash set
-    val verified = cands
-      .join(toks.select(col("id").as("id_a"),
-        array_sort(col("toks")).as("toks_a"), col("sz").as("sz_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"),
-        array_sort(col("toks")).as("toks_b"), col("sz").as("sz_b")), "id_b")
+    def prunedToks(key: String, side: String) = toks
+      .join(broadcast(cands.select(col(key).as("id"))), Seq("id"), "left_semi")
+      .select(col("id").as(key), array_sort(col("toks")).as(s"toks_$side"),
+        col("sz").as(s"sz_$side"))
+    val verified = spine
+      .join(prunedToks("id_a", "a"), "id_a")
+      .join(prunedToks("id_b", "b"), "id_b")
     val common = graft.plans.HashExprs.sortedIntersectSize(col("toks_a"), col("toks_b"))
     verified.withColumn("jaccard",
         common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
@@ -974,11 +1020,19 @@ object Dedup {
     //     barrier so the k-lane loop runs once per rep, not once per band.
     val sigs = bandRows(toks, numHashes, bands, portableBanding)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // same width-pinned dedup exchange as candidatesFromToks (see the
+    // note there): the reduce's work is the pre-dedup band-collision
+    // count, which AQE's byte-based coalescing would serialize onto ~1
+    // task because the surviving pair rows are tiny
+    val spark2 = docs.sparkSession
+    val width = math.max(spark2.sessionState.conf.numShufflePartitions,
+      spark2.sparkContext.defaultParallelism)
     val cands = sigs.select(col("band"), col("bandhash"), col("id").as("id_a"))
       .join(sigs.select(col("band"), col("bandhash"), col("id").as("id_b")),
         Seq("band", "bandhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+      .repartition(width, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     // (measured: a signature-estimate prefilter between candidate dedup and
     // verification costs more than it saves here — the 480 B sig arrays
@@ -1097,14 +1151,31 @@ object Dedup {
     // that are unique by construction, and min-label propagation is
     // idempotent under duplicate edges anyway — a distinct here was one
     // full extra shuffle for zero semantic effect.
-    val edges = pairs.select(explode(array(
+    val edges0 = pairs.select(explode(array(
         struct(col(idA).as("src"), col(idB).as("dst")),
         struct(col(idB).as("src"), col(idA).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
+    // one count over the (now-materialized) edge cache sizes the loop's
+    // shuffle width: every exchange inside the loop moves label/edge rows
+    // bounded by the edge count, so the width derives from the data
+    // (widthScope scaladoc) instead of paying session width per round on
+    // a small component graph.
+    val edgeCount = edges0.count()
+    graft.core.Caching.widthScope(pairs.sparkSession, edgeCount) {
+    // the cache itself is re-laid-out at the derived width too: a cache's
+    // scan width is its RDD partitioning (the upstream pipeline's, e.g.
+    // 32 scan splits), not the shuffle conf — without the coalesce every
+    // iteration's edge scan paid one task per upstream split on a frame
+    // the width math just sized (profiled: 32-task 0.3 s scans of a
+    // 30 KB edge cache, once per iteration). coalesce (no shuffle) reads
+    // the materialized edges0 blocks once; edges0 is dropped as soon as
+    // the narrow copy is live.
+    val w = graft.core.Caching.sizedWidth(pairs.sparkSession, edgeCount)
+    val edges = edges0.coalesce(w).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    var converged = false
+    var converged = edgeCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
       // candidate label per node: min over neighbors' labels and own; carry
@@ -1128,16 +1199,18 @@ object Dedup {
       labels = step.select("id", "component")
       iter += 1
     }
-    // labels is localCheckpoint-materialized, so the edge cache is dead
-    // weight from here on — release it instead of leaking it to the
+    // labels is localCheckpoint-materialized, so the edge caches are dead
+    // weight from here on — release them instead of leaking them to the
     // session cache manager (converged or not).
     edges.unpersist(false)
+    edges0.unpersist(false)
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: labels still changing after $maxIter iterations " +
           "(component diameter exceeds maxIter); raise maxIter — returning here " +
           "would silently split components")
     labels
+    }
   }
 
   /** Connected components by ALTERNATING large-star / small-star (Kiveris
@@ -1194,6 +1267,11 @@ object Dedup {
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
     var iter = 0
+    // star rounds only ever SHRINK the edge set (each rewrite re-attaches
+    // nodes to component minima), so the initial count bounds every
+    // round's exchanges and the loop width derives from it (widthScope
+    // scaladoc — same data-sized width as connectedComponents).
+    graft.core.Caching.widthScope(pairs.sparkSession, edgeCount) {
     while (!converged && iter < maxIter) {
       // LARGE-STAR: centers see the full (undirected) neighborhood
       val dir = edges.select(explode(array(
@@ -1237,6 +1315,7 @@ object Dedup {
       edges = step
       edgeCount = stepCount
       iter += 1
+    }
     }
     if (!converged)
       throw new IllegalStateException(

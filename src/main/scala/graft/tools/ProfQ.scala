@@ -21,6 +21,11 @@ object ProfQ {
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // scratch A/B lever: SPARK_GRAFT_PROF_CONF="k=v;k2=v2" applies session
+    // confs before the run (e.g. codegen toggles), measurement-only
+    sys.env.get("SPARK_GRAFT_PROF_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
