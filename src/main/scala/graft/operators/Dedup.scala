@@ -428,14 +428,40 @@ object Dedup {
                                portableBanding: Boolean = false): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
     ledgerBatchScope(batches.head.sparkSession) {
-      val parts = batches.zipWithIndex.map { case (b, i) =>
-        val hist =
-          if (i == 0) batches.head.limit(0)
-          else batches.take(i).reduce(_.unionByName(_))
-        minhashBatchCore(b, hist, ledgerTable,
-          new java.sql.Timestamp(startAt.getTime + i * stepMs),
-          threshold, numHashes, bands, tokenPrefix.map(p => s"$p-$i"),
-          idCol, textCol, portableBanding)
+      // The per-batch tokenize/band compute is LEDGER-INDEPENDENT, so it
+      // need not wait in the strictly-ordered commit line: later batches'
+      // prepared frames materialize on background driver threads (guide
+      // §2.6 — concurrent jobs back-fill the executor while the current
+      // append's tail runs) and the sequential loop below finds their
+      // caches warm. Profiled before this change: ~34 small SERIAL jobs
+      // (~4.4 s at sf0.1) were the four append chains, each paying its
+      // own tokenize/band/broadcast builds end-to-end. Commit ORDER is
+      // untouched: batch b+1's core call (and thus its ledger snapshot)
+      // still happens only after batch b's append returns.
+      val preps = batches.map(b =>
+        prepareMinhashBatch(b, numHashes, bands, idCol, textCol,
+          portableBanding))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, math.max(1, preps.size - 1)))
+      val warmups = preps.drop(1).map(p =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = p.setBands.count() // forces keyed+reps+bands
+        }))
+      val parts = try {
+        batches.zipWithIndex.map { case (b, i) =>
+          val hist =
+            if (i == 0) batches.head.limit(0)
+            else batches.take(i).reduce(_.unionByName(_))
+          minhashBatchCore(b, hist, ledgerTable,
+            new java.sql.Timestamp(startAt.getTime + i * stepMs),
+            threshold, numHashes, bands, tokenPrefix.map(p => s"$p-$i"),
+            idCol, textCol, portableBanding, prep = Some(preps(i)))
+        }
+      } finally {
+        // join the warmups before any unpersist can race them (a failed
+        // warmup surfaces here rather than being swallowed)
+        warmups.foreach(_.get())
+        pool.shutdown()
       }
       val out = parts.map(_._1)
         .zipWithIndex
@@ -446,6 +472,47 @@ object Dedup {
       parts.foreach(_._2())
       out
     }
+  }
+
+  /** The LEDGER-INDEPENDENT frames of one minhash batch: tokenized keyed
+    * rows, representative map, and band rows — everything a batch needs
+    * that does NOT depend on any earlier commit. Split out so the replay
+    * driver can materialize later batches' compute CONCURRENTLY with
+    * earlier batches' strictly-ordered appends (guide §2.6 — overlap
+    * independent jobs; the appends themselves stay sequential because
+    * batch b+1's ledger scan pins its file list after batch b's commit). */
+  private final case class MinhashPrep(keyed: DataFrame, reps: DataFrame,
+                                       setBands: DataFrame)
+
+  private def prepareMinhashBatch(batch: DataFrame, numHashes: Int,
+                                  bands: Int, idCol: String, textCol: String,
+                                  portableBanding: Boolean): MinhashPrep = {
+    val spark = batch.sparkSession
+    graft.plans.HashExprs.install(spark)
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // width / shuffle-discipline commentary lives in minhashBatchCore's
+    // scaladoc block below — this is the same construction, hoisted.
+    val width = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val keyed = batch.repartition(width)
+      .select(col(idCol).as("id"),
+        array_sort(TextFunctions.distinctTokens(col(textCol))).as("stoks"))
+      .withColumn("sz", size(col("stoks")))
+      .withColumn("setkey", md5(concat_ws(" ", col("stoks"))))
+      .persist(mem)
+    // representative (min) id per distinct token set — narrow columns only
+    val reps = keyed.select(col("setkey"), col("id"))
+      .groupBy("setkey").agg(min(col("id")).as("minid"))
+      .persist(mem)
+    val repToks = keyed
+      .join(broadcast(reps.select(col("minid").as("id"))), Seq("id"), "left_semi")
+      .select(col("setkey"), col("stoks"), col("sz"))
+    val setBands = bandRows(
+        repToks.select(col("setkey").as("id"), col("stoks").as("toks")),
+        numHashes, bands, portableBanding)
+      .withColumnRenamed("id", "setkey")
+      .persist(mem)
+    MinhashPrep(keyed, reps, setBands)
   }
 
   /** Shared core of the single-batch call and the replay: eagerly commits
@@ -460,7 +527,8 @@ object Dedup {
                               numHashes: Int, bands: Int,
                               token: Option[String],
                               idCol: String, textCol: String,
-                              portableBanding: Boolean): (DataFrame, () => Unit) = {
+                              portableBanding: Boolean,
+                              prep: Option[MinhashPrep] = None): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     graft.plans.HashExprs.install(spark)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -502,26 +570,14 @@ object Dedup {
     // narrow.
     val width = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
-    val keyed = batch.repartition(width)
-      .select(col(idCol).as("id"),
-        array_sort(TextFunctions.distinctTokens(col(textCol))).as("stoks"))
-      .withColumn("sz", size(col("stoks")))
-      .withColumn("setkey", md5(concat_ws(" ", col("stoks"))))
-      .persist(mem)
-    // representative (min) id per distinct token set — narrow columns only
-    val reps = keyed.select(col("setkey"), col("id"))
-      .groupBy("setkey").agg(min(col("id")).as("minid"))
-      .persist(mem)
+    val MinhashPrep(keyed, reps, setBands) = prep.getOrElse(
+      prepareMinhashBatch(batch, numHashes, bands, idCol, textCol,
+        portableBanding))
     // distinct-set token rows, shuffle-free: cached batch scan filtered to
     // the representative rows
     def repToks = keyed
       .join(broadcast(reps.select(col("minid").as("id"))), Seq("id"), "left_semi")
       .select(col("setkey"), col("stoks"), col("sz"))
-    val setBands = bandRows(
-        repToks.select(col("setkey").as("id"), col("stoks").as("toks")),
-        numHashes, bands, portableBanding)
-      .withColumnRenamed("id", "setkey")
-      .persist(mem)
     val common = graft.plans.HashExprs.sortedIntersectSize(col("toks_a"), col("toks_b"))
 
     // in-batch, cross-set: band-colliding set pairs verified at exact
