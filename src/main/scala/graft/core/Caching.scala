@@ -135,7 +135,7 @@ object Caching {
     * coalesce their CACHED frames to the same width (cache scan width is
     * set by the cached RDD's partitioning, not the shuffle conf). */
   def sizedWidth(spark: org.apache.spark.sql.SparkSession, rows: Long,
-                 rowsPerPartition: Long = 65536L): Int = {
+                 rowsPerPartition: Long = 8192L): Int = {
     val session =
       spark.conf.get("spark.sql.shuffle.partitions", "200").toLong
     math.max(1L, math.min(session,
@@ -143,7 +143,7 @@ object Caching {
   }
 
   def widthScope[A](spark: org.apache.spark.sql.SparkSession, rows: Long,
-                    rowsPerPartition: Long = 65536L)(f: => A): A = {
+                    rowsPerPartition: Long = 8192L)(f: => A): A = {
     scopeLock.synchronized {
       widthScopes.get(spark) match {
         case Some((depth, suf)) => widthScopes(spark) = (depth + 1, suf)
