@@ -126,18 +126,33 @@ object Caching {
     * session keeps its configured ceiling and a small graph stops paying
     * for it. Same session-global caveat and reference-counted nesting
     * discipline as [[narrowBatchScope]] (first entry wins; nested scopes
-    * inherit the outer width). */
+    * inherit the outer width) — but NOT the same held window:
+    * narrowBatchScope wraps single appends (seconds), while this scope
+    * wraps a WHOLE multi-round graph loop, and the derived width can be
+    * 1. Concurrent queries on the same session degrade to that width for
+    * the loop's full duration; the CC call sites accept this (their
+    * loops are bounded by the component structure and the sessions are
+    * batch-owned), and interleaving callers get the same advice as
+    * narrowBatchScope: `SparkSession.newSession()` for the analytics
+    * side. */
   private val widthScopes = scala.collection.mutable.Map
     .empty[org.apache.spark.sql.SparkSession, (Int, String)]
 
   /** The width [[widthScope]] applies for `rows` rows: clamp(rows /
     * rowsPerPartition, 1, session width). Exposed so loop bodies can
     * coalesce their CACHED frames to the same width (cache scan width is
-    * set by the cached RDD's partitioning, not the shuffle conf). */
+    * set by the cached RDD's partitioning, not the shuffle conf).
+    *
+    * "Session width" is the TRUE pre-scope value: called inside an open
+    * [[widthScope]], the conf already holds the narrowed width, so
+    * clamping against the conf would compound the narrowing (benign in a
+    * fixed-point loop, wrong anywhere else) — the scope's saved value is
+    * used instead. */
   def sizedWidth(spark: org.apache.spark.sql.SparkSession, rows: Long,
                  rowsPerPartition: Long = 8192L): Int = {
-    val session =
-      spark.conf.get("spark.sql.shuffle.partitions", "200").toLong
+    val session = scopeLock.synchronized {
+      widthScopes.get(spark).map(_._2)
+    }.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "200")).toLong
     math.max(1L, math.min(session,
       (rows + rowsPerPartition - 1) / rowsPerPartition)).toInt
   }

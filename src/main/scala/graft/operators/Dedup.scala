@@ -447,6 +447,7 @@ object Dedup {
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long = p.setBands.count() // forces keyed+reps+bands
         }))
+      var primary: Throwable = null
       val parts = try {
         batches.zipWithIndex.map { case (b, i) =>
           val hist =
@@ -457,11 +458,21 @@ object Dedup {
             threshold, numHashes, bands, tokenPrefix.map(p => s"$p-$i"),
             idCol, textCol, portableBanding, prep = Some(preps(i)))
         }
+      } catch { case t: Throwable => primary = t; throw t
       } finally {
-        // join the warmups before any unpersist can race them (a failed
-        // warmup surfaces here rather than being swallowed)
-        warmups.foreach(_.get())
-        pool.shutdown()
+        // join the warmups before any unpersist can race them, and shut
+        // the pool down EVEN IF a join throws (a leaked non-daemon pool
+        // keeps the driver JVM alive). A warm-up failure surfaces as the
+        // thrown exception only when the batch loop itself succeeded;
+        // otherwise it rides addSuppressed on the loop's own exception
+        // instead of masking it from inside finally.
+        try warmups.foreach { w =>
+          try { w.get(); () }
+          catch {
+            case e: Throwable =>
+              if (primary != null) primary.addSuppressed(e) else throw e
+          }
+        } finally pool.shutdown()
       }
       val out = parts.map(_._1)
         .zipWithIndex
@@ -914,6 +925,16 @@ object Dedup {
     * EXACT — the prefix filter only prunes, never decides. The text never
     * shuffles; only (block, prefix-token, id, size) and the candidate's two
     * token arrays do.
+    *
+    * ==Cache ownership== This operator pins TWO session caches whose
+    * lifetime extends into the returned lazy frame (the
+    * [[graft.core.Caching.withCached]] shape that helper cannot scope):
+    * the token frame and the candidate-pair spine. Both are
+    * MEMORY_AND_DISK, spillable and LRU-evictable, and bounded by the
+    * token footprint / surviving-pair count respectively. A caller that
+    * invokes this repeatedly on one long-lived session should
+    * `spark.catalog.clearCache()` (or unpersist) after materializing each
+    * result — the bench does exactly that between queries.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    blockCol: String = "source",

@@ -173,18 +173,23 @@ object CurationStream {
     // were pure per-commit overhead here (guide §2.4: remove exchanges
     // sized for data that isn't there)
     graft.core.Caching.narrowBatchScope(batch.sparkSession) {
-      if (batch.isEmpty) return ()
-      val feats = QualityModel.documentFeatures
-      val scored = batch.select(
-          col(idCol),
-          lit(batchId).as("epoch"),
-          floor(QualityModel.scoreExpr(feats, weights) * lit(1000000.0))
-            .cast("long").as("zq"),
-          QualityModel.documentQualityLabel.as("teacher"))
-        .withColumn("kept", col("zq") >= 0L)
-        .withColumn("scored_at", current_timestamp())
-      CommitLog.append(scored, verdictTable, idCol = idCol,
-        tsCol = "scored_at", token = Some(s"score-$batchId"))
+      // plain if (no early return): a non-local return from a by-name
+      // scope block rides NonLocalReturnControl through the scope's
+      // try/finally — deprecated, Scala-3-hostile, and swallowed by any
+      // future catch-all inside the scope helper
+      if (!batch.isEmpty) {
+        val feats = QualityModel.documentFeatures
+        val scored = batch.select(
+            col(idCol),
+            lit(batchId).as("epoch"),
+            floor(QualityModel.scoreExpr(feats, weights) * lit(1000000.0))
+              .cast("long").as("zq"),
+            QualityModel.documentQualityLabel.as("teacher"))
+          .withColumn("kept", col("zq") >= 0L)
+          .withColumn("scored_at", current_timestamp())
+        CommitLog.append(scored, verdictTable, idCol = idCol,
+          tsCol = "scored_at", token = Some(s"score-$batchId"))
+      }
     }
     ()
   }
