@@ -219,11 +219,16 @@ object CurationOps {
         QualityModel.documentQualityLabel, lr = 0.5, epochs = 6)
       val table = java.nio.file.Files
         .createTempDirectory("graft_scored").toString + "/verdicts"
-      (0 until 3).foreach { b =>
+      // the three scoring commits carry DISTINCT tokens and score with
+      // the same frozen weights — independent appends whose order the
+      // verdict table cannot observe (the commit log's optimistic claim
+      // serializes racing versions), so they overlap on driver threads
+      // (guide §2.6) instead of each paying its commit line serially
+      graft.core.Concurrent.all((0 until 3).map(b => () =>
         graft.streaming.CurationStream.scoredIntakeBatch(
-          docs.filter(pmod(col("doc_id"), lit(3)) === b), b, w, table)
-      }
-      // replayed epoch: the token must no-op or doc rows double
+          docs.filter(pmod(col("doc_id"), lit(3)) === b), b, w, table)): _*)
+      // replayed epoch: the token must no-op or doc rows double — runs
+      // AFTER the joins above so batch 1's first commit is visible
       graft.streaming.CurationStream.scoredIntakeBatch(
         docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1, w, table)
       CommitLog.scan(s, table)

@@ -80,20 +80,26 @@ object RankProjOps {
         // one scan per feed: the fact append and the rollup update are
         // two consumers of the same batch (scan + timestampadd + month
         // derivation ran twice per feed before — guide §1.2 "don't
-        // compute things twice")
+        // compute things twice"). The two commits hit DIFFERENT tables
+        // and neither reads the other's output, so they OVERLAP on two
+        // driver threads (guide §2.6) — only the feeds themselves stay
+        // ordered (rollup state b merges into state b−1).
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
         graft.core.Caching.withCached(batch) {
-          CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
-            token = Some(s"f$tok"))
-          Sketches.updateQuantileRollup(batch, state, Seq("fmonth"), "value",
-            at, eps = eps, token = Some(s"q$tok"))
+          graft.core.Concurrent.all(
+            () => { CommitLog.append(batch, fact, idCol = "event_id",
+              tsCol = "ts", token = Some(s"f$tok")); () },
+            () => Sketches.updateQuantileRollup(batch, state, Seq("fmonth"),
+              "value", at, eps = eps, token = Some(s"q$tok")))
         }
       }
       (0 until 3).foreach(b => feed(b, b.toString))
       feed(1, "1") // replayed batch: must no-op or the sketches double-count
-      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
-      CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
-        idCol = "rollup_id", tsCol = "updated_at")
+      // retention drop: two independent tables again — overlap
+      graft.core.Concurrent.all(
+        () => { CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02"); () },
+        () => { CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
+          idCol = "rollup_id", tsCol = "updated_at"); () })
       val (hist, nState) = graft.operators.Ranking.equidepthFromState(
         s, state, CommitLog.scan(s, fact), col("value"), k)
       val rows = hist.collect().sortBy(_.getInt(0))
@@ -128,21 +134,25 @@ object RankProjOps {
       val at = java.sql.Timestamp.valueOf("2024-04-01 00:00:00")
       def feed(b: Int, tok: String): Unit = {
         // one scan per feed (same two-consumer caching as
-        // incremental_equidepth_check above)
+        // incremental_equidepth_check above), and the same two-table
+        // commit overlap (guide §2.6)
         val batch = ev.filter(pmod(col("event_id"), lit(3)) === b)
         graft.core.Caching.withCached(batch) {
-          CommitLog.append(batch, fact, idCol = "event_id", tsCol = "ts",
-            token = Some(s"f$tok"))
-          Sketches.updateQuantileRollup(batch, state,
-            Seq("event_type", "fmonth"), "value", at, eps = eps,
-            token = Some(s"q$tok"))
+          graft.core.Concurrent.all(
+            () => { CommitLog.append(batch, fact, idCol = "event_id",
+              tsCol = "ts", token = Some(s"f$tok")); () },
+            () => Sketches.updateQuantileRollup(batch, state,
+              Seq("event_type", "fmonth"), "value", at, eps = eps,
+              token = Some(s"q$tok")))
         }
       }
       (0 until 3).foreach(b => feed(b, b.toString))
       feed(1, "1") // replayed batch: must no-op or the sketches double-count
-      CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02")
-      CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
-        idCol = "rollup_id", tsCol = "updated_at")
+      // retention drop: two independent tables again — overlap
+      graft.core.Concurrent.all(
+        () => { CommitLog.dropMonthsBefore(fact, keepFromMonth = "2024-02"); () },
+        () => { CommitLog.deleteWhere(s, state, col("fmonth") < "2024-02",
+          idCol = "rollup_id", tsCol = "updated_at"); () })
       val hist = graft.operators.Ranking.equidepthFromStateBy(
         s, state, Seq("event_type"), CommitLog.scan(s, fact),
         col("value"), k).collect()
