@@ -399,17 +399,22 @@ object Dedup {
     * in arrival order, one atomic token-idempotent commit per batch, and
     * get every batch's verdicts back in ONE frame.
     *
-    * The latency win over N separate calls: each batch only eagerly
-    * commits its band append — all the NEXT batch depends on (the ledger
-    * scan pins its file list at call time) — while verification stays a
-    * lazy plan, so all N verification DAGs execute CONCURRENTLY inside
-    * this method's single materializing action instead of N serial
-    * per-batch materializations (measured 2–4 s of serial tail per batch
-    * at sf0.1). The whole replay runs under one AQE-off scope (every join
-    * is broadcast-hinted; adaptive re-planning only adds driver round
-    * trips), and every cache the batches pin is released before return —
-    * the result is a checkpointed narrow (id, batch, kept) frame with no
-    * live lineage into the replay's internals.
+    * The latency win over N separate calls: batch b's verification reads
+    * its history band rows from an in-memory LEDGER VIEW (the table's
+    * entry-time snapshot ∪ earlier batches' cached band frames — the
+    * identical row multiset the committed scan would return, since the
+    * append writes exactly those rows), so NOTHING on the verification
+    * side waits for a commit; the N band appends retire on an ORDERED
+    * single-thread background executor (commit order preserved) while all
+    * N verification DAGs execute CONCURRENTLY inside this method's single
+    * materializing action. (Before r15 each batch's core call still
+    * waited for the previous batch's append — ~4 serial write+commit
+    * chains, profiled at ~1–2 s of pure commit line at sf0.1.) The whole
+    * replay runs under one AQE-off scope (every join is broadcast-hinted;
+    * adaptive re-planning only adds driver round trips), and every cache
+    * the batches pin is released before return — the result is a
+    * checkpointed narrow (id, batch, kept) frame with no live lineage
+    * into the replay's internals.
     *
     * Batch b's history is batches 0..b-1 — a replay re-ingests an ordered
     * corpus, so the "previously seen documents" ARE the earlier batches.
@@ -427,17 +432,15 @@ object Dedup {
                                textCol: String = "text",
                                portableBanding: Boolean = false): DataFrame = {
     require(batches.nonEmpty, "need at least one batch")
-    ledgerBatchScope(batches.head.sparkSession) {
+    val spark = batches.head.sparkSession
+    ledgerBatchScope(spark) {
       // The per-batch tokenize/band compute is LEDGER-INDEPENDENT, so it
-      // need not wait in the strictly-ordered commit line: later batches'
-      // prepared frames materialize on background driver threads (guide
-      // §2.6 — concurrent jobs back-fill the executor while the current
-      // append's tail runs) and the sequential loop below finds their
+      // need not wait in the commit line: later batches' prepared frames
+      // materialize on background driver threads (guide §2.6 — concurrent
+      // jobs back-fill the executor) and the loop below finds their
       // caches warm. Profiled before this change: ~34 small SERIAL jobs
       // (~4.4 s at sf0.1) were the four append chains, each paying its
-      // own tokenize/band/broadcast builds end-to-end. Commit ORDER is
-      // untouched: batch b+1's core call (and thus its ledger snapshot)
-      // still happens only after batch b's append returns.
+      // own tokenize/band/broadcast builds end-to-end.
       val preps = batches.map(b =>
         prepareMinhashBatch(b, numHashes, bands, idCol, textCol,
           portableBanding))
@@ -447,32 +450,74 @@ object Dedup {
         pool.submit(new java.util.concurrent.Callable[Long] {
           def call(): Long = p.setBands.count() // forces keyed+reps+bands
         }))
+      // the LEDGER VIEW base: the committed table as of replay ENTRY
+      // (file list pinned here — exactly what a per-batch scan would see,
+      // since in-replay appends carry this replay's own tokens and the
+      // per-batch exclusion anti-join already owns the self-collision
+      // case). Batch i's history bands = base ∪ docBands(batches 0..i−1).
+      val base: Option[DataFrame] =
+        if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
+        else Some(CommitLog.scan(spark, ledgerTable)
+          .select(col("band"), col("bandhash"), col("id")))
+      // per-doc band rows off the cached prep frames — the same join the
+      // append writes, so the view's row multiset IS the committed one
+      def docBands(p: MinhashPrep): DataFrame =
+        p.setBands
+          .join(broadcast(p.keyed.select(col("setkey"), col("id"))), "setkey")
+          .select(col("band"), col("bandhash"), col("id"))
+      // appends retire on ONE background thread: commit order preserved
+      // (batch b's version precedes b+1's), but no verification waits
+      val appendPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+      val appendFs =
+        scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
       var primary: Throwable = null
       val parts = try {
         batches.zipWithIndex.map { case (b, i) =>
           val hist =
             if (i == 0) batches.head.limit(0)
             else batches.take(i).reduce(_.unionByName(_))
+          val viewParts = base.toSeq ++ preps.take(i).map(docBands)
+          val src =
+            if (viewParts.isEmpty) NoHistory
+            else LedgerRows(viewParts.reduce(_.unionByName(_)))
           minhashBatchCore(b, hist, ledgerTable,
             new java.sql.Timestamp(startAt.getTime + i * stepMs),
             threshold, numHashes, bands, tokenPrefix.map(p => s"$p-$i"),
-            idCol, textCol, portableBanding, prep = Some(preps(i)))
+            idCol, textCol, portableBanding, prep = Some(preps(i)),
+            ledgerSource = src,
+            appendSink = Some(th => appendFs +=
+              appendPool.submit(new Runnable { def run(): Unit = th() })))
         }
       } catch { case t: Throwable => primary = t; throw t
       } finally {
         // join the warmups before any unpersist can race them, and shut
-        // the pool down EVEN IF a join throws (a leaked non-daemon pool
-        // keeps the driver JVM alive). A warm-up failure surfaces as the
-        // thrown exception only when the batch loop itself succeeded;
-        // otherwise it rides addSuppressed on the loop's own exception
-        // instead of masking it from inside finally.
+        // the pools down EVEN IF a join throws (a leaked non-daemon pool
+        // keeps the driver JVM alive). A warm-up/append failure surfaces
+        // as the thrown exception only when the batch loop itself
+        // succeeded; otherwise it rides addSuppressed on the loop's own
+        // exception instead of masking it from inside finally.
+        def joinAll(fs: Seq[java.util.concurrent.Future[_]]): Unit =
+          fs.foreach { w =>
+            try { w.get(); () }
+            catch {
+              case e: Throwable =>
+                if (primary != null) primary.addSuppressed(e) else throw e
+            }
+          }
         try warmups.foreach { w =>
           try { w.get(); () }
           catch {
             case e: Throwable =>
               if (primary != null) primary.addSuppressed(e) else throw e
           }
-        } finally pool.shutdown()
+        } finally {
+          pool.shutdown()
+          // on the failure path the appends must still be joined before
+          // the pool dies; on the success path they are joined again
+          // below (idempotent) before any cache is released
+          if (primary != null)
+            try joinAll(appendFs.toSeq) finally appendPool.shutdown()
+        }
       }
       val out = parts.map(_._1)
         .zipWithIndex
@@ -480,6 +525,9 @@ object Dedup {
           df.select(col(idCol), lit(i).as("batch"), col("kept")) }
         .reduce(_.unionByName(_))
         .localCheckpoint() // one action runs all N verification DAGs
+      // appends read the same caches — join them BEFORE cleanup
+      try appendFs.foreach { w => w.get(); () }
+      finally appendPool.shutdown()
       parts.foreach(_._2())
       out
     }
@@ -526,11 +574,26 @@ object Dedup {
     MinhashPrep(keyed, reps, setBands)
   }
 
-  /** Shared core of the single-batch call and the replay: eagerly commits
-    * the batch's band append, returns the LAZY per-doc verdict frame
-    * (idCol, kept) plus a cleanup thunk releasing the caches it pinned.
-    * Callers MUST materialize the frame (or a checkpoint of it) before
-    * invoking cleanup. */
+  /** Where a batch's HISTORY band rows come from (the ledger side of the
+    * cross-batch probe): the single-batch entry point scans the committed
+    * table (pinning its file list at call time), while the replay driver
+    * hands each batch an in-memory VIEW — the table's entry-time snapshot
+    * unioned with earlier batches' cached band frames — which carries the
+    * IDENTICAL row multiset (the append writes exactly those rows) without
+    * making batch b+1's verification wait on batch b's commit. */
+  private sealed trait LedgerSource
+  private case object ScanLedger extends LedgerSource
+  private case object NoHistory extends LedgerSource
+  private final case class LedgerRows(df: DataFrame) extends LedgerSource
+
+  /** Shared core of the single-batch call and the replay: commits the
+    * batch's band append (inline by default; via `appendSink` the replay
+    * reroutes it to an ORDERED background executor, since with a
+    * [[LedgerRows]] view nothing downstream waits on the commit), returns
+    * the LAZY per-doc verdict frame (idCol, kept) plus a cleanup thunk
+    * releasing the caches it pinned. Callers MUST materialize the frame
+    * (or a checkpoint of it) AND join any sunk appends before invoking
+    * cleanup — the append job reads the same caches. */
   private def minhashBatchCore(batch: DataFrame, history: DataFrame,
                               ledgerTable: String,
                               acceptedAt: java.sql.Timestamp,
@@ -539,7 +602,9 @@ object Dedup {
                               token: Option[String],
                               idCol: String, textCol: String,
                               portableBanding: Boolean,
-                              prep: Option[MinhashPrep] = None): (DataFrame, () => Unit) = {
+                              prep: Option[MinhashPrep] = None,
+                              ledgerSource: LedgerSource = ScanLedger,
+                              appendSink: Option[(() => Unit) => Unit] = None): (DataFrame, () => Unit) = {
     val spark = batch.sparkSession
     graft.plans.HashExprs.install(spark)
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -639,10 +704,17 @@ object Dedup {
     // replays verdict-identical to the first run. The ledger STREAMS through
     // the join while the batch's band rows broadcast — history is scanned
     // (two pruned columns), never shuffled.
+    val histBands: Option[DataFrame] = ledgerSource match {
+      case NoHistory => None
+      case LedgerRows(df) => Some(df)
+      case ScanLedger =>
+        if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
+        else Some(CommitLog.scan(spark, ledgerTable)
+          .select(col("band"), col("bandhash"), col("id")))
+    }
     val ledgerHit =
-      if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
-      else {
-        val cands = CommitLog.scan(spark, ledgerTable)
+      histBands.map { hist =>
+        val cands = hist
           .select(col("band"), col("bandhash"), col("id").as("old_id"))
           .join(broadcast(keyed.select(col("id").as("old_id"))),
             Seq("old_id"), "left_anti")
@@ -677,14 +749,14 @@ object Dedup {
           .join(broadcast(cands.select("setkey").distinct()),
             Seq("setkey"), "left_semi")
           .select(col("setkey"), col("stoks").as("toks_a"), col("sz").as("sz_a"))
-        Some(cands
+        cands
           .join(candSetToks, "setkey")
           .join(histToks, "old_id")
           .withColumn("jaccard",
             common.cast("double") / (col("sz_a") + col("sz_b") - common).cast("double"))
           .filter(col("jaccard") >= threshold)
           .select("setkey").distinct()
-          .withColumn("hit", lit(true)))
+          .withColumn("hit", lit(true))
       }
 
     val verdicts = keyed.select(col("id"), col("setkey"))
@@ -697,22 +769,32 @@ object Dedup {
       .select(col("id").as(idCol), col("kept"))
     // the ledger stays per-DOC (setkey is a batch-local notion); (doc, band)
     // is the row identity — append dedups by idCol, so a plain doc id would
-    // collapse the band rows to one per doc. The append is deliberately
-    // FIRST: it is the only thing the NEXT batch depends on (its scan pins
-    // the ledger file list at call time), and its write job doubles as the
-    // materialization pass for the keyed/reps/setBands persists.
+    // collapse the band rows to one per doc. On the single-batch path the
+    // append runs FIRST and inline: it is the only thing the NEXT call's
+    // ledger scan depends on, and its write job doubles as the
+    // materialization pass for the keyed/reps/setBands persists. The
+    // replay path sinks it to an ordered background executor instead —
+    // its LedgerRows view already carries these rows, so the commit only
+    // needs to LAND (durability + later replays), not to gate anything.
     val atMicros = acceptedAt.getTime * 1000L
-    CommitLog.append(
-      setBands.join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
-        .select(col("band"), col("bandhash"), col("id"),
-          lit(acceptedAt).as("accepted_at"),
-          concat_ws("#", col("id"), col("band")).as("row_id")),
-      ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
-      statsHint = Some((atMicros, atMicros)),
-      // 8 files per commit: parallel ledger writes now, parallel ledger
-      // SCANS later (a one-file commit caps every future probe's scan
-      // parallelism); rows unique per (doc, band) by construction
-      filesPerMonth = 8, assumeUnique = true)
+    val doAppend: () => Unit = () => {
+      CommitLog.append(
+        setBands.join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
+          .select(col("band"), col("bandhash"), col("id"),
+            lit(acceptedAt).as("accepted_at"),
+            concat_ws("#", col("id"), col("band")).as("row_id")),
+        ledgerTable, idCol = "row_id", tsCol = "accepted_at", token = token,
+        statsHint = Some((atMicros, atMicros)),
+        // 8 files per commit: parallel ledger writes now, parallel ledger
+        // SCANS later (a one-file commit caps every future probe's scan
+        // parallelism); rows unique per (doc, band) by construction
+        filesPerMonth = 8, assumeUnique = true)
+      ()
+    }
+    appendSink match {
+      case Some(sink) => sink(doAppend)
+      case None => doAppend()
+    }
     // verification stays a LAZY plan over the pinned caches: nothing is
     // computed until the caller materializes, so a replay consuming many
     // batches in one action runs their verification DAGs concurrently.
@@ -891,8 +973,16 @@ object Dedup {
     val ordered = array_sort(transform(col("toks"),
       t => struct(hotFlag(t).as("h"), xxhash64(t).as("x"), t.as("tok"))))
     val prefixLen = (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")
+    // the inverted-index join keys on the token's 64-bit HASH (already in
+    // the ordering struct), not the string: prefix rows shuffle 8-byte
+    // longs instead of token text (guide §2.3 — narrower types through
+    // the exchange). A cross-token hash collision can only ADD a
+    // candidate pair, and candidates are verified at exact Jaccard, so
+    // the result set is untouched; a same-token pair always collides with
+    // itself, so no qualifying pair is lost (the prefix theorem needs the
+    // common total order, which is unchanged).
     val pref = toks.select(col("id"), col("block"), col("sz"),
-      explode(slice(transform(ordered, x => x.getField("tok")),
+      explode(slice(transform(ordered, x => x.getField("x")),
         lit(1), prefixLen)).as("tok"))
     val a = pref.select(col("block"), col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = pref.select(col("block"), col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))

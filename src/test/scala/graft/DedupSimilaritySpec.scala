@@ -530,6 +530,65 @@ class DedupSimilaritySpec extends GraftSuite {
     }
   }
 
+  test("minhash replay (ledger-view + async appends) matches sequential single-batch verdicts and ledger content") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the r15 replay reads history bands from an in-memory view and sinks
+    // appends to an ordered background thread — this pins that its
+    // verdicts AND its committed ledger are bit-identical to N sequential
+    // incrementalMinhashBatch calls over the same arrival order. Corpus
+    // includes: an exact in-batch dup, a cross-batch near-dup of a KEPT
+    // doc, a near-dup of a DROPPED doc (seen-corpus semantics), and
+    // unrelated fillers spread over three batches.
+    val ts19 = (1 to 19).map(i => s"w$i")
+    val doc = (extra: String) => (ts19 :+ extra).mkString(" ")
+    val rows = Seq(
+      1L -> doc("u"), 2L -> "solo alpha beta gamma delta one",
+      10L -> doc("v"), 11L -> doc("v"), 12L -> "fresh words nobody saw yet",
+      20L -> ((ts19.take(18) :+ "v") ++ Seq("a", "b")).mkString(" "),
+      21L -> "another isolated document entirely")
+    def batchOf(id: Long): Int = if (id < 10) 0 else if (id < 20) 1 else 2
+    val batches = (0 until 3).map(b =>
+      rows.filter(r => batchOf(r._1) == b).toDF("doc_id", "text"))
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-02-01 0$h:00:00")
+    for (portable <- Seq(true, false)) {
+      val seqLedger = java.nio.file.Files
+        .createTempDirectory("graft_replay_seq").toString + "/ledger"
+      val seqVerdicts = batches.zipWithIndex.map { case (b, i) =>
+        val hist = if (i == 0) batches.head.limit(0)
+          else batches.take(i).reduce(_.unionByName(_))
+        Dedup.incrementalMinhashBatch(b, hist, seqLedger, ts(1 + i),
+          token = Some(s"b-$i"), portableBanding = portable)
+          .select(col("doc_id"), lit(i).as("batch"), col("kept"))
+      }.reduce(_.unionByName(_)).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      val repLedger = java.nio.file.Files
+        .createTempDirectory("graft_replay_rep").toString + "/ledger"
+      val repVerdicts = Dedup.incrementalMinhashReplay(batches, repLedger,
+        ts(1), stepMs = 3600000L, tokenPrefix = Some("b"),
+        portableBanding = portable).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+      assert(repVerdicts == seqVerdicts, s"portable=$portable")
+      def ledgerRows(t: String): Set[(Long, String, Long)] =
+        graft.operators.CommitLog.scan(spark, t)
+          .select(col("band").cast("long"), col("bandhash").cast("string"),
+            col("id"))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(ledgerRows(repLedger) == ledgerRows(seqLedger),
+        s"portable=$portable: committed band rows must match")
+      // and the replay's appends are token-idempotent end to end: a
+      // second full replay commits NOTHING new. (Its verdicts are not
+      // asserted against the first run's — with every batch already
+      // committed, the entry snapshot legitimately carries later batches'
+      // rows, exactly as a sequential re-run's per-call scans would.)
+      Dedup.incrementalMinhashReplay(batches, repLedger,
+        ts(1), stepMs = 3600000L, tokenPrefix = Some("b"),
+        portableBanding = portable).collect()
+      assert(ledgerRows(repLedger) == ledgerRows(seqLedger),
+        s"portable=$portable: replayed replay must not grow the ledger")
+    }
+  }
+
   test("incremental embedding ledger: cross-batch drops, dropped vectors still block, idempotent replay") {
     val spark2 = spark
     import spark2.implicits._
