@@ -459,12 +459,10 @@ object Dedup {
         if (CommitLog.snapshot(ledgerTable).files.isEmpty) None
         else Some(CommitLog.scan(spark, ledgerTable)
           .select(col("band"), col("bandhash"), col("id")))
-      // per-doc band rows off the cached prep frames — the same join the
+      // per-doc band rows off the cached prep frame — the same rows the
       // append writes, so the view's row multiset IS the committed one
       def docBands(p: MinhashPrep): DataFrame =
-        p.setBands
-          .join(broadcast(p.keyed.select(col("setkey"), col("id"))), "setkey")
-          .select(col("band"), col("bandhash"), col("id"))
+        p.docBands.select(col("band"), col("bandhash"), col("id"))
       // appends retire on ONE background thread: commit order preserved
       // (batch b's version precedes b+1's), but no verification waits
       val appendPool = java.util.concurrent.Executors.newSingleThreadExecutor()
@@ -541,7 +539,8 @@ object Dedup {
     * independent jobs; the appends themselves stay sequential because
     * batch b+1's ledger scan pins its file list after batch b's commit). */
   private final case class MinhashPrep(keyed: DataFrame, reps: DataFrame,
-                                       setBands: DataFrame)
+                                       setBands: DataFrame,
+                                       docBands: DataFrame)
 
   private def prepareMinhashBatch(batch: DataFrame, numHashes: Int,
                                   bands: Int, idCol: String, textCol: String,
@@ -571,7 +570,18 @@ object Dedup {
         numHashes, bands, portableBanding)
       .withColumnRenamed("id", "setkey")
       .persist(mem)
-    MinhashPrep(keyed, reps, setBands)
+    // per-DOC band rows — what the append commits and what later batches'
+    // ledger views read; a LAZY frame over the two caches above.
+    // (Measured dead end, r15: persisting this frame cut summed task time
+    // — 45.6 → 40.4 s sum-job-wall at sf0.1 — but made the GATE slower,
+    // 7.6 → 8.2 s median: the extra warm-up materialization pass plus
+    // first-touch cache-fill serialization inside the concurrent
+    // verification DAGs cost more wall than the recomputation they save.
+    // The expansion join is cheap off the keyed/setBands caches.)
+    val docBands = setBands
+      .join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
+      .select(col("band"), col("bandhash"), col("id"), col("setkey"))
+    MinhashPrep(keyed, reps, setBands, docBands)
   }
 
   /** Where a batch's HISTORY band rows come from (the ledger side of the
@@ -646,7 +656,7 @@ object Dedup {
     // narrow.
     val width = math.max(spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
-    val MinhashPrep(keyed, reps, setBands) = prep.getOrElse(
+    val MinhashPrep(keyed, reps, setBands, docBands) = prep.getOrElse(
       prepareMinhashBatch(batch, numHashes, bands, idCol, textCol,
         portableBanding))
     // distinct-set token rows, shuffle-free: cached batch scan filtered to
@@ -723,11 +733,15 @@ object Dedup {
         // candidate-pruned read of the history store: the corpus streams
         // through a column-pruned semi join on the colliding ids — it is
         // never shuffled and only (id, text) is read. (Measured dead ends,
-        // kept for the record: persisting `cands` + collecting the ids
-        // into an In-literal pushdown filter DOUBLED the four-batch gate
-        // at sf0.01 — the extra materialization pass and the
-        // thousand-literal In cost more in scheduling and
-        // analysis/translation than the second streamed pass they avoid.)
+        // kept for the record: r14 — persisting `cands` + collecting the
+        // ids into an In-literal pushdown filter DOUBLED the four-batch
+        // gate at sf0.01 (extra materialization pass + thousand-literal
+        // In). r15 — a LAZY `cands` persist alone re-measured worse too
+        // (sum-job-wall 40 → 65 s at sf0.1): the replay runs all four
+        // verification DAGs concurrently, and racing consumers serialize
+        // on the cache's partition locks inside every broadcast build.
+        // The cheap fix that DID land is persisting the per-doc band
+        // frame (prep.docBands), which the view re-reads make hot.)
         // prune FIRST (raw columns through the broadcast semi join, so the
         // history scan's partitioning carries only survivors), then
         // REBALANCE the candidate rows before tokenizing: a single-split
@@ -779,7 +793,7 @@ object Dedup {
     val atMicros = acceptedAt.getTime * 1000L
     val doAppend: () => Unit = () => {
       CommitLog.append(
-        setBands.join(broadcast(keyed.select(col("setkey"), col("id"))), "setkey")
+        docBands
           .select(col("band"), col("bandhash"), col("id"),
             lit(acceptedAt).as("accepted_at"),
             concat_ws("#", col("id"), col("band")).as("row_id")),
@@ -1337,7 +1351,11 @@ object Dedup {
     // the width math just sized (profiled: 32-task 0.3 s scans of a
     // 30 KB edge cache, once per iteration). coalesce (no shuffle) reads
     // the materialized edges0 blocks once; edges0 is dropped as soon as
-    // the narrow copy is live.
+    // the narrow copy is live. (Measured dead end, r15: hash-keying this
+    // cache on dst instead — so the per-iteration join could reuse the
+    // layout — was an exact wash at sf0.1 (4.43 s both ways, clean
+    // passes): the label side broadcasts, so the edge frame never moves
+    // through the loop's joins in the first place.)
     val w = graft.core.Caching.sizedWidth(pairs.sparkSession, edgeCount)
     val edges = edges0.coalesce(w).cache()
     var labels = edges.select(col("src").as("id")).distinct()
